@@ -1,0 +1,121 @@
+"""Burst (burp_intruder) and tool-scanner detector semantics."""
+
+from datetime import datetime, timedelta, timezone
+
+from webloghunter_spark.detectors.burst import burst_success_detector, find_bursts
+from webloghunter_spark.detectors.tools import tool_scanner
+
+BASE = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _burst_rows(n, status=500, start=0, gap=0.5, uri="/attack", ip="1.1.1.1"):
+    return [
+        ("a.log", ip, 0, uri, "POST", status, BASE + timedelta(seconds=start + i * gap))
+        for i in range(n)
+    ]
+
+
+BURST_SCHEMA = (
+    "source string, ip string, cluster long, request_uri string, "
+    "method string, status int, utc_timestamp timestamp"
+)
+
+
+def _prep(spark, rows):
+    df = spark.createDataFrame(rows, BURST_SCHEMA)
+    return df.withColumn("risk_score", df.status * 0.0).withColumn(
+        "rule_applied", df.request_uri.substr(0, 0)
+    )
+
+
+def test_burst_detected_and_success_stamped(spark):
+    rows = _burst_rows(120)  # 120 x 500s, 0.5s apart
+    rows += [("a.log", "1.1.1.1", 0, "/attack", "GET", 200, BASE + timedelta(seconds=100))]
+    # a 200 BEFORE the burst start is not stamped
+    rows += [("a.log", "1.1.1.1", 0, "/attack", "GET", 200, BASE - timedelta(seconds=10))]
+    out = burst_success_detector(_prep(spark, rows)).collect()
+    stamped = [r for r in out if r.risk_score == 95.0]
+    assert len(stamped) == 1
+    assert stamped[0].status == 200
+    assert stamped[0].rule_applied == "Attack Success After High-Frequency Server Failures"
+
+
+def test_burst_below_threshold_ignored(spark):
+    rows = _burst_rows(99)
+    rows += [("a.log", "1.1.1.1", 0, "/attack", "GET", 200, BASE + timedelta(seconds=100))]
+    out = burst_success_detector(_prep(spark, rows)).collect()
+    assert all(r.risk_score == 0.0 for r in out)
+
+
+def test_burst_split_by_gap(spark):
+    # 60 + 60 rows separated by a 5s gap: two sub-threshold bursts
+    rows = _burst_rows(60, gap=0.5)
+    rows += _burst_rows(60, start=40, gap=0.5)
+    df = _prep(spark, rows)
+    assert find_bursts(df).count() == 0
+    # with a tolerant max gap the two runs merge into one 120-burst
+    assert find_bursts(df, max_gap_seconds=11.0).count() == 1
+
+
+def test_burst_success_matches_without_method(spark):
+    # success match keys are (source, ip, cluster, uri) — method differs
+    rows = _burst_rows(120, gap=0.5)
+    rows += [("a.log", "1.1.1.1", 0, "/attack", "GET", 200, BASE + timedelta(seconds=70))]
+    out = burst_success_detector(_prep(spark, rows)).collect()
+    assert sum(1 for r in out if r.risk_score == 95.0) == 1
+
+
+TOOL_SIGS = [
+    {
+        "tool": "T1",
+        "name": "ToolOne",
+        "description": "test tool",
+        "keyword": ["/.a", "/.b", "/.c"],
+        "time_window": 100,
+    }
+]
+
+TOOL_SCHEMA = (
+    "source string, ip string, cluster long, request_uri string, "
+    "utc_timestamp timestamp, ordinal long"
+)
+
+
+def _tool_rows(uris, start=0, step=10, ip="1.1.1.1", cluster=0):
+    return [
+        ("a.log", ip, cluster, u, BASE + timedelta(seconds=start + i * step), i)
+        for i, u in enumerate(uris)
+    ]
+
+
+def test_tool_all_keywords_within_window(spark):
+    rows = _tool_rows(["/.a", "/x", "/.b", "/.c"])
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    out = tool_scanner(df, TOOL_SIGS).orderBy("ordinal").collect()
+    tools = [r.tool for r in out]
+    # span covers candidates /.a, /.b, /.c (the non-candidate /x at idx 1
+    # is not part of the candidate list, so not stamped)
+    assert tools == ["T1", "", "T1", "T1"]
+    assert out[0].tool_name == "ToolOne"
+
+
+def test_tool_missing_keyword_negative(spark):
+    rows = _tool_rows(["/.a", "/.b"])  # /.c never seen
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    out = tool_scanner(df, TOOL_SIGS).collect()
+    assert all(r.tool == "" for r in out)
+
+
+def test_tool_window_exceeded_negative(spark):
+    rows = _tool_rows(["/.a", "/.b", "/.c"], step=60)  # span 120 > 100
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    out = tool_scanner(df, TOOL_SIGS).collect()
+    assert all(r.tool == "" for r in out)
+
+
+def test_tool_unbounded_window(spark):
+    sigs = [dict(TOOL_SIGS[0], time_window=0)]
+    rows = _tool_rows(["/.a", "/.b", "/.c"], step=10000)
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    out = tool_scanner(df, sigs).collect()
+    assert all(r.tool == "T1" for r in out)

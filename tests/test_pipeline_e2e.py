@@ -1,0 +1,73 @@
+"""End-to-end: raw log files on disk -> scored, filterable DataFrame."""
+
+import pytest
+
+from webloghunter_spark.engine import EngineConfig, build_pipeline, query
+
+
+@pytest.fixture(scope="module")
+def logdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    apache = d / "access1.log"
+    lines = []
+    # a normal browsing session
+    for i in range(5):
+        lines.append(
+            f'10.0.0.1 - - [10/Oct/2024:13:00:{i:02d} +0000] "GET /page{i}.html HTTP/1.1" 200 1000 "-" "Mozilla/5.0"'
+        )
+    # a suspicious hit: whoami with status 200
+    lines.append(
+        '10.0.0.2 - - [10/Oct/2024:14:00:00 +0000] "GET /cgi?cmd=whoami HTTP/1.1" 200 120 "-" "curl/8"'
+    )
+    # static asset (filtered out by default extension ignore)
+    lines.append(
+        '10.0.0.1 - - [10/Oct/2024:13:00:10 +0000] "GET /app.js HTTP/1.1" 200 50 "-" "Mozilla/5.0"'
+    )
+    # comment + garbage
+    lines.append("# comment line")
+    lines.append("complete garbage")
+    apache.write_text("\n".join(lines) + "\n")
+
+    iis = d / "access2.log"
+    iis.write_text(
+        "2024-10-10 15:00:00 W3SVC1 GET /iis.aspx - 443 - 9.9.9.9 UA - 201 0 0 64\n"
+    )
+    return str(d)
+
+
+def test_pipeline_end_to_end(spark, logdir):
+    scored, errors = build_pipeline(spark, logdir)
+    rows = scored.collect()
+    # 7 parseable lines across both files (5 pages + whoami + app.js + iis)
+    assert len(rows) == 8
+    assert errors.count() == 1
+
+    by_uri = {r.request_uri: r for r in rows}
+    # whoami rule fired (71.1)
+    assert by_uri["/cgi?cmd=whoami"].risk_score == 71.1
+    # iis 201 -> status_risk 90 -> Status Code Risk rule 40
+    assert by_uri["/iis.aspx"].risk_score == 40.0
+    # session ids assigned, request_count present
+    assert all(r.cluster is not None and r.request_count >= 1 for r in rows)
+
+
+def test_pipeline_filters(spark, logdir):
+    scored, _ = build_pipeline(spark, logdir)
+    # default extension ignore drops /app.js
+    out = query(scored)
+    uris = [r.request_uri for r in out.collect()]
+    assert "/app.js" not in uris
+    # all_extensions keeps it
+    out = query(scored, all_extensions=True)
+    assert "/app.js" in [r.request_uri for r in out.collect()]
+    # risk filter
+    out = query(scored, risk_score=70)
+    assert [r.request_uri for r in out.collect()] == ["/cgi?cmd=whoami"]
+    # CIDR include / exclude
+    out = query(scored, ip_include=["10.0.0.0/24"], all_extensions=True)
+    assert {r.ip for r in out.collect()} == {"10.0.0.1", "10.0.0.2"}
+    out = query(scored, ip_ignore=["10.0.0.0/24"])
+    assert {r.ip for r in out.collect()} == {"9.9.9.9"}
+    # ordering by (source, utc_timestamp)
+    out = query(scored, all_extensions=True).collect()
+    assert [r.source for r in out] == sorted(r.source for r in out)

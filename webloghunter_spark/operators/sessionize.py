@@ -1,0 +1,64 @@
+"""Gap-threshold sessionization (the reference's `_cluster`).
+
+Semantics reproduced from /root/reference/WebLogTriage/dataframe.py:604-658:
+
+- rows are grouped per (source, ip); a new session starts when the gap in
+  epoch *seconds* since the previous row is >= `threshold` (the reference
+  computes ``same_cluster = diff().fillna(0) < threshold``, so the FIRST
+  row of each group has gap 0 => it *continues* session 0, and an exact
+  ``threshold`` gap starts a NEW session — dataframe.py:630-636).
+- local session ids are the running sum of new-session flags per group.
+- global ids renumber (source, ip, local) triples densely **in order of
+  first appearance** after sorting by (source, ip, epoch)
+  (``pd.factorize``, dataframe.py:638-639), i.e. ordered by
+  (source, ip, local).
+
+Scale design: the global renumbering is NOT done with a global window over
+the event table (that would serialize 100 TB through one partition).
+Instead we aggregate to one row per session (orders of magnitude smaller),
+assign dense ids on the session-level table, and broadcast-join back.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("source", "ip"),
+    ts_col: str = "utc_timestamp",
+    threshold: int = 60,
+    cluster_col: str = "cluster",
+    epoch_expr: Column | None = None,
+) -> DataFrame:
+    """Add a dense global session id column (`cluster_col`).
+
+    `epoch_expr` may override how epoch seconds are derived from `ts_col`
+    (the reference truncates ns -> s via integer division, i.e. floor).
+    """
+    gcols = list(group_cols)
+    epoch = epoch_expr if epoch_expr is not None else F.unix_timestamp(F.col(ts_col))
+    df = df.withColumn("_epoch", epoch.cast("long"))
+
+    w = Window.partitionBy(*gcols).orderBy("_epoch")
+    # diff().fillna(0) < threshold: null gap (first row) => same session.
+    gap = F.col("_epoch") - F.lag("_epoch").over(w)
+    new_flag = F.when(gap.isNull(), F.lit(0)).when(
+        gap >= threshold, F.lit(1)
+    ).otherwise(F.lit(0))
+    df = df.withColumn("_new", new_flag).withColumn(
+        "_local",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+    # Session-level table: tiny vs the event table; dense ids assigned there.
+    sessions = df.select(*gcols, "_local").distinct()
+    sw = Window.orderBy(*gcols, "_local")
+    sessions = sessions.withColumn(cluster_col, F.dense_rank().over(sw) - F.lit(1))
+
+    out = df.join(F.broadcast(sessions), on=gcols + ["_local"], how="left")
+    return out.drop("_epoch", "_new", "_local")

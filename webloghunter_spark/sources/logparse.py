@@ -1,0 +1,190 @@
+"""Multi-format access-log ingestion.
+
+Reproduces the reference parser's behavior (/root/reference/WebLogTriage/
+parser.py:8-18, :108-158) as a declarative Spark projection:
+
+- lines are read with ``spark.read.text`` (utf-8, malformed bytes
+  replaced — same as the reference's ``decode('utf-8', 'replace')``);
+- a leading grep ``filename:`` prefix is stripped (parser.py:112-114);
+- blank lines and ``#`` comments are skipped (parser.py:130-132);
+- a trailing-junk regex sub is applied (parser.py:134);
+- eight log-format regexes are tried IN ORDER, first match wins
+  (parser.py:137-141); unmatched lines go to an errors side-channel
+  (parser.py:122-123) — here a separate DataFrame, not a log file;
+- per-entry defaults: user_agent/referrer '' -> '-', non-digit status
+  -> 0, missing resp_size -> 0, missing method -> 'INVALID'
+  (parser.py:143-153);
+- each row is tagged with the basename of its source file
+  (parser.py:120) and a monotonically-increasing ordinal capturing
+  on-disk line order (needed for deterministic keep-first dedup).
+
+Execution shape: the format dispatch compiles to a single whole-stage-
+codegen'd projection — ``rlike`` per format picks the first match, and
+each field extracts from the winning pattern only (conditional branches,
+so the non-matching regexes are not evaluated per field). No Python
+runs per row; scales linearly with input and parallelizes per file
+split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (format name, regex, {field: capture-group index})
+# Same patterns and order as the reference; named groups re-expressed as
+# numbered groups for Java regex portability.
+LOG_FORMATS: list[tuple[str, str, dict[str, int]]] = [
+    (
+        "apache",
+        r'^(\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d{3}) (\d+|-) "(.*?|-)" "(.*?|-)"\s*$',
+        {"ip": 1, "timestamp": 2, "method": 3, "request_uri": 4, "status": 5, "resp_size": 6, "referrer": 7, "user_agent": 8},
+    ),
+    (
+        "no_method",
+        r'^(\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([^"]+)" (\d{3}) (\d+|-) "(.*?|-)" "(.*?|-)"$',
+        {"ip": 1, "timestamp": 2, "request_uri": 3, "status": 4, "resp_size": 5, "referrer": 6, "user_agent": 7},
+    ),
+    (
+        "apache_extended",
+        r'^(\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d{3}) (\d+) "(.*?|-)" "(.*?|-)" "(.*?|-)"$',
+        {"ip": 1, "timestamp": 2, "method": 3, "request_uri": 4, "status": 5, "resp_size": 6, "referrer": 7, "user_agent": 8, "extra": 9},
+    ),
+    (
+        "clf",
+        r'^(\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d{3}) (\d+|-)$',
+        {"ip": 1, "timestamp": 2, "method": 3, "request_uri": 4, "status": 5, "resp_size": 6},
+    ),
+    (
+        "unknown",
+        r'^\S+ \S+ \S+ (\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d{3}) (\d+)$',
+        {"ip": 1, "timestamp": 2, "method": 3, "request_uri": 4, "status": 5, "resp_size": 6},
+    ),
+    (
+        "nginx",
+        r'^(\S+) \S+ \S+ \[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d{3}) (\d+) "([^"]*)" "(.*?|-)"$',
+        {"ip": 1, "timestamp": 2, "method": 3, "request_uri": 4, "status": 5, "resp_size": 6, "referrer": 7, "user_agent": 8},
+    ),
+    (
+        "iis",
+        r"^(\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2})\s+\S+\s+([A-Z]+)\s+(\S+)\s+\S+\s+\d+\s+\S+\s+(\S+)\s+(\S+)\s+(\S+|-)\s+(\d{3})\s+\d+\s+\d+\s+(\d+)$",
+        {"timestamp": 1, "method": 2, "request_uri": 3, "ip": 4, "user_agent": 5, "referrer": 6, "status": 7, "resp_size": 8},
+    ),
+    (
+        "iis_custom_1",
+        r"^(\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2})\s+\S+\s+\S+\s+\S+\s+([A-Z]+)\s+(\S+)\s+\S+\s+\d+\s+\S+\s+(\S+)\s+(\S+)\s+(\S+)\s+(\d{3})\s+\d+\s+\d+\s+(\d+)$",
+        {"timestamp": 1, "method": 2, "request_uri": 3, "ip": 4, "user_agent": 5, "referrer": 6, "status": 7, "time_taken": 8},
+    ),
+]
+
+FIELDS = ["ip", "timestamp", "method", "request_uri", "status", "resp_size", "referrer", "user_agent", "extra", "time_taken"]
+
+GREP_PREFIX_RE = r"^[\w./-]+:\s*"
+TRAILING_JUNK_RE = r'(".*?"|-" ".*?"|-")$.*'
+
+
+def read_raw_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Read log files/dirs/globs to (value, source, ordinal).
+
+    `.csv` paths are treated as Splunk exports: only the `_raw` column
+    is used as the line text (parser.py:74-76).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    csv_paths = [p for p in paths if p.lower().endswith(".csv")]
+    txt_paths = [p for p in paths if not p.lower().endswith(".csv")]
+    parts = []
+    if txt_paths:
+        parts.append(spark.read.text(txt_paths))
+    if csv_paths:
+        # RFC-4180 doubled-quote escaping (Splunk exports); Spark's default
+        # escape char is backslash, so set it to the quote char.
+        raw = (
+            spark.read.option("header", "true")
+            .option("escape", '"')
+            .csv(csv_paths)
+        )
+        parts.append(raw.select(F.col("_raw").cast("string").alias("value")))
+    if not parts:
+        raise ValueError("no input paths")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    src = F.url_decode(F.regexp_extract(F.input_file_name(), r"[^/]+$", 0))
+    return df.select(
+        F.col("value"),
+        src.alias("source"),
+        F.monotonically_increasing_id().alias("ordinal"),
+    )
+
+
+def _format_col() -> Column:
+    fmt = None
+    for name, pattern, _ in LOG_FORMATS:
+        cond = F.col("_line").rlike(pattern)
+        fmt = F.when(cond, name) if fmt is None else fmt.when(cond, name)
+    return fmt.otherwise(F.lit(None))
+
+
+def _field_col(field: str) -> Column:
+    expr = None
+    for name, pattern, groups in LOG_FORMATS:
+        if field not in groups:
+            continue
+        val = F.regexp_extract(F.col("_line"), pattern, groups[field])
+        cond = F.col("_format") == name
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    if expr is None:
+        return F.lit(None).cast("string")
+    return expr.otherwise(F.lit(None))
+
+
+def parse_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(value, source, ordinal) -> (parsed entries, unparsed errors).
+
+    Output schema: ip, timestamp, method, request_uri, status(int),
+    resp_size(long), referrer, user_agent, extra, time_taken(int),
+    source, ordinal — with the reference's default fills.
+    """
+    stripped = F.regexp_replace(F.col("value"), GREP_PREFIX_RE, "")
+    line = F.when(stripped != "", stripped).otherwise(F.col("value"))
+    line = F.trim(line)
+    df = lines.withColumn("_line", F.regexp_replace(line, TRAILING_JUNK_RE, "$1"))
+
+    skippable = (F.col("_line") == "") | F.col("_line").startswith("#")
+    candidates = df.filter(~skippable).withColumn("_format", _format_col())
+
+    errors = candidates.filter(F.col("_format").isNull()).select(
+        "value", "source", "ordinal"
+    )
+
+    p = candidates.filter(F.col("_format").isNotNull())
+    status_raw = _field_col("status")
+    resp_raw = _field_col("resp_size")
+    parsed = p.select(
+        F.coalesce(_field_col("ip"), F.lit("")).alias("ip"),
+        F.coalesce(_field_col("timestamp"), F.lit("")).alias("timestamp"),
+        # missing/empty method -> 'INVALID' (parser.py:153)
+        F.coalesce(F.nullif(_field_col("method"), F.lit("")), F.lit("INVALID")).alias("method"),
+        F.coalesce(_field_col("request_uri"), F.lit("")).alias("request_uri"),
+        # non-digit status -> 0 (parser.py:149-150)
+        F.coalesce(status_raw.try_cast("int"), F.lit(0)).alias("status"),
+        # '-' or missing resp_size -> 0 (parser.py:151-152)
+        F.coalesce(resp_raw.try_cast("long"), F.lit(0)).alias("resp_size"),
+        # empty referrer/user_agent -> '-' (parser.py:143-144)
+        F.coalesce(F.nullif(_field_col("referrer"), F.lit("")), F.lit("-")).alias("referrer"),
+        F.coalesce(F.nullif(_field_col("user_agent"), F.lit("")), F.lit("-")).alias("user_agent"),
+        F.coalesce(_field_col("extra"), F.lit("")).alias("extra"),
+        F.coalesce(_field_col("time_taken").try_cast("int"), F.lit(0)).alias("time_taken"),
+        F.col("_format").alias("log_format"),
+        "source",
+        "ordinal",
+    )
+    return parsed, errors
+
+
+def read_access_logs(
+    spark: SparkSession, paths: list[str] | str
+) -> tuple[DataFrame, DataFrame]:
+    """Convenience: read + parse. Returns (entries, errors)."""
+    return parse_lines(read_raw_lines(spark, paths))
