@@ -1,0 +1,852 @@
+"""Query registry: every operator exposed as (Spark callable, oracle SQL).
+
+Each entry maps one operator family from SURVEY §2 (or a training-data
+pipeline op) onto the driver's synthetic tables. The Spark side calls
+the real engine modules; the oracle side is independent ANSI SQL that
+DuckDB runs on the same parquet — the correctness gate.
+
+Conventions keeping the two sides hash-identical:
+- timestamps exported as floor(epoch) BIGINT (Spark `unix_timestamp`
+  floors; DuckDB `floor(epoch(ts))::BIGINT`);
+- doubles rounded (both engines round half-away-from-zero);
+- every computed column aliased identically on both sides;
+- deterministic tie-breaks (ids) wherever ordering feeds a limit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.risk import method_risk_expr, status_risk_expr
+from webloghunter_spark.functions.similarity import cosine_topk
+from webloghunter_spark.functions.text import (
+    lang_id_expr,
+    punct_count_expr,
+    quality_bp_expr,
+    stopword_count_expr,
+    token_count_expr,
+)
+from webloghunter_spark.operators.counts import with_request_count
+from webloghunter_spark.operators.dedup import remove_cross_source_dups
+from webloghunter_spark.operators.filters import apply_filters
+from webloghunter_spark.operators.sessionize import sessionize
+from webloghunter_spark.pipelines.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from webloghunter_spark.rules.sigma import DEFAULT_RULES, apply_rules
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp
+        # type, so read nanos as long (see session.py) and truncate to
+        # microseconds exactly (integer division — no double rounding).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic web-log projection of the events table (shared by several
+# queries). Maps events columns onto the engine's access-log schema so
+# the log-analytics operators run on driver-generated data.
+# ---------------------------------------------------------------------------
+
+URI_TABLE = [
+    "/index.html",          # uri_risk 0
+    "/admin/panel",         # 25 (sensitive path)
+    "/cgi?cmd=whoami",      # 0
+    "/upload/x.php.jpg",    # 25 + 80 -> capped... = 100
+    "/../../etc/passwd",    # 80 (traversal in path)
+    "/dump.sql",            # 10 (risky extension)
+    "/x?f=../../etc",       # 15 (traversal in query)
+    "/login",               # 25
+]
+URI_RISK_TABLE = [0, 25, 0, 100, 80, 10, 15, 25]
+
+STATUS_BY_TYPE = {"error": 500, "signup": 201, "click": 301, "view": 404, "purchase": 200}
+METHOD_BY_TYPE = {"error": "GET", "signup": "PUT", "click": "GET", "view": "HEAD", "purchase": "POST"}
+IP_TABLE = ["10.0.1.5", "192.168.7.9", "garbage"]
+
+
+def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+
+    def _map(table: dict, col):
+        expr = None
+        for key, val in table.items():
+            cond = col == key
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return expr
+
+    uri = None
+    for i, u in enumerate(URI_TABLE):
+        cond = k % 8 == i
+        uri = F.when(cond, u) if uri is None else uri.when(cond, u)
+    uri_risk = None
+    for i, r in enumerate(URI_RISK_TABLE):
+        cond = k % 8 == i
+        uri_risk = F.when(cond, r) if uri_risk is None else uri_risk.when(cond, r)
+    ip = None
+    for i, a in enumerate(IP_TABLE):
+        cond = k % 3 == i
+        ip = F.when(cond, a) if ip is None else ip.when(cond, a)
+
+    return ev.select(
+        "event_id",
+        F.col("user_id"),
+        F.col("ts").alias("utc_timestamp"),
+        _map(STATUS_BY_TYPE, F.col("event_type")).alias("status"),
+        _map(METHOD_BY_TYPE, F.col("event_type")).alias("method"),
+        uri.alias("request_uri"),
+        uri_risk.cast("int").alias("uri_risk"),
+        ip.alias("ip"),
+        F.floor(F.col("value") * 10).cast("long").alias("resp_size"),
+        F.when(k % 5 == 0, "https://fofa.info/x").otherwise("-").alias("referrer"),
+        F.lit("-").alias("user_agent"),
+    )
+
+
+WEBLOG_SQL_BASE = """
+    SELECT event_id, user_id, ts AS utc_timestamp,
+           CASE event_type WHEN 'error' THEN 500 WHEN 'signup' THEN 201
+                WHEN 'click' THEN 301 WHEN 'view' THEN 404
+                WHEN 'purchase' THEN 200 END AS status,
+           CASE event_type WHEN 'error' THEN 'GET' WHEN 'signup' THEN 'PUT'
+                WHEN 'click' THEN 'GET' WHEN 'view' THEN 'HEAD'
+                WHEN 'purchase' THEN 'POST' END AS method,
+           CASE (CAST(json_extract_string(props, '$.k') AS INTEGER) % 8)
+                WHEN 0 THEN '/index.html' WHEN 1 THEN '/admin/panel'
+                WHEN 2 THEN '/cgi?cmd=whoami' WHEN 3 THEN '/upload/x.php.jpg'
+                WHEN 4 THEN '/../../etc/passwd' WHEN 5 THEN '/dump.sql'
+                WHEN 6 THEN '/x?f=../../etc' WHEN 7 THEN '/login' END AS request_uri,
+           CASE (CAST(json_extract_string(props, '$.k') AS INTEGER) % 8)
+                WHEN 0 THEN 0 WHEN 1 THEN 25 WHEN 2 THEN 0 WHEN 3 THEN 100
+                WHEN 4 THEN 80 WHEN 5 THEN 10 WHEN 6 THEN 15 WHEN 7 THEN 25
+                END AS uri_risk,
+           CASE (CAST(json_extract_string(props, '$.k') AS INTEGER) % 3)
+                WHEN 0 THEN '10.0.1.5' WHEN 1 THEN '192.168.7.9'
+                WHEN 2 THEN 'garbage' END AS ip,
+           CAST(floor("value" * 10) AS BIGINT) AS resp_size,
+           CASE WHEN (CAST(json_extract_string(props, '$.k') AS INTEGER) % 5) = 0
+                THEN 'https://fofa.info/x' ELSE '-' END AS referrer,
+           '-' AS user_agent
+    FROM events
+"""
+
+# DuckDB CTEs for document tokenization/shingling (shared).
+DOC_TOKENS_SQL = r"""
+    toks AS (
+        SELECT doc_id, source, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' ')) END AS s
+        FROM toks
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query definitions
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation (A-class) with full agg surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue(spark, sf_dir):
+    """3-way broadcast join + agg + deterministic top-k (J-class)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+    SELECT l_orderkey, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-threshold sessionization (W1-W4) on events, 1800 s gap."""
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(
+        ev.select("event_id", "user_id", "ts"),
+        group_cols=("user_id",),
+        ts_col="ts",
+        threshold=1800,
+    )
+    return out.select("event_id", "user_id", "cluster")
+
+
+SQL_SESSIONIZE = """
+    WITH e AS (
+        SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep FROM events
+    ),
+    flagged AS (
+        SELECT event_id, user_id, ep,
+               CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                         >= 1800 THEN 1 ELSE 0 END AS nf
+        FROM e
+    ),
+    localc AS (
+        SELECT event_id, user_id,
+               sum(nf) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS local_c
+        FROM flagged
+    ),
+    ids AS (
+        SELECT user_id, local_c,
+               dense_rank() OVER (ORDER BY user_id, local_c) - 1 AS cluster
+        FROM (SELECT DISTINCT user_id, local_c FROM localc)
+    )
+    SELECT l.event_id, l.user_id, ids.cluster
+    FROM localc l JOIN ids ON l.user_id = ids.user_id AND l.local_c = ids.local_c
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session aggregates (A2/A4-class) over the sessionizer output."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(
+        ev.select("event_id", "user_id", "ts"),
+        group_cols=("user_id",),
+        ts_col="ts",
+        threshold=1800,
+    )
+    return s.groupBy("user_id", "cluster").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+SQL_SESSION_STATS = """
+    WITH e AS (
+        SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep FROM events
+    ),
+    flagged AS (
+        SELECT event_id, user_id, ep,
+               CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                         >= 1800 THEN 1 ELSE 0 END AS nf
+        FROM e
+    ),
+    localc AS (
+        SELECT event_id, user_id, ep,
+               sum(nf) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS local_c
+        FROM flagged
+    ),
+    ids AS (
+        SELECT user_id, local_c,
+               dense_rank() OVER (ORDER BY user_id, local_c) - 1 AS cluster
+        FROM (SELECT DISTINCT user_id, local_c FROM localc)
+    )
+    SELECT l.user_id, ids.cluster, count(*) AS n_events,
+           min(ep) AS start_epoch, max(ep) AS end_epoch,
+           max(ep) - min(ep) AS duration_s
+    FROM localc l JOIN ids ON l.user_id = ids.user_id AND l.local_c = ids.local_c
+    GROUP BY l.user_id, ids.cluster
+"""
+
+
+def q_request_count(spark, sf_dir):
+    """A1: per-key repeat count attached to every row via window."""
+    w = weblog_from_events(spark, sf_dir)
+    out = with_request_count(w, keys=("user_id", "method", "request_uri"))
+    return out.select("event_id", "request_count")
+
+
+SQL_REQUEST_COUNT = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT event_id,
+           count(*) OVER (PARTITION BY user_id, method, request_uri) AS request_count
+    FROM w
+"""
+
+
+def q_lag_delta(spark, sf_dir):
+    """W1: seconds since previous event per user (first row -> 0)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ep = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        F.coalesce(ep - F.lag(ep).over(w), F.lit(0)).alias("delta_s"),
+    )
+
+
+SQL_LAG_DELTA = """
+    SELECT event_id,
+           coalesce(floor(epoch(ts))::BIGINT
+                    - lag(floor(epoch(ts))::BIGINT)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    0) AS delta_s
+    FROM events
+"""
+
+
+def q_burst_detect(spark, sf_dir):
+    """D1-analog: runs of 'error' events per user with gap < 7200 s and
+    length >= 2 (burst-id machinery = W6/W7 via the sessionizer)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    s = sessionize(
+        ev.select("event_id", "user_id", "ts"),
+        group_cols=("user_id",),
+        ts_col="ts",
+        threshold=7200,
+    )
+    return (
+        s.groupBy("user_id", "cluster")
+        .agg(
+            F.count(F.lit(1)).alias("burst_count"),
+            F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+            F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        )
+        .filter(F.col("burst_count") >= 2)
+        .select("user_id", "burst_count", "start_epoch", "end_epoch")
+    )
+
+
+SQL_BURST_DETECT = """
+    WITH e AS (
+        SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep
+        FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+        SELECT event_id, user_id, ep,
+               CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                         >= 7200 THEN 1 ELSE 0 END AS nf
+        FROM e
+    ),
+    localc AS (
+        SELECT user_id, ep,
+               sum(nf) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS local_c
+        FROM flagged
+    )
+    SELECT user_id, count(*) AS burst_count,
+           min(ep) AS start_epoch, max(ep) AS end_epoch
+    FROM localc
+    GROUP BY user_id, local_c
+    HAVING count(*) >= 2
+"""
+
+
+def q_first_last(spark, sf_dir):
+    """F14/A3: first & last event per (user, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rd", F.row_number().over(wd))
+        .filter((F.col("_ra") == 1) | (F.col("_rd") == 1))
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+SQL_FIRST_LAST = """
+    SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events
+    ) WHERE ra = 1 OR rd = 1
+"""
+
+
+def q_event_risk(spark, sf_dir):
+    """R2/R3: method & status risk CASE tables over the weblog mapping."""
+    w = weblog_from_events(spark, sf_dir)
+    return w.select(
+        "event_id",
+        method_risk_expr("method").alias("method_risk"),
+        status_risk_expr("status").alias("status_risk"),
+    )
+
+
+SQL_EVENT_RISK = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT event_id,
+           CASE upper(method) WHEN 'GET' THEN 10 WHEN 'HEAD' THEN 20
+                WHEN 'OPTIONS' THEN 25 WHEN 'POST' THEN 45 WHEN 'PUT' THEN 80
+                WHEN 'DELETE' THEN 80 WHEN 'TRACE' THEN 80 WHEN 'CONNECT' THEN 80
+                ELSE 60 END AS method_risk,
+           CASE WHEN status = 100 THEN 20 WHEN status = 101 THEN 20
+                WHEN status = 200 THEN 30 WHEN status = 201 THEN 90
+                WHEN status = 202 THEN 35 WHEN status = 204 THEN 25
+                WHEN status = 207 THEN 70 WHEN status = 301 THEN 10
+                WHEN status = 302 THEN 10 WHEN status = 304 THEN 20
+                WHEN status = 400 THEN 15 WHEN status = 401 THEN 30
+                WHEN status = 403 THEN 40 WHEN status = 404 THEN 10
+                WHEN status = 429 THEN 35 WHEN status = 500 THEN 90
+                WHEN status = 502 THEN 70 WHEN status = 503 THEN 70
+                WHEN status = 504 THEN 70
+                WHEN status >= 100 AND status < 200 THEN 25
+                WHEN status >= 200 AND status < 300 THEN 35
+                WHEN status >= 300 AND status < 400 THEN 15
+                WHEN status >= 400 AND status < 500 THEN 25
+                WHEN status >= 500 AND status < 600 THEN 80
+                ELSE 90 END AS status_risk
+    FROM w
+"""
+
+
+def q_sigma_rules(spark, sf_dir):
+    """Full Sigma rule engine over the weblog mapping (highest score
+    wins, file order on ties)."""
+    w = weblog_from_events(spark, sf_dir)
+    w = with_request_count(w, keys=("user_id", "method", "request_uri"))
+    w = w.withColumn("status_risk", status_risk_expr("status"))
+    out = apply_rules(w, DEFAULT_RULES)
+    return out.select("event_id", "risk_score", "rule_applied")
+
+
+# Rule scores are strictly descending in DEFAULT_RULES, so a CASE in
+# score order implements highest-wins + file-order tiebreak exactly.
+SQL_SIGMA_RULES = f"""
+    WITH base AS ({WEBLOG_SQL_BASE}),
+    w AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY user_id, method, request_uri) AS request_count,
+               CASE WHEN status = 200 THEN 30 WHEN status = 201 THEN 90
+                    WHEN status = 301 THEN 10 WHEN status = 404 THEN 10
+                    WHEN status = 500 THEN 90 ELSE 90 END AS status_risk
+        FROM base
+    ),
+    m AS (
+        SELECT event_id,
+           (request_count >= 500 AND status IN (500,502,503,504) AND resp_size >= 25) AS m1,
+           (uri_risk >= 70 AND status IN (200,201,202) AND resp_size >= 25) AS m2,
+           (status IN (200,201,202) AND resp_size >= 25
+                AND contains(lower(request_uri), 'whoami')) AS m3,
+           (resp_size >= 25 AND uri_risk >= 40 AND status IN (500,502,503,504)) AS m4,
+           (contains(lower(referrer), 'fofa.info')) AS m5,
+           (resp_size >= 25 AND request_count >= 200 AND request_count < 500
+                AND status IN (500,502,503,504)) AS m6,
+           (request_count >= 200 AND resp_size >= 25
+                AND status IN (200,201,202,403) AND method = 'POST') AS m7,
+           (status_risk >= 70) AS m8
+        FROM w
+    )
+    SELECT event_id,
+           CASE WHEN m1 THEN 80.0 WHEN m2 THEN 75.0 WHEN m3 THEN 71.1
+                WHEN m4 THEN 68.0 WHEN m5 THEN 67.5 WHEN m6 THEN 42.0
+                WHEN m7 THEN 41.0 WHEN m8 THEN 40.0 ELSE 0.0 END AS risk_score,
+           CASE WHEN m1 THEN 'Large Request Count & Server Error'
+                WHEN m2 THEN 'Suspicious URI & OK Status'
+                WHEN m3 THEN 'Shell Command & Status Success'
+                WHEN m4 THEN 'Moderately suspicious URI & Server Error'
+                WHEN m5 THEN 'Suspicious Referrer'
+                WHEN m6 THEN 'Repeating Requests & Server Error'
+                WHEN m7 THEN 'Repeating POST Requests Status OK or Forbidden'
+                WHEN m8 THEN 'Status Code Risk'
+                ELSE '' END AS rule_applied
+    FROM m
+"""
+
+
+def q_filter_api(spark, sf_dir):
+    """F-class predicates incl. static-extension exclusion."""
+    w = weblog_from_events(spark, sf_dir)
+    out = apply_filters(
+        w,
+        status_include=[200, 500],
+        uripath_keyword=["admin", "passwd"],
+        resp_size_min=100,
+        order_result=False,
+    )
+    return out.select("event_id")
+
+
+SQL_FILTER_API = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT event_id FROM w
+    WHERE status IN (200, 500)
+      AND (contains(request_uri, 'admin') OR contains(request_uri, 'passwd'))
+      AND resp_size >= 100
+      AND NOT (lower(string_split(request_uri, '?')[1]) LIKE '%.jpg')
+"""
+
+
+def q_cidr_filter(spark, sf_dir):
+    """F10: CIDR include filter with invalid-IP tolerance."""
+    w = weblog_from_events(spark, sf_dir)
+    out = apply_filters(w, ip_include=["10.0.0.0/8"], all_extensions=True, order_result=False)
+    return out.select("event_id", "ip")
+
+
+SQL_CIDR_FILTER = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT event_id, ip FROM w WHERE ip = '10.0.1.5'
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 purchases by value per user (window top-k pattern)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+    SELECT user_id, event_id, rn FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY "value" DESC, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn <= 3
+"""
+
+
+def q_json_agg(spark, sf_dir):
+    """JSON extraction + distinct/avg aggregate surface."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_JSON_AGG = """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           round(avg("value"), 4) AS avg_value
+    FROM events GROUP BY event_type
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+"""
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    """The engine's cross-source dedup applied to documents (key=text)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_cross_source_dups(
+        docs, key_cols=("text",), source_col="source", ordinal_cols=("doc_id",)
+    )
+    return out.select("doc_id")
+
+
+SQL_DEDUP_CROSS_SOURCE = """
+    WITH k AS (
+        SELECT doc_id, source,
+               CASE WHEN regexp_replace(lower(trim(text)), '^"|"$', '') = 'nan'
+                    THEN '' ELSE regexp_replace(lower(trim(text)), '^"|"$', '')
+                    END AS key
+        FROM documents
+    ),
+    marked AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+               count(DISTINCT source) OVER (PARTITION BY key) AS nsrc
+        FROM k
+    )
+    SELECT doc_id FROM marked WHERE rn = 1 OR nsrc = 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        punct_count_expr("text").alias("n_punct"),
+        stopword_count_expr("text").alias("n_stop"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+    WITH toks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    )
+    SELECT doc_id, len(t)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+           (length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\[\]{}-]', '', 'g')))::BIGINT AS n_punct,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','an','of','to','in','and','is','on','for'],
+               lower(x))))::BIGINT AS n_stop
+    FROM toks
+"""
+
+
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_bp_expr("text").alias("quality_bp"))
+
+
+SQL_QUALITY = r"""
+    WITH toks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               len(t)::DOUBLE AS ntok,
+               greatest(length(text)::DOUBLE, 1.0) AS nchar,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE AS npunct,
+               len(list_filter(t, x -> list_contains(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   lower(x))))::DOUBLE AS nstop
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(floor((least(ntok / 100.0, 1.0) * 0.5
+                 + (1.0 - npunct / nchar) * 0.3
+                 + least((nstop / greatest(ntok, 1.0)) * 5.0, 1.0) * 0.2)
+                 * 10000.0 + 0.5) AS BIGINT) AS quality_bp
+    FROM stats
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr("text").alias("lang_guess"))
+
+
+SQL_LANG_ID = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                   x -> lower(x)) END AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS en,
+               len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+               len(list_filter(t, x -> list_contains(['el','la','los','que','es'], x))) AS es,
+               len(list_filter(t, x -> list_contains(['le','les','et','une','est'], x))) AS fr
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+                WHEN de > 0 AND de > en AND de >= es AND de >= fr THEN 'de'
+                WHEN es > 0 AND es > en AND es > de AND es >= fr THEN 'es'
+                WHEN fr > 0 AND fr > en AND fr > de AND fr > es THEN 'fr'
+                ELSE 'und' END AS lang_guess
+    FROM c
+"""
+
+
+def q_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_signatures(docs, num_hashes=4)
+    return out.withColumn("seed", F.col("seed").cast("long"))
+
+
+SQL_MINHASH = f"""
+    WITH {DOC_TOKENS_SQL}
+    SELECT doc_id, seed,
+           list_min(list_transform(s, x -> md5(seed::VARCHAR || '|' || x))) AS minhash
+    FROM shingles, (SELECT unnest(generate_series(0, 3)) AS seed)
+    WHERE len(s) > 0
+"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
+
+
+SQL_LSH_PAIRS = f"""
+    WITH {DOC_TOKENS_SQL},
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(s,
+                       x -> md5(seed::VARCHAR || '|' || x)))) AS mh
+        FROM shingles WHERE len(s) > 0
+    ),
+    banded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM sig, (SELECT unnest(generate_series(0, 1)) AS band)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+"""
+
+
+def q_knn(spark, sf_dir):
+    """Brute-force cosine top-10 to vec_id=0's embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+SQL_KNN = """
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue": q_top_revenue,
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "request_count": q_request_count,
+    "lag_delta": q_lag_delta,
+    "burst_detect": q_burst_detect,
+    "first_last": q_first_last,
+    "event_risk": q_event_risk,
+    "sigma_rules": q_sigma_rules,
+    "filter_api": q_filter_api,
+    "cidr_filter": q_cidr_filter,
+    "topk_per_group": q_topk_per_group,
+    "json_agg": q_json_agg,
+    "dedup_exact": q_dedup_exact,
+    "dedup_cross_source": q_dedup_cross_source,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality,
+    "lang_id": q_lang_id,
+    "minhash_signatures": q_minhash,
+    "lsh_pairs": q_lsh_pairs,
+    "knn_bruteforce": q_knn,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "top_revenue": SQL_TOP_REVENUE,
+    "sessionize": SQL_SESSIONIZE,
+    "session_stats": SQL_SESSION_STATS,
+    "request_count": SQL_REQUEST_COUNT,
+    "lag_delta": SQL_LAG_DELTA,
+    "burst_detect": SQL_BURST_DETECT,
+    "first_last": SQL_FIRST_LAST,
+    "event_risk": SQL_EVENT_RISK,
+    "sigma_rules": SQL_SIGMA_RULES,
+    "filter_api": SQL_FILTER_API,
+    "cidr_filter": SQL_CIDR_FILTER,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "json_agg": SQL_JSON_AGG,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_cross_source": SQL_DEDUP_CROSS_SOURCE,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "minhash_signatures": SQL_MINHASH,
+    "lsh_pairs": SQL_LSH_PAIRS,
+    "knn_bruteforce": SQL_KNN,
+}

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the
+query vector + one narrow projection + a top-k (TakeOrderedAndProject,
+no full sort). The scale path is LSH bucketing: random-hyperplane
+signatures computed from deterministic per-dimension coefficients so
+both sides of a join (or an external oracle) derive identical buckets;
+candidate search is restricted to same-bucket vectors.
+
+All arithmetic is done in float64 left-to-right (F.aggregate), so an
+oracle computing the same sequential sum matches bit-for-bit after
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to `query_vec`.
+
+    Deterministic ordering: (cosine desc, id asc). The plan is a scan +
+    projection + TakeOrderedAndProject — no shuffle of the full table.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket_expr(
+    vec_col: Column | str, num_planes: int = 8, dim: int = 64
+) -> Column:
+    """LSH bucket id from deterministic pseudo-random hyperplanes.
+
+    Plane p's coefficient for dimension d is derived from md5(p|d) —
+    reproducible in any engine: c(p,d) = (nibble0(md5) - 7.5). The
+    bucket id packs the sign bits of the projections.
+    """
+    v = _to_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        coeffs = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"{p}|{d}")), 1, 1), 16, 10).cast(
+                        "double"
+                    )
+                    - F.lit(7.5)
+                )
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(v, coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale the bucket column is precomputed/partitioned-on, so the
+    scan prunes to ~n/2^planes vectors before any arithmetic.
+    """
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbucket = (
+        df.sparkSession.range(1)
+        .select(hyperplane_bucket_expr(q, num_planes, dim).alias("b"))
+        .collect()[0]["b"]
+    )
+    bucketed = df.withColumn(
+        "_bucket", hyperplane_bucket_expr(vec_col, num_planes, dim)
+    ).filter(F.col("_bucket") == qbucket)
+    scored = bucketed.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -58,7 +58,9 @@ def sessionize(
     # Session-level table: tiny vs the event table; dense ids assigned there.
     sessions = df.select(*gcols, "_local").distinct()
     sw = Window.orderBy(*gcols, "_local")
-    sessions = sessions.withColumn(cluster_col, F.dense_rank().over(sw) - F.lit(1))
+    sessions = sessions.withColumn(
+        cluster_col, (F.dense_rank().over(sw) - F.lit(1)).cast("long")
+    )
 
     out = df.join(F.broadcast(sessions), on=gcols + ["_local"], how="left")
     return out.drop("_epoch", "_new", "_local")

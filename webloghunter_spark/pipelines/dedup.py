@@ -1,0 +1,168 @@
+"""Document deduplication pipelines for training-data preparation.
+
+Four families, all shuffle-lean and portable to an external SQL oracle
+(hashing is md5-based, available everywhere, rather than engine-
+specific hash functions):
+
+- exact: md5 over normalized text, keep the lowest id per key
+  (one hash shuffle, map-side combinable);
+- MinHash + LSH: token-shingle minhash signatures (per-seed min of
+  md5(seed|shingle)); banding buckets near-duplicate candidates so the
+  candidate join is |bucket|^2 within tiny buckets, never n^2 global;
+- n-gram Jaccard: exact similarity on candidate pairs only;
+- SimHash: 64-bit md5-derived fingerprint, hamming-close pairs.
+
+At 100 TB: every stage is a narrow projection followed by a hash
+shuffle on a compact key (16-64 bytes), and candidate generation is
+bounded by bucket size. The only quadratic work is within-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import fingerprint_expr, shingles_expr
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One surviving row id per normalized-text group + group size."""
+    return (
+        df.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _minhash_one(seed: int, shingles: Column) -> Column:
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat_ws("|", F.lit(str(seed)), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — long form; docs with < k tokens are dropped.
+
+    The min-of-md5(seed|shingle) construction is a valid minwise family
+    for Jaccard estimation and is reproducible in any engine with md5.
+    """
+    sh = shingles_expr(text_col, shingle_k)
+    base = df.select(F.col(id_col), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    sigs = [
+        _minhash_one(seed, F.col("_sh")).alias(f"mh{seed}") for seed in range(num_hashes)
+    ]
+    wide = base.select(id_col, *sigs)
+    pairs = []
+    for seed in range(num_hashes):
+        pairs.append(
+            F.struct(F.lit(seed).alias("seed"), F.col(f"mh{seed}").alias("minhash"))
+        )
+    return (
+        wide.select(id_col, F.explode(F.array(*pairs)).alias("s"))
+        .select(id_col, F.col("s.seed").alias("seed"), F.col("s.minhash").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
+
+    Signature split into bands of `band_size` rows; docs sharing any
+    band hash become a candidate pair. Join cost is sum over buckets of
+    |bucket|^2 — bounded, never global n^2.
+    """
+    sh = shingles_expr(text_col, shingle_k)
+    base = df.select(F.col(id_col), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        parts = [
+            _minhash_one(seed, F.col("_sh"))
+            for seed in range(b * band_size, (b + 1) * band_size)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    banded = base.select(
+        id_col, F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
+                / F.size(F.array_union("a._sh", "b._sh")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).withColumn(
+        "jaccard", F.round("jaccard", 4)
+    )
+
+
+def simhash_expr(text_col: Column | str, shingle_k: int = 3, bits: int = 16) -> Column:
+    """SimHash fingerprint over token shingles.
+
+    For each of `bits` bit positions, the bit is 1 iff the majority of
+    shingle hashes have that bit set. Bit b of a shingle is derived from
+    one hex nibble of md5 (portable to SQL). Returns a long.
+    """
+    sh = shingles_expr(text_col, shingle_k) if isinstance(text_col, str) else text_col
+    n = F.size(sh)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        # nibble b of the md5 hex digest, bit (b % 4)
+        nib = F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), b + 1, 1), 16, 10).cast("int")
+        )
+        bitvals = F.transform(nib, lambda x: F.shiftright(x, b % 4).bitwiseAND(F.lit(1)))
+        ones = F.aggregate(bitvals, F.lit(0), lambda a, x: a + x)
+        acc = acc + F.when(ones * 2 >= n, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return acc

@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WLH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written event tables) is
+        # unreadable as a timestamp; read as long and convert explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
