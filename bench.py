@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the query registry end-to-end and prints one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[...] parallelism (default all cores)
+  WLH_BENCH_QUERIES   comma-separated subset (default: all)
+
+Each query is materialized with the no-op writer (full computation,
+no driver-side collection cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webloghunter_spark.benchqueries import QUERIES
+from webloghunter_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = os.environ.get("WLH_BENCH_QUERIES")
+    names = [n.strip() for n in only.split(",")] if only else list(QUERIES)
+
+    spark = get_spark(app_name="wlh-bench")
+    # Warm the JVM/codegen paths once so per-query numbers reflect the
+    # plans, not first-call initialization.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,9 +100,12 @@ def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, r in enumerate(URI_RISK_TABLE):
         cond = k % 8 == i
         uri_risk = F.when(cond, r) if uri_risk is None else uri_risk.when(cond, r)
+    # ip keys off plain user_id (not the JSON k): downstream CIDR math
+    # references the ip expression several times, and an inlined
+    # JSON-parse CASE would be re-evaluated per reference.
     ip = None
     for i, a in enumerate(IP_TABLE):
-        cond = k % 3 == i
+        cond = F.col("user_id") % 3 == i
         ip = F.when(cond, a) if ip is None else ip.when(cond, a)
 
     return ev.select(
@@ -137,7 +140,7 @@ WEBLOG_SQL_BASE = """
                 WHEN 0 THEN 0 WHEN 1 THEN 25 WHEN 2 THEN 0 WHEN 3 THEN 100
                 WHEN 4 THEN 80 WHEN 5 THEN 10 WHEN 6 THEN 15 WHEN 7 THEN 25
                 END AS uri_risk,
-           CASE (CAST(json_extract_string(props, '$.k') AS INTEGER) % 3)
+           CASE (user_id % 3)
                 WHEN 0 THEN '10.0.1.5' WHEN 1 THEN '192.168.7.9'
                 WHEN 2 THEN 'garbage' END AS ip,
            CAST(floor("value" * 10) AS BIGINT) AS resp_size,
@@ -746,11 +749,14 @@ def q_minhash(spark, sf_dir):
 
 
 SQL_MINHASH = f"""
-    WITH {DOC_TOKENS_SQL}
+    WITH {DOC_TOKENS_SQL},
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM shingles WHERE len(s) > 0
+    )
     SELECT doc_id, seed,
-           list_min(list_transform(s, x -> md5(seed::VARCHAR || '|' || x))) AS minhash
-    FROM shingles, (SELECT unnest(generate_series(0, 3)) AS seed)
-    WHERE len(s) > 0
+           list_min(list_transform(h, x -> substr(x, 1 + 8 * seed, 8))) AS minhash
+    FROM hashed, (SELECT unnest(generate_series(0, 3)) AS seed)
 """
 
 
@@ -761,12 +767,16 @@ def q_lsh_pairs(spark, sf_dir):
 
 SQL_LSH_PAIRS = f"""
     WITH {DOC_TOKENS_SQL},
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM shingles WHERE len(s) > 0
+    ),
     sig AS (
         SELECT doc_id,
                list_transform(generate_series(0, 3),
-                   seed -> list_min(list_transform(s,
-                       x -> md5(seed::VARCHAR || '|' || x)))) AS mh
-        FROM shingles WHERE len(s) > 0
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM hashed
     ),
     banded AS (
         SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh

@@ -20,16 +20,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+_IPV4_CAPTURE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
 
 
 def _ipv4_aton(col: Column) -> Column:
-    """Dotted-quad -> long, NULL when not a valid IPv4."""
-    parts = F.split(col, r"\.")
-    octets = [F.try_element_at(parts, F.lit(i + 1)).try_cast("long") for i in range(4)]
-    valid = col.rlike(_IPV4_RE)
+    """Dotted-quad -> long, NULL when not a valid IPv4.
+
+    Four regexp_extract captures (empty on non-match -> try_cast NULL)
+    keep the codegen expression small; a split-based form duplicates
+    the split per octet reference and bloats the generated code.
+    """
+    octets = [
+        F.regexp_extract(col, _IPV4_CAPTURE, i + 1).try_cast("long") for i in range(4)
+    ]
+    valid = octets[0].isNotNull()
     for o in octets:
-        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+        valid = valid & (o <= 255)
     num = octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3]
     return F.when(valid, num)
 

