@@ -1,0 +1,117 @@
+"""Training-data pipeline ops: dedup families, similarity, text exprs."""
+
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.similarity import cosine_topk, neardup_pairs_lsh
+from webloghunter_spark.functions.text import (
+    lang_id_expr,
+    quality_bp_expr,
+    shingles_expr,
+    token_count_expr,
+)
+from webloghunter_spark.pipelines.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_udf,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy dog", "b"),      # exact dup
+    (2, "the quick brown fox leaps over the lazy dog", "a"),      # near dup
+    (3, "completely different words entirely here now folks", "b"),
+    (4, "tiny", "a"),                                             # < 3 tokens
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r.doc_id: r.n_dups for r in out}
+    assert groups[0] == 2          # docs 0,1 collapse; min id survives
+    assert 1 not in groups
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_near_dup_signatures_agree(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=4).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.minhash
+    assert by_doc[0] == by_doc[1]                     # identical docs
+    overlap = sum(1 for s in range(4) if by_doc[0][s] == by_doc[2][s])
+    assert overlap >= 1                               # near-dups share hashes
+    assert 4 not in by_doc                            # <3 tokens dropped
+
+
+def test_lsh_and_jaccard(spark):
+    docs = _docs(spark)
+    pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    j = ngram_jaccard_pairs(docs, pairs, threshold=0.0).collect()
+    jmap = {(r.id_a, r.id_b): r.jaccard for r in j}
+    assert jmap[(0, 1)] == 1.0
+
+
+def test_simhash_properties(spark):
+    out = _docs(spark).select(
+        "doc_id", simhash_udf()(F.col("text")).alias("sh")
+    ).collect()
+    m = {r.doc_id: r.sh for r in out}
+    assert m[0] == m[1]
+    assert m[4] is None
+    # near-dup hamming distance < distant pair's
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(m[0], m[2]) <= ham(m[0], m[3])
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cosine == 1.0  # rounded to 4 digits
+
+
+def test_neardup_pairs_lsh(spark):
+    rows = [
+        (0, [1.0] * 8),
+        (1, [1.0] * 8),          # identical -> same bucket, cos 1.0
+        (2, [-1.0] * 8),         # opposite bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = neardup_pairs_lsh(df, num_planes=3, dim=8, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+    assert out[0].cosine == 1.0
+
+
+def test_text_exprs(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog!"), (1, ""), (2, "der der und und ist")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        token_count_expr("text").alias("n"),
+        quality_bp_expr("text").alias("q"),
+        lang_id_expr("text").alias("lang"),
+        F.size(shingles_expr("text")).alias("nsh"),
+    ).collect()
+    m = {r.id: r for r in out}
+    assert m[0].n == 5 and m[0].nsh == 3
+    assert m[0].lang == "en"
+    assert m[1].n == 0 and m[1].nsh == 0
+    assert m[2].lang == "de"
+    assert 0 <= m[0].q <= 10000

@@ -811,6 +811,169 @@ SQL_KNN = """
 """
 
 
+def q_parse_roundtrip(spark, sf_dir):
+    """S4/S5/2.4 end-to-end: format events as raw log lines in three
+    formats (apache combined / CLF / IIS), run the REAL multi-format
+    parser + UTC normalizer, and prove the parse round-trips the
+    original fields (the oracle emits the expected fields directly)."""
+    from webloghunter_spark.operators.timeutil import with_utc_timestamp
+    from webloghunter_spark.sources.logparse import parse_lines
+
+    w = weblog_from_events(spark, sf_dir)
+    apache_ts = F.date_format("utc_timestamp", "dd/MMM/yyyy:HH:mm:ss")
+    iis_ts = F.date_format("utc_timestamp", "yyyy-MM-dd HH:mm:ss")
+    line = (
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(
+                F.col("ip"), F.lit(" - - ["), apache_ts, F.lit(" +0000] \""),
+                F.col("method"), F.lit(" "), F.col("request_uri"),
+                F.lit(" HTTP/1.1\" "), F.col("status").cast("string"),
+                F.lit(" "), F.col("resp_size").cast("string"),
+                F.lit(" \"-\" \"Mozilla/5.0\""),
+            ),
+        )
+        .when(
+            F.col("user_id") % 3 == 1,
+            F.concat(
+                F.col("ip"), F.lit(" - - ["), apache_ts, F.lit(" +0000] \""),
+                F.col("method"), F.lit(" "), F.col("request_uri"),
+                F.lit(" HTTP/1.0\" "), F.col("status").cast("string"),
+                F.lit(" "), F.col("resp_size").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                iis_ts, F.lit(" W3SVC1 "), F.col("method"), F.lit(" "),
+                F.col("request_uri"), F.lit(" - 443 - "), F.col("ip"),
+                F.lit(" Mozilla/5.0 - "), F.col("status").cast("string"),
+                F.lit(" 0 0 "), F.col("resp_size").cast("string"),
+            ),
+        )
+    )
+    lines = w.select(
+        line.alias("value"), F.lit("events.log").alias("source"),
+        F.col("event_id").alias("ordinal"),
+    )
+    parsed, _errors = parse_lines(lines)
+    out = with_utc_timestamp(parsed)
+    return out.select(
+        F.col("ordinal").alias("event_id"),
+        "ip", "method", "request_uri", "status", "resp_size",
+        F.unix_timestamp("utc_timestamp").alias("epoch"),
+    )
+
+
+SQL_PARSE_ROUNDTRIP = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT event_id, ip, method, request_uri, status,
+           resp_size, floor(epoch(utc_timestamp))::BIGINT AS epoch
+    FROM w
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard similarity on LSH candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
+    return ngram_jaccard_pairs(docs, pairs, threshold=0.0)
+
+
+SQL_JACCARD_PAIRS = f"""
+    WITH {DOC_TOKENS_SQL},
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM shingles WHERE len(s) > 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM sig, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ),
+    dsh AS (SELECT doc_id, list_distinct(s) AS s FROM shingles)
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+                 4) AS jaccard
+    FROM pairs JOIN dsh a ON id_a = a.doc_id JOIN dsh b ON id_b = b.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint per document."""
+    from webloghunter_spark.pipelines.dedup import simhash_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    udf = simhash_udf(shingle_k=3, bits=16)
+    return docs.select(
+        "doc_id", udf(F.col("text")).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+
+
+SQL_SIMHASH = f"""
+    WITH {DOC_TOKENS_SQL},
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5(x)) AS h, len(s) AS n
+        FROM shingles WHERE len(s) > 0
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * len(list_filter(h, x ->
+                        ((strpos('0123456789abcdef', substr(x, b + 1, 1)) - 1)
+                         // CAST(pow(2, b % 4) AS INTEGER)) % 2 = 1)) >= n
+                    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END AS bit
+        FROM hashed, (SELECT unnest(generate_series(0, 15)) AS b)
+    )
+    SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+"""
+
+
+def q_neardup_embeddings(spark, sf_dir):
+    """Embedding near-dup: cosine over hyperplane-LSH bucket pairs."""
+    from webloghunter_spark.functions.similarity import neardup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs_lsh(emb, num_planes=4, dim=64, threshold=0.2)
+
+
+SQL_NEARDUP_EMB = """
+    WITH coeff AS (
+        SELECT p, list_transform(generate_series(0, 63),
+                   d -> (strpos('0123456789abcdef',
+                         substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1))
+                         - 8.5)) AS c
+        FROM (SELECT unnest(generate_series(0, 3)) AS p)
+    ),
+    bucketed AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(sum(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), c) >= 0
+                             THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings, coeff
+        GROUP BY vec_id, CAST(embedding AS DOUBLE[])
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -834,6 +997,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash,
     "lsh_pairs": q_lsh_pairs,
     "knn_bruteforce": q_knn,
+    "parse_roundtrip": q_parse_roundtrip,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "neardup_embeddings": q_neardup_embeddings,
 }
 
 ORACLES: dict[str, str] = {
@@ -859,4 +1026,8 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH,
     "lsh_pairs": SQL_LSH_PAIRS,
     "knn_bruteforce": SQL_KNN,
+    "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "neardup_embeddings": SQL_NEARDUP_EMB,
 }

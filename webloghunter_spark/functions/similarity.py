@@ -93,6 +93,41 @@ def hyperplane_bucket_expr(
     return bucket
 
 
+def neardup_pairs_lsh(
+    df: DataFrame,
+    num_planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> Column:
+    """Near-duplicate pairs (id_a < id_b, cosine >= threshold) found
+    within hyperplane-LSH buckets — the scale path: candidate pairs are
+    bounded by bucket sizes, never global n^2."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
+    ).localCheckpoint(eager=False)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = F.round(cosine_expr(F.col("a._v"), F.col("b._v")), round_digits)
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

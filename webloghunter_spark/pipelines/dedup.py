@@ -185,6 +185,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_udf(shingle_k: int = 3, bits: int = 16):
+    """Arrow-vectorized SimHash: one md5 per shingle, bit b from nibble
+    b of the digest (bit index b % 4), majority vote over shingles.
+    Same UDF-over-exprs rationale as `minhash_sig_udf`. NULL for docs
+    with < k tokens."""
+    import hashlib
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def sh(text):
+        if text is None:
+            return None
+        toks = ws.split(text.strip()) if text.strip() else []
+        if len(toks) < shingle_k:
+            return None
+        shingles = [
+            " ".join(toks[i : i + shingle_k])
+            for i in range(len(toks) - shingle_k + 1)
+        ]
+        digests = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+        n = len(digests)
+        out = 0
+        for b in range(bits):
+            ones = sum((int(d[b], 16) >> (b % 4)) & 1 for d in digests)
+            if 2 * ones >= n:
+                out |= 1 << b
+        return out
+
+    @F.pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(sh)
+
+    return _udf
+
+
 def simhash_expr(text_col: Column | str, shingle_k: int = 3, bits: int = 16) -> Column:
     """SimHash fingerprint over token shingles.
 
