@@ -1,0 +1,74 @@
+"""Presentation sinks and CLI plumbing."""
+
+from webloghunter_spark.render import (
+    build_email,
+    display_projection,
+    render_table,
+    write_csv,
+    write_parquet_store,
+)
+
+
+def _scored(spark):
+    rows = [
+        ("a.log", "1.1.1.1", "10/Oct/2024:13:00:00 +0000", "GET", "/x", 200,
+         100, 2, 0, 95.5, "SomeRule", ""),
+        ("a.log", "1.1.1.1", "10/Oct/2024:13:00:01 +0000", "GET", "/y", 404,
+         0, 1, 0, 0.0, "", ""),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, ip string, timestamp string, method string, "
+        "request_uri string, status int, resp_size long, request_count long, "
+        "cluster long, risk_score double, rule_applied string, tool string",
+    )
+
+
+def test_display_projection_drops_empty_cols(spark):
+    out = display_projection(_scored(spark))
+    assert "method_path" in out.columns
+    assert "tool" not in out.columns          # all-empty -> dropped
+    assert "risk_score" in out.columns
+
+
+def test_render_table_colors_and_cap(spark):
+    s = render_table(display_projection(_scored(spark)), max_rows=1)
+    assert "\x1b[97;41m" in s                 # >=95 band color
+    assert "truncated at 1 rows" in s
+
+
+def test_write_csv_single_file(spark, tmp_path):
+    p = tmp_path / "out.csv"
+    write_csv(_scored(spark), str(p), single_file=True)
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith("source,")
+
+
+def test_parquet_store_partitioned(spark, tmp_path):
+    p = tmp_path / "store"
+    write_parquet_store(_scored(spark), str(p))
+    back = spark.read.parquet(str(p))
+    assert back.count() == 2
+    assert (p / "source=a.log").exists()
+
+
+def test_build_email_attachment(spark):
+    msg = build_email(_scored(spark), "a@x", "b@y")
+    atts = [part for part in msg.iter_attachments()]
+    assert len(atts) == 1
+    assert atts[0].get_filename() == "results.csv"
+    assert b"source" in atts[0].get_payload(decode=True)
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text(
+        '1.2.3.4 - - [10/Oct/2024:13:55:36 +0000] "GET /cgi?cmd=whoami HTTP/1.1" 200 120 "-" "x"\n'
+    )
+    from webloghunter_spark.cli import main
+
+    rc = main([str(logs), "--risk-score", "40", "--no-color"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "whoami" in out and "71.1" in out
