@@ -1,0 +1,178 @@
+"""Property-based invariants (hypothesis): parser totality, dedup
+idempotence, sessionization gap law, rule-engine max semantics.
+
+Each example builds a small row set and runs one Spark job; example
+counts are kept low because a Spark round-trip is ~1s.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from webloghunter_spark.operators.dedup import remove_cross_source_dups
+from webloghunter_spark.operators.sessionize import sessionize
+from webloghunter_spark.rules.sigma import DEFAULT_RULES, apply_rules
+from webloghunter_spark.sources.logparse import parse_lines
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ip_st = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+uri_st = st.text(
+    alphabet="abcdefghijklmnop/._-?=&", min_size=1, max_size=30
+).filter(lambda s: " " not in s)
+method_st = st.sampled_from(["GET", "POST", "PUT", "HEAD", "DELETE"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(ip_st, method_st, uri_st, st.integers(100, 599), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_parser_totality_apache(spark, rows):
+    # every well-formed apache combined line parses to exactly its fields
+    lines = [
+        (
+            f'{ip} - - [10/Oct/2024:13:55:36 +0000] "{m} {u} HTTP/1.1" {s} {z} "-" "UA"',
+            "t.log",
+            i,
+        )
+        for i, (ip, m, u, s, z) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(lines, "value string, source string, ordinal long")
+    parsed, errors = parse_lines(df)
+    got = {r.ordinal: r for r in parsed.collect()}
+    assert errors.count() == 0
+    assert len(got) == len(rows)
+    for i, (ip, m, u, s, z) in enumerate(rows):
+        r = got[i]
+        assert (r.ip, r.method, r.request_uri, r.status, r.resp_size) == (ip, m, u, s, z)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 3), st.integers(0, 5000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_gap_law(spark, rows):
+    threshold = 60
+    data = [
+        (src, f"10.0.0.{ip}", datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=sec))
+        for src, ip, sec in rows
+    ]
+    df = spark.createDataFrame(data, "source string, ip string, utc_timestamp timestamp")
+    out = sessionize(df, threshold=threshold).collect()
+    # (1) dense global ids
+    ids = sorted({r.cluster for r in out})
+    assert ids == list(range(len(ids)))
+    # (2) gap law per group over time-sorted rows
+    groups = {}
+    for r in out:
+        groups.setdefault((r.source, r.ip), []).append(r)
+    for rs in groups.values():
+        rs.sort(key=lambda r: r.utc_timestamp)
+        for prev, cur in zip(rs, rs[1:]):
+            gap = (cur.utc_timestamp - prev.utc_timestamp).total_seconds()
+            if gap >= threshold:
+                assert cur.cluster != prev.cluster
+            else:
+                assert cur.cluster == prev.cluster
+    # (3) clusters never span groups
+    seen = {}
+    for r in out:
+        key = seen.setdefault(r.cluster, (r.source, r.ip))
+        assert key == (r.source, r.ip)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a.log", "b.log"]),
+            st.sampled_from(["1.1.1.1", "2.2.2.2"]),
+            st.sampled_from(["/x", "/y", "/X "]),   # case/space variants normalize equal
+            st.integers(200, 500),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_idempotent(spark, rows):
+    data = [
+        dict(
+            timestamp="10/Oct/2024:13:55:36 +0000", ip=ip, method="GET",
+            request_uri=u, status=s, resp_size=1, user_agent="ua", referrer="-",
+            source=src, ordinal=i,
+        )
+        for i, (src, ip, u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data)
+    once = remove_cross_source_dups(df)
+    twice = remove_cross_source_dups(once)
+    a = sorted(r.ordinal for r in once.collect())
+    b = sorted(r.ordinal for r in twice.collect())
+    assert a == b
+
+
+RULE_SCORES = {r["title"]: float(r["tags"][0]["risk_score"]) for r in DEFAULT_RULES}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 600),            # request_count
+            st.sampled_from([200, 201, 403, 404, 500, 503]),
+            st.integers(0, 200),            # resp_size
+            st.integers(0, 100),            # uri_risk
+            st.sampled_from(["GET", "POST"]),
+            st.booleans(),                  # fofa referrer
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_rules_pick_max_matching(spark, rows):
+    data = [
+        (
+            i, "/uri" if i % 2 else "/cgi?cmd=whoami", s, z, m, rc, u,
+            90 if s in (201, 500) else 30,
+            "https://fofa.info/x" if fofa else "-", "ua", "1.1.1.1",
+        )
+        for i, (rc, s, z, u, m, fofa) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "i long, request_uri string, status int, resp_size long, method string, "
+        "request_count long, uri_risk int, status_risk int, referrer string, "
+        "user_agent string, ip string",
+    )
+    out = {r.i: r for r in apply_rules(df, DEFAULT_RULES).collect()}
+
+    def matches(row):
+        rc, s, z, u, m, fofa = row
+        got = []
+        if rc >= 500 and s in (500, 502, 503, 504) and z >= 25:
+            got.append("Large Request Count & Server Error")
+        if u >= 70 and s in (200, 201, 202) and z >= 25:
+            got.append("Suspicious URI & OK Status")
+        return got  # (subset is enough: these two dominate on score)
+
+    for i, row in enumerate(rows):
+        expected_min = max(
+            (RULE_SCORES[t] for t in matches(row)), default=0.0
+        )
+        assert out[i].risk_score >= expected_min
+        if out[i].rule_applied:
+            assert out[i].risk_score == RULE_SCORES[out[i].rule_applied]

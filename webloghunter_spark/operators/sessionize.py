@@ -55,12 +55,20 @@ def sessionize(
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
 
-    # Session-level table: tiny vs the event table; dense ids assigned there.
-    sessions = df.select(*gcols, "_local").distinct()
-    sw = Window.orderBy(*gcols, "_local")
-    sessions = sessions.withColumn(
-        cluster_col, (F.dense_rank().over(sw) - F.lit(1)).cast("long")
+    # Global dense ids without funneling sessions through one partition:
+    # cluster = offset(group) + local, where offset is the running total
+    # of session counts over groups ordered by group key — identical to
+    # factorize-order dense ids because sessions are contiguous per
+    # group and locally ordered. The per-group session count reuses the
+    # window exchange (no extra shuffle); only the GROUP-level table
+    # (users/ips, orders of magnitude smaller than sessions or events)
+    # passes through the single-partition running sum, then broadcasts.
+    df = df.withColumn("_nsess", F.max("_local").over(Window.partitionBy(*gcols)) + 1)
+    groups = df.select(*gcols, "_nsess").distinct()
+    wu = Window.orderBy(*gcols).rowsBetween(Window.unboundedPreceding, -1)
+    groups = groups.select(
+        *gcols, F.coalesce(F.sum("_nsess").over(wu), F.lit(0)).alias("_offset")
     )
-
-    out = df.join(F.broadcast(sessions), on=gcols + ["_local"], how="left")
-    return out.drop("_epoch", "_new", "_local")
+    out = df.join(F.broadcast(groups), on=gcols, how="left")
+    out = out.withColumn(cluster_col, (F.col("_offset") + F.col("_local")).cast("long"))
+    return out.drop("_epoch", "_new", "_local", "_nsess", "_offset")
