@@ -974,6 +974,129 @@ SQL_NEARDUP_EMB = """
 """
 
 
+def q_burst_success(spark, sf_dir):
+    """D1 (burp_intruder) with the REAL detector on the weblog mapping:
+    500-bursts (gap <= 3600 s, >= 3 requests) stamp later 200s on the
+    same (source, ip, cluster, uri) with score 95."""
+    from webloghunter_spark.detectors.burst import burst_success_detector
+
+    w = weblog_from_events(spark, sf_dir).select(
+        "event_id",
+        F.lit("ev").alias("source"),
+        F.col("ip"),
+        F.lit(0).cast("long").alias("cluster"),
+        "request_uri", "method", "status", "utc_timestamp",
+        F.lit(0.0).alias("risk_score"),
+        F.lit("").alias("rule_applied"),
+    )
+    out = burst_success_detector(w, min_requests=3, max_gap_seconds=3600.0)
+    return out.select("event_id", "risk_score", "rule_applied")
+
+
+SQL_BURST_SUCCESS = f"""
+    WITH w AS ({WEBLOG_SQL_BASE}),
+    errors AS (
+        SELECT event_id, ip, request_uri, method,
+               epoch(utc_timestamp) AS ep, utc_timestamp
+        FROM w WHERE status = 500
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN ep - lag(ep) OVER
+                   (PARTITION BY ip, request_uri, method ORDER BY utc_timestamp)
+                   > 3600 THEN 1 ELSE 0 END AS nb
+        FROM errors
+    ),
+    runs AS (
+        SELECT *, sum(nb) OVER (PARTITION BY ip, request_uri, method
+                                ORDER BY utc_timestamp
+                                ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM flagged
+    ),
+    bursts AS (
+        SELECT ip, request_uri, min(utc_timestamp) AS min_time
+        FROM runs GROUP BY ip, request_uri, method, burst_id
+        HAVING count(*) >= 3
+    ),
+    earliest AS (
+        SELECT ip, request_uri, min(min_time) AS m FROM bursts
+        GROUP BY ip, request_uri
+    )
+    SELECT w.event_id,
+           CASE WHEN w.status = 200 AND e.m IS NOT NULL
+                     AND w.utc_timestamp >= e.m
+                THEN 95.0 ELSE 0.0 END AS risk_score,
+           CASE WHEN w.status = 200 AND e.m IS NOT NULL
+                     AND w.utc_timestamp >= e.m
+                THEN 'Attack Success After High-Frequency Server Failures'
+                ELSE '' END AS rule_applied
+    FROM w LEFT JOIN earliest e
+      ON w.ip = e.ip AND w.request_uri = e.request_uri
+"""
+
+
+def q_tool_scan(spark, sf_dir):
+    """D2 (tool_scanner) — the applyInPandas greedy set-cover kernel.
+    Genuinely non-SQL-expressible (stateful scan); rows-only check."""
+    from webloghunter_spark.detectors.tools import tool_scanner
+
+    w = weblog_from_events(spark, sf_dir).select(
+        "event_id",
+        F.lit("ev").alias("source"),
+        F.col("ip"),
+        F.lit(0).cast("long").alias("cluster"),
+        "request_uri", "utc_timestamp",
+        F.col("event_id").alias("ordinal"),
+    )
+    sigs = [{
+        "tool": "SC01",
+        "name": "SynthScan",
+        "description": "admin+login+setup probe",
+        "keyword": ["/admin", "/login", "/dump.sql"],
+        "time_window": 0,
+    }]
+    out = tool_scanner(w, sigs)
+    return out.filter(F.col("tool") != "").select("event_id", "tool", "tool_name")
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Approximate kNN: score only the query vector's LSH bucket —
+    the 100 TB path (bucket column precomputed/partitioned in practice)."""
+    from webloghunter_spark.functions.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, num_planes=4
+    )
+
+
+SQL_KNN_LSH = """
+    WITH coeff AS (
+        SELECT p, list_transform(generate_series(0, 63),
+                   d -> (strpos('0123456789abcdef',
+                         substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1))
+                         - 8.5)) AS c
+        FROM (SELECT unnest(generate_series(0, 3)) AS p)
+    ),
+    bucketed AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(sum(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), c) >= 0
+                             THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings, coeff
+        GROUP BY vec_id, CAST(embedding AS DOUBLE[])
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 4) AS cosine
+    FROM bucketed, q
+    WHERE vec_id != 0 AND bucket = qb
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1001,6 +1124,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
     "neardup_embeddings": q_neardup_embeddings,
+    "burst_success": q_burst_success,
+    "tool_scan": q_tool_scan,
+    "knn_lsh": q_knn_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -1030,4 +1156,6 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "simhash": SQL_SIMHASH,
     "neardup_embeddings": SQL_NEARDUP_EMB,
+    "burst_success": SQL_BURST_SUCCESS,
+    "knn_lsh": SQL_KNN_LSH,
 }
