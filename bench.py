@@ -33,9 +33,18 @@ def main() -> int:
     names = [n.strip() for n in only.split(",")] if only else list(QUERIES)
 
     spark = get_spark(app_name="wlh-bench")
-    # Warm the JVM/codegen paths once so per-query numbers reflect the
-    # plans, not first-call initialization.
+    # Warm the JVM/codegen paths and the Python UDF worker pool once so
+    # per-query numbers reflect the plans, not first-call initialization
+    # (the first pandas_udf in a session forks workers + imports pandas).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as _F
+
+    from webloghunter_spark.pipelines.dedup import minhash_sig_udf
+
+    _warm = minhash_sig_udf(num_hashes=4, shingle_k=1)
+    spark.range(1000).repartition(32).select(
+        _warm(_F.col("id").cast("string"))
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:

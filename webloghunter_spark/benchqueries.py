@@ -58,6 +58,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Spread a low-parallelism scan across all cores before CPU-heavy
+    work. The test parquet files are single-row-group, so scan-rooted
+    stages run as ONE task; a round-robin repartition (a few MB of
+    shuffle here) unlocks the full machine for regex/shingling/vector
+    stages whose per-row cost dwarfs the exchange. On a real cluster the
+    same call is the standard remedy for few-files-heavy-compute inputs;
+    many-row-group inputs already arrive parallel and the exchange is
+    AQE-coalesced noise."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic web-log projection of the events table (shared by several
 # queries). Maps events columns onto the engine's access-log schema so
@@ -83,7 +95,13 @@ IP_TABLE = ["10.0.1.5", "192.168.7.9", "garbage"]
 
 def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # Materialize the JSON-derived key in its own projection: it feeds
+    # ~17 CASE branches below, and subexpression elimination does not
+    # hoist out of WHEN branches — inline, get_json_object would parse
+    # the JSON per branch. Multi-referenced non-cheap aliases survive
+    # CollapseProject, so this runs once per row.
+    ev = ev.withColumn("_k", F.get_json_object("props", "$.k").cast("int"))
+    k = F.col("_k")
 
     def _map(table: dict, col):
         expr = None
@@ -612,7 +630,7 @@ SQL_JSON_AGG = """
 
 
 def q_dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return exact_dedup(docs)
 
 
@@ -626,7 +644,7 @@ SQL_DEDUP_EXACT = r"""
 
 def q_dedup_cross_source(spark, sf_dir):
     """The engine's cross-source dedup applied to documents (key=text)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     out = remove_cross_source_dups(
         docs, key_cols=("text",), source_col="source", ordinal_cols=("doc_id",)
     )
@@ -652,7 +670,7 @@ SQL_DEDUP_CROSS_SOURCE = """
 
 
 def q_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count_expr("text").alias("n_tokens"),
@@ -680,7 +698,7 @@ SQL_TOKEN_STATS = r"""
 
 
 def q_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", quality_bp_expr("text").alias("quality_bp"))
 
 
@@ -712,7 +730,7 @@ SQL_QUALITY = r"""
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_id_expr("text").alias("lang_guess"))
 
 
@@ -743,7 +761,7 @@ SQL_LANG_ID = r"""
 
 
 def q_minhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     out = minhash_signatures(docs, num_hashes=4)
     return out.withColumn("seed", F.col("seed").cast("long"))
 
@@ -761,7 +779,7 @@ SQL_MINHASH = f"""
 
 
 def q_lsh_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     return lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
 
 
@@ -790,9 +808,10 @@ SQL_LSH_PAIRS = f"""
 
 def q_knn(spark, sf_dir):
     """Brute-force cosine top-10 to vec_id=0's embedding."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    raw = _t(spark, sf_dir, "embeddings")
+    # qvec lookup runs on the raw scan (1 short task, no shuffle).
+    qvec = raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(_fan(raw.filter(F.col("vec_id") != 0)), list(qvec), k=10)
 
 
 SQL_KNN = """
@@ -851,10 +870,17 @@ def q_parse_roundtrip(spark, sf_dir):
             ),
         )
     )
-    lines = w.select(
+    # Cache the synthesized lines: parse_lines' comment/blank filter
+    # otherwise pushes below the exchange with the whole synthesis CASE
+    # substituted in — recomputing it per predicate on the single scan
+    # task. A persist() is a pushdown barrier without the eager physical
+    # planning localCheckpoint pays; real file reads don't need this
+    # (the filter then pushes into the scan, which is already parallel —
+    # exactly what pushdown is for).
+    lines = _fan(w.select(
         line.alias("value"), F.lit("events.log").alias("source"),
         F.col("event_id").alias("ordinal"),
-    )
+    )).persist()
     parsed, _errors = parse_lines(lines)
     out = with_utc_timestamp(parsed)
     return out.select(
@@ -874,7 +900,7 @@ SQL_PARSE_ROUNDTRIP = f"""
 
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity on LSH candidate pairs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
     return ngram_jaccard_pairs(docs, pairs, threshold=0.0)
 
@@ -914,7 +940,7 @@ def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprint per document."""
     from webloghunter_spark.pipelines.dedup import simhash_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(_t(spark, sf_dir, "documents"))
     udf = simhash_udf(shingle_k=3, bits=16)
     return docs.select(
         "doc_id", udf(F.col("text")).alias("simhash")
@@ -943,7 +969,7 @@ def q_neardup_embeddings(spark, sf_dir):
     """Embedding near-dup: cosine over hyperplane-LSH bucket pairs."""
     from webloghunter_spark.functions.similarity import neardup_pairs_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
     return neardup_pairs_lsh(emb, num_planes=4, dim=64, threshold=0.2)
 
 
@@ -1063,10 +1089,10 @@ def q_knn_lsh(spark, sf_dir):
     the 100 TB path (bucket column precomputed/partitioned in practice)."""
     from webloghunter_spark.functions.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return cosine_topk_lsh(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, num_planes=4
+        _fan(raw.filter(F.col("vec_id") != 0)), list(qvec), k=10, num_planes=4
     )
 
 

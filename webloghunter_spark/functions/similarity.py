@@ -105,14 +105,21 @@ def neardup_pairs_lsh(
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) found
     within hyperplane-LSH buckets — the scale path: candidate pairs are
     bounded by bucket sizes, never global n^2."""
+    # Norms are per-vector, so compute them BEFORE the self-join: inside
+    # the pair projection they would be re-evaluated per candidate pair
+    # (HOF lambdas are interpreted, not codegen'd — ~3× the work).
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
+        norm_expr(F.col(vec_col)).alias("_n"),
         hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
     ).localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cos = F.round(cosine_expr(F.col("a._v"), F.col("b._v")), round_digits)
+    cos = F.round(
+        dot_expr(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
+        round_digits,
+    )
     return (
         a.join(
             b,
@@ -126,6 +133,23 @@ def neardup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _bucket_py(vec: list[float], num_planes: int, dim: int) -> int:
+    """Driver-side twin of `hyperplane_bucket_expr` for a known vector —
+    same md5-derived coefficients (hashlib.md5 == Spark md5), so the
+    bucket id matches without launching a job."""
+    import hashlib
+
+    bucket = 0
+    for p in range(num_planes):
+        proj = 0.0
+        for d in range(dim):
+            nibble = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16)
+            proj += float(vec[d]) * (nibble - 7.5)
+        if proj >= 0:
+            bucket += 1 << p
+    return bucket
 
 
 def cosine_topk_lsh(
@@ -144,11 +168,7 @@ def cosine_topk_lsh(
     """
     dim = len(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qbucket = (
-        df.sparkSession.range(1)
-        .select(hyperplane_bucket_expr(q, num_planes, dim).alias("b"))
-        .collect()[0]["b"]
-    )
+    qbucket = _bucket_py(query_vec, num_planes, dim)
     bucketed = df.withColumn(
         "_bucket", hyperplane_bucket_expr(vec_col, num_planes, dim)
     ).filter(F.col("_bucket") == qbucket)

@@ -28,6 +28,8 @@ split.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,20 +120,54 @@ def read_raw_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     )
 
 
+_GROUP_SEP = "\x01"
+
+
+@lru_cache(maxsize=None)
+def _format_arr(pattern: str, max_group: int) -> Column:
+    """One regex execution extracting ALL capture groups of a format.
+
+    ``regexp_extract`` re-runs the full pattern for every group, so a
+    per-(field, format) extract would execute each format regex ~8-10
+    times per line AND blow the 64 KB JIT method limit (whole-stage
+    codegen falls back to interpreted mode). Instead the anchored
+    pattern is applied once with ``regexp_replace`` rewriting the line
+    to its groups joined by \\x01, then split. An unmatched pattern
+    leaves the line unchanged, so ``size(arr) == 1`` ⇔ no match (every
+    format has ≥6 groups). These arrays are built as UNCONDITIONAL
+    expressions — Spark's subexpression elimination does not hoist
+    subtrees out of CASE WHEN branches, so conditional extraction would
+    re-run the regex per field; unconditional arrays run each format's
+    regex exactly once per line (8 total, fewer than the reference's
+    try-in-order loop once a late format matches).
+    """
+    repl = _GROUP_SEP.join(f"${i}" for i in range(1, max_group + 1))
+    return F.split(F.regexp_replace(F.col("_line"), pattern, repl), _GROUP_SEP, -1)
+
+
+def _arr_name(fmt: str) -> str:
+    return f"_g_{fmt}"
+
+
+@lru_cache(maxsize=None)
 def _format_col() -> Column:
     fmt = None
-    for name, pattern, _ in LOG_FORMATS:
-        cond = F.col("_line").rlike(pattern)
+    for name, _, _ in LOG_FORMATS:
+        cond = F.size(F.col(_arr_name(name))) > 1
         fmt = F.when(cond, name) if fmt is None else fmt.when(cond, name)
     return fmt.otherwise(F.lit(None))
 
 
+# Column objects are immutable expression templates bound to no session,
+# so the per-field CASE trees (hundreds of py4j round-trips to build) are
+# constructed once per process and reused across plans.
+@lru_cache(maxsize=None)
 def _field_col(field: str) -> Column:
     expr = None
     for name, pattern, groups in LOG_FORMATS:
         if field not in groups:
             continue
-        val = F.regexp_extract(F.col("_line"), pattern, groups[field])
+        val = F.try_element_at(F.col(_arr_name(name)), F.lit(groups[field]))
         cond = F.col("_format") == name
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     if expr is None:
@@ -152,7 +188,14 @@ def parse_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     df = lines.withColumn("_line", F.regexp_replace(line, TRAILING_JUNK_RE, "$1"))
 
     skippable = (F.col("_line") == "") | F.col("_line").startswith("#")
-    candidates = df.filter(~skippable).withColumn("_format", _format_col())
+    candidates = df.filter(~skippable)
+    # Group arrays as a dedicated projection: referenced by many field
+    # expressions below, so CollapseProject keeps them materialized and
+    # each format regex runs exactly once per line.
+    candidates = candidates.withColumns(
+        {_arr_name(name): _format_arr(pattern, max(groups.values()))
+         for name, pattern, groups in LOG_FORMATS}
+    ).withColumn("_format", _format_col())
 
     errors = candidates.filter(F.col("_format").isNull()).select(
         "value", "source", "ordinal"
