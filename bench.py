@@ -52,6 +52,9 @@ def main() -> int:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries that persist() intermediates must not leak cache (or
+        # cross-query speedups) into the next measurement.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

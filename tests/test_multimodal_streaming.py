@@ -87,3 +87,71 @@ def test_sessionize_stream_memory_sink(spark, tmp_path):
         per_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(per_user[1]) == [1, 2]
     assert per_user[2] == [1]
+
+
+def test_resize_media_stub(spark):
+    from webloghunter_spark.functions.multimodal import resize_media
+
+    out = resize_media(_media(spark), target_w=8, target_h=4).collect()
+    assert len(out) == 8
+    assert all(len(r.payload) == 8 * 4 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    # deterministic
+    again = resize_media(_media(spark), target_w=8, target_h=4).collect()
+    assert {r.media_id: bytes(r.payload) for r in out} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+
+def test_burst_stream_stateful(spark, tmp_path):
+    """Streaming burst detector: a 5-error run with <= 2 s gaps fires
+    once at min_requests; a slow drip and a 200-status run never do."""
+    from webloghunter_spark.streaming.bursts import burst_stream
+
+    src = str(tmp_path / "burst_src")
+    rows = []
+    # qualifying burst: 5 errors 1s apart on (a, /x, GET)
+    for i in range(5):
+        rows.append(("a", "/x", "GET", 500, f"2024-01-01 00:00:0{i}"))
+    # non-qualifying: 3 errors 10s apart (gap too big)
+    for i in range(3):
+        rows.append(("b", "/y", "GET", 500, f"2024-01-01 00:{i}0:00"))
+    # non-errors never count
+    for i in range(6):
+        rows.append(("c", "/z", "GET", 200, f"2024-01-01 00:00:0{i}"))
+    batch = spark.createDataFrame(
+        rows, "ip string, request_uri string, method string, status int, ts_s string"
+    ).select("ip", "request_uri", "method", "status",
+             F.to_timestamp("ts_s").alias("utc_timestamp"))
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    bursts = burst_stream(stream, min_requests=5, max_gap_seconds=2.0)
+    q = (
+        bursts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("burst_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # NOTE: processAllAvailable() livelocks here — ProcessingTimeTimeout
+    # keeps scheduling timeout-evaluation batches, so "all available"
+    # never drains. Poll the sink with a deadline instead.
+    import time
+
+    try:
+        got = []
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = spark.sql("SELECT * FROM burst_out").collect()
+            if got:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.ip, r.request_uri, r.method, r.burst_count) == ("a", "/x", "GET", 5)
+    assert r.max_time_epoch - r.min_time_epoch == 4.0

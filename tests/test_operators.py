@@ -91,3 +91,72 @@ def test_time_offset(spark):
     df = spark.createDataFrame([("2024-10-10 13:55:36",)], "timestamp string")
     out = with_utc_timestamp(df, time_offset=300).collect()
     assert out[0].utc_timestamp.minute == 0 and out[0].utc_timestamp.hour == 14
+
+
+def test_rolling_fingerprint(spark):
+    from webloghunter_spark.functions.text import (
+        RH_BASE, RH_MOD, with_rolling_fingerprint,
+    )
+
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, ""), (4, None), (5, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.rh for r in with_rolling_fingerprint(df, "text", "rh").collect()}
+    # normalization: case + whitespace collapse make 1 and 2 equal
+    assert got[1] == got[2]
+    assert got[3] is None and got[4] is None
+    # closed form for a single char
+    assert got[5] == ord("x") % RH_MOD
+    # two chars: h*B + e
+    df2 = spark.createDataFrame([(1, "he")], "doc_id long, text string")
+    (r,) = with_rolling_fingerprint(df2, "text", "rh").collect()
+    assert r.rh == (ord("h") * RH_BASE + ord("e")) % RH_MOD
+
+
+def test_winnowed_fingerprints(spark):
+    from webloghunter_spark.functions.text import with_winnowed_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "too short"),          # < kgram + window - 1 after norm? len 9 < 11
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.winnow_fps)
+           for r in with_winnowed_fingerprints(df, "text").collect()}
+    assert len(got[1]) > 0
+    assert got[1] == sorted(set(got[1]))          # sorted distinct
+    assert got[2] == [] and got[3] == []
+    # winnowing property: fps are a subset of all k-gram hashes and a
+    # shared long substring yields shared fingerprints
+    rows2 = [(10, "AAAA the quick brown fox jumps BBBB"),
+             (11, "CCCC the quick brown fox jumps DDDD")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    g2 = {r.doc_id: set(r.winnow_fps)
+          for r in with_winnowed_fingerprints(df2, "text").collect()}
+    assert g2[10] & g2[11], "shared substring must share fingerprints"
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_lists(spark):
+    from webloghunter_spark.functions.similarity import (
+        cosine_topk, cosine_topk_ivf, ivf_assign,
+    )
+    import pyspark.sql.functions as F
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[1][1]
+    ivf = cosine_topk_ivf(df, q, k=5, n_centroids=4, n_probe=4).collect()
+    # probing ALL lists == exact brute force
+    exact = cosine_topk(df, q, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in ivf] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+    # assignment is total and single-valued
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centroid")
+    )
+    asg = ivf_assign(df, cents).collect()
+    assert len(asg) == 40
+    assert len({r.vec_id for r in asg}) == 40

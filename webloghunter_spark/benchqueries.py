@@ -1123,6 +1123,157 @@ SQL_KNN_LSH = """
 """
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash (Rabin-Karp) whole-document fingerprint."""
+    from webloghunter_spark.functions.text import with_rolling_fingerprint
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    # persist(): the isNotNull filter would otherwise push below the
+    # staged projections with the whole fingerprint expression inlined.
+    fp = with_rolling_fingerprint(docs, "text", out_col="rh").persist()
+    return fp.select("doc_id", "rh").filter(F.col("rh").isNotNull())
+
+
+_NORM_SQL = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+    " '[^\\x20-\\x7e]', '', 'g')"
+)
+
+SQL_DOC_FINGERPRINT = f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                       i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 257 + x) % 999999999999989) AS rh
+    FROM norm WHERE length(s) > 0
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowed k-gram fingerprints (Schleimer et al.), long form."""
+    from webloghunter_spark.functions.text import with_winnowed_fingerprints
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    # persist() before explode: InferFiltersFromGenerate adds a
+    # size(winnow_fps) > 0 filter that pushdown would otherwise
+    # substitute below the staged projections, re-inlining the whole
+    # per-character pipeline into one per-row filter expression.
+    fps = with_winnowed_fingerprints(docs, "text", kgram=8, window=4).persist()
+    return fps.select("doc_id", F.explode("winnow_fps").alias("fp")).distinct()
+
+
+SQL_WINNOW = f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    codes AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(s)),
+                   i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)) AS cs
+        FROM norm
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(cs) - 7),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
+                        (acc, x) -> (acc * 257 + x) % 999999999999989)) AS gh
+        FROM codes WHERE len(cs) >= 11
+    )
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(gh) - 3),
+                  i -> list_min(gh[i:i+3]))) AS fp
+    FROM grams
+"""
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate kNN: nearest-centroid assignment, probe top-2
+    lists. Centroids are the lowest-id non-query vectors (ids 1..7) —
+    the deterministic, oracle-reproducible stand-in for KMeans."""
+    from webloghunter_spark.functions.similarity import cosine_topk_ivf
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_ivf(
+        _fan(raw.filter(F.col("vec_id") != 0)), list(qvec),
+        k=10, n_centroids=8, n_probe=2,
+    )
+
+
+SQL_KNN_IVF = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS cent_id, e AS cv FROM v
+              WHERE vec_id >= 1 AND vec_id < 8),
+    probes AS (
+        SELECT cent_id FROM cents, q
+        ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                 DESC, cent_id
+        LIMIT 2
+    ),
+    assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_dot_product(v.e, c.cv)
+                       / (sqrt(list_dot_product(v.e, v.e))
+                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.cent_id) AS rn
+            FROM v, cents c WHERE v.vec_id != 0
+        ) WHERE rn = 1
+    )
+    SELECT v.vec_id,
+           round(list_dot_product(v.e, qv)
+                 / (sqrt(list_dot_product(v.e, v.e))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+    FROM v
+    JOIN assigned a ON v.vec_id = a.vec_id
+    JOIN probes p ON a.cent_id = p.cent_id
+    CROSS JOIN q
+    ORDER BY cosine DESC, v.vec_id
+    LIMIT 10
+"""
+
+
+def q_tool_focus(spark, sf_dir):
+    """F14 through the real apply_filters(tool_focus=True) path: first
+    and last event per (source, ip, tool) for tool-tagged rows."""
+    w = weblog_from_events(spark, sf_dir).withColumn(
+        "source", F.lit("ev")
+    ).withColumn(
+        "tool",
+        F.when(F.col("request_uri").isin("/admin/panel", "/login"), "DS01")
+        .when(F.col("request_uri").isin("/dump.sql", "/cgi?cmd=whoami"), "SC01")
+        .otherwise(""),
+    )
+    out = apply_filters(w, tool_focus=True, all_extensions=True, order_result=False)
+    return out.select("event_id", "tool")
+
+
+SQL_TOOL_FOCUS = f"""
+    WITH w AS ({WEBLOG_SQL_BASE}),
+    t AS (
+        SELECT event_id, ip, utc_timestamp,
+               CASE WHEN request_uri IN ('/admin/panel', '/login') THEN 'DS01'
+                    WHEN request_uri IN ('/dump.sql', '/cgi?cmd=whoami') THEN 'SC01'
+                    ELSE '' END AS tool
+        FROM w
+    ),
+    r AS (
+        SELECT event_id, tool,
+               row_number() OVER (PARTITION BY ip, tool
+                                  ORDER BY utc_timestamp) AS rna,
+               row_number() OVER (PARTITION BY ip, tool
+                                  ORDER BY utc_timestamp DESC) AS rnd
+        FROM t WHERE tool != ''
+    )
+    SELECT event_id, tool FROM r WHERE rna = 1 OR rnd = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1153,6 +1304,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_success": q_burst_success,
     "tool_scan": q_tool_scan,
     "knn_lsh": q_knn_lsh,
+    "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "knn_ivf": q_knn_ivf,
+    "tool_focus": q_tool_focus,
 }
 
 ORACLES: dict[str, str] = {
@@ -1184,4 +1339,8 @@ ORACLES: dict[str, str] = {
     "neardup_embeddings": SQL_NEARDUP_EMB,
     "burst_success": SQL_BURST_SUCCESS,
     "knn_lsh": SQL_KNN_LSH,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "winnow_fingerprints": SQL_WINNOW,
+    "knn_ivf": SQL_KNN_IVF,
+    "tool_focus": SQL_TOOL_FOCUS,
 }

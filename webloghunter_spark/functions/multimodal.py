@@ -94,6 +94,52 @@ def media_embedding_udf(dim: int = 16):
     return _udf
 
 
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Resize each media payload to (target_w, target_h) via mapInPandas.
+
+    The decode/scale/encode is STUBBED (deterministic: truncate/tile the
+    payload bytes to w*h); REAL implementation is
+    PIL.Image.open(...).resize((w, h)).save(...). The Spark plumbing —
+    binary-in/binary-out schema, metadata update, Arrow batching — is
+    the real 100 TB shape: one Python round-trip per batch, payloads
+    never leave the executor as rows."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "wire PIL into the batch fn and pass use_real_codecs"
+        )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    ) + f", `{payload_col}` binary, width int, height int"
+    n_out = max(target_w * target_h, 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+
+            def scale(b) -> bytes:
+                raw = bytes(b)
+                if not raw:
+                    raw = b"\x00"
+                reps = (n_out + len(raw) - 1) // len(raw)
+                return (raw * reps)[:n_out]
+
+            pdf[payload_col] = pdf[payload_col].map(scale)
+            pdf["width"] = target_w
+            pdf["height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

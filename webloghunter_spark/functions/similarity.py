@@ -14,7 +14,7 @@ rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,6 +133,90 @@ def neardup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF list assignment: each vector joins its nearest centroid
+    (max cosine; ties -> lowest centroid id).
+
+    The centroid table is tiny (k entries) so the join is a broadcast
+    nested loop — each row scans k centroids map-side, no shuffle of
+    the vector table. At 100 TB the output is written partitioned by
+    `cent_id` so probes read only the probed lists."""
+    c = F.broadcast(centroids.select(
+        F.col(cent_id_col), F.col(cent_vec_col).alias("_cv"),
+        norm_expr(F.col(cent_vec_col)).alias("_cn"),
+    ))
+    v = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), norm_expr(F.col(vec_col)).alias("_vn")
+    )
+    scored = v.join(c).select(
+        id_col,
+        cent_id_col,
+        (dot_expr(F.col("_v"), F.col("_cv")) / (F.col("_vn") * F.col("_cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col(cent_id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, cent_id_col)
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe only the `n_probe` inverted
+    lists whose centroids are closest to the query.
+
+    Centroids here are the first `n_centroids` vectors by id — a
+    deterministic, oracle-reproducible stand-in for KMeans training
+    (swap in pyspark.ml KMeans centers in production; the probe/scan
+    topology is identical). Query→centroid scoring happens driver-side
+    (tiny), so the distributed plan is: assignment (broadcast NL join +
+    per-vector argmax) → partition-pruned scan of probed lists →
+    brute-force top-k within them."""
+    centroids = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
+    )
+    cents = {r["cent_id"]: list(r["centroid"]) for r in centroids.collect()}
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return dot / (na * nb)
+
+    probes = sorted(
+        cents, key=lambda cid: (-cos(query_vec, cents[cid]), cid)
+    )[:n_probe]
+
+    assigned = ivf_assign(df, centroids)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    candidates = df.join(
+        assigned.filter(F.col("cent_id").isin([int(p) for p in probes])),
+        on=id_col,
+        how="inner",
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def _bucket_py(vec: list[float], num_planes: int, dim: int) -> int:

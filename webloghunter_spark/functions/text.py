@@ -107,6 +107,108 @@ def fingerprint_expr(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+# Rabin–Karp rolling-hash parameters, shared with the SQL oracle.
+# M * B + 127 must stay below 2^63 (no overflow in either engine).
+RH_BASE = 257
+RH_MOD = 999_999_999_999_989  # largest prime < 10^15
+
+
+def _norm_ascii_expr(col: Column | str) -> Column:
+    """Lowercased, whitespace-collapsed, printable-ASCII-only text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), r"[^\x20-\x7e]", ""
+    )
+
+
+def _codes_from_norm(norm: Column) -> Column:
+    """Per-character code points of an ALREADY-MATERIALIZED normalized
+    column. `norm` must be a plain column reference: it is captured
+    inside the per-character lambda, and an inlined expression there is
+    re-evaluated per character (the normalization regexes would run
+    len(text) times per row).
+
+    sequence(1, 0) yields a DESCENDING [1, 0] (step is inferred from
+    the bound order), so empty text must be guarded explicitly."""
+    return F.when(F.length(norm) == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm)),
+            lambda i: F.ascii(F.substring(norm, i, 1)),
+        )
+    )
+
+
+def with_rolling_fingerprint(
+    df, col: str = "text", out_col: str = "rolling_fp"
+):
+    """Whole-document Rabin–Karp polynomial fingerprint:
+    h = sum(c_i * B^(n-1-i)) mod M, folded left-to-right as
+    acc = (acc * B + c) mod M. NULL for empty normalized text.
+
+    A DataFrame transform so the normalized text is materialized before
+    the per-character stages (see `_codes_from_norm`). Scale note: the
+    per-character fold is a higher-order aggregate (interpreted); for
+    100 TB prefer a vectorized pandas-UDF twin, but this closed form is
+    oracle-portable."""
+    codes = F.col("_rf_codes")
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * RH_BASE + x) % RH_MOD,
+    )
+    return (
+        df.withColumn("_rf_norm", _norm_ascii_expr(col))
+        .withColumn("_rf_codes", _codes_from_norm(F.col("_rf_norm")))
+        .withColumn(out_col, F.when(F.size(codes) > 0, h))
+        .drop("_rf_norm", "_rf_codes")
+    )
+
+
+def with_winnowed_fingerprints(
+    df, col: str = "text", out_col: str = "winnow_fps",
+    kgram: int = 8, window: int = 4,
+):
+    """Winnowing (Schleimer et al., SIGMOD 2003): rolling hashes of
+    char k-grams, then the minimum of each sliding window of `window`
+    consecutive hashes — the standard local fingerprint set for
+    near-dup / plagiarism detection. Adds `out_col` as a sorted
+    distinct array; empty when the normalized text is shorter than
+    kgram + window - 1 chars.
+
+    A DataFrame transform, not a single Column: each stage (codes →
+    gram hashes → window minima) must be MATERIALIZED before the next —
+    referenced inside a transform() lambda, an inlined stage would be
+    re-evaluated per lambda call (per gram), turning the whole thing
+    O(n^2 * len). Staged columns are multi-referenced non-cheap
+    aliases, so CollapseProject keeps each as one evaluation per row.
+    """
+    codes = F.col("_wf_codes")
+    n_grams = F.size(codes) - F.lit(kgram - 1)
+    gram_hashes = F.when(n_grams >= 1, F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.slice(codes, i, kgram),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * RH_BASE + x) % RH_MOD,
+        ),
+    )).otherwise(F.array().cast("array<long>"))
+
+    gh = F.col("_wf_gh")
+    n_windows = F.size(gh) - F.lit(window - 1)
+    mins = F.when(n_windows >= 1, F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(gh, i, window)),
+    )))).otherwise(F.array().cast("array<long>"))
+
+    return (
+        df.withColumn("_wf_norm", _norm_ascii_expr(col))
+        .withColumn("_wf_codes", _codes_from_norm(F.col("_wf_norm")))
+        .withColumn("_wf_gh", gram_hashes)
+        .withColumn(out_col, mins)
+        .drop("_wf_norm", "_wf_codes", "_wf_gh")
+    )
+
+
 def shingles_expr(col: Column | str, k: int = 3) -> Column:
     """Token k-gram shingles (space-joined), [] when fewer than k tokens.
 
