@@ -61,6 +61,20 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _plane_coeffs(p: int, dim: int) -> list[float]:
+    """Deterministic hyperplane coefficients: c(p,d) = nibble0(md5(p|d))
+    - 7.5. Computed driver-side with hashlib (== Spark md5 bit-for-bit;
+    an oracle derives the same values from its own md5), so the plan
+    carries plain double literals instead of 256 md5/conv expressions
+    Catalyst would have to build and constant-fold per query."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(dim)
+    ]
+
+
 def hyperplane_bucket_expr(
     vec_col: Column | str, num_planes: int = 8, dim: int = 64
 ) -> Column:
@@ -73,17 +87,7 @@ def hyperplane_bucket_expr(
     v = _to_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        coeffs = F.array(
-            *[
-                (
-                    F.conv(F.substring(F.md5(F.lit(f"{p}|{d}")), 1, 1), 16, 10).cast(
-                        "double"
-                    )
-                    - F.lit(7.5)
-                )
-                for d in range(dim)
-            ]
-        )
+        coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(p, dim)])
         proj = F.aggregate(
             F.zip_with(v, coeffs, lambda x, c: x * c),
             F.lit(0.0),
@@ -221,16 +225,14 @@ def cosine_topk_ivf(
 
 def _bucket_py(vec: list[float], num_planes: int, dim: int) -> int:
     """Driver-side twin of `hyperplane_bucket_expr` for a known vector —
-    same md5-derived coefficients (hashlib.md5 == Spark md5), so the
-    bucket id matches without launching a job."""
-    import hashlib
-
+    same coefficients, so the bucket id matches without launching a
+    job."""
     bucket = 0
     for p in range(num_planes):
+        coeffs = _plane_coeffs(p, dim)
         proj = 0.0
         for d in range(dim):
-            nibble = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16)
-            proj += float(vec[d]) * (nibble - 7.5)
+            proj += float(vec[d]) * coeffs[d]
         if proj >= 0:
             bucket += 1 << p
     return bucket
