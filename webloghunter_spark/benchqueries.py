@@ -1274,6 +1274,56 @@ SQL_TOOL_FOCUS = f"""
 """
 
 
+# URIs exercising every R1 component; expected scores derived BY HAND
+# from the reference semantics (risk.py:196-332) and documented here —
+# the oracle hardcodes the derivation, so a regression in any component
+# (decode depth, traversal, shells, double-ext, risky-ext, cap) breaks
+# the hash match:
+#   /index.html            0 (nothing)
+#   /admin/c99.php        75 (+25 sensitive /admin, +50 shell name)
+#   /%2e%2e/x.exe        100 (+10 one decode, +80 path traversal,
+#                             +10 risky .exe -> capped)
+#   /%252e%252e/y        100 (+20 two decode levels, +80 traversal)
+#   /upload/shell.php.jpg 100 (+25 /upload, +80 double .php.jpg -> cap)
+#   /data.sql?q=..%2Fetc  35 (+10 decode, +15 traversal in query only,
+#                             +10 risky .sql)
+#   /cmd.php?x=1          50 (+50 shell basename after query strip)
+#   /x%00y                10 (+10 decode of %00; decoded NUL no longer
+#                             matches the literal %00 traversal pattern)
+URI_RISK_PROBES = [
+    "/index.html", "/admin/c99.php", "/%2e%2e/x.exe", "/%252e%252e/y",
+    "/upload/shell.php.jpg", "/data.sql?q=..%2Fetc", "/cmd.php?x=1", "/x%00y",
+]
+URI_RISK_EXPECTED = [0, 75, 100, 100, 100, 35, 50, 10]
+
+
+def q_uri_risk(spark, sf_dir):
+    """R1: the REAL uri_risk pandas UDF (nested percent-decode,
+    sensitive paths, traversal, webshell set, double extension, risky
+    extension, cap 100) over probe URIs mapped from events."""
+    from webloghunter_spark.functions.risk import uri_risk_udf
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_k", F.get_json_object("props", "$.k").cast("int")
+    )
+    uri = None
+    for i, u in enumerate(URI_RISK_PROBES):
+        cond = F.col("_k") % 8 == i
+        uri = F.when(cond, u) if uri is None else uri.when(cond, u)
+    udf = uri_risk_udf(shells=frozenset({"c99.php", "cmd.php"}))
+    return ev.select("event_id", udf(uri).alias("uri_risk"))
+
+
+SQL_URI_RISK = """
+    SELECT event_id,
+           CASE (CAST(json_extract_string(props, '$.k') AS INTEGER) % 8)
+                WHEN 0 THEN 0 WHEN 1 THEN 75 WHEN 2 THEN 100 WHEN 3 THEN 100
+                WHEN 4 THEN 100 WHEN 5 THEN 35 WHEN 6 THEN 50 WHEN 7 THEN 10
+           END AS uri_risk
+    FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1308,6 +1358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "knn_ivf": q_knn_ivf,
     "tool_focus": q_tool_focus,
+    "uri_risk": q_uri_risk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1343,4 +1394,5 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,
     "tool_focus": SQL_TOOL_FOCUS,
+    "uri_risk": SQL_URI_RISK,
 }
