@@ -112,3 +112,39 @@ def test_first_match_wins_order(spark):
     ext = APACHE + ' "extra-field"'
     r = _parse_one(spark, ext)
     assert r.log_format == "apache"
+
+
+def test_weblog_datasource_matches_native(spark, tmp_path):
+    """spark.read.format('weblog') parses the same rows as the native
+    JVM-side path, and surfaces unparseable lines with parse_ok=false."""
+    from webloghunter_spark.sources.datasource import register_weblog_source
+    from webloghunter_spark.sources.logparse import read_access_logs
+
+    log = tmp_path / "access.log"
+    log.write_text(
+        '1.2.3.4 - - [01/Jan/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "UA"\n'
+        "# comment line\n"
+        '5.6.7.8 - - [01/Jan/2024:10:00:01 +0000] "POST /b HTTP/1.0" 500 - "-" "UA"\n'
+        "totally not a log line\n"
+        "2024-01-01 10:00:02 W3SVC1 GET /c - 443 - 9.9.9.9 UA - 404 0 0 7\n"
+    )
+    register_weblog_source(spark)
+    ds = spark.read.format("weblog").load(str(log))
+    rows = {r.ordinal: r for r in ds.collect()}
+
+    ok = [r for r in rows.values() if r.parse_ok]
+    bad = [r for r in rows.values() if not r.parse_ok]
+    assert len(ok) == 3 and len(bad) == 1
+    assert bad[0].raw == "totally not a log line"
+    by_uri = {r.request_uri: r for r in ok}
+    assert by_uri["/a"].status == 200 and by_uri["/a"].log_format == "apache"
+    assert by_uri["/b"].resp_size == 0          # '-' -> 0
+    assert by_uri["/c"].log_format == "iis" and by_uri["/c"].ip == "9.9.9.9"
+
+    native, errors = read_access_logs(spark, [str(log)])
+    nat = {r.request_uri: r for r in native.collect()}
+    for uri in ["/a", "/b", "/c"]:
+        for f in ["ip", "timestamp", "method", "status", "resp_size",
+                  "referrer", "user_agent", "log_format"]:
+            assert getattr(nat[uri], f) == getattr(by_uri[uri], f), (uri, f)
+    assert errors.count() == 1
