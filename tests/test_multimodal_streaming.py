@@ -155,3 +155,56 @@ def test_burst_stream_stateful(spark, tmp_path):
     r = got[0]
     assert (r.ip, r.request_uri, r.method, r.burst_count) == ("a", "/x", "GET", 5)
     assert r.max_time_epoch - r.min_time_epoch == 4.0
+
+
+def test_tool_stream_stateful(spark, tmp_path):
+    """Streaming tool detection: signature completes within its window
+    -> one record; keywords spread past the window -> none."""
+    from webloghunter_spark.streaming.tools import tool_stream
+
+    src = str(tmp_path / "tool_src")
+    rows = [
+        # ip=a completes {admin, login, dump} within 60s
+        ("a", "/admin/x",  "2024-01-01 00:00:00"),
+        ("a", "/login",    "2024-01-01 00:00:10"),
+        ("a", "/nothing",  "2024-01-01 00:00:15"),   # non-candidate row
+        ("a", "/dump.sql", "2024-01-01 00:00:20"),
+        # ip=b never completes inside the 60s window
+        ("b", "/admin/x",  "2024-01-01 00:00:00"),
+        ("b", "/login",    "2024-01-01 00:05:00"),
+        ("b", "/dump.sql", "2024-01-01 00:10:00"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "ip string, request_uri string, ts_s string"
+    ).select("ip", "request_uri", F.to_timestamp("ts_s").alias("utc_timestamp"))
+    batch.write.mode("overwrite").parquet(src)
+
+    sigs = [{"tool": "SC01", "keyword": ["/admin", "/login", "/dump.sql"],
+             "time_window": 60}]
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    det = tool_stream(stream, sigs)
+    q = (
+        det.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tool_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time
+
+    try:
+        got = []
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = spark.sql("SELECT * FROM tool_out").collect()
+            if got:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.ip, r.tool, r.n_hits) == ("a", "SC01", 3)
+    assert r.last_ts_epoch - r.first_ts_epoch == 20.0

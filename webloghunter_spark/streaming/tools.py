@@ -1,0 +1,117 @@
+"""Streaming tool detection — stateful analogue of the batch tool
+scanner (reference risk.py:384-513, D2 in SURVEY §2.10).
+
+Batch semantics stamp every row of a completed keyword span; a stream
+cannot retro-stamp rows already emitted, so the streaming contract is a
+DETECTION RECORD per completed signature: (ip, tool, first_ts, last_ts,
+n_hits), emitted the moment the last missing keyword arrives within the
+signature's time window (window start resets greedily when it expires,
+matching the batch scanner's forward scan).
+
+Scale design:
+- keyword→row matching runs JVM-side: each row is annotated with a
+  per-signature keyword BITMASK (contains() chain, whole-stage
+  codegen), rows matching no signature are filtered before the shuffle
+  — the stateful operator sees only candidate rows and per-key state is
+  three integers, never row buffers;
+- state is keyed (ip, tool); an idle-state processing-time timeout
+  bounds total state by the active (ip, tool) set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TOOL_OUT_SCHEMA = (
+    "ip string, tool string, first_ts_epoch double, last_ts_epoch double, "
+    "n_hits long"
+)
+TOOL_STATE_SCHEMA = "mask long, start double, hits long"
+
+
+def _candidate_rows(events: DataFrame, signatures: Sequence[dict], ts_col: str) -> DataFrame:
+    """(ip, tool, epoch, bits): one output row per (event, signature)
+    whose URI contains any of the signature's keywords; `bits` is the
+    bitmask of which keywords matched. All JVM-side."""
+    per_sig = []
+    for sig in signatures:
+        bits = F.lit(0).cast("long")
+        for i, kw in enumerate(sig["keyword"]):
+            bits = bits + F.when(
+                F.col("request_uri").contains(kw), F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0))
+        per_sig.append(
+            F.struct(F.lit(sig["tool"]).alias("tool"), bits.alias("bits"))
+        )
+    exploded = events.select(
+        "ip",
+        F.unix_timestamp(F.col(ts_col)).cast("double").alias("epoch"),
+        F.explode(F.array(*per_sig)).alias("_s"),
+    ).select("ip", "epoch", F.col("_s.tool").alias("tool"), F.col("_s.bits").alias("bits"))
+    return exploded.filter(F.col("bits") != 0)
+
+
+def _tool_fn(sig_by_tool: dict, idle_timeout_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = "ip tool first_ts_epoch last_ts_epoch n_hits".split()
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        ip, tool = key
+        full_mask, time_window = sig_by_tool[tool]
+        mask, start, hits = state.get if state.exists else (0, 0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip((float(e) for e in pdf["epoch"]), (int(b) for b in pdf["bits"])))
+        rows.sort()
+        out = []
+        for ep, bits in rows:
+            if hits == 0 or (time_window > 0 and ep - start > time_window):
+                # greedy restart at this row (batch scanner parity)
+                mask, start, hits = 0, ep, 0
+            mask |= bits
+            hits += 1
+            if mask == full_mask:
+                out.append((ip, tool, start, ep, hits))
+                mask, start, hits = 0, 0.0, 0
+        state.update((mask, start, hits))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def tool_stream(
+    events: DataFrame,
+    signatures: Sequence[dict],
+    ts_col: str = "utc_timestamp",
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Tool-signature detections from a stream of parsed log events.
+
+    `signatures` entries follow the batch scanner's shape:
+    {"tool": id, "keyword": [..], "time_window": seconds (0 = unbounded)}.
+    """
+    sig_by_tool = {
+        s["tool"]: ((1 << len(s["keyword"])) - 1, float(s.get("time_window", 0)))
+        for s in signatures
+    }
+    cands = _candidate_rows(events, signatures, ts_col)
+    return cands.groupBy("ip", "tool").applyInPandasWithState(
+        _tool_fn(sig_by_tool, idle_timeout_ms),
+        outputStructType=TOOL_OUT_SCHEMA,
+        stateStructType=TOOL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
