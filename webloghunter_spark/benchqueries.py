@@ -1324,6 +1324,30 @@ SQL_URI_RISK = """
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex token counts (LLM-pipeline sizing metric) next to
+    whitespace counts."""
+    from webloghunter_spark.functions.text import bpe_token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("ws_tokens"),
+        bpe_token_count_expr("text").alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKENS = r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+               AS bpe_tokens
+    FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1359,6 +1383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": q_knn_ivf,
     "tool_focus": q_tool_focus,
     "uri_risk": q_uri_risk,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -1395,4 +1420,5 @@ ORACLES: dict[str, str] = {
     "knn_ivf": SQL_KNN_IVF,
     "tool_focus": SQL_TOOL_FOCUS,
     "uri_risk": SQL_URI_RISK,
+    "bpe_tokens": SQL_BPE_TOKENS,
 }

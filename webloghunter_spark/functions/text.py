@@ -39,6 +39,21 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col)).cast("long")
 
 
+# GPT-2-style pretokenizer pattern, restricted to constructs shared by
+# Java regex and RE2 (no lookahead) so a SQL oracle can replicate it:
+# contractions, optionally space-prefixed letter runs / digit runs /
+# punctuation runs, then residual whitespace runs.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count_expr(col: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenization regex — the
+    LLM-pipeline sizing metric (whitespace tokens undercount code/punct
+    heavy text). Pure whole-stage-codegen'd expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
 def punct_count_expr(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("long")
