@@ -43,6 +43,13 @@ from webloghunter_spark.rules.sigma import DEFAULT_RULES, apply_rules
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session built without our defaults; the
+    # timestamp queries are timezone-sensitive (oracle computes epochs
+    # in UTC), so pin the runtime-settable conf defensively.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp
         # type, so read nanos as long (see session.py) and truncate to
