@@ -100,14 +100,14 @@ METHOD_BY_TYPE = {"error": "GET", "signup": "PUT", "click": "GET", "view": "HEAD
 IP_TABLE = ["10.0.1.5", "192.168.7.9", "garbage"]
 
 
-def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    # Materialize the JSON-derived key in its own projection: it feeds
-    # ~17 CASE branches below, and subexpression elimination does not
-    # hoist out of WHEN branches — inline, get_json_object would parse
-    # the JSON per branch. Multi-referenced non-cheap aliases survive
-    # CollapseProject, so this runs once per row.
-    ev = ev.withColumn("_k", F.get_json_object("props", "$.k").cast("int"))
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _weblog_cols() -> tuple:
+    """Static Column templates for the weblog projection — built once
+    per process (hundreds of py4j round-trips) and reused by the ~10
+    weblog-derived queries."""
     k = F.col("_k")
 
     def _map(table: dict, col):
@@ -133,8 +133,8 @@ def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col("user_id") % 3 == i
         ip = F.when(cond, a) if ip is None else ip.when(cond, a)
 
-    return ev.select(
-        "event_id",
+    return (
+        F.col("event_id"),
         F.col("user_id"),
         F.col("ts").alias("utc_timestamp"),
         _map(STATUS_BY_TYPE, F.col("event_type")).alias("status"),
@@ -146,6 +146,17 @@ def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 5 == 0, "https://fofa.info/x").otherwise("-").alias("referrer"),
         F.lit("-").alias("user_agent"),
     )
+
+
+def weblog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Materialize the JSON-derived key in its own projection: it feeds
+    # ~17 CASE branches, and subexpression elimination does not hoist
+    # out of WHEN branches — inline, get_json_object would parse the
+    # JSON per branch. Multi-referenced non-cheap aliases survive
+    # CollapseProject, so this runs once per row.
+    ev = ev.withColumn("_k", F.get_json_object("props", "$.k").cast("int"))
+    return ev.select(*_weblog_cols())
 
 
 WEBLOG_SQL_BASE = """
