@@ -72,3 +72,40 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "whoami" in out and "71.1" in out
+
+
+def test_cli_reference_flag_aliases(spark, tmp_path, capsys):
+    """The reference's original flag names drive the same predicates."""
+    from webloghunter_spark.cli import main
+
+    log = tmp_path / "a.log"
+    log.write_text(
+        '1.1.1.1 - - [01/Jan/2024:10:00:00 +0000] "GET /admin HTTP/1.1" 200 10 "-" "UA"\n'
+        '2.2.2.2 - - [01/Jan/2024:10:00:01 +0000] "POST /x HTTP/1.1" 404 10 "-" "UA"\n'
+    )
+    rc = main([
+        "--path", str(log),
+        "--status-code", "200",
+        "--ip", "1.1.1.1/32",
+        "--min-size", "5",
+        "-o", "standard",
+        "--no-color",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "/admin" in out and "/x" not in out
+
+
+def test_cli_cluster_off(spark, tmp_path, capsys):
+    from webloghunter_spark.cli import main
+
+    log = tmp_path / "a.log"
+    log.write_text(
+        '1.1.1.1 - - [01/Jan/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "UA"\n'
+        '1.1.1.1 - - [01/Jan/2024:12:00:00 +0000] "GET /b HTTP/1.1" 200 10 "-" "UA"\n'
+    )
+    rc = main([str(log), "--cluster-off", "--no-color"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # both rows present, single cluster id 0 (no sessionization)
+    assert "/a" in out and "/b" in out

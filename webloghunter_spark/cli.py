@@ -27,35 +27,49 @@ from webloghunter_spark.session import get_spark
 
 
 def make_parser() -> argparse.ArgumentParser:
+    """Every reference triage.py flag is accepted under its ORIGINAL
+    name (a reference user's command lines run unchanged); each also has
+    an explicit long name. Engine extensions at the bottom."""
     p = argparse.ArgumentParser(prog="webloghunter-spark")
-    p.add_argument("paths", nargs="+", help="log files/dirs/globs (.csv = Splunk export)")
+    p.add_argument("paths", nargs="*", help="log files/dirs/globs (.csv = Splunk export)")
+    p.add_argument("--path", dest="path_flag", nargs="+",
+                   help="reference-style input flag (same as positional paths)")
     p.add_argument("--start-time")
     p.add_argument("--end-time")
     p.add_argument("--time-offset", type=int, default=0)
     p.add_argument("--cluster-threshold", type=int, default=60)
-    p.add_argument("--risk-score", type=float, default=0)
+    p.add_argument("--cluster-off", action="store_true",
+                   help="no sessionization; plain timestamp order")
+    p.add_argument("-r", "--risk-score", type=float, default=0)
     p.add_argument("--request-count", type=int, default=0)
-    p.add_argument("--status-include", type=int, nargs="*")
-    p.add_argument("--status-ignore", type=int, nargs="*")
-    p.add_argument("--method-include", nargs="*")
-    p.add_argument("--method-ignore", nargs="*")
+    p.add_argument("--status-include", "--status-code", type=int, nargs="*")
+    p.add_argument("--status-ignore", "--ignore-status-code", type=int, nargs="*")
+    p.add_argument("--method-include", "--method", nargs="*")
+    p.add_argument("--method-ignore", "--ignore-method", nargs="*")
     p.add_argument("--uripath-keyword", nargs="*")
     p.add_argument("--ignore-uripath-keyword", nargs="*")
-    p.add_argument("--ip-include", nargs="*")
-    p.add_argument("--ip-ignore", nargs="*")
-    p.add_argument("--useragent-keyword", nargs="*")
-    p.add_argument("--ignore-useragent-keyword", nargs="*")
-    p.add_argument("--referrer-keyword", nargs="*")
-    p.add_argument("--ignore-referrer-keyword", nargs="*")
-    p.add_argument("--cluster-include", type=int, nargs="*")
-    p.add_argument("--cluster-ignore", type=int, nargs="*")
-    p.add_argument("--resp-size-min", type=int)
-    p.add_argument("--resp-size-max", type=int)
+    p.add_argument("--ip-include", "--ip", nargs="*")
+    p.add_argument("--ip-ignore", "--ignore-ip", nargs="*")
+    p.add_argument("--useragent-keyword", "--ua", nargs="*")
+    p.add_argument("--ignore-useragent-keyword", "--ignore-ua", nargs="*")
+    p.add_argument("--referrer-keyword", "--referrer", nargs="*")
+    p.add_argument("--ignore-referrer-keyword", "--ignore-referrer", nargs="*")
+    p.add_argument("--cluster-include", "--cluster-id", type=int, nargs="*")
+    p.add_argument("--cluster-ignore", "--ignore-cluster-id", type=int, nargs="*")
+    p.add_argument("--resp-size-min", "--min-size", type=int)
+    p.add_argument("--resp-size-max", "--max-size", type=int)
     p.add_argument("--all-extension", action="store_true")
+    p.add_argument("--ignore-extension", nargs="*",
+                   help="override the static-extension ignore list")
     p.add_argument("--tool-focus", action="store_true")
-    p.add_argument("--rules", help="Sigma-style rules YAML path")
+    p.add_argument("--rules", "--rules-path", help="Sigma-style rules YAML path")
     p.add_argument("--shells", help="webshell filename list path")
-    p.add_argument("--output", choices=["table", "csv", "parquet"], default="table")
+    p.add_argument("--email", nargs="+",
+                   help="email results (CSV attached) to these recipients; "
+                        "requires WLH_SMTP_HOST (and optional WLH_SMTP_PORT, "
+                        "WLH_EMAIL_FROM) in the environment")
+    p.add_argument("-o", "--output", "--output-format",
+                   choices=["table", "standard", "csv", "parquet"], default="table")
     p.add_argument("--output-path", help="csv/parquet destination")
     p.add_argument("--store", help="write the full scored table as a parquet store")
     p.add_argument("--max-rows", type=int, default=1000)
@@ -64,9 +78,16 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = make_parser().parse_args(argv)
+    parser = make_parser()
+    args = parser.parse_args(argv)
+    args.paths = list(args.paths) + list(args.path_flag or [])
+    if not args.paths:
+        parser.error("no input paths (positional or --path)")
+    if args.output == "standard":  # reference name for the table output
+        args.output = "table"
     cfg = EngineConfig(
         session_gap_seconds=args.cluster_threshold,
+        cluster_off=args.cluster_off,
         time_offset=args.time_offset,
     )
     if args.rules:
@@ -103,11 +124,35 @@ def main(argv: list[str] | None = None) -> int:
         resp_size_max=args.resp_size_max,
         all_extensions=args.all_extension,
         tool_focus=args.tool_focus,
+        **(
+            {"ignore_extensions": tuple(args.ignore_extension)}
+            if args.ignore_extension is not None
+            else {}
+        ),
     )
 
     n_errors = errors.count()
     if n_errors:
         print(f"[!] {n_errors} unparseable lines (errors side-channel)", file=sys.stderr)
+
+    if args.email:
+        import os as _os
+        import smtplib
+
+        from webloghunter_spark.render import build_email
+
+        host = _os.environ.get("WLH_SMTP_HOST")
+        if not host:
+            print("--email requires WLH_SMTP_HOST in the environment; "
+                  "not sending", file=sys.stderr)
+            return 2
+        sender = _os.environ.get("WLH_EMAIL_FROM", "webloghunter@localhost")
+        port = int(_os.environ.get("WLH_SMTP_PORT", "25"))
+        with smtplib.SMTP(host, port) as smtp:
+            for rcpt in args.email:
+                smtp.send_message(build_email(result, sender, rcpt))
+        print(f"emailed {len(args.email)} recipient(s)")
+        return 0
 
     if args.output == "table":
         print(render_table(display_projection(result), max_rows=args.max_rows,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from webloghunter_spark.detectors.burst import burst_success_detector
 from webloghunter_spark.detectors.tools import DEFAULT_TOOL_SIGNATURES, tool_scanner
@@ -45,6 +46,7 @@ class EngineConfig:
     risky_extensions: tuple = DEFAULT_RISKY_EXTENSIONS
     shells: frozenset = frozenset()
     session_gap_seconds: int = 60
+    cluster_off: bool = False
     time_offset: int = 0
     burst_min_requests: int = 100
     burst_max_gap_seconds: float = 1.0
@@ -81,7 +83,12 @@ def build_pipeline(
     entries, errors = read_access_logs(spark, paths)
     df = remove_cross_source_dups(entries)
     df = with_utc_timestamp(df, time_offset=cfg.time_offset)
-    df = sessionize(df, threshold=cfg.session_gap_seconds)
+    if cfg.cluster_off:
+        # Reference --cluster-off: no sessionization, plain timestamp
+        # order; cluster 0 keeps the downstream grouping keys stable.
+        df = df.withColumn("cluster", F.lit(0).cast("long"))
+    else:
+        df = sessionize(df, threshold=cfg.session_gap_seconds)
     df = with_request_count(df)
     return score(df, cfg), errors
 
