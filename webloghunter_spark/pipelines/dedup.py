@@ -163,9 +163,12 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs."""
+    # Materialize the shingle table once: it feeds BOTH sides of the
+    # pair join, and an unmaterialized plan recomputes the full
+    # tokenize+shingle pipeline per side.
     sh = df.select(
         F.col(id_col), F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     j = (
