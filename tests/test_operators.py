@@ -160,3 +160,44 @@ def test_ivf_topk_matches_bruteforce_on_probed_lists(spark):
     asg = ivf_assign(df, cents).collect()
     assert len(asg) == 40
     assert len({r.vec_id for r in asg}) == 40
+
+
+def test_salted_join_equals_plain(spark):
+    from webloghunter_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(300)], "k long, id long, v double"
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "never")], "k long, tag string"
+    )
+    plain = {(r.id, r.tag) for r in left.join(right, "k").collect()}
+    salted = {(r.id, r.tag)
+              for r in salted_join(left, right, on="k", n_salt=4,
+                                   salt_src="id").collect()}
+    assert salted == plain and len(salted) == 300
+    # a hot key's rows really spread across salts
+    import pyspark.sql.functions as F
+    salts = (
+        left.withColumn("_salt", F.pmod(F.hash("id"), F.lit(4)))
+        .filter(F.col("k") == 0).select("_salt").distinct().count()
+    )
+    assert salts > 1
+
+
+def test_salted_collect_set_equals_plain(spark):
+    import pyspark.sql.functions as F
+    from webloghunter_spark.operators.skew import salted_collect_set
+
+    df = spark.createDataFrame(
+        [(i % 2, f"v{i % 7}") for i in range(100)], "k long, val string"
+    )
+    plain = {
+        r.k: set(r.s)
+        for r in df.groupBy("k").agg(F.collect_set("val").alias("s")).collect()
+    }
+    got = {
+        r.k: set(r.values)
+        for r in salted_collect_set(df, ("k",), "val", n_salt=4).collect()
+    }
+    assert got == plain

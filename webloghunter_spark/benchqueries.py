@@ -1366,6 +1366,57 @@ SQL_BPE_TOKENS = r"""
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join of orders (large side, salted on a
+    hash of o_orderkey) against per-customer aggregates (replicated
+    n_salt times) — result identical to the plain join."""
+    from webloghunter_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = salted_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust, on="o_custkey", n_salt=8, salt_src="o_orderkey",
+        how="inner",
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
+        "n_orders",
+    )
+
+
+SQL_SALTED_JOIN = """
+    WITH cust AS (
+        SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           round(CAST(o.o_totalprice AS DOUBLE), 2) AS price, c.n_orders
+    FROM orders o JOIN cust c ON o.o_custkey = c.o_custkey
+"""
+
+
+def q_salted_collect(spark, sf_dir):
+    """Two-phase salted collect_set per user (exploded for hashing) —
+    identical multiset to a plain set aggregation."""
+    from webloghunter_spark.operators.skew import salted_collect_set
+
+    ev = _t(spark, sf_dir, "events")
+    sets = salted_collect_set(
+        ev, keys=("user_id",), value_col="event_type", n_salt=4
+    )
+    return sets.select("user_id", F.explode("values").alias("event_type")).distinct()
+
+
+SQL_SALTED_COLLECT = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1402,6 +1453,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_focus": q_tool_focus,
     "uri_risk": q_uri_risk,
     "bpe_tokens": q_bpe_tokens,
+    "salted_join": q_salted_join,
+    "salted_collect": q_salted_collect,
 }
 
 ORACLES: dict[str, str] = {
@@ -1439,4 +1492,6 @@ ORACLES: dict[str, str] = {
     "tool_focus": SQL_TOOL_FOCUS,
     "uri_risk": SQL_URI_RISK,
     "bpe_tokens": SQL_BPE_TOKENS,
+    "salted_join": SQL_SALTED_JOIN,
+    "salted_collect": SQL_SALTED_COLLECT,
 }
