@@ -1417,6 +1417,58 @@ SQL_SALTED_COLLECT = """
 """
 
 
+def q_rollup_counts(spark, sf_dir):
+    """Multi-granularity time rollup (hour + day + grand total) in ONE
+    pass via GROUPING SETS — the hypertable-style continuous-aggregate
+    shape; grouping_id disambiguates the levels."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "event_id",
+    ).createOrReplaceTempView("_rollup_src")
+    return spark.sql(
+        """
+        SELECT coalesce(unix_timestamp(coalesce(h, d)), -1) AS bucket_epoch,
+               grouping_id() AS lvl, count(*) AS n
+        FROM _rollup_src
+        GROUP BY GROUPING SETS ((h), (d), ())
+        """
+    )
+
+
+SQL_ROLLUP = """
+    SELECT coalesce(floor(epoch(coalesce(h, d)))::BIGINT, -1) AS bucket_epoch,
+           GROUPING(h, d) AS lvl, count(*) AS n
+    FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 event_id FROM events)
+    GROUP BY GROUPING SETS ((h), (d), ())
+"""
+
+
+def q_trailing_rate(spark, sf_dir):
+    """Trailing 1-hour event count per user via a RANGE window frame on
+    epoch seconds — the rate-limiter / anomaly-baseline primitive."""
+    ev = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_1h")
+    )
+
+
+SQL_TRAILING_RATE = """
+    SELECT event_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1455,6 +1507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokens": q_bpe_tokens,
     "salted_join": q_salted_join,
     "salted_collect": q_salted_collect,
+    "rollup_counts": q_rollup_counts,
+    "trailing_rate": q_trailing_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1494,4 +1548,6 @@ ORACLES: dict[str, str] = {
     "bpe_tokens": SQL_BPE_TOKENS,
     "salted_join": SQL_SALTED_JOIN,
     "salted_collect": SQL_SALTED_COLLECT,
+    "rollup_counts": SQL_ROLLUP,
+    "trailing_rate": SQL_TRAILING_RATE,
 }
