@@ -201,3 +201,27 @@ def test_salted_collect_set_equals_plain(spark):
         for r in salted_collect_set(df, ("k",), "val", n_salt=4).collect()
     }
     assert got == plain
+
+
+def test_asof_join_semantics(spark):
+    from webloghunter_spark.operators.asof import asof_join
+
+    facts = spark.createDataFrame(
+        [(1, 5, "e1"), (1, 10, "e2"), (1, 20, "e3"), (2, 7, "e4")],
+        "k long, t long, name string",
+    )
+    versions = spark.createDataFrame(
+        [(1, 10, "v10"), (1, 15, "v15"), (3, 1, "vX")],
+        "k long, t long, ver string",
+    )
+    inner = {r.name: r.ver for r in asof_join(
+        facts, versions, by=["k"], left_ts="t", right_ts="t").collect()}
+    # e1 (t=5): no version <= 5 -> dropped (inner)
+    # e2 (t=10): tie with v10 -> INCLUDED (>= semantics)
+    # e3 (t=20): latest is v15
+    # e4 (k=2): no versions for key -> dropped
+    assert inner == {"e2": "v10", "e3": "v15"}
+    left = {r.name: r.ver for r in asof_join(
+        facts, versions, by=["k"], left_ts="t", right_ts="t",
+        how="left").collect()}
+    assert left == {"e1": None, "e2": "v10", "e3": "v15", "e4": None}

@@ -1469,6 +1469,36 @@ SQL_TRAILING_RATE = """
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each non-signup event picks up the latest signup
+    event id at-or-before its timestamp per user (point-in-time
+    version lookup)."""
+    from webloghunter_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    versions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("version_id")
+    )
+    facts = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(facts, versions, by=["user_id"], how="inner")
+    return j.select("event_id", "version_id")
+
+
+SQL_ASOF_JOIN = """
+    WITH v AS (
+        SELECT user_id, ts, event_id AS version_id FROM events
+        WHERE event_type = 'signup'
+    ),
+    f AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type != 'signup'
+    )
+    SELECT f.event_id, v.version_id
+    FROM f ASOF JOIN v ON f.user_id = v.user_id AND f.ts >= v.ts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1509,6 +1539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_collect": q_salted_collect,
     "rollup_counts": q_rollup_counts,
     "trailing_rate": q_trailing_rate,
+    "asof_join": q_asof_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1550,4 +1581,5 @@ ORACLES: dict[str, str] = {
     "salted_collect": SQL_SALTED_COLLECT,
     "rollup_counts": SQL_ROLLUP,
     "trailing_rate": SQL_TRAILING_RATE,
+    "asof_join": SQL_ASOF_JOIN,
 }
