@@ -115,3 +115,29 @@ def test_text_exprs(spark):
     assert m[1].n == 0 and m[1].nsh == 0
     assert m[2].lang == "de"
     assert 0 <= m[0].q <= 10000
+
+
+def test_split_deterministic_and_stable(spark):
+    """Splits are a pure function of the id: repartitioning or adding
+    rows never moves an existing row between splits."""
+    import pyspark.sql.functions as F
+    from webloghunter_spark.pipelines.split import split, with_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = {r.id: r.split for r in with_split(df, "id", {"train": 0.8, "eval": 0.2}).collect()}
+    b = {r.id: r.split
+         for r in with_split(df.repartition(13), "id", {"train": 0.8, "eval": 0.2}).collect()}
+    assert a == b
+    grown = spark.createDataFrame([(i,) for i in range(4000)], "id long")
+    c = {r.id: r.split for r in with_split(grown, "id", {"train": 0.8, "eval": 0.2}).collect()}
+    assert all(c[i] == a[i] for i in a)
+    # fractions land near targets
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.75 < n_train / 2000 < 0.85
+    # named views partition the labeled rows
+    parts = split(df, "id", {"train": 0.8, "eval": 0.2})
+    assert parts["train"].count() + parts["eval"].count() == 2000
+    # salt decorrelates
+    s2 = {r.id: r.split
+          for r in with_split(df, "id", {"train": 0.8, "eval": 0.2}, salt="v2").collect()}
+    assert s2 != a

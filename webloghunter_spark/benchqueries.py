@@ -1499,6 +1499,32 @@ SQL_ASOF_JOIN = """
 """
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic md5-bucket train/eval/test split of documents —
+    stable across partitioning, reproducible in any engine."""
+    from webloghunter_spark.pipelines.split import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = with_split(
+        docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}
+    )
+    return labeled.select("doc_id", "split")
+
+
+SQL_TRAIN_SPLIT = """
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'eval'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 10000 AS INTEGER) AS b
+        FROM documents
+    )
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1540,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_counts": q_rollup_counts,
     "trailing_rate": q_trailing_rate,
     "asof_join": q_asof_join,
+    "train_split": q_train_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1582,4 +1609,5 @@ ORACLES: dict[str, str] = {
     "rollup_counts": SQL_ROLLUP,
     "trailing_rate": SQL_TRAILING_RATE,
     "asof_join": SQL_ASOF_JOIN,
+    "train_split": SQL_TRAIN_SPLIT,
 }

@@ -1,0 +1,66 @@
+"""Deterministic dataset splitting for training-data pipelines.
+
+`sample()`/`randomSplit()` are seed-dependent AND partition-layout-
+dependent — re-running after a repartition reassigns rows, which is
+unacceptable for train/eval splits that must stay stable across
+pipeline versions. This split hashes a stable id column with md5 (not
+Spark's Murmur3 `hash`, so any engine — or the SQL oracle — derives
+identical assignments), maps the first 8 hex digits to [0, 10000), and
+cuts by basis-point thresholds.
+
+Adding data never moves an existing row between splits; the split is a
+pure function of the id. One narrow projection, no shuffle, prunable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000  # basis points
+
+
+def split_bucket_expr(id_col: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from md5 of the id (+ optional salt
+    so independent splits of the same table decorrelate)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % SPLIT_BUCKETS).cast("int")
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label rows train/eval/test/... by cumulative fraction cuts.
+
+    fractions: ordered {name: fraction}; must sum to <= 1.0 (remainder
+    is labeled NULL — useful for throwaway holdout)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = split_bucket_expr(id_col, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cut = int(round(cum * SPLIT_BUCKETS))
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(F.lit(None)))
+
+
+def split(
+    df: DataFrame, id_col: str, fractions: dict[str, float], salt: str = ""
+) -> dict[str, DataFrame]:
+    """Materialized view per split name."""
+    labeled = with_split(df, id_col, fractions, salt)
+    return {
+        name: labeled.filter(F.col("split") == name).drop("split")
+        for name in fractions
+    }
