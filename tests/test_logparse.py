@@ -85,6 +85,23 @@ def test_comment_blank_garbage_routing(spark):
     assert errs == ["total garbage not a log line"]
 
 
+def test_control_char_junk_is_not_a_fake_match(spark):
+    # \x01 is the internal group-join separator: a binary junk line
+    # containing it must go to errors, not be "parsed" into garbage
+    # fields by the size(arr)>1 match test.
+    junk = "\x01\x01 binary \x01 garbage \x01"
+    parsed, errors = parse_lines(_lines_df(spark, [junk, APACHE]))
+    assert parsed.count() == 1
+    assert errors.count() == 1
+    # \x01 embedded inside a matched field must not shift group indices:
+    # it is dropped before the format regexes run.
+    weird = APACHE.replace("Mozilla/5.0", "Moz\x01illa/5.0")
+    r = _parse_one(spark, weird)
+    assert r.log_format == "apache"
+    assert r.user_agent == "Mozilla/5.0"
+    assert (r.ip, r.status) == ("1.2.3.4", 200)
+
+
 def test_grep_prefix_strip(spark):
     r = _parse_one(spark, "access.log:" + APACHE)
     assert r.ip == "1.2.3.4"

@@ -225,3 +225,36 @@ def test_asof_join_semantics(spark):
         facts, versions, by=["k"], left_ts="t", right_ts="t",
         how="left").collect()}
     assert left == {"e1": None, "e2": "v10", "e3": "v15", "e4": None}
+
+
+def test_asof_join_multicol_null_payload(spark):
+    """Payload columns must travel atomically: a NULL in one value
+    column of the matched version must NOT pull that column's value
+    from an older version, and a NULL first payload column must not
+    drop a genuinely matched row under how='inner'."""
+    from webloghunter_spark.operators.asof import asof_join
+
+    facts = spark.createDataFrame(
+        [(1, 12, "e1"), (1, 25, "e2"), (2, 5, "e3")],
+        "k long, t long, name string",
+    )
+    # v@10 has both cols; v@20 has NULL a (and is still the match for e2).
+    versions = spark.createDataFrame(
+        [(1, 10, "a10", "b10"), (1, 20, None, "b20")],
+        "k long, t long, a string, b string",
+    )
+    rows = {r.name: (r.a, r.b) for r in asof_join(
+        facts, versions, by=["k"], left_ts="t", right_ts="t",
+        how="inner").collect()}
+    # e2 matches v@20 atomically: a is genuinely NULL, b is b20 — NOT
+    # a carried-over a10, and NOT dropped by the inner filter.
+    assert rows == {"e1": ("a10", "b10"), "e2": (None, "b20")}
+    left = {r.name: (r.a, r.b) for r in asof_join(
+        facts, versions, by=["k"], left_ts="t", right_ts="t",
+        how="left").collect()}
+    assert left["e3"] == (None, None)
+    # Empty value_cols: degenerates to an existence (semi-join) check.
+    sem = sorted(r.name for r in asof_join(
+        facts, versions, by=["k"], left_ts="t", right_ts="t",
+        value_cols=[], how="inner").collect())
+    assert sem == ["e1", "e2"]

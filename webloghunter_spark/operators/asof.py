@@ -48,18 +48,29 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in by and c != right_ts]
     value_cols = list(value_cols)
 
+    # The payload travels as ONE struct so the carried value is atomic:
+    # per-column last(..., ignorenulls) would mix columns from different
+    # right versions whenever a payload column is legitimately NULL, and
+    # a NULL first payload column would defeat the matched test below.
+    # The leading `_matched` marker keeps the struct non-empty (and the
+    # match flag well-defined) even when value_cols is empty.
+    payload = F.struct(
+        F.lit(True).alias("_matched"),
+        *[F.col(c) for c in value_cols],
+    )
+    payload_type = right.select(payload.alias("_v")).schema["_v"].dataType
     lhs = left.select(
         *by,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias("_v"),
         F.struct(*[c for c in left.columns]).alias("_row"),
     )
     rhs = right.select(
         *by,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        payload.alias("_v"),
         F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
     )
     u = lhs.unionByName(rhs)
@@ -71,12 +82,11 @@ def asof_join(
     carried = u.select(
         "_is_left",
         "_row",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in value_cols],
+        F.last("_v", ignorenulls=True).over(w).alias("_c"),
     ).filter(F.col("_is_left") == 1)
-    out = carried.select(
-        F.col("_row.*"),
-        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
-    )
     if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
-    return out
+        carried = carried.filter(F.col("_c").isNotNull())
+    return carried.select(
+        F.col("_row.*"),
+        *[F.col("_c").getField(c).alias(c) for c in value_cols],
+    )

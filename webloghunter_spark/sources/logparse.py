@@ -184,6 +184,12 @@ def parse_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     stripped = F.regexp_replace(F.col("value"), GREP_PREFIX_RE, "")
     line = F.when(stripped != "", stripped).otherwise(F.col("value"))
+    # \x01 is the group-join separator used by _format_arr: a raw line
+    # containing it (binary junk is common in real access logs) would
+    # otherwise fake a format match / shift group indices. Drop it
+    # before any format regex runs (translate = single char-level pass,
+    # no regex).
+    line = F.translate(line, _GROUP_SEP, "")
     line = F.trim(line)
     df = lines.withColumn("_line", F.regexp_replace(line, TRAILING_JUNK_RE, "$1"))
 
