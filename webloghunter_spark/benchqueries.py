@@ -1078,19 +1078,28 @@ SQL_BURST_SUCCESS = f"""
 """
 
 
-def q_tool_scan(spark, sf_dir):
-    """D2 (tool_scanner) — the applyInPandas greedy set-cover kernel.
-    Genuinely non-SQL-expressible (stateful scan); rows-only check."""
-    from webloghunter_spark.detectors.tools import tool_scanner
-
-    w = weblog_from_events(spark, sf_dir).select(
+def _tool_scan_frame(spark, sf_dir):
+    """Weblog projection keyed for the tool scanner: cluster=user_id so
+    groups are small (and the DuckDB oracle's recursive walk stays
+    shallow)."""
+    return weblog_from_events(spark, sf_dir).select(
         "event_id",
         F.lit("ev").alias("source"),
         F.col("ip"),
-        F.lit(0).cast("long").alias("cluster"),
+        F.col("user_id").cast("long").alias("cluster"),
         "request_uri", "utc_timestamp",
         F.col("event_id").alias("ordinal"),
     )
+
+
+def q_tool_scan(spark, sf_dir):
+    """D2 (tool_scanner) — the applyInPandas greedy set-cover kernel,
+    multi-keyword, unbounded window. With time_window=0 the greedy scan
+    tiles each group's candidate sequence into spans that close at the
+    first row completing the keyword set — expressible as a DuckDB
+    recursive CTE, which is the independent oracle."""
+    from webloghunter_spark.detectors.tools import tool_scanner
+
     sigs = [{
         "tool": "SC01",
         "name": "SynthScan",
@@ -1098,8 +1107,84 @@ def q_tool_scan(spark, sf_dir):
         "keyword": ["/admin", "/login", "/dump.sql"],
         "time_window": 0,
     }]
-    out = tool_scanner(w, sigs)
+    out = tool_scanner(_tool_scan_frame(spark, sf_dir), sigs)
     return out.filter(F.col("tool") != "").select("event_id", "tool", "tool_name")
+
+
+# Greedy tiling as a recursive walk over each group's candidate rows in
+# (epoch-second, event_id) order — the exact order the kernel sorts by.
+# State per row: the span start and the running keyword mask; a span
+# closes at the first row whose cumulative mask is complete, and every
+# candidate row of a closed span is stamped.
+SQL_TOOL_SCAN = f"""
+    WITH RECURSIVE w AS ({WEBLOG_SQL_BASE}),
+    cand AS (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(utc_timestamp)) AS BIGINT), event_id
+               ) AS rn,
+               CASE WHEN contains(request_uri, '/admin') THEN 1 ELSE 0 END AS b1,
+               CASE WHEN contains(request_uri, '/login') THEN 1 ELSE 0 END AS b2,
+               CASE WHEN contains(request_uri, '/dump.sql') THEN 1 ELSE 0 END AS b3
+        FROM w
+        WHERE contains(request_uri, '/admin')
+           OR contains(request_uri, '/login')
+           OR contains(request_uri, '/dump.sql')
+    ),
+    walk AS (
+        SELECT user_id, rn, event_id, rn AS span_start,
+               b1 AS m1, b2 AS m2, b3 AS m3
+        FROM cand WHERE rn = 1
+        UNION ALL
+        SELECT c.user_id, c.rn, c.event_id,
+               CASE WHEN p.m1 + p.m2 + p.m3 = 3 THEN c.rn ELSE p.span_start END,
+               CASE WHEN p.m1 + p.m2 + p.m3 = 3 THEN c.b1 ELSE greatest(p.m1, c.b1) END,
+               CASE WHEN p.m1 + p.m2 + p.m3 = 3 THEN c.b2 ELSE greatest(p.m2, c.b2) END,
+               CASE WHEN p.m1 + p.m2 + p.m3 = 3 THEN c.b3 ELSE greatest(p.m3, c.b3) END
+        FROM walk p JOIN cand c ON c.user_id = p.user_id AND c.rn = p.rn + 1
+    )
+    SELECT s.event_id, 'SC01' AS tool, 'SynthScan' AS tool_name
+    FROM walk s
+    JOIN (SELECT DISTINCT user_id, span_start FROM walk
+          WHERE m1 + m2 + m3 = 3) done
+      ON s.user_id = done.user_id AND s.span_start = done.span_start
+"""
+
+
+def q_tool_scan_single(spark, sf_dir):
+    """D2 (tool_scanner), single-keyword signature: every candidate row
+    is stamped (spans degenerate to the candidates themselves), so the
+    oracle is a plain filter — an independent end-to-end check that the
+    candidate pre-filter, kernel, and stamp join-back compose
+    correctly."""
+    from webloghunter_spark.detectors.tools import tool_scanner
+
+    sigs = [{
+        "tool": "SQ01",
+        "name": "SqlDump",
+        "description": "database dump fetch",
+        "keyword": ["/dump.sql"],
+        "time_window": 0,
+    }]
+    out = tool_scanner(_tool_scan_frame(spark, sf_dir), sigs)
+    return out.select(
+        "event_id",
+        "tool",
+        F.col("tool_name").alias("name"),
+        F.col("tool_desc").alias("description"),
+    )
+
+
+SQL_TOOL_SCAN_SINGLE = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT event_id,
+           CASE WHEN contains(request_uri, '/dump.sql') THEN 'SQ01' ELSE '' END AS tool,
+           CASE WHEN contains(request_uri, '/dump.sql') THEN 'SqlDump' ELSE '' END AS name,
+           CASE WHEN contains(request_uri, '/dump.sql')
+                THEN 'database dump fetch' ELSE '' END AS description
+    FROM w
+"""
 
 
 def q_knn_lsh(spark, sf_dir):
@@ -1554,6 +1639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_embeddings": q_neardup_embeddings,
     "burst_success": q_burst_success,
     "tool_scan": q_tool_scan,
+    "tool_scan_single": q_tool_scan_single,
     "knn_lsh": q_knn_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1597,6 +1683,8 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "neardup_embeddings": SQL_NEARDUP_EMB,
     "burst_success": SQL_BURST_SUCCESS,
+    "tool_scan": SQL_TOOL_SCAN,
+    "tool_scan_single": SQL_TOOL_SCAN_SINGLE,
     "knn_lsh": SQL_KNN_LSH,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW,

@@ -10,23 +10,33 @@ signature {tool, name, description, keyword[], time_window}:
   the start (window==0 means unbounded), accumulating which keywords
   were seen, stopping early once ALL of the tool's keywords are seen;
 - if the accumulated span saw every keyword within the window, every
-  row in the span is stamped (tool, name, description) and claimed;
+  CANDIDATE row in the span is stamped (tool, name, description) and
+  claimed (non-candidate rows between them are never stamped,
+  risk.py:493-501);
 - on overlapping assignments the LAST one wins (risk.py:498-501).
 
-This is a greedy set-cover over a sliding window — not expressible as
-relational windows — so the per-group kernel runs in `applyInPandas`
-over (source, ip, cluster). Keyword membership is precomputed as native
-`contains` columns BEFORE the shuffle (mirroring the reference's
-vectorized precompute, risk.py:414-420), so the Python kernel only does
-the greedy scan on small per-group arrays. Groups are bounded by
-sessionization, so per-group pandas is safe at scale; the shuffle is on
-the same (source, ip) family of keys the rest of the pipeline uses.
+The greedy set-cover scan is stateful and not expressible as relational
+windows, but it only ever *reads* candidate rows — so the Python kernel
+runs over candidates ONLY:
+
+  1. keyword membership is computed JVM-side (codegen `contains`) on a
+     slim projection (group keys, row key, epoch seconds, keyword
+     booleans) and non-candidates are filtered out BEFORE the shuffle;
+  2. `applyInPandas` over (source, ip, cluster) runs the greedy scan on
+     the (typically tiny) per-group candidate arrays and emits one stamp
+     row per claimed candidate;
+  3. the stamp table — detections only, sparse by construction — is
+     broadcast-joined back onto the untouched full frame.
+
+At 100 TB the full table is never Arrow-serialized into Python: only
+candidates (usually <0.1% of rows, a handful of narrow columns) shuffle,
+and the wide frame takes one broadcast hash join, no exchange.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 GROUP_COLS = ["source", "ip", "cluster"]
@@ -41,18 +51,23 @@ DEFAULT_TOOL_SIGNATURES = [
     }
 ]
 
+_STAMP_COLS = ["tool", "tool_name", "tool_desc"]
 
-def _scan_group(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
-    # (_unix_ts, ordinal) gives a deterministic time order under shuffles
-    # (the reference relies on stable input order for tie-breaks).
-    sort_cols = ["_unix_ts"] + (["ordinal"] if "ordinal" in pdf.columns else [])
-    pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+def _scan_candidates(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
+    """Greedy scan over ONE group's candidate rows; returns stamp rows
+    (group keys + _rk + tool/tool_name/tool_desc) for claimed candidates
+    only. (_unix_ts, _rk) gives a deterministic time order under
+    shuffles (the reference relies on stable input order for
+    tie-breaks)."""
+    pdf = pdf.sort_values(["_unix_ts", "_rk"], kind="mergesort").reset_index(drop=True)
     n = len(pdf)
     tool = [""] * n
     tname = [""] * n
     tdesc = [""] * n
+    times = pdf["_unix_ts"].to_numpy()
     for sig in signatures:
-        req_kw = [k for k in kw_cols[sig["tool"]]]
+        req_kw = kw_cols[sig["tool"]]
         if not req_kw:
             continue
         window = sig["time_window"]
@@ -64,7 +79,6 @@ def _scan_group(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
         cand = [i for i in range(n) if any_mask[i]]
         if not cand:
             continue
-        times = pdf["_unix_ts"].to_numpy()
         claimed: set[int] = set()
         keys = [k for k, _ in req_kw]
         for i0, start in enumerate(cand):
@@ -94,7 +108,8 @@ def _scan_group(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
     pdf["tool"] = tool
     pdf["tool_name"] = tname
     pdf["tool_desc"] = tdesc
-    return pdf
+    stamped = pdf[pdf["tool"] != ""]
+    return stamped[GROUP_COLS + ["_rk"] + _STAMP_COLS]
 
 
 def tool_scanner(
@@ -105,10 +120,10 @@ def tool_scanner(
     signatures = signatures if signatures is not None else DEFAULT_TOOL_SIGNATURES
     uri_lower = F.lower(F.col("request_uri").cast("string"))
 
-    # Native, codegen'd keyword membership columns (the slow path only
-    # sees booleans).
+    # Native, codegen'd keyword membership expressions (the Python path
+    # only ever sees booleans, and only for candidate rows).
     kw_cols: dict[str, list[tuple[str, str]]] = {}
-    tmp = df.withColumn("_unix_ts", F.unix_timestamp(F.col(ts_col)))
+    kw_exprs: dict[str, Column] = {}
     i = 0
     for sig in signatures:
         pairs = []
@@ -122,16 +137,48 @@ def tool_scanner(
             seen.add(k)
             cname = f"_kw_{i}"
             i += 1
-            tmp = tmp.withColumn(cname, uri_lower.contains(k))
+            kw_exprs[cname] = uri_lower.contains(k)
             pairs.append((k, cname))
         kw_cols[sig["tool"]] = pairs
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in tmp.schema.fields
-    ) + ", tool string, tool_name string, tool_desc string"
+    if not kw_exprs:
+        out = df
+        for c in _STAMP_COLS:
+            out = out.withColumn(c, F.lit(""))
+        return out
 
-    result = tmp.groupBy(*GROUP_COLS).applyInPandas(
-        lambda pdf: _scan_group(pdf, signatures, kw_cols), schema=out_schema
+    # Row identity for the stamp join-back: `ordinal` when the caller
+    # provides one (globally unique in parsed-log frames), else a
+    # synthetic id — deterministic for a given scan partitioning, which
+    # both plan branches below share.
+    if "ordinal" in df.columns:
+        keyed, key = df, "ordinal"
+    else:
+        keyed, key = df.withColumn("_row_key", F.monotonically_increasing_id()), "_row_key"
+
+    any_kw = None
+    for cname in kw_exprs:
+        any_kw = F.col(cname) if any_kw is None else (any_kw | F.col(cname))
+    slim = (
+        keyed.select(
+            *GROUP_COLS,
+            F.col(key).alias("_rk"),
+            F.unix_timestamp(F.col(ts_col)).alias("_unix_ts"),
+            *[expr.alias(cname) for cname, expr in kw_exprs.items()],
+        )
+        .filter(any_kw)
     )
-    drop = ["_unix_ts"] + [c for pairs in kw_cols.values() for _, c in pairs]
-    return result.drop(*drop)
+
+    stamp_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in slim.schema.fields
+        if f.name in GROUP_COLS or f.name == "_rk"
+    ) + ", tool string, tool_name string, tool_desc string"
+    stamps = slim.groupBy(*GROUP_COLS).applyInPandas(
+        lambda pdf: _scan_candidates(pdf, signatures, kw_cols), schema=stamp_schema
+    ).withColumnRenamed("_rk", key)
+
+    joined = keyed.join(F.broadcast(stamps), on=GROUP_COLS + [key], how="left")
+    for c in _STAMP_COLS:
+        joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    return joined.drop("_row_key") if key == "_row_key" else joined
