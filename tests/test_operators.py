@@ -258,3 +258,19 @@ def test_asof_join_multicol_null_payload(spark):
         facts, versions, by=["k"], left_ts="t", right_ts="t",
         value_cols=[], how="inner").collect())
     assert sem == ["e1", "e2"]
+
+
+def test_fan_is_noop_on_parallel_input(spark, tmp_path):
+    """_fan must not inject a round-robin exchange when the scan already
+    arrives with enough splits (a real multi-file table)."""
+    from webloghunter_spark.benchqueries import _fan
+
+    p = str(tmp_path / "many")
+    spark.range(0, 10_000).repartition(32).write.parquet(p)
+    df = spark.read.parquet(p)
+    fanned = _fan(df)
+    assert "roundrobin" not in fanned._jdf.queryExecution().executedPlan().toString().lower()
+
+    single = spark.range(0, 100).coalesce(1)
+    fanned1 = _fan(single)
+    assert fanned1.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -119,3 +119,29 @@ def test_referrer_rule(spark):
     rows = [("/ok", 404, 0, "GET", 1, 0, 10, "https://fofa.info/x", "ua", "1.1.1.1")]
     r = _scored(spark, rows)[0]
     assert r.risk_score == 67.5
+
+
+def test_rules_contains_is_regex(spark):
+    # Reference parity: pandas str.contains defaults to regex=True, so
+    # 'a|b' is an alternation and '.php' matches any char before 'php'.
+    from webloghunter_spark.rules.sigma import _rule, apply_rules
+
+    rules = [_rule("Alt", 50.0, {"request_uri|contains": "evil|bad"})]
+    df = spark.createDataFrame(
+        [("/evil",), ("/bad",), ("/evil|bad",), ("/good",)],
+        "request_uri string",
+    )
+    got = {r.request_uri: r.risk_score for r in apply_rules(df, rules).collect()}
+    assert got == {"/evil": 50.0, "/bad": 50.0, "/evil|bad": 50.0, "/good": 0.0}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+    from webloghunter_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, t string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, on="k", how=how)
+    assert salted_join(left, right, on="k", how="left_semi").count() == 1

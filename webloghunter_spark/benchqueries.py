@@ -66,15 +66,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _fan(df: DataFrame) -> DataFrame:
-    """Spread a low-parallelism scan across all cores before CPU-heavy
+    """Spread a LOW-parallelism scan across all cores before CPU-heavy
     work. The test parquet files are single-row-group, so scan-rooted
     stages run as ONE task; a round-robin repartition (a few MB of
     shuffle here) unlocks the full machine for regex/shingling/vector
-    stages whose per-row cost dwarfs the exchange. On a real cluster the
-    same call is the standard remedy for few-files-heavy-compute inputs;
-    many-row-group inputs already arrive parallel and the exchange is
-    AQE-coalesced noise."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    stages whose per-row cost dwarfs the exchange.
+
+    CONDITIONAL: inputs that already arrive with enough splits (any
+    real multi-file/multi-row-group table) pass through untouched — an
+    unconditional full-table round-robin exchange would be a
+    scale-killer at 100 TB. This is bench-harness plumbing, not part of
+    any library operator path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------
@@ -543,9 +549,9 @@ SQL_SIGMA_RULES = f"""
            (request_count >= 500 AND status IN (500,502,503,504) AND resp_size >= 25) AS m1,
            (uri_risk >= 70 AND status IN (200,201,202) AND resp_size >= 25) AS m2,
            (status IN (200,201,202) AND resp_size >= 25
-                AND contains(lower(request_uri), 'whoami')) AS m3,
+                AND regexp_matches(request_uri, 'whoami', 'i')) AS m3,
            (resp_size >= 25 AND uri_risk >= 40 AND status IN (500,502,503,504)) AS m4,
-           (contains(lower(referrer), 'fofa.info')) AS m5,
+           (regexp_matches(referrer, 'fofa.info', 'i')) AS m5,
            (resp_size >= 25 AND request_count >= 200 AND request_count < 500
                 AND status IN (500,502,503,504)) AS m6,
            (request_count >= 200 AND resp_size >= 25

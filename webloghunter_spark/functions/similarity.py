@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from webloghunter_spark.session import materialize
 
 
 def _to_double(col: Column) -> Column:
@@ -117,7 +118,8 @@ def neardup_pairs_lsh(
         F.col(vec_col).alias("_v"),
         norm_expr(F.col(vec_col)).alias("_n"),
         hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
-    ).localCheckpoint(eager=False)
+    )
+    bucketed = materialize(bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cos = F.round(

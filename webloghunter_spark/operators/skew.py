@@ -42,6 +42,16 @@ def salted_join(
     `salt_src`: column whose hash spreads rows of a hot key (defaults
     to the whole left row via all columns — deterministic, no rand()
     so the plan stays reproducible/retry-safe)."""
+    # Salting replicates the RIGHT side once per salt value, so any
+    # join that emits unmatched right rows (right/full outer, right
+    # semi/anti) would return each of them n_salt times.
+    allowed = {"inner", "cross", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     if salt_src is None:
         src = F.hash(*[F.col(c) for c in left.columns])
     else:

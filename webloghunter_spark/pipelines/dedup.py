@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.text import fingerprint_expr, shingles_expr
+from webloghunter_spark.session import materialize
 
 
 def exact_dedup(
@@ -140,7 +141,7 @@ def lsh_candidate_pairs(
     # Materialize the (tiny: id + band + 32-byte hash) banded table once;
     # a plain self-join would recompute the full shingle+md5 pipeline on
     # both sides.
-    banded = banded.localCheckpoint(eager=False)
+    banded = materialize(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(
@@ -166,9 +167,9 @@ def ngram_jaccard_pairs(
     # Materialize the shingle table once: it feeds BOTH sides of the
     # pair join, and an unmaterialized plan recomputes the full
     # tokenize+shingle pipeline per side.
-    sh = df.select(
+    sh = materialize(df.select(
         F.col(id_col), F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh")
-    ).localCheckpoint(eager=False)
+    ))
     a = sh.alias("a")
     b = sh.alias("b")
     j = (

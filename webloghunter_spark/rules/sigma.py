@@ -43,7 +43,12 @@ BARE_LIST_FIELDS = ("status", "method", "user_agent")
 
 
 def _ci_contains(col: Column, needle: str) -> Column:
-    return F.lower(col).contains(str(needle).lower())
+    # Reference parity: pandas str.contains defaults to regex=True
+    # (risk.py:132), so `contains` conditions are case-insensitive
+    # REGEX searches — '.php' also matches 'xphp', 'a|b' is an
+    # alternation. The Python-vs-Java regex dialect caveat from the
+    # module docstring applies here too.
+    return col.rlike(f"(?i){needle}")
 
 
 def _numeric(cond: Any, field: str) -> float:

@@ -9,7 +9,24 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize(df: DataFrame, memory: bool = True) -> DataFrame:
+    """Reliable multi-consumer materialization / pushdown barrier.
+
+    Used where a (typically small) intermediate feeds BOTH sides of a
+    self-join or must not have filters substituted below it. persist()
+    is lazy (no eager physical planning, unlike localCheckpoint) and —
+    unlike localCheckpoint's executor-local blocks — is recomputable
+    from lineage after an executor loss, so a 1000-executor run does
+    not die with the first node. MEMORY_AND_DISK spills instead of
+    OOMing when the intermediate outgrows executor memory; pass
+    memory=False for DISK_ONLY when it is known to be large.
+    """
+    level = StorageLevel.MEMORY_AND_DISK if memory else StorageLevel.DISK_ONLY
+    return df.persist(level)
 
 
 def get_spark(

@@ -35,16 +35,32 @@ TOOL_OUT_SCHEMA = (
 TOOL_STATE_SCHEMA = "mask long, start double, hits long"
 
 
+def _norm_keywords(sig: dict) -> list[str]:
+    """Lowercased/trimmed, de-duplicated keyword list — the SAME
+    normalization the batch scanner applies (and reference
+    risk.py:412-420), so the bitmask width matches full_mask."""
+    out: list[str] = []
+    for kw in sig.get("keyword", []):
+        if not isinstance(kw, str) or not kw.strip():
+            continue
+        k = kw.lower().strip()
+        if k not in out:
+            out.append(k)
+    return out
+
+
 def _candidate_rows(events: DataFrame, signatures: Sequence[dict], ts_col: str) -> DataFrame:
     """(ip, tool, epoch, bits): one output row per (event, signature)
-    whose URI contains any of the signature's keywords; `bits` is the
-    bitmask of which keywords matched. All JVM-side."""
+    whose URI contains any of the signature's keywords (case-
+    insensitive, batch-scanner parity); `bits` is the bitmask of which
+    keywords matched. All JVM-side."""
+    uri_lower = F.lower(F.col("request_uri"))
     per_sig = []
     for sig in signatures:
         bits = F.lit(0).cast("long")
-        for i, kw in enumerate(sig["keyword"]):
+        for i, kw in enumerate(_norm_keywords(sig)):
             bits = bits + F.when(
-                F.col("request_uri").contains(kw), F.lit(1 << i).cast("long")
+                uri_lower.contains(kw), F.lit(1 << i).cast("long")
             ).otherwise(F.lit(0))
         per_sig.append(
             F.struct(F.lit(sig["tool"]).alias("tool"), bits.alias("bits"))
@@ -104,7 +120,7 @@ def tool_stream(
     {"tool": id, "keyword": [..], "time_window": seconds (0 = unbounded)}.
     """
     sig_by_tool = {
-        s["tool"]: ((1 << len(s["keyword"])) - 1, float(s.get("time_window", 0)))
+        s["tool"]: ((1 << len(_norm_keywords(s))) - 1, float(s.get("time_window", 0)))
         for s in signatures
     }
     cands = _candidate_rows(events, signatures, ts_col)
