@@ -109,3 +109,35 @@ def test_cli_cluster_off(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     # both rows present, single cluster id 0 (no sessionization)
     assert "/a" in out and "/b" in out
+
+def test_cli_config_yaml(spark, tmp_path, capsys):
+    """--config drives ignore-IP auto-apply and ignore-extensions from a
+    reference-format config.yaml."""
+    from webloghunter_spark.cli import main
+
+    conf = tmp_path / "config.yaml"
+    conf.write_text(
+        "ignore_extensions: ['.css']\n"
+        "ignore_ip: ['10.10.10.0/24']\n"
+        "uri_risk:\n  sensitive_paths: ['/admin']\n"
+        "  sensitive_extensions: ['sql']\n"
+    )
+    log = tmp_path / "a.log"
+    log.write_text(
+        '10.10.10.5 - - [01/Jan/2024:10:00:00 +0000] "GET /scanner HTTP/1.1" 200 10 "-" "UA"\n'
+        '2.2.2.2 - - [01/Jan/2024:10:00:01 +0000] "GET /style.css HTTP/1.1" 200 10 "-" "UA"\n'
+        '3.3.3.3 - - [01/Jan/2024:10:00:02 +0000] "GET /keep HTTP/1.1" 200 10 "-" "UA"\n'
+    )
+    rc = main([str(log), "--config", str(conf), "--no-color"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # authorized-scanner net and static extension hidden by default…
+    assert "/scanner" not in out and "style.css" not in out
+    assert "/keep" in out
+
+    # …but an explicit --ignore-ip overrides the config default
+    rc = main([str(log), "--config", str(conf), "--no-color",
+               "--ignore-ip", "3.3.3.0/24"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "/scanner" in out and "/keep" not in out

@@ -62,6 +62,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-extension", nargs="*",
                    help="override the static-extension ignore list")
     p.add_argument("--tool-focus", action="store_true")
+    p.add_argument("--config", help="reference-format config.yaml (rules/shells "
+                   "paths, ignore extensions/IPs, tool signatures, uri_risk, email)")
     p.add_argument("--rules", "--rules-path", help="Sigma-style rules YAML path")
     p.add_argument("--shells", help="webshell filename list path")
     p.add_argument("--email", nargs="+",
@@ -85,15 +87,29 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("no input paths (positional or --path)")
     if args.output == "standard":  # reference name for the table output
         args.output = "table"
-    cfg = EngineConfig(
+    base_kwargs = dict(
         session_gap_seconds=args.cluster_threshold,
         cluster_off=args.cluster_off,
         time_offset=args.time_offset,
     )
+    conf_opts = None
+    if args.config:
+        from webloghunter_spark.config import engine_config, load_config
+
+        conf_opts = load_config(args.config)
+        cfg = engine_config(conf_opts, **base_kwargs)
+    else:
+        cfg = EngineConfig(**base_kwargs)
+    # Explicit flags override config-file values (reference argparse
+    # defaults-from-config, triage.py:26-35,164,191).
     if args.rules:
         cfg.rules = load_rules(args.rules)
     if args.shells:
         cfg.shells = load_shells(args.shells)
+    if args.ip_ignore is None and cfg.ignore_ip:
+        args.ip_ignore = list(cfg.ignore_ip)
+    if args.ignore_extension is not None:
+        cfg.ignore_extensions = tuple(args.ignore_extension)
 
     spark = get_spark(app_name="webloghunter-cli")
     scored, errors = build_pipeline(spark, args.paths, cfg)
@@ -124,11 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         resp_size_max=args.resp_size_max,
         all_extensions=args.all_extension,
         tool_focus=args.tool_focus,
-        **(
-            {"ignore_extensions": tuple(args.ignore_extension)}
-            if args.ignore_extension is not None
-            else {}
-        ),
+        ignore_extensions=cfg.ignore_extensions,
     )
 
     n_errors = errors.count()
@@ -141,13 +153,21 @@ def main(argv: list[str] | None = None) -> int:
 
         from webloghunter_spark.render import build_email
 
-        host = _os.environ.get("WLH_SMTP_HOST")
+        # Env wins; config.yaml `email:` block is the fallback
+        # (reference reads sender/smtp from config, config.py:26-30).
+        host = _os.environ.get("WLH_SMTP_HOST") or (
+            conf_opts.email_smtp_server if conf_opts else ""
+        )
         if not host:
-            print("--email requires WLH_SMTP_HOST in the environment; "
-                  "not sending", file=sys.stderr)
+            print("--email requires WLH_SMTP_HOST (or an email.smtp_server "
+                  "entry in --config); not sending", file=sys.stderr)
             return 2
-        sender = _os.environ.get("WLH_EMAIL_FROM", "webloghunter@localhost")
-        port = int(_os.environ.get("WLH_SMTP_PORT", "25"))
+        sender = _os.environ.get("WLH_EMAIL_FROM") or (
+            conf_opts.email_sender if conf_opts else ""
+        ) or "webloghunter@localhost"
+        port = int(_os.environ.get("WLH_SMTP_PORT", "0")) or (
+            conf_opts.email_smtp_port if conf_opts else 25
+        )
         with smtplib.SMTP(host, port) as smtp:
             for rcpt in args.email:
                 smtp.send_message(build_email(result, sender, rcpt))

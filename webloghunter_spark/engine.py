@@ -31,7 +31,7 @@ from webloghunter_spark.functions.risk import (
 )
 from webloghunter_spark.operators.counts import with_request_count
 from webloghunter_spark.operators.dedup import remove_cross_source_dups
-from webloghunter_spark.operators.filters import apply_filters
+from webloghunter_spark.operators.filters import DEFAULT_IGNORE_EXTENSIONS, apply_filters
 from webloghunter_spark.operators.sessionize import sessionize
 from webloghunter_spark.operators.timeutil import with_utc_timestamp
 from webloghunter_spark.rules.sigma import DEFAULT_RULES, apply_rules
@@ -51,6 +51,11 @@ class EngineConfig:
     burst_min_requests: int = 100
     burst_max_gap_seconds: float = 1.0
     burst_risk_score: float = 95.0
+    # Filter-stage defaults the reference seeds from config.yaml via its
+    # argparse defaults (triage.py:164,191): static extensions hidden
+    # from output, and authorized-scanner networks dropped by default.
+    ignore_extensions: tuple = DEFAULT_IGNORE_EXTENSIONS
+    ignore_ip: tuple = ()
 
 
 def score(df: DataFrame, config: EngineConfig | None = None) -> DataFrame:
@@ -93,6 +98,14 @@ def build_pipeline(
     return score(df, cfg), errors
 
 
-def query(df: DataFrame, **filters) -> DataFrame:
-    """Apply user predicates to a scored frame (reference filter())."""
+def query(df: DataFrame, config: EngineConfig | None = None, **filters) -> DataFrame:
+    """Apply user predicates to a scored frame (reference filter()).
+
+    With a config, its ignore_extensions / ignore_ip are applied as
+    defaults (overridable per call), matching the reference where
+    config.yaml values seed the CLI defaults (triage.py:164,191)."""
+    if config is not None:
+        filters.setdefault("ignore_extensions", config.ignore_extensions)
+        if config.ignore_ip and "ip_ignore" not in filters:
+            filters["ip_ignore"] = list(config.ignore_ip)
     return apply_filters(df, **filters)
