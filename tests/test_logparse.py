@@ -165,3 +165,18 @@ def test_weblog_datasource_matches_native(spark, tmp_path):
                   "referrer", "user_agent", "log_format"]:
             assert getattr(nat[uri], f) == getattr(by_uri[uri], f), (uri, f)
     assert errors.count() == 1
+
+
+def test_apache_ssl_opt_in(spark):
+    ssl_line = ('[10/Oct/2024:13:55:36 +0000] 7.7.7.7 TLSv1.2 ECDHE-RSA-AES256 '
+                '"GET /secure.html HTTP/1.1" 512')
+    # disabled by default (upstream parity: format commented out)
+    parsed, errors = parse_lines(_lines_df(spark, [ssl_line]))
+    assert parsed.count() == 0 and errors.count() == 1
+    # opt-in: parses with assumed status 200 (ref parser.py:146-147)
+    parsed, errors = parse_lines(_lines_df(spark, [ssl_line]), enable_apache_ssl=True)
+    (r,) = parsed.collect()
+    assert r.log_format == "apache_ssl"
+    assert r.status == 200
+    assert (r.ip, r.request_uri, r.resp_size) == ("7.7.7.7", "/secure.html", 512)
+    assert r.extra.startswith("TLSv1.2")

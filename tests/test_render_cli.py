@@ -141,3 +141,49 @@ def test_cli_config_yaml(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "/scanner" in out and "/keep" not in out
+
+def test_render_risk_wrap_and_boundary(spark):
+    """risk>=70 rows wrap long text columns; session-boundary rows get
+    blue-bold source/timestamp/ip cells (ref dataframe.py:474-479,515-523)."""
+    from webloghunter_spark.render import render_table
+
+    long_rule = "A Very Long Rule Name That Exceeds Fifteen Chars"
+    rows = [
+        ("a.log", "1.1.1.1", "t1", "GET /x", 200, 0, 85.0, long_rule),
+        ("a.log", "1.1.1.1", "t2", "GET /y", 200, 0, 10.0, long_rule),
+        ("a.log", "2.2.2.2", "t3", "GET /z", 200, 1, 10.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source string, ip string, timestamp string, method_path string, "
+        "status int, cluster long, risk_score double, rule_applied string",
+    )
+    s = render_table(df, color=True)
+    lines = s.splitlines()
+    # High-risk row wraps rule_applied over multiple lines: the word
+    # 'Exceeds' lands on a continuation line, never truncated with '..'
+    assert any("Exceeds" in ln for ln in lines)
+    # Low-risk row truncates the same value
+    assert any("A Very Long R.." in ln for ln in lines)
+    # Boundary rows (first row, and the 2.2.2.2/new-cluster row) carry
+    # blue-bold cells; the middle row (same ip/source/cluster) does not.
+    blue = [ln for ln in lines if "\x1b[1;34m" in ln]
+    assert len(blue) == 2
+    assert any("2.2.2.2" in ln for ln in blue)
+    assert not any("t2" in ln for ln in blue)
+
+
+def test_cli_errors_log_sink(spark, tmp_path, capsys):
+    from webloghunter_spark.cli import main
+
+    log = tmp_path / "a.log"
+    log.write_text(
+        '1.1.1.1 - - [01/Jan/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "UA"\n'
+        "complete garbage line\n"
+    )
+    errfile = tmp_path / "errors.log"
+    rc = main([str(log), "--no-color", "--errors-log", str(errfile)])
+    assert rc == 0
+    content = errfile.read_text()
+    assert "Failed to parse: complete garbage line" in content
+    assert content.startswith("AccessLogDataFrameError - ")

@@ -76,6 +76,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--store", help="write the full scored table as a parquet store")
     p.add_argument("--max-rows", type=int, default=1000)
     p.add_argument("--no-color", action="store_true")
+    p.add_argument("--errors-log", nargs="?", const="errors.log", default=None,
+                   help="append unparseable lines to this file in the "
+                        "reference's errors.log format (default name: errors.log)")
     return p
 
 
@@ -146,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     n_errors = errors.count()
     if n_errors:
         print(f"[!] {n_errors} unparseable lines (errors side-channel)", file=sys.stderr)
+        if args.errors_log:
+            from webloghunter_spark.render import write_errors_log
+
+            write_errors_log(errors, args.errors_log)
 
     if args.email:
         import os as _os
@@ -176,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.output == "table":
         print(render_table(display_projection(result), max_rows=args.max_rows,
-                           color=not args.no_color))
+                           color=not args.no_color,
+                           cluster_enabled=not args.cluster_off))
     elif args.output == "csv":
         if not args.output_path:
             print("--output-path required for csv", file=sys.stderr)

@@ -81,6 +81,16 @@ LOG_FORMATS: list[tuple[str, str, dict[str, int]]] = [
 
 FIELDS = ["ip", "timestamp", "method", "request_uri", "status", "resp_size", "referrer", "user_agent", "extra", "time_taken"]
 
+# apache_ssl is COMMENTED OUT in the reference's format list
+# (parser.py:15) but its special case — no status group, assume 200
+# (parser.py:146-147) — is kept; here it is opt-in via
+# parse_lines(..., enable_apache_ssl=True), preserving default parity.
+APACHE_SSL_FORMAT: tuple[str, str, dict[str, int]] = (
+    "apache_ssl",
+    r'^\[(\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s[+-]\d{4})\] (\S+) ([^"]+) "([A-Z]+) ([^ ]+) HTTP/[0-9.]+" (\d+|-)$',
+    {"timestamp": 1, "ip": 2, "extra": 3, "method": 4, "request_uri": 5, "resp_size": 6},
+)
+
 GREP_PREFIX_RE = r"^[\w./-]+:\s*"
 TRAILING_JUNK_RE = r'(".*?"|-" ".*?"|-")$.*'
 
@@ -149,10 +159,14 @@ def _arr_name(fmt: str) -> str:
     return f"_g_{fmt}"
 
 
+def _formats(ssl: bool) -> list[tuple[str, str, dict[str, int]]]:
+    return list(LOG_FORMATS) + ([APACHE_SSL_FORMAT] if ssl else [])
+
+
 @lru_cache(maxsize=None)
-def _format_col() -> Column:
+def _format_col(ssl: bool = False) -> Column:
     fmt = None
-    for name, _, _ in LOG_FORMATS:
+    for name, _, _ in _formats(ssl):
         cond = F.size(F.col(_arr_name(name))) > 1
         fmt = F.when(cond, name) if fmt is None else fmt.when(cond, name)
     return fmt.otherwise(F.lit(None))
@@ -162,9 +176,9 @@ def _format_col() -> Column:
 # so the per-field CASE trees (hundreds of py4j round-trips to build) are
 # constructed once per process and reused across plans.
 @lru_cache(maxsize=None)
-def _field_col(field: str) -> Column:
+def _field_col(field: str, ssl: bool = False) -> Column:
     expr = None
-    for name, pattern, groups in LOG_FORMATS:
+    for name, pattern, groups in _formats(ssl):
         if field not in groups:
             continue
         val = F.try_element_at(F.col(_arr_name(name)), F.lit(groups[field]))
@@ -175,13 +189,18 @@ def _field_col(field: str) -> Column:
     return expr.otherwise(F.lit(None))
 
 
-def parse_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+def parse_lines(
+    lines: DataFrame, enable_apache_ssl: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(value, source, ordinal) -> (parsed entries, unparsed errors).
 
     Output schema: ip, timestamp, method, request_uri, status(int),
     resp_size(long), referrer, user_agent, extra, time_taken(int),
     source, ordinal — with the reference's default fills.
+    `enable_apache_ssl` additionally tries the (upstream-disabled)
+    apache_ssl format, whose entries get status 200 (parser.py:146-147).
     """
+    ssl = enable_apache_ssl
     stripped = F.regexp_replace(F.col("value"), GREP_PREFIX_RE, "")
     line = F.when(stripped != "", stripped).otherwise(F.col("value"))
     # \x01 is the group-join separator used by _format_arr: a raw line
@@ -200,31 +219,35 @@ def parse_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     # each format regex runs exactly once per line.
     candidates = candidates.withColumns(
         {_arr_name(name): _format_arr(pattern, max(groups.values()))
-         for name, pattern, groups in LOG_FORMATS}
-    ).withColumn("_format", _format_col())
+         for name, pattern, groups in _formats(ssl)}
+    ).withColumn("_format", _format_col(ssl))
 
     errors = candidates.filter(F.col("_format").isNull()).select(
         "value", "source", "ordinal"
     )
 
     p = candidates.filter(F.col("_format").isNotNull())
-    status_raw = _field_col("status")
-    resp_raw = _field_col("resp_size")
+    status_raw = _field_col("status", ssl)
+    resp_raw = _field_col("resp_size", ssl)
+    # non-digit status -> 0 (parser.py:149-150); apache_ssl has no
+    # status group and is assumed 200 (parser.py:146-147)
+    status = F.coalesce(status_raw.try_cast("int"), F.lit(0))
+    if ssl:
+        status = F.when(F.col("_format") == "apache_ssl", F.lit(200)).otherwise(status)
     parsed = p.select(
-        F.coalesce(_field_col("ip"), F.lit("")).alias("ip"),
-        F.coalesce(_field_col("timestamp"), F.lit("")).alias("timestamp"),
+        F.coalesce(_field_col("ip", ssl), F.lit("")).alias("ip"),
+        F.coalesce(_field_col("timestamp", ssl), F.lit("")).alias("timestamp"),
         # missing/empty method -> 'INVALID' (parser.py:153)
-        F.coalesce(F.nullif(_field_col("method"), F.lit("")), F.lit("INVALID")).alias("method"),
-        F.coalesce(_field_col("request_uri"), F.lit("")).alias("request_uri"),
-        # non-digit status -> 0 (parser.py:149-150)
-        F.coalesce(status_raw.try_cast("int"), F.lit(0)).alias("status"),
+        F.coalesce(F.nullif(_field_col("method", ssl), F.lit("")), F.lit("INVALID")).alias("method"),
+        F.coalesce(_field_col("request_uri", ssl), F.lit("")).alias("request_uri"),
+        status.alias("status"),
         # '-' or missing resp_size -> 0 (parser.py:151-152)
         F.coalesce(resp_raw.try_cast("long"), F.lit(0)).alias("resp_size"),
         # empty referrer/user_agent -> '-' (parser.py:143-144)
-        F.coalesce(F.nullif(_field_col("referrer"), F.lit("")), F.lit("-")).alias("referrer"),
-        F.coalesce(F.nullif(_field_col("user_agent"), F.lit("")), F.lit("-")).alias("user_agent"),
-        F.coalesce(_field_col("extra"), F.lit("")).alias("extra"),
-        F.coalesce(_field_col("time_taken").try_cast("int"), F.lit(0)).alias("time_taken"),
+        F.coalesce(F.nullif(_field_col("referrer", ssl), F.lit("")), F.lit("-")).alias("referrer"),
+        F.coalesce(F.nullif(_field_col("user_agent", ssl), F.lit("")), F.lit("-")).alias("user_agent"),
+        F.coalesce(_field_col("extra", ssl), F.lit("")).alias("extra"),
+        F.coalesce(_field_col("time_taken", ssl).try_cast("int"), F.lit(0)).alias("time_taken"),
         F.col("_format").alias("log_format"),
         "source",
         "ordinal",
