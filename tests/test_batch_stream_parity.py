@@ -1,0 +1,145 @@
+"""Batch vs streaming parity: the streaming operators replay a batch
+fixture and must agree with the batch detectors; the one documented
+divergence (sessionizer at gap == threshold) is pinned here so a
+behavior change in either path fails loudly."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from webloghunter_spark.operators.sessionize import sessionize
+from webloghunter_spark.streaming.sessions import sessionize_stream
+
+
+def _drain(spark, q, table, min_rows=1, deadline_s=120):
+    """Poll a memory sink (processAllAvailable livelocks with
+    ProcessingTimeTimeout state — see module notes in streaming tests)."""
+    got = []
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(str(q.exception()))
+        got = spark.sql(f"SELECT * FROM {table}").collect()
+        if len(got) >= min_rows:
+            break
+        time.sleep(2)
+    return got
+
+
+def test_sessionize_boundary_gap_equals_threshold(spark):
+    """gap == threshold: batch starts a NEW session (>= semantics,
+    dataframe.py:630-636); session_window keeps the SAME session.
+    This divergence is documented in streaming/sessions.py:8-14 — this
+    test pins both sides of it."""
+    rows = [
+        ("a.log", "1.1.1.1", "2024-01-01 00:00:00"),
+        ("a.log", "1.1.1.1", "2024-01-01 00:30:00"),   # +1800s exactly
+        ("a.log", "1.1.1.1", "2024-01-01 00:59:59"),   # +1799s -> same (both)
+    ]
+    batch = spark.createDataFrame(
+        rows, "source string, ip string, ts_s string"
+    ).select("source", "ip", F.to_timestamp("ts_s").alias("utc_timestamp"))
+
+    clusters = [r.cluster for r in sessionize(batch, threshold=1800)
+                .orderBy("utc_timestamp").collect()]
+    assert clusters == [0, 1, 1], "batch: gap >= threshold starts a new session"
+
+    stream_sessions = (
+        batch.groupBy(F.session_window("utc_timestamp", "1800 seconds"), "ip")
+        .count()
+        .collect()
+    )
+    assert len(stream_sessions) == 1, (
+        "session_window: exact-threshold gap merges — documented divergence"
+    )
+
+
+def test_burst_batch_stream_parity(spark, tmp_path):
+    """The same fixture through the batch burst detector and
+    burst_stream yields the same qualifying bursts."""
+    from webloghunter_spark.detectors.burst import find_bursts
+    from webloghunter_spark.streaming.bursts import burst_stream
+
+    rows = []
+    for i in range(5):      # qualifying: 5 errors, 1 s apart
+        rows.append(("s.log", "1.1.1.1", 0, "/x", "GET", 500, f"2024-01-01 00:00:0{i}"))
+    for i in range(3):      # gap too big: never qualifies
+        rows.append(("s.log", "2.2.2.2", 0, "/y", "GET", 500, f"2024-01-01 00:{i}0:00"))
+    for i in range(6):      # non-errors: never count
+        rows.append(("s.log", "3.3.3.3", 0, "/z", "GET", 200, f"2024-01-01 00:00:0{i}"))
+    batch = spark.createDataFrame(
+        rows,
+        "source string, ip string, cluster long, request_uri string, "
+        "method string, status int, ts_s string",
+    ).select("source", "ip", "cluster", "request_uri", "method", "status",
+             F.to_timestamp("ts_s").alias("utc_timestamp"))
+
+    expected = {
+        (r.ip, r.request_uri, r.method, r.burst_count)
+        for r in find_bursts(batch, min_requests=5, max_gap_seconds=2.0).collect()
+    }
+    assert expected == {("1.1.1.1", "/x", "GET", 5)}
+
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        burst_stream(stream, min_requests=5, max_gap_seconds=2.0)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("parity_burst")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        got = _drain(spark, q, "parity_burst")
+    finally:
+        q.stop()
+    assert {(r.ip, r.request_uri, r.method, r.burst_count) for r in got} == expected
+
+
+def test_tool_batch_stream_parity_mixed_case(spark, tmp_path):
+    """The same fixture — including MIXED-CASE URIs — through the batch
+    tool_scanner and tool_stream flags the same IPs."""
+    from webloghunter_spark.detectors.tools import tool_scanner
+    from webloghunter_spark.streaming.tools import tool_stream
+
+    rows = [
+        # ip=a completes within 60 s, with mixed-case URIs
+        ("s.log", "a", 0, "/ADMIN/panel", "2024-01-01 00:00:00", 0),
+        ("s.log", "a", 0, "/Login",       "2024-01-01 00:00:10", 1),
+        ("s.log", "a", 0, "/DUMP.SQL",    "2024-01-01 00:00:20", 2),
+        # ip=b spreads past the window: no detection
+        ("s.log", "b", 0, "/admin/panel", "2024-01-01 00:00:00", 3),
+        ("s.log", "b", 0, "/login",       "2024-01-01 00:05:00", 4),
+        ("s.log", "b", 0, "/dump.sql",    "2024-01-01 00:10:00", 5),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "source string, ip string, cluster long, request_uri string, "
+        "ts_s string, ordinal long",
+    ).select("source", "ip", "cluster", "request_uri",
+             F.to_timestamp("ts_s").alias("utc_timestamp"), "ordinal")
+    sigs = [{"tool": "SC01", "name": "S", "description": "d",
+             "keyword": ["/admin", "/LOGIN", "/dump.sql"], "time_window": 60}]
+
+    stamped = tool_scanner(batch, sigs)
+    batch_ips = {r.ip for r in stamped.filter(F.col("tool") != "").collect()}
+    assert batch_ips == {"a"}
+
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        tool_stream(stream, sigs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("parity_tool")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        got = _drain(spark, q, "parity_tool")
+    finally:
+        q.stop()
+    assert {(r.ip, r.tool) for r in got} == {("a", "SC01")}
+    (det,) = got
+    assert det.n_hits == 3
