@@ -577,8 +577,14 @@ SQL_SIGMA_RULES = f"""
 
 
 def q_filter_api(spark, sf_dir):
-    """F-class predicates incl. static-extension exclusion."""
-    w = weblog_from_events(spark, sf_dir)
+    """F-class predicates incl. static-extension exclusion.
+
+    _fan+persist: a pure filter query has no shuffle, so on the
+    single-row-group test input the whole regex/CASE pipeline would run
+    as ONE serial task (and predicate pushdown sinks the filter below
+    any bare repartition, re-serializing it). Real multi-split tables
+    parallelize the scan naturally and want the pushdown instead."""
+    w = _fan(weblog_from_events(spark, sf_dir)).persist()
     out = apply_filters(
         w,
         status_include=[200, 500],
@@ -1087,8 +1093,15 @@ SQL_BURST_SUCCESS = f"""
 def _tool_scan_frame(spark, sf_dir):
     """Weblog projection keyed for the tool scanner: cluster=user_id so
     groups are small (and the DuckDB oracle's recursive walk stays
-    shallow)."""
-    return weblog_from_events(spark, sf_dir).select(
+    shallow). persist(): the scanner reads the frame on two branches
+    (slim candidate side + wide probe side) and pushes its candidate
+    filter down — against this SYNTHETIC frame that would inline the
+    JSON+CASE pipeline once per keyword on the pre-exchange scan task
+    (trap: pushdown substitutes alias expressions). On a real parquet
+    table request_uri is a physical column and that same pushdown is
+    exactly what you want, so the barrier lives here, not in the
+    operator."""
+    frame = _fan(weblog_from_events(spark, sf_dir)).select(
         "event_id",
         F.lit("ev").alias("source"),
         F.col("ip"),
@@ -1096,6 +1109,7 @@ def _tool_scan_frame(spark, sf_dir):
         "request_uri", "utc_timestamp",
         F.col("event_id").alias("ordinal"),
     )
+    return frame.persist()
 
 
 def q_tool_scan(spark, sf_dir):
@@ -1103,8 +1117,13 @@ def q_tool_scan(spark, sf_dir):
     multi-keyword, unbounded window. With time_window=0 the greedy scan
     tiles each group's candidate sequence into spans that close at the
     first row completing the keyword set — expressible as a DuckDB
-    recursive CTE, which is the independent oracle."""
-    from webloghunter_spark.detectors.tools import tool_scanner
+    recursive CTE, which is the independent oracle.
+
+    Uses the detections-only API: the stamp table already carries the
+    row key (ordinal == event_id here), so the probe join-back onto the
+    wide frame — which `tool_scanner` does for pipeline parity — is
+    pure overhead for a "which events are tool activity" query."""
+    from webloghunter_spark.detectors.tools import tool_scan_detections
 
     sigs = [{
         "tool": "SC01",
@@ -1113,8 +1132,8 @@ def q_tool_scan(spark, sf_dir):
         "keyword": ["/admin", "/login", "/dump.sql"],
         "time_window": 0,
     }]
-    out = tool_scanner(_tool_scan_frame(spark, sf_dir), sigs)
-    return out.filter(F.col("tool") != "").select("event_id", "tool", "tool_name")
+    out = tool_scan_detections(_tool_scan_frame(spark, sf_dir), sigs)
+    return out.select(F.col("ordinal").alias("event_id"), "tool", "tool_name")
 
 
 # Greedy tiling as a recursive walk over each group's candidate rows in

@@ -17,24 +17,31 @@ signature {tool, name, description, keyword[], time_window}:
 
 The greedy set-cover scan is stateful and not expressible as relational
 windows, but it only ever *reads* candidate rows — so the Python kernel
-runs over candidates ONLY:
+runs over candidates ONLY, and without per-group Arrow overhead:
 
   1. keyword membership is computed JVM-side (codegen `contains`) on a
      slim projection (group keys, row key, epoch seconds, keyword
      booleans) and non-candidates are filtered out BEFORE the shuffle;
-  2. `applyInPandas` over (source, ip, cluster) runs the greedy scan on
-     the (typically tiny) per-group candidate arrays and emits one stamp
-     row per claimed candidate;
+  2. candidates are hash-repartitioned on the group keys and sorted
+     within partitions by (group, time, row key); `mapInPandas` then
+     scans MANY groups per Arrow batch — `applyInPandas` costs
+     milliseconds of per-group batch overhead, which at millions of
+     (source, ip, cluster) groups dominates everything else — carrying
+     rows of a group split across batch boundaries forward;
   3. the stamp table — detections only, sparse by construction — is
      broadcast-joined back onto the untouched full frame.
 
 At 100 TB the full table is never Arrow-serialized into Python: only
-candidates (usually <0.1% of rows, a handful of narrow columns) shuffle,
-and the wide frame takes one broadcast hash join, no exchange.
+candidates (usually <0.1% of rows, a handful of narrow columns)
+shuffle, per-group cost is numpy slicing (no per-group Arrow round
+trips), and the wide frame takes one broadcast hash join, no exchange.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -54,74 +61,107 @@ DEFAULT_TOOL_SIGNATURES = [
 _STAMP_COLS = ["tool", "tool_name", "tool_desc"]
 
 
-def _scan_candidates(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
-    """Greedy scan over ONE group's candidate rows; returns stamp rows
-    (group keys + _rk + tool/tool_name/tool_desc) for claimed candidates
-    only. (_unix_ts, _rk) gives a deterministic time order under
-    shuffles (the reference relies on stable input order for
-    tie-breaks)."""
-    pdf = pdf.sort_values(["_unix_ts", "_rk"], kind="mergesort").reset_index(drop=True)
-    n = len(pdf)
-    tool = [""] * n
-    tname = [""] * n
-    tdesc = [""] * n
-    times = pdf["_unix_ts"].to_numpy()
+def _scan_one_group(times, kw_mats, signatures, kw_cols, tool, tname, tdesc, lo, hi):
+    """Greedy scan over one group's candidate rows [lo, hi) (already in
+    (time, row-key) order); writes stamps into the output arrays."""
     for sig in signatures:
         req_kw = kw_cols[sig["tool"]]
         if not req_kw:
             continue
         window = sig["time_window"]
-        kw_mat = {k: pdf[c].to_numpy() for k, c in req_kw}
-        any_mask = None
-        for _, c in req_kw:
-            m = pdf[c].to_numpy()
-            any_mask = m if any_mask is None else (any_mask | m)
-        cand = [i for i in range(n) if any_mask[i]]
+        keys = [k for k, _ in req_kw]
+        cand = [i for i in range(lo, hi)
+                if any(kw_mats[c][i] for _, c in req_kw)]
         if not cand:
             continue
         claimed: set[int] = set()
-        keys = [k for k, _ in req_kw]
         for i0, start in enumerate(cand):
             if start in claimed:
                 continue
             start_time = times[start]
             span = [start]
-            found = {k for k, c in req_kw if kw_mat[k][start]}
+            found = {k for k, c in req_kw if kw_mats[c][start]}
             for j in range(i0 + 1, len(cand)):
                 nxt = cand[j]
                 if window > 0 and (times[nxt] - start_time) > window:
                     break
                 span.append(nxt)
-                for k in keys:
-                    if kw_mat[k][nxt]:
+                for k, c in req_kw:
+                    if kw_mats[c][nxt]:
                         found.add(k)
                 if found.issuperset(keys):
                     break
-            span_times = times[span]
-            time_span = (span_times.max() - span_times.min()) if len(span) > 1 else 0
-            if found.issuperset(keys) and (window == 0 or time_span <= window):
-                for idx in span:
-                    tool[idx] = sig["tool"]
-                    tname[idx] = sig["name"]
-                    tdesc[idx] = sig["description"]
-                    claimed.add(idx)
-    pdf["tool"] = tool
-    pdf["tool_name"] = tname
-    pdf["tool_desc"] = tdesc
+            if found.issuperset(keys):
+                span_times = [times[i] for i in span]
+                time_span = (max(span_times) - min(span_times)) if len(span) > 1 else 0
+                if window == 0 or time_span <= window:
+                    for idx in span:
+                        tool[idx] = sig["tool"]
+                        tname[idx] = sig["name"]
+                        tdesc[idx] = sig["description"]
+                        claimed.add(idx)
+
+
+def _scan_batch(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
+    """Scan a sorted multi-group batch; returns stamp rows only."""
+    n = len(pdf)
+    times = pdf["_unix_ts"].to_numpy()
+    kw_mats = {c: pdf[c].to_numpy() for pairs in kw_cols.values() for _, c in pairs}
+    tool = [""] * n
+    tname = [""] * n
+    tdesc = [""] * n
+    # group boundaries over the sorted key columns
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+        for c in GROUP_COLS:
+            v = pdf[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+    starts = np.nonzero(change)[0]
+    bounds = list(starts) + [n]
+    for gi in range(len(starts)):
+        _scan_one_group(times, kw_mats, signatures, kw_cols,
+                        tool, tname, tdesc, bounds[gi], bounds[gi + 1])
+    pdf = pdf.assign(tool=tool, tool_name=tname, tool_desc=tdesc)
     stamped = pdf[pdf["tool"] != ""]
     return stamped[GROUP_COLS + ["_rk"] + _STAMP_COLS]
 
 
-def tool_scanner(
-    df: DataFrame,
-    signatures: list[dict] | None = None,
-    ts_col: str = "utc_timestamp",
-) -> DataFrame:
-    signatures = signatures if signatures is not None else DEFAULT_TOOL_SIGNATURES
-    uri_lower = F.lower(F.col("request_uri").cast("string"))
+def _scan_partition_fn(signatures, kw_cols):
+    """mapInPandas function: processes complete groups per batch and
+    carries the trailing (possibly split) group into the next batch —
+    partitions are hash-partitioned on the group keys, so a group never
+    spans partitions."""
 
-    # Native, codegen'd keyword membership expressions (the Python path
-    # only ever sees booleans, and only for candidate rows).
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # cut before the first row of the LAST group in the batch;
+            # that group may continue in the next batch
+            neq = np.zeros(len(pdf), dtype=bool)
+            last = pdf.iloc[-1]
+            for c in GROUP_COLS:
+                neq |= pdf[c].to_numpy() != last[c]
+            nz = np.nonzero(neq)[0]
+            cut = (nz[-1] + 1) if len(nz) else 0
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(head):
+                yield _scan_batch(head, signatures, kw_cols)
+        if carry is not None and len(carry):
+            yield _scan_batch(carry, signatures, kw_cols)
+
+    return fn
+
+
+def _keyword_exprs(signatures) -> tuple[dict, dict]:
+    """(kw_cols: tool -> [(keyword, colname)], kw_exprs: colname -> Column)
+    — codegen'd case-insensitive membership expressions."""
+    uri_lower = F.lower(F.col("request_uri").cast("string"))
     kw_cols: dict[str, list[tuple[str, str]]] = {}
     kw_exprs: dict[str, Column] = {}
     i = 0
@@ -140,7 +180,61 @@ def tool_scanner(
             kw_exprs[cname] = uri_lower.contains(k)
             pairs.append((k, cname))
         kw_cols[sig["tool"]] = pairs
+    return kw_cols, kw_exprs
 
+
+def tool_scan_detections(
+    df: DataFrame,
+    signatures: list[dict] | None = None,
+    ts_col: str = "utc_timestamp",
+    key: str = "ordinal",
+) -> DataFrame:
+    """Detections only: one row per STAMPED candidate —
+    (source, ip, cluster, <key>, tool, tool_name, tool_desc).
+
+    This is the minimal plan (slim scan -> one hash exchange -> sorted
+    mapInPandas): when the question is "which rows are tool activity",
+    use this and skip `tool_scanner`'s join-back onto the wide frame
+    entirely."""
+    signatures = signatures if signatures is not None else DEFAULT_TOOL_SIGNATURES
+    kw_cols, kw_exprs = _keyword_exprs(signatures)
+    if not kw_exprs:
+        schema = ", ".join(
+            f"`{c}` {dict(df.dtypes)[c]}" for c in GROUP_COLS + [key]
+        ) + ", tool string, tool_name string, tool_desc string"
+        return df.sparkSession.createDataFrame([], schema)
+
+    any_kw = None
+    for cname in kw_exprs:
+        any_kw = F.col(cname) if any_kw is None else (any_kw | F.col(cname))
+    slim = (
+        df.select(
+            *GROUP_COLS,
+            F.col(key).alias("_rk"),
+            F.unix_timestamp(F.col(ts_col)).alias("_unix_ts"),
+            *[expr.alias(cname) for cname, expr in kw_exprs.items()],
+        )
+        .filter(any_kw)
+        .repartition(*GROUP_COLS)
+        .sortWithinPartitions(*GROUP_COLS, "_unix_ts", "_rk")
+    )
+    stamp_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in slim.schema.fields
+        if f.name in GROUP_COLS or f.name == "_rk"
+    ) + ", tool string, tool_name string, tool_desc string"
+    return slim.mapInPandas(
+        _scan_partition_fn(signatures, kw_cols), schema=stamp_schema
+    ).withColumnRenamed("_rk", key)
+
+
+def tool_scanner(
+    df: DataFrame,
+    signatures: list[dict] | None = None,
+    ts_col: str = "utc_timestamp",
+) -> DataFrame:
+    signatures = signatures if signatures is not None else DEFAULT_TOOL_SIGNATURES
+    _, kw_exprs = _keyword_exprs(signatures)
     if not kw_exprs:
         out = df
         for c in _STAMP_COLS:
@@ -150,34 +244,13 @@ def tool_scanner(
     # Row identity for the stamp join-back: `ordinal` when the caller
     # provides one (globally unique in parsed-log frames), else a
     # synthetic id — deterministic for a given scan partitioning, which
-    # both plan branches below share.
+    # both plan branches share.
     if "ordinal" in df.columns:
         keyed, key = df, "ordinal"
     else:
         keyed, key = df.withColumn("_row_key", F.monotonically_increasing_id()), "_row_key"
 
-    any_kw = None
-    for cname in kw_exprs:
-        any_kw = F.col(cname) if any_kw is None else (any_kw | F.col(cname))
-    slim = (
-        keyed.select(
-            *GROUP_COLS,
-            F.col(key).alias("_rk"),
-            F.unix_timestamp(F.col(ts_col)).alias("_unix_ts"),
-            *[expr.alias(cname) for cname, expr in kw_exprs.items()],
-        )
-        .filter(any_kw)
-    )
-
-    stamp_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in slim.schema.fields
-        if f.name in GROUP_COLS or f.name == "_rk"
-    ) + ", tool string, tool_name string, tool_desc string"
-    stamps = slim.groupBy(*GROUP_COLS).applyInPandas(
-        lambda pdf: _scan_candidates(pdf, signatures, kw_cols), schema=stamp_schema
-    ).withColumnRenamed("_rk", key)
-
+    stamps = tool_scan_detections(keyed, signatures, ts_col=ts_col, key=key)
     joined = keyed.join(F.broadcast(stamps), on=GROUP_COLS + [key], how="left")
     for c in _STAMP_COLS:
         joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit("")))
