@@ -15,9 +15,10 @@ The pandas version's `keep='first'` depends on row order; here the caller
 supplies an explicit `ordinal_col` (per-file line ordinal captured at
 read time) so the result is deterministic under shuffles.
 
-Scale: one hash shuffle on the normalized key; `count(distinct source)`
-is computed as a window aggregate over the same exchange, so dedup costs
-a single shuffle end-to-end, no join.
+Scale: one hash shuffle on the normalized key; the multi-source test is
+a min/max window aggregate over the same exchange (constant state per
+group, no per-row set materialization), so dedup costs a single shuffle
+end-to-end, no join.
 """
 
 from __future__ import annotations
@@ -60,8 +61,13 @@ def remove_cross_source_dups(
 
     wk = Window.partitionBy(*kcols)
     wo = wk.orderBy(*ordinal_cols)
+    # "spans more than one distinct source" == min(source) != max(source):
+    # O(1) aggregation state per frame, where size(collect_set(...))
+    # builds the full set per partition frame — unbounded for a
+    # pathological hot duplicate key.
     df = df.withColumn("_rn", F.row_number().over(wo)).withColumn(
-        "_nsrc", F.size(F.collect_set(source_col).over(wk))
+        "_multi_src",
+        F.min(source_col).over(wk) != F.max(source_col).over(wk),
     )
-    out = df.filter((F.col("_rn") == 1) | (F.col("_nsrc") == 1))
-    return out.drop("_rn", "_nsrc", *kcols)
+    out = df.filter((F.col("_rn") == 1) | (~F.col("_multi_src")))
+    return out.drop("_rn", "_multi_src", *kcols)
