@@ -141,3 +141,39 @@ def test_split_deterministic_and_stable(spark):
     s2 = {r.id: r.split
           for r in with_split(df, "id", {"train": 0.8, "eval": 0.2}, salt="v2").collect()}
     assert s2 != a
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    from webloghunter_spark.functions.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog"), (2, "a CAT"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = [(r.token, r.n) for r in vocab_topk(df, "text", k=3).collect()]
+    # lowercased: the=2, cat=2, a=1, and=1, dog=1; ties -> token asc
+    assert got == [("cat", 2), ("the", 2), ("a", 1)]
+
+
+def test_tfidf_topk_formula(spark):
+    import math
+
+    from webloghunter_spark.functions.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "w")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.token): (r.tf, r.tfidf)
+            for r in tfidf_topk(df, "text", "doc_id", k=5).collect()}
+    n = 3
+    # x appears in docs 1,2 (df=2); tf in doc1 = 2
+    assert rows[(1, "x")] == (2, round(2 * math.log(n / 2), 4))
+    # y unique to doc1
+    assert rows[(1, "y")] == (1, round(math.log(n / 1), 4))
+    assert rows[(3, "w")] == (1, round(math.log(n / 1), 4))
+    # per-doc ordering: top term of doc 1 is x (higher score than y?)
+    # x: 2*ln(1.5)=0.8109; y: ln(3)=1.0986 -> y ranks first
+    doc1 = [r.token for r in tfidf_topk(df, "text", "doc_id", k=5)
+            .filter("doc_id = 1").orderBy("tfidf", ascending=False).collect()]
+    assert doc1[0] == "y"

@@ -1635,6 +1635,62 @@ SQL_TRAIN_SPLIT = """
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary heavy hitters (exact counts): map-side
+    combinable hash aggregate + TakeOrderedAndProject."""
+    from webloghunter_spark.functions.text import vocab_topk
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return vocab_topk(docs, "text", k=100)
+
+
+SQL_VOCAB_TOPK = r"""
+    WITH toks AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        FROM documents
+    ),
+    flat AS (SELECT unnest(t) AS token FROM toks)
+    SELECT token, count(*) AS n
+    FROM flat GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms — the feature-extraction shape
+    of a training-data pipeline (tf shuffle, df from the tf table,
+    bounded per-doc window on the rounded score)."""
+    from webloghunter_spark.functions.text import tfidf_topk
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return tfidf_topk(docs, "text", "doc_id", k=5)
+
+
+SQL_TFIDF_TOPK = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM flat GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1678,6 +1734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_rate": q_trailing_rate,
     "asof_join": q_asof_join,
     "train_split": q_train_split,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1723,4 +1781,6 @@ ORACLES: dict[str, str] = {
     "trailing_rate": SQL_TRAILING_RATE,
     "asof_join": SQL_ASOF_JOIN,
     "train_split": SQL_TRAIN_SPLIT,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "tfidf_topk": SQL_TFIDF_TOPK,
 }

@@ -240,3 +240,72 @@ def shingles_expr(col: Column | str, k: int = 3) -> Column:
         zipped, lambda z: F.concat_ws(" ", *[z[str(i)] for i in range(k)])
     )
     return F.when(n < k, F.array().cast("array<string>")).otherwise(joined)
+
+
+def vocab_topk(df, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary heavy hitters: the k most frequent lowercased
+    whitespace tokens with their total counts (ties -> token asc).
+
+    Scale shape: explode to bare tokens, hash aggregate with MAP-SIDE
+    partial counts (hot stopword keys collapse to one partial row per
+    task before the exchange, so token skew does not skew the shuffle),
+    then TakeOrderedAndProject for the top k — no global sort. This is
+    the exact-count path for vocabulary building; for streaming
+    approximations swap the aggregate for a count-min sketch.
+    """
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.explode(
+            _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(_F.count(_F.lit(1)).alias("n"))
+    return counts.orderBy(_F.col("n").desc(), _F.col("token")).limit(k)
+
+
+def tfidf_topk(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+):
+    """Per-document top-k terms by TF-IDF (plain ln(N/df), no
+    smoothing, so any SQL engine reproduces it bit-for-bit after
+    rounding): (id, token, tf, tfidf), ties -> token asc.
+
+    Scale shape: one shuffle to (doc, token) term counts (map-side
+    combinable); document frequencies aggregate FROM the tf table
+    (compact, one row per distinct doc-token) rather than rescanning
+    text; the df join is left unhinted — at bench scale AQE broadcasts
+    it, at 100 TB the vocabulary may be too large to broadcast and the
+    planner keeps a shuffle join (salt stopword-heavy keys with
+    operators.skew.salted_join if the tf side skews); the per-doc top-k
+    is a bounded window, ordered on the ROUNDED score so float ULP
+    differences across engines cannot flip ranks.
+    """
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        _F.col(id_col),
+        _F.explode(
+            _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(_F.count(_F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(_F.count(_F.lit(1)).alias("df"))
+    ndocs = df.agg(_F.count(_F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(_F.broadcast(ndocs))
+    scored = scored.withColumn(
+        "tfidf",
+        _F.round(
+            _F.col("tf") * _F.log(_F.col("n_docs").cast("double") / _F.col("df")), 4
+        ),
+    )
+    w = _W.partitionBy(id_col).orderBy(_F.col("tfidf").desc(), _F.col("token"))
+    return (
+        scored.withColumn("_rn", _F.row_number().over(w))
+        .filter(_F.col("_rn") <= k)
+        .select(id_col, "token", "tf", "tfidf")
+    )
