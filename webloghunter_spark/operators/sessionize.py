@@ -15,8 +15,11 @@ Semantics reproduced from /root/reference/WebLogTriage/dataframe.py:604-658:
 
 Scale design: the global renumbering is NOT done with a global window over
 the event table (that would serialize 100 TB through one partition).
-Instead we aggregate to one row per session (orders of magnitude smaller),
-assign dense ids on the session-level table, and broadcast-join back.
+Instead we aggregate to one row per group (orders of magnitude smaller),
+assign dense offsets on the group-level table with a TWO-LEVEL
+range-bucketed prefix sum — intra-bucket running sums in parallel, a
+single-partition pass only over the per-bucket totals — and
+broadcast-join back. No table at any level funnels through one task.
 """
 
 from __future__ import annotations
@@ -65,9 +68,32 @@ def sessionize(
     # passes through the single-partition running sum, then broadcasts.
     df = df.withColumn("_nsess", F.max("_local").over(Window.partitionBy(*gcols)) + 1)
     groups = df.select(*gcols, "_nsess").distinct()
-    wu = Window.orderBy(*gcols).rowsBetween(Window.unboundedPreceding, -1)
-    groups = groups.select(
-        *gcols, F.coalesce(F.sum("_nsess").over(wu), F.lit(0)).alias("_offset")
+    # Two-level exclusive prefix sum over groups in key order: range-
+    # bucket the group table, run intra-bucket running sums in parallel,
+    # and push only the per-bucket TOTALS (one row per bucket) through a
+    # single-partition pass — so even at 1e8 (source, ip) groups nothing
+    # group-sized serializes through one task. Range boundaries come
+    # from sampling, but offsets depend only on global key ORDER, which
+    # range partitioning preserves, so ids are deterministic.
+    groups = (
+        groups.repartitionByRange(*gcols)
+        .sortWithinPartitions(*gcols)
+        .withColumn("_bkt", F.spark_partition_id())
+    )
+    wi = (
+        Window.partitionBy("_bkt")
+        .orderBy(*gcols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    groups = groups.withColumn("_intra", F.coalesce(F.sum("_nsess").over(wi), F.lit(0)))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    totals = (
+        groups.groupBy("_bkt")
+        .agg(F.sum("_nsess").alias("_tot"))
+        .select("_bkt", F.coalesce(F.sum("_tot").over(wb), F.lit(0)).alias("_boff"))
+    )
+    groups = groups.join(F.broadcast(totals), "_bkt").select(
+        *gcols, (F.col("_boff") + F.col("_intra")).alias("_offset")
     )
     out = df.join(F.broadcast(groups), on=gcols, how="left")
     out = out.withColumn(cluster_col, (F.col("_offset") + F.col("_local")).cast("long"))
