@@ -274,3 +274,23 @@ def test_fan_is_noop_on_parallel_input(spark, tmp_path):
     single = spark.range(0, 100).coalesce(1)
     fanned1 = _fan(single)
     assert fanned1.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_ivf_with_kmeans_centroids(spark):
+    """Trained-centroid IVF (production path): probing all lists equals
+    exact brute force, same as with the deterministic stand-in."""
+    import random
+
+    from webloghunter_spark.functions.similarity import (
+        cosine_topk, cosine_topk_ivf, kmeans_centroids,
+    )
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, n_centroids=4, max_iter=5)
+    assert cents.count() == 4
+    q = rows[2][1]
+    ivf = cosine_topk_ivf(df, q, k=5, n_probe=4, centroids=cents).collect()
+    exact = cosine_topk(df, q, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in ivf] == [(r.vec_id, r.cosine) for r in exact]

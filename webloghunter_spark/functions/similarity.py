@@ -176,6 +176,35 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train real IVF centroids with pyspark.ml KMeans (the production
+    path; `cosine_topk_ivf`'s default first-n-by-id centroids are an
+    oracle-reproducible stand-in). Returns (cent_id, centroid) in the
+    shape `ivf_assign`/`cosine_topk_ivf` accept.
+
+    Training is distributed (KMeans|| init); only the k centers — a few
+    KB — come back to the driver. Not used by the correctness gate:
+    KMeans results depend on Spark's implementation and are not
+    reproducible in an external SQL oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cent_id long, centroid array<double>",
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -185,20 +214,22 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe only the `n_probe` inverted
     lists whose centroids are closest to the query.
 
-    Centroids here are the first `n_centroids` vectors by id — a
-    deterministic, oracle-reproducible stand-in for KMeans training
-    (swap in pyspark.ml KMeans centers in production; the probe/scan
-    topology is identical). Query→centroid scoring happens driver-side
-    (tiny), so the distributed plan is: assignment (broadcast NL join +
-    per-vector argmax) → partition-pruned scan of probed lists →
-    brute-force top-k within them."""
-    centroids = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
-    )
+    Default centroids are the first `n_centroids` vectors by id — a
+    deterministic, oracle-reproducible stand-in for KMeans training;
+    pass `centroids=kmeans_centroids(df, ...)` for trained centers (the
+    probe/scan topology is identical). Query→centroid scoring happens
+    driver-side (tiny), so the distributed plan is: assignment
+    (broadcast NL join + per-vector argmax) → partition-pruned scan of
+    probed lists → brute-force top-k within them."""
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
+        )
     cents = {r["cent_id"]: list(r["centroid"]) for r in centroids.collect()}
 
     def cos(a: list[float], b: list[float]) -> float:
