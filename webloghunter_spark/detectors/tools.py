@@ -250,6 +250,10 @@ def tool_scanner(
     else:
         keyed, key = df.withColumn("_row_key", F.monotonically_increasing_id()), "_row_key"
 
+    # Broadcast hint: detections are sparse by the detector's contract
+    # (candidates are already <0.1% of rows on real logs). A signature
+    # family expected to stamp a large fraction of a 100 TB table should
+    # use tool_scan_detections() directly and join shuffle-side instead.
     stamps = tool_scan_detections(keyed, signatures, ts_col=ts_col, key=key)
     joined = keyed.join(F.broadcast(stamps), on=GROUP_COLS + [key], how="left")
     for c in _STAMP_COLS:
