@@ -143,3 +143,50 @@ def test_tool_batch_stream_parity_mixed_case(spark, tmp_path):
     assert {(r.ip, r.tool) for r in got} == {("a", "SC01")}
     (det,) = got
     assert det.n_hits == 3
+
+
+def test_tool_stream_span_retry_after_window_break(spark, tmp_path):
+    """A span that fails from the first candidate but succeeds from a
+    later one: batch finds {A@50, B@70} (span 20s <= 60s window) after
+    the t=0 start fails; the stream must emit the same detection
+    instead of discarding accumulated keywords on window expiry."""
+    from webloghunter_spark.detectors.tools import tool_scanner
+    from webloghunter_spark.streaming.tools import tool_stream
+
+    rows = [
+        ("s.log", "a", 0, "/kwA/1", "2024-01-01 00:00:00", 0),
+        ("s.log", "a", 0, "/kwA/2", "2024-01-01 00:00:50", 1),
+        ("s.log", "a", 0, "/kwB/1", "2024-01-01 00:01:10", 2),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "source string, ip string, cluster long, request_uri string, "
+        "ts_s string, ordinal long",
+    ).select("source", "ip", "cluster", "request_uri",
+             F.to_timestamp("ts_s").alias("utc_timestamp"), "ordinal")
+    sigs = [{"tool": "T1", "name": "t", "description": "d",
+             "keyword": ["/kwA", "/kwB"], "time_window": 60}]
+
+    stamped = tool_scanner(batch, sigs)
+    batch_hits = sorted(r.ordinal for r in
+                        stamped.filter(F.col("tool") != "").collect())
+    assert batch_hits == [1, 2], "batch retries the span from t=50"
+
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        tool_stream(stream, sigs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("parity_tool_retry")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        got = _drain(spark, q, "parity_tool_retry")
+    finally:
+        q.stop()
+    assert len(got) == 1
+    (det,) = got
+    assert det.tool == "T1" and det.n_hits == 2
+    assert det.last_ts_epoch - det.first_ts_epoch == 20.0

@@ -146,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
         ignore_extensions=cfg.ignore_extensions,
     )
 
+    if args.errors_log:
+        # persist: count + write would otherwise regex-parse the whole
+        # input twice just for the side channel
+        errors = errors.persist()
     n_errors = errors.count()
     if n_errors:
         print(f"[!] {n_errors} unparseable lines (errors side-channel)", file=sys.stderr)

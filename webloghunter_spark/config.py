@@ -107,11 +107,7 @@ def engine_config(opts: ConfigOptions, **overrides):
     referenced files and all detector/filter knobs wired through.
     Keyword overrides win over config-file values."""
     from webloghunter_spark.engine import EngineConfig
-    from webloghunter_spark.functions.risk import (
-        DEFAULT_RISKY_EXTENSIONS,
-        DEFAULT_SENSITIVE_PATHS,
-        load_shells,
-    )
+    from webloghunter_spark.functions.risk import load_shells
     from webloghunter_spark.rules.sigma import load_rules
 
     kwargs: dict = {}
@@ -127,10 +123,6 @@ def engine_config(opts: ConfigOptions, **overrides):
         kwargs["sensitive_paths"] = tuple(opts.uri_risk_paths)
     if opts.uri_risk_extensions:
         kwargs["risky_extensions"] = tuple(opts.uri_risk_extensions)
-    else:
-        kwargs["risky_extensions"] = DEFAULT_RISKY_EXTENSIONS
-    if not opts.uri_risk_paths:
-        kwargs["sensitive_paths"] = DEFAULT_SENSITIVE_PATHS
     if opts.ignore_extensions:
         kwargs["ignore_extensions"] = opts.ignore_extensions
     if opts.ignore_ip:

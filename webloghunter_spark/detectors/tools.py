@@ -110,13 +110,16 @@ def _scan_batch(pdf: pd.DataFrame, signatures, kw_cols) -> pd.DataFrame:
     tool = [""] * n
     tname = [""] * n
     tdesc = [""] * n
-    # group boundaries over the sorted key columns
+    # group boundaries over the sorted key columns; null-safe (plain
+    # numpy != would make NaN unequal to itself and fragment a
+    # null-keyed group into per-row groups)
     change = np.zeros(n, dtype=bool)
     if n:
         change[0] = True
         for c in GROUP_COLS:
-            v = pdf[c].to_numpy()
-            change[1:] |= v[1:] != v[:-1]
+            s = pdf[c]
+            diff = s.ne(s.shift()) & ~(s.isna() & s.shift().isna())
+            change[1:] |= diff.to_numpy()[1:]
     starts = np.nonzero(change)[0]
     bounds = list(starts) + [n]
     for gi in range(len(starts)):
@@ -141,12 +144,15 @@ def _scan_partition_fn(signatures, kw_cols):
             if not len(pdf):
                 carry = None
                 continue
-            # cut before the first row of the LAST group in the batch;
-            # that group may continue in the next batch
+            # cut before the first row of the LAST group in the batch
+            # (null-safe equality); that group may continue in the next
+            # batch
             neq = np.zeros(len(pdf), dtype=bool)
             last = pdf.iloc[-1]
             for c in GROUP_COLS:
-                neq |= pdf[c].to_numpy() != last[c]
+                s = pdf[c]
+                eq = (s == last[c]) | (s.isna() & pd.isna(last[c]))
+                neq |= (~eq).to_numpy()
             nz = np.nonzero(neq)[0]
             cut = (nz[-1] + 1) if len(nz) else 0
             head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
@@ -242,13 +248,19 @@ def tool_scanner(
         return out
 
     # Row identity for the stamp join-back: `ordinal` when the caller
-    # provides one (globally unique in parsed-log frames), else a
-    # synthetic id — deterministic for a given scan partitioning, which
-    # both plan branches share.
+    # provides one (globally unique in parsed-log frames). Otherwise a
+    # synthetic id — which MUST be materialized: the stamps branch and
+    # the probe branch would otherwise evaluate
+    # monotonically_increasing_id independently, and shuffle-read row
+    # order (hence the assigned ids) is not deterministic for inputs
+    # with a shuffle in their lineage.
     if "ordinal" in df.columns:
         keyed, key = df, "ordinal"
     else:
-        keyed, key = df.withColumn("_row_key", F.monotonically_increasing_id()), "_row_key"
+        from webloghunter_spark.session import materialize
+
+        keyed = materialize(df.withColumn("_row_key", F.monotonically_increasing_id()))
+        key = "_row_key"
 
     # Broadcast hint: detections are sparse by the detector's contract
     # (candidates are already <0.1% of rows on real logs). A signature

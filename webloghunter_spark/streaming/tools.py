@@ -5,15 +5,19 @@ Batch semantics stamp every row of a completed keyword span; a stream
 cannot retro-stamp rows already emitted, so the streaming contract is a
 DETECTION RECORD per completed signature: (ip, tool, first_ts, last_ts,
 n_hits), emitted the moment the last missing keyword arrives within the
-signature's time window (window start resets greedily when it expires,
-matching the batch scanner's forward scan).
+signature's time window. Detection timing matches the batch scanner
+exactly: candidates older than one window can neither extend nor start
+a viable span (their window is closed), so pruning state to the window
+is lossless, and the batch greedy forward scan reduces to "emit when
+the retained candidates' keyword union completes, then claim them".
 
 Scale design:
 - keyword→row matching runs JVM-side: each row is annotated with a
   per-signature keyword BITMASK (contains() chain, whole-stage
   codegen), rows matching no signature are filtered before the shuffle
-  — the stateful operator sees only candidate rows and per-key state is
-  three integers, never row buffers;
+  — the stateful operator sees only candidate rows, and per-key state
+  is the candidate (epoch, bitmask) pairs of the LAST WINDOW only
+  (window=0: a running union + two counters, O(1));
 - state is keyed (ip, tool); an idle-state processing-time timeout
   bounds total state by the active (ip, tool) set.
 """
@@ -32,7 +36,7 @@ TOOL_OUT_SCHEMA = (
     "ip string, tool string, first_ts_epoch double, last_ts_epoch double, "
     "n_hits long"
 )
-TOOL_STATE_SCHEMA = "mask long, start double, hits long"
+TOOL_STATE_SCHEMA = "eps array<double>, bits array<long>"
 
 
 def _norm_keywords(sig: dict) -> list[str]:
@@ -74,6 +78,19 @@ def _candidate_rows(events: DataFrame, signatures: Sequence[dict], ts_col: str) 
 
 
 def _tool_fn(sig_by_tool: dict, idle_timeout_ms: int):
+    """Per-key kernel, exact batch-detection semantics with bounded
+    state: keep the candidate (epoch, bits) pairs of the last
+    `time_window` seconds. A candidate older than window-from-now can
+    neither extend a future span nor START one (its window is already
+    closed), so pruning to the window is lossless — and after pruning,
+    the batch scanner's greedy forward scan reduces to "emit the moment
+    the buffer's keyword union completes, then claim (clear) the
+    buffer". The old (mask, start) two-integer state dropped
+    accumulated keywords on a window restart and missed spans the batch
+    kernel finds from later candidates. State is bounded by the
+    candidate rate within one window (window=0 keeps only the running
+    union — one synthetic entry per keyword)."""
+
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -86,22 +103,47 @@ def _tool_fn(sig_by_tool: dict, idle_timeout_ms: int):
             return
         ip, tool = key
         full_mask, time_window = sig_by_tool[tool]
-        mask, start, hits = state.get if state.exists else (0, 0.0, 0)
         rows = []
         for pdf in pdfs:
             rows.extend(zip((float(e) for e in pdf["epoch"]), (int(b) for b in pdf["bits"])))
         rows.sort()
         out = []
-        for ep, bits in rows:
-            if hits == 0 or (time_window > 0 and ep - start > time_window):
-                # greedy restart at this row (batch scanner parity)
-                mask, start, hits = 0, ep, 0
-            mask |= bits
-            hits += 1
-            if mask == full_mask:
-                out.append((ip, tool, start, ep, hits))
-                mask, start, hits = 0, 0.0, 0
-        state.update((mask, start, hits))
+        if time_window > 0:
+            # windowed: candidate buffer pruned to the window
+            if state.exists:
+                eps, bits_buf = state.get
+                buf = [(float(e), int(b)) for e, b in zip(eps, bits_buf)]
+            else:
+                buf = []
+            for ep, bits in rows:
+                # batch break condition is gap > window (== allowed)
+                buf = [(e, b) for e, b in buf if ep - e <= time_window]
+                buf.append((ep, bits))
+                mask = 0
+                for _, b in buf:
+                    mask |= b
+                if mask == full_mask:
+                    out.append((ip, tool, buf[0][0], ep, len(buf)))
+                    buf = []  # claimed, like the batch span
+            state.update(([e for e, _ in buf], [b for _, b in buf]))
+        else:
+            # unbounded window: the span never breaks, so O(1) state
+            # (running union, span start, hit count) is exact; encoded
+            # as eps=[start, hits], bits=[mask]
+            if state.exists:
+                eps, bits_buf = state.get
+                start, hits, mask = float(eps[0]), int(eps[1]), int(bits_buf[0])
+            else:
+                start, hits, mask = 0.0, 0, 0
+            for ep, bits in rows:
+                if hits == 0:
+                    start = ep
+                mask |= bits
+                hits += 1
+                if mask == full_mask:
+                    out.append((ip, tool, start, ep, hits))
+                    start, hits, mask = 0.0, 0, 0
+            state.update(([start, float(hits)], [mask]))
         state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(out, columns=cols)
 
