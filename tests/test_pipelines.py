@@ -177,3 +177,26 @@ def test_tfidf_topk_formula(spark):
     doc1 = [r.token for r in tfidf_topk(df, "text", "doc_id", k=5)
             .filter("doc_id = 1").orderBy("tfidf", ascending=False).collect()]
     assert doc1[0] == "y"
+
+
+def test_pii_redaction(spark):
+    from webloghunter_spark.functions.text import pii_counts_exprs, redact_pii_expr
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk now"),
+        (2, "from 192.168.1.254 and 8.8.8.8"),
+        (3, "call +1 (555) 123-4567 ok"),
+        (4, "clean text only"),
+        (5, "x@y.io at 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in df.select(
+        "id", redact_pii_expr("text").alias("t"), *pii_counts_exprs("text")
+    ).collect()}
+    assert out[1].t == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].t == "from <IP> and <IP>" and out[2].n_ipv4 == 2
+    assert out[3].t == "call <PHONE> ok" and out[3].n_phone == 1
+    assert out[4].t == "clean text only"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    # email redacted BEFORE the ip pattern could eat its host digits
+    assert out[5].t == "<EMAIL> at <IP>"

@@ -1691,6 +1691,51 @@ SQL_TFIDF_TOPK = r"""
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing for training data: seed each document with
+    deterministic synthetic PII (the corpus itself is clean), then
+    redact and count. Pure chained regexp_replace/extract — codegen'd,
+    scan-speed at 100 TB."""
+    from webloghunter_spark.functions.text import pii_counts_exprs, redact_pii_expr
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"), F.col("doc_id").cast("string"),
+            F.lit("1 at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 "),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        redact_pii_expr("text").alias("clean_text"),
+        *pii_counts_exprs("text"),
+    )
+
+
+SQL_PII_REDACT = r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1 555-000-' || CAST(doc_id AS VARCHAR)
+                    || '1 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\+\d[\d()\- ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\+\d[\d()\- ]{7,}\d')) AS n_phone
+    FROM seeded
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -1736,6 +1781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES: dict[str, str] = {
@@ -1783,4 +1829,5 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "pii_redact": SQL_PII_REDACT,
 }

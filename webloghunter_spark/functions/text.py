@@ -309,3 +309,35 @@ def tfidf_topk(
         .filter(_F.col("_rn") <= k)
         .select(id_col, "token", "tf", "tfidf")
     )
+
+
+# PII patterns restricted to the regex subset Java and RE2 share
+# (character classes, bounded repeats, \b, non-capturing groups — no
+# lookaround), so a SQL oracle applies the IDENTICAL patterns. Order
+# matters and is part of the contract: emails first (their host part
+# would otherwise be eaten by later patterns), then IPs, then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_expr(col: Column | str) -> Column:
+    """Text with all PII_PATTERNS replaced by their placeholder tokens.
+    Pure chained regexp_replace — whole-stage codegen, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts_exprs(col: Column | str) -> list[Column]:
+    """One match-count column per PII category (aliased n_<name>),
+    computed on the RAW text (counts reflect the original content, not
+    post-redaction residue)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
