@@ -5,6 +5,7 @@ behavior change in either path fails loudly."""
 
 import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from webloghunter_spark.operators.sessionize import sessionize
@@ -190,3 +191,53 @@ def test_tool_stream_span_retry_after_window_break(spark, tmp_path):
     (det,) = got
     assert det.tool == "T1" and det.n_hits == 2
     assert det.last_ts_epoch - det.first_ts_epoch == 20.0
+
+
+def test_sessionize_stream_exact_matches_batch(spark, tmp_path):
+    """The stateful exact sessionizer reproduces the batch boundary rule
+    (gap >= threshold starts a new session, including the exact-equal
+    boundary session_window merges); after the idle flush, the session
+    set equals the batch sessionizer's per-group aggregate."""
+    from webloghunter_spark.streaming.sessions import sessionize_stream_exact
+
+    rows = [
+        ("a.log", "1.1.1.1", "2024-01-01 00:00:00"),
+        ("a.log", "1.1.1.1", "2024-01-01 00:00:30"),
+        ("a.log", "1.1.1.1", "2024-01-01 00:01:30"),   # +60s exactly -> NEW
+        ("a.log", "2.2.2.2", "2024-01-01 00:00:05"),
+        ("b.log", "1.1.1.1", "2024-01-01 00:00:10"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "source string, ip string, ts_s string"
+    ).select("source", "ip", F.to_timestamp("ts_s").alias("utc_timestamp"))
+
+    b = sessionize(batch, threshold=60)
+    expected = {
+        (r.source, r.ip, r.local, r.n) for r in
+        b.groupBy("source", "ip", "cluster")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.min("utc_timestamp").alias("s"))
+         .withColumn("local", F.col("cluster") - F.min("cluster").over(
+             Window.partitionBy("source", "ip")))
+         .collect()
+    }
+    assert expected == {
+        ("a.log", "1.1.1.1", 0, 2), ("a.log", "1.1.1.1", 1, 1),
+        ("a.log", "2.2.2.2", 0, 1), ("b.log", "1.1.1.1", 0, 1),
+    }
+
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        sessionize_stream_exact(stream, threshold=60, idle_timeout_ms=4000)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("parity_sess_exact")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        got = _drain(spark, q, "parity_sess_exact", min_rows=4)
+    finally:
+        q.stop()
+    assert {(r.source, r.ip, r.local_session, r.n_events) for r in got} == expected

@@ -200,3 +200,19 @@ def test_pii_redaction(spark):
     assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
     # email redacted BEFORE the ip pattern could eat its host digits
     assert out[5].t == "<EMAIL> at <IP>"
+
+
+def test_near_dedup_end_to_end(spark):
+    from webloghunter_spark.pipelines.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1 -> dropped
+        (3, base + " tail"),                        # near dup of 1 -> dropped
+        (4, "completely different words entirely here today my friend"),
+        (5, "short"),                               # < k tokens: never a candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in near_dedup(df, threshold=0.5).collect())
+    assert kept == [1, 4, 5]

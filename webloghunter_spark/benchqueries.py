@@ -1691,6 +1691,27 @@ SQL_TFIDF_TOPK = r"""
 """
 
 
+def q_near_dedup(spark, sf_dir):
+    """End-to-end near-duplicate removal: the surviving corpus after
+    dropping docs with a lower-id >=0.8-Jaccard near-duplicate
+    (minhash -> LSH -> exact-Jaccard-on-candidates -> anti-join)."""
+    from webloghunter_spark.pipelines.dedup import near_dedup
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    out = near_dedup(docs, threshold=0.8, num_hashes=4, band_size=2)
+    return out.select("doc_id", "source")
+
+
+SQL_NEAR_DEDUP = f"""
+    WITH jacc AS ({SQL_JACCARD_PAIRS})
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT id_b FROM jacc WHERE jaccard >= 0.8
+    )
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing for training data: seed each document with
     deterministic synthetic PII (the corpus itself is clean), then
@@ -1782,6 +1803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "pii_redact": q_pii_redact,
+    "near_dedup": q_near_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1830,4 +1852,5 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pii_redact": SQL_PII_REDACT,
+    "near_dedup": SQL_NEAR_DEDUP,
 }

@@ -244,3 +244,40 @@ def simhash_expr(text_col: Column | str, shingle_k: int = 3, bits: int = 16) -> 
         ones = F.aggregate(bitvals, F.lit(0), lambda a, x: a + x)
         acc = acc + F.when(ones * 2 >= n, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return acc
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the one-call path a training
+    pipeline actually runs: MinHash signatures -> LSH band candidates ->
+    exact n-gram Jaccard on candidates only -> drop every document with
+    a LOWER-id near-duplicate at >= threshold.
+
+    The survival rule is deliberately non-transitive (a doc is dropped
+    iff a lower-id doc is directly similar to it): deterministic, one
+    pass, no iterative connected components — and therefore exactly
+    reproducible by a SQL oracle. For cluster-representative semantics
+    run graph components over `ngram_jaccard_pairs` output instead.
+
+    Scale: candidates are bounded by LSH bucket sizes (never global
+    n^2), the drop list is a distinct-id projection (one shuffle), and
+    the final filter is a left-anti join — broadcastable whenever the
+    duplicate fraction is small, AQE's call otherwise.
+    """
+    pairs = lsh_candidate_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k,
+    )
+    sims = ngram_jaccard_pairs(
+        df, pairs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    drop = sims.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

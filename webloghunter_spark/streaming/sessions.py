@@ -12,6 +12,11 @@ stream, with watermarks for late data:
   from the previous event — identical grouping for gap != threshold
   edge cases except the exact-equal boundary, which session_window
   treats as same-session. Documented, not hidden.
+- `sessionize_stream_exact`: stateful (`applyInPandasWithState`)
+  variant with the batch sessionizer's EXACT boundary rule (a gap of
+  exactly `threshold` starts a new session). Emits one record per
+  CLOSED session; the trailing open session flushes on idle timeout.
+  Per-key state is four numbers, so state tracks the active-key set.
 - `windowed_counts_stream`: tumbling-window per-key request counts.
 
 Both run against any streaming source; tests drive them with a file
@@ -20,8 +25,13 @@ source + memory sink + processAllAvailable().
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Any, Tuple
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def sessionize_stream(
@@ -70,4 +80,77 @@ def windowed_counts_stream(
             F.col("window.start").alias("window_start"),
             "n",
         )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "source string, ip string, local_session long, "
+    "start_epoch double, end_epoch double, n_events long"
+)
+SESSION_STATE_SCHEMA = "local long, start double, last double, n long"
+
+
+def _session_fn(threshold: float, idle_timeout_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = "source ip local_session start_epoch end_epoch n_events".split()
+        source, ip = key
+        if state.hasTimedOut:
+            # flush the trailing open session
+            local, start, last, n = state.get
+            state.remove()
+            out = [(source, ip, int(local), float(start), float(last), int(n))] if n else []
+            yield pd.DataFrame(out, columns=cols)
+            return
+        if state.exists:
+            local, start, last, n = state.get
+        else:
+            local, start, last, n = 0, 0.0, 0.0, 0
+        epochs = []
+        for pdf in pdfs:
+            epochs.extend(float(e) for e in pdf["epoch"])
+        epochs.sort()
+        out = []
+        for ep in epochs:
+            # batch rule (dataframe.py:630-636): gap >= threshold starts
+            # a NEW session; the closed one is emitted
+            if n and ep - last >= threshold:
+                out.append((source, ip, int(local), float(start), float(last), int(n)))
+                local, start, n = local + 1, ep, 0
+            elif not n:
+                start = ep
+            n += 1
+            last = ep
+        state.update((local, start, last, n))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def sessionize_stream_exact(
+    events: DataFrame,
+    ts_col: str = "utc_timestamp",
+    threshold: int = 60,
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Batch-boundary-exact streaming sessionization keyed
+    (source, ip): one record per closed session, local ids counted per
+    key in arrival order (the batch GLOBAL dense id is a cross-key
+    renumbering that requires the full key set — derive it downstream
+    if needed; (source, ip, local_session) is the stable identity)."""
+    keyed = events.select(
+        "source",
+        "ip",
+        F.unix_timestamp(F.col(ts_col)).cast("double").alias("epoch"),
+    )
+    return keyed.groupBy("source", "ip").applyInPandasWithState(
+        _session_fn(float(threshold), idle_timeout_ms),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
