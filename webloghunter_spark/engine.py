@@ -56,6 +56,14 @@ class EngineConfig:
     # from output, and authorized-scanner networks dropped by default.
     ignore_extensions: tuple = DEFAULT_IGNORE_EXTENSIONS
     ignore_ip: tuple = ()
+    # Materialize the scored frame before the detectors: burst and tool
+    # detection each read their input on TWO plan branches (slim
+    # detection side + wide probe side), and column pruning makes the
+    # branches' scan subtrees canonically different, so Spark's exchange
+    # reuse does NOT dedupe them — without a barrier the parse + UDF +
+    # rules prefix would re-execute per branch. persist(MEMORY_AND_DISK)
+    # caches it once; disable for a pure-lazy plan.
+    materialize_intermediate: bool = True
 
 
 def score(df: DataFrame, config: EngineConfig | None = None) -> DataFrame:
@@ -68,6 +76,14 @@ def score(df: DataFrame, config: EngineConfig | None = None) -> DataFrame:
         .withColumn("status_risk", status_risk_expr("status"))
     )
     df = apply_rules(df, cfg.rules)
+    if cfg.materialize_intermediate:
+        from webloghunter_spark.session import materialize
+
+        # One barrier after the expensive prefix (parse, dedup,
+        # session/count windows, uri_risk UDF, rule engine): the two
+        # detectors below each fan into two plan branches — see
+        # EngineConfig.materialize_intermediate.
+        df = materialize(df)
     df = burst_success_detector(
         df,
         risk_score=cfg.burst_risk_score,
