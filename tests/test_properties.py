@@ -176,3 +176,51 @@ def test_rules_pick_max_matching(spark, rows):
         assert out[i].risk_score >= expected_min
         if out[i].rule_applied:
             assert out[i].risk_score == RULE_SCORES[out[i].rule_applied]
+
+
+word_st = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+doc_st = st.lists(word_st, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(doc_st, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_near_dedup_invariants(spark, docs):
+    """near_dedup: output is a subset of input; identical texts with >=
+    k tokens never both survive; the lowest id of any surviving
+    duplicate-text group survives."""
+    from webloghunter_spark.pipelines.dedup import near_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in near_dedup(df, threshold=0.99).collect())
+    assert set(kept) <= set(range(len(docs)))
+    # identical long-enough docs: only the first id may survive
+    by_text = {}
+    for i, t in rows:
+        if len(t.split()) >= 3 and t.strip():
+            by_text.setdefault(" ".join(t.split()), []).append(i)
+    for ids in by_text.values():
+        surviving = [i for i in ids if i in kept]
+        assert surviving == ids[:1], (ids, surviving, kept)
+
+
+@given(docs=st.lists(doc_st, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_tfidf_invariants(spark, docs):
+    """tfidf_topk: k bounds the per-doc rows; a token present in every
+    document scores exactly 0; tf matches a direct count."""
+    from webloghunter_spark.functions.text import tfidf_topk
+
+    rows = [(i, (t + " common").strip()) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, "text", "doc_id", k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in per_doc.items():
+        assert len(rs) <= 3
+        for r in rs:
+            expected_tf = rows[doc_id][1].lower().split().count(r.token)
+            assert r.tf == expected_tf
+            if r.token == "common":
+                assert r.tfidf == 0.0
