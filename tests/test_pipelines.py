@@ -216,3 +216,23 @@ def test_near_dedup_end_to_end(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r.doc_id for r in near_dedup(df, threshold=0.5).collect())
     assert kept == [1, 4, 5]
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    from webloghunter_spark.pipelines.split import stratified_sample
+
+    rows = [(i, "hot" if i % 2 == 0 else "rare") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, ["source"], {"hot": 0.1}, id_col="doc_id")
+    kept = {r.doc_id for r in out.collect()}
+    # unlisted stratum kept in full
+    assert all(i in kept for i in range(400) if i % 2 == 1)
+    hot_kept = [i for i in kept if i % 2 == 0]
+    assert 0 < len(hot_kept) < 80  # ~10% of 200
+    # deterministic under repartition
+    kept2 = {r.doc_id for r in stratified_sample(
+        df.repartition(7), ["source"], {"hot": 0.1}, id_col="doc_id").collect()}
+    assert kept == kept2
+    # scalar fraction applies to every stratum
+    all_sampled = stratified_sample(df, ["source"], 0.5, id_col="doc_id").count()
+    assert 120 < all_sampled < 280

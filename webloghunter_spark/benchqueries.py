@@ -1712,6 +1712,33 @@ SQL_NEAR_DEDUP = f"""
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling of documents by source:
+    one stratum cut to 20%, another to 50%, the rest kept — pure
+    md5-bucket membership, no shuffle, reproducible anywhere."""
+    from webloghunter_spark.pipelines.split import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, ["source"], {"src0": 0.2, "src1": 0.5}, id_col="doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 10000 AS INTEGER) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source FROM b
+    WHERE CASE WHEN source = 'src0' THEN bucket < 2000
+               WHEN source = 'src1' THEN bucket < 5000
+               ELSE TRUE END
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing for training data: seed each document with
     deterministic synthetic PII (the corpus itself is clean), then
@@ -1804,6 +1831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1853,4 +1881,5 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pii_redact": SQL_PII_REDACT,
     "near_dedup": SQL_NEAR_DEDUP,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

@@ -64,3 +64,39 @@ def split(
         name: labeled.filter(F.col("split") == name).drop("split")
         for name in fractions
     }
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    fractions: dict[tuple | str, float] | float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-balancing step of
+    a training-data pipeline (e.g. downsample an over-represented
+    source to 10%).
+
+    `fractions`: either one float for every stratum, or
+    {stratum_value(s): fraction} with missing strata KEPT in full.
+    Membership is a pure function of (id, salt) via the same md5-bucket
+    construction as the train/eval split: stable across reruns,
+    repartitions, and appends, and reproducible by any SQL engine. One
+    narrow projection + filter, no shuffle, no sampling pass.
+    """
+    strata_cols = list(strata_cols)
+    bucket = split_bucket_expr(id_col, salt)
+    if isinstance(fractions, (int, float)):
+        cut = int(round(float(fractions) * SPLIT_BUCKETS))
+        return df.filter(bucket < cut)
+    expr = None
+    for key, frac in fractions.items():
+        vals = key if isinstance(key, tuple) else (key,)
+        cond = None
+        for c, v in zip(strata_cols, vals):
+            piece = F.col(c) == v
+            cond = piece if cond is None else (cond & piece)
+        cut = int(round(float(frac) * SPLIT_BUCKETS))
+        branch = bucket < cut
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return df.filter(expr.otherwise(F.lit(True)))
