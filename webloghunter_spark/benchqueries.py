@@ -1431,7 +1431,10 @@ def q_uri_risk(spark, sf_dir):
     extension, cap 100) over probe URIs mapped from events."""
     from webloghunter_spark.functions.risk import uri_risk_udf
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    # _fan: the UDF projection would otherwise run inside the
+    # single-task scan stage of the one-row-group test parquet; the
+    # exchange spreads the Arrow batches across all cores.
+    ev = _fan(_t(spark, sf_dir, "events")).withColumn(
         "_k", F.get_json_object("props", "$.k").cast("int")
     )
     uri = None
