@@ -1212,6 +1212,106 @@ SQL_TOOL_SCAN_SINGLE = f"""
 """
 
 
+def q_tool_scan_windowed(spark, sf_dir):
+    """D2 (tool_scanner), time_window > 0 — the window-break branch of
+    the greedy scan (reference risk.py:469-474: extension stops at the
+    first candidate beyond `time_window` seconds of the span start, and
+    risk.py:488-490: the completed span must fit the window).
+
+    The reference's shipped DirSearch signature runs with
+    time_window=7200 (config.yaml:83), so this is the code path real
+    users exercise. 180000 s against the synthetic event stream makes
+    some spans complete inside the window and breaks others (candidate
+    gaps at sf0.01: p10 ~11 ks, median ~68 ks, p90 ~232 ks).
+
+    Oracle form: because candidates are scanned in time order, a span
+    starting at candidate i completes iff need(i) — the first row at
+    which every keyword has been seen since i, i.e. the max over
+    keywords of each keyword's next occurrence at-or-after i — exists
+    and lies within the window of i's timestamp; every candidate
+    i..need(i) is then stamped and the walk resumes at need(i)+1, while
+    a failed start resumes at i+1. That single-step transition is the
+    recursive CTE in SQL_TOOL_SCAN_WINDOWED."""
+    from webloghunter_spark.detectors.tools import tool_scan_detections
+
+    sigs = [{
+        "tool": "DW01",
+        "name": "WindowScan",
+        "description": "admin+login+dump probe, bounded window",
+        "keyword": ["/admin", "/login", "/dump.sql"],
+        "time_window": 180000,
+    }]
+    out = tool_scan_detections(_tool_scan_frame(spark, sf_dir), sigs)
+    return out.select(F.col("ordinal").alias("event_id"), "tool", "tool_name")
+
+
+# Windowed greedy tiling. `need` is the completion row per start (max
+# over keywords of the keyword's next occurrence); `comp` gates it on
+# the window (timestamps are nondecreasing in rn, so the whole span is
+# within the window iff the completion row is). The walk advances one
+# start per recursion step: comp+1 after a completed span, start+1
+# after a failed one — exactly the kernel's claimed-set behavior, since
+# successful spans claim precisely [start, comp] and failures claim
+# nothing.
+SQL_TOOL_SCAN_WINDOWED = f"""
+    WITH RECURSIVE w AS ({WEBLOG_SQL_BASE}),
+    cand AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(utc_timestamp)) AS BIGINT) AS t,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(utc_timestamp)) AS BIGINT), event_id
+               ) AS rn,
+               CASE WHEN contains(request_uri, '/admin') THEN 1 ELSE 0 END AS b1,
+               CASE WHEN contains(request_uri, '/login') THEN 1 ELSE 0 END AS b2,
+               CASE WHEN contains(request_uri, '/dump.sql') THEN 1 ELSE 0 END AS b3
+        FROM w
+        WHERE contains(request_uri, '/admin')
+           OR contains(request_uri, '/login')
+           OR contains(request_uri, '/dump.sql')
+    ),
+    nexts AS (
+        SELECT user_id, rn, event_id, t,
+               min(CASE WHEN b1 = 1 THEN rn END) OVER fwd AS n1,
+               min(CASE WHEN b2 = 1 THEN rn END) OVER fwd AS n2,
+               min(CASE WHEN b3 = 1 THEN rn END) OVER fwd AS n3
+        FROM cand
+        WINDOW fwd AS (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    need AS (
+        -- explicit NULL guard: greatest() must not treat a keyword with
+        -- no future occurrence (NULL next) as satisfied
+        SELECT user_id, rn, event_id, t,
+               CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL AND n3 IS NOT NULL
+                    THEN greatest(n1, n2, n3) END AS need_rn
+        FROM nexts
+    ),
+    comp AS (
+        SELECT n.user_id, n.rn,
+               CASE WHEN n.need_rn IS NOT NULL AND c2.t - n.t <= 180000
+                    THEN n.need_rn END AS comp_rn
+        FROM need n
+        LEFT JOIN cand c2 ON c2.user_id = n.user_id AND c2.rn = n.need_rn
+    ),
+    walk AS (
+        SELECT user_id, 1 AS s FROM (SELECT DISTINCT user_id FROM cand)
+        UNION ALL
+        SELECT c.user_id,
+               CASE WHEN c.comp_rn IS NOT NULL THEN c.comp_rn + 1 ELSE w2.s + 1 END
+        FROM walk w2 JOIN comp c ON c.user_id = w2.user_id AND c.rn = w2.s
+    ),
+    spans AS (
+        SELECT c.user_id, w2.s AS lo, c.comp_rn AS hi
+        FROM walk w2 JOIN comp c ON c.user_id = w2.user_id AND c.rn = w2.s
+        WHERE c.comp_rn IS NOT NULL
+    )
+    SELECT c.event_id, 'DW01' AS tool, 'WindowScan' AS tool_name
+    FROM cand c
+    JOIN spans sp ON c.user_id = sp.user_id AND c.rn BETWEEN sp.lo AND sp.hi
+"""
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate kNN: score only the query vector's LSH bucket —
     the 100 TB path (bucket column precomputed/partitioned in practice)."""
@@ -1817,6 +1917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_success": q_burst_success,
     "tool_scan": q_tool_scan,
     "tool_scan_single": q_tool_scan_single,
+    "tool_scan_windowed": q_tool_scan_windowed,
     "knn_lsh": q_knn_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -1867,6 +1968,7 @@ ORACLES: dict[str, str] = {
     "burst_success": SQL_BURST_SUCCESS,
     "tool_scan": SQL_TOOL_SCAN,
     "tool_scan_single": SQL_TOOL_SCAN_SINGLE,
+    "tool_scan_windowed": SQL_TOOL_SCAN_WINDOWED,
     "knn_lsh": SQL_KNN_LSH,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW,
