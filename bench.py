@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from webloghunter_spark.benchqueries import QUERIES
-from webloghunter_spark.session import get_spark
+from webloghunter_spark.session import get_spark, release_materialized
 
 
 def materialize(df) -> None:
@@ -53,7 +53,9 @@ def main() -> int:
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         # Queries that persist() intermediates must not leak cache (or
-        # cross-query speedups) into the next measurement.
+        # cross-query speedups) into the next measurement; drain the
+        # materialize() registry first so it doesn't grow unbounded.
+        release_materialized()
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -51,6 +51,23 @@ def test_pipeline_end_to_end(spark, logdir):
     assert all(r.cluster is not None and r.request_count >= 1 for r in rows)
 
 
+def test_materialized_scope_releases_cache(spark, logdir):
+    """Pipeline persist()s intermediates (engine barrier, tool-scanner
+    row keys); materialized_scope must unpersist them all once the
+    consuming action is done — a long-lived session running many
+    pipelines must not accumulate cached frames."""
+    from webloghunter_spark.session import materialized_scope, release_materialized
+
+    release_materialized()  # start clean regardless of earlier tests
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    with materialized_scope():
+        scored, errors = build_pipeline(spark, logdir)
+        assert scored.count() == 8  # consuming action while persisted
+        assert jsc.getPersistentRDDs().size() > 0
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_pipeline_filters(spark, logdir):
     scored, _ = build_pipeline(spark, logdir)
     # default extension ignore drops /app.js

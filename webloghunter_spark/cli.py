@@ -23,7 +23,7 @@ from webloghunter_spark.render import (
     write_parquet_store,
 )
 from webloghunter_spark.rules.sigma import load_rules
-from webloghunter_spark.session import get_spark
+from webloghunter_spark.session import get_spark, materialize, materialized_scope
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -115,6 +115,15 @@ def main(argv: list[str] | None = None) -> int:
         cfg.ignore_extensions = tuple(args.ignore_extension)
 
     spark = get_spark(app_name="webloghunter-cli")
+    # The pipeline persist()s intermediates (engine materialize_
+    # intermediate, tool_scanner row keys); release them when the run's
+    # terminal action has completed so repeated in-process invocations
+    # (tests, notebooks) don't accumulate cache.
+    with materialized_scope():
+        return _run(spark, args, cfg, conf_opts)
+
+
+def _run(spark, args, cfg, conf_opts) -> int:
     scored, errors = build_pipeline(spark, args.paths, cfg)
     if args.store:
         write_parquet_store(scored, args.store)
@@ -149,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.errors_log:
         # persist: count + write would otherwise regex-parse the whole
         # input twice just for the side channel
-        errors = errors.persist()
+        errors = materialize(errors)
     n_errors = errors.count()
     if n_errors:
         print(f"[!] {n_errors} unparseable lines (errors side-channel)", file=sys.stderr)

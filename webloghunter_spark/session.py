@@ -8,9 +8,19 @@ shuffle partitions sized to the machine rather than the 200 default).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
+
+# Every frame materialize() persists, in persist order. Library
+# operators return LAZY frames, so they cannot unpersist their own
+# intermediates (the consuming action hasn't run yet); the lifecycle
+# belongs to whoever runs the action — CLI, bench harness, tests —
+# via release_materialized() / materialized_scope(). Unpersisting is
+# always safe for correctness: a consumer that reads the frame later
+# just recomputes from lineage.
+_MATERIALIZED: list[DataFrame] = []
 
 
 def materialize(df: DataFrame, memory: bool = True) -> DataFrame:
@@ -24,9 +34,53 @@ def materialize(df: DataFrame, memory: bool = True) -> DataFrame:
     not die with the first node. MEMORY_AND_DISK spills instead of
     OOMing when the intermediate outgrows executor memory; pass
     memory=False for DISK_ONLY when it is known to be large.
+
+    The persisted frame is registered; call release_materialized()
+    (or wrap the consuming action in materialized_scope()) after the
+    terminal action, or a long-lived session accumulates cached frames
+    until the executor block store churns under LRU eviction.
     """
     level = StorageLevel.MEMORY_AND_DISK if memory else StorageLevel.DISK_ONLY
-    return df.persist(level)
+    df = df.persist(level)
+    _MATERIALIZED.append(df)
+    return df
+
+
+def release_materialized() -> int:
+    """Unpersist every registered frame (newest first); returns the
+    count released. Safe to call repeatedly / with a stopped session."""
+    n = 0
+    while _MATERIALIZED:
+        df = _MATERIALIZED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+@contextmanager
+def materialized_scope():
+    """Unpersist, on exit, exactly the frames materialize()d inside the
+    scope — the pattern for running one pipeline inside a long-lived
+    session without leaking cache:
+
+        with materialized_scope():
+            scored, errors = build_pipeline(spark, paths)
+            scored.write.parquet(out)          # consuming action
+    """
+    mark = len(_MATERIALIZED)
+    try:
+        yield
+    finally:
+        tail, del_from = _MATERIALIZED[mark:], mark
+        del _MATERIALIZED[del_from:]
+        for df in reversed(tail):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def get_spark(
