@@ -119,3 +119,22 @@ def test_tool_unbounded_window(spark):
     df = spark.createDataFrame(rows, TOOL_SCHEMA)
     out = tool_scanner(df, sigs).collect()
     assert all(r.tool == "T1" for r in out)
+
+
+def test_tool_null_group_key_stamped(spark):
+    # The kernel scans a null-keyed group null-safely as ONE group; the
+    # stamp join-back must be eqNullSafe on the group columns or these
+    # stamps silently vanish (null != null under plain equality).
+    rows = _tool_rows(["/.a", "/.b", "/.c"], ip=None)
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    out = tool_scanner(df, TOOL_SIGS).orderBy("ordinal").collect()
+    assert [r.tool for r in out] == ["T1", "T1", "T1"]
+    assert all(r.ip is None for r in out)
+
+
+def test_tool_sparse_stamps_broadcast_flag(spark):
+    rows = _tool_rows(["/.a", "/.b", "/.c"])
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    out = tool_scanner(df, TOOL_SIGS, sparse_stamps=True)
+    assert [r.tool for r in out.orderBy("ordinal").collect()] == ["T1", "T1", "T1"]
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()

@@ -238,7 +238,18 @@ def tool_scanner(
     df: DataFrame,
     signatures: list[dict] | None = None,
     ts_col: str = "utc_timestamp",
+    sparse_stamps: bool = False,
 ) -> DataFrame:
+    """Stamp (tool, tool_name, tool_desc) onto the full frame.
+
+    `sparse_stamps=True` force-broadcasts the stamp table onto the
+    probe side — use when the caller KNOWS detections are rare and
+    wants to skip the exchange even below AQE's visibility (e.g. a
+    pre-sized production job). The default leaves the join strategy to
+    the optimizer: AQE sees the stamp table's actual post-shuffle size
+    and converts to a broadcast join at runtime when it is small, but
+    will not OOM the driver on a pathological signature family that
+    stamps half the table."""
     signatures = signatures if signatures is not None else DEFAULT_TOOL_SIGNATURES
     _, kw_exprs = _keyword_exprs(signatures)
     if not kw_exprs:
@@ -262,12 +273,20 @@ def tool_scanner(
         keyed = materialize(df.withColumn("_row_key", F.monotonically_increasing_id()))
         key = "_row_key"
 
-    # Broadcast hint: detections are sparse by the detector's contract
-    # (candidates are already <0.1% of rows on real logs). A signature
-    # family expected to stamp a large fraction of a 100 TB table should
-    # use tool_scan_detections() directly and join shuffle-side instead.
     stamps = tool_scan_detections(keyed, signatures, ts_col=ts_col, key=key)
-    joined = keyed.join(F.broadcast(stamps), on=GROUP_COLS + [key], how="left")
-    for c in _STAMP_COLS:
-        joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    if sparse_stamps:
+        stamps = F.broadcast(stamps)
+    # eqNullSafe on the group columns: the kernel groups null keys
+    # null-safely (a null-source/ip/cluster group scans as one group),
+    # so the join-back must not drop its stamps via null != null. The
+    # row key itself is never null (ordinal / generated id).
+    cond = [keyed[c].eqNullSafe(stamps[c]) for c in GROUP_COLS]
+    cond.append(keyed[key] == stamps[key])
+    joined = keyed.join(stamps, on=cond, how="left").select(
+        keyed["*"],
+        *[
+            F.coalesce(stamps[c], F.lit("")).alias(c)
+            for c in _STAMP_COLS
+        ],
+    )
     return joined.drop("_row_key") if key == "_row_key" else joined
