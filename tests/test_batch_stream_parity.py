@@ -202,8 +202,8 @@ def test_sessionize_stream_exact_matches_batch(spark, tmp_path):
 
     rows = [
         ("a.log", "1.1.1.1", "2024-01-01 00:00:00"),
-        ("a.log", "1.1.1.1", "2024-01-01 00:00:30"),
-        ("a.log", "1.1.1.1", "2024-01-01 00:01:30"),   # +60s exactly -> NEW
+        ("a.log", "1.1.1.1", "2024-01-01 00:00:01"),
+        ("a.log", "1.1.1.1", "2024-01-01 00:00:03"),   # +2s exactly -> NEW
         ("a.log", "2.2.2.2", "2024-01-01 00:00:05"),
         ("b.log", "1.1.1.1", "2024-01-01 00:00:10"),
     ]
@@ -211,7 +211,7 @@ def test_sessionize_stream_exact_matches_batch(spark, tmp_path):
         rows, "source string, ip string, ts_s string"
     ).select("source", "ip", F.to_timestamp("ts_s").alias("utc_timestamp"))
 
-    b = sessionize(batch, threshold=60)
+    b = sessionize(batch, threshold=2)
     expected = {
         (r.source, r.ip, r.local, r.n) for r in
         b.groupBy("source", "ip", "cluster")
@@ -230,7 +230,7 @@ def test_sessionize_stream_exact_matches_batch(spark, tmp_path):
     batch.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     q = (
-        sessionize_stream_exact(stream, threshold=60, idle_timeout_ms=4000)
+        sessionize_stream_exact(stream, threshold=2, idle_timeout_ms=4000)
         .writeStream.outputMode("append").format("memory")
         .queryName("parity_sess_exact")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -241,3 +241,77 @@ def test_sessionize_stream_exact_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert {(r.source, r.ip, r.local_session, r.n_events) for r in got} == expected
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the session kernel's
+    state transitions without driving a real streaming query."""
+
+    def __init__(self, tup=None, timed_out=False):
+        self._tup = tup
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._tup is not None
+
+    @property
+    def get(self):
+        return self._tup
+
+    def update(self, t):
+        self._tup = tuple(t)
+
+    def remove(self):
+        self.removed = True
+        self._tup = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_session_timeout_flush_keeps_counter():
+    """Idle flush must emit the open session but PRESERVE the per-key
+    local_session counter — removing state would restart ids at 0 and
+    emit a duplicate (source, ip, local_session) identity when the key
+    returns after an idle period."""
+    import pandas as pd
+
+    from webloghunter_spark.streaming.sessions import _session_fn
+
+    fn = _session_fn(threshold=60.0, idle_timeout_ms=4000)
+    key = ("a.log", "1.1.1.1")
+
+    # open session (local=3, 2 events) times out -> flushed, counter kept
+    st = _FakeState(tup=(3, 100.0, 130.0, 2), timed_out=True)
+    [flush] = list(fn(key, iter([]), st))
+    assert flush.iloc[0]["local_session"] == 3 and flush.iloc[0]["n_events"] == 2
+    assert not st.removed and st.get == (4, 0.0, 0.0, 0)
+    assert st.timeout_ms == 4000
+
+    # the key returns: next closed session carries local_session 4
+    st.hasTimedOut = False
+    pdf = pd.DataFrame({"epoch": [1000.0, 1010.0, 2000.0]})  # gap 990 closes one
+    [out] = list(fn(key, iter([pdf]), st))
+    assert list(out["local_session"]) == [4]
+    assert st.get[0] == 5  # open session local id
+
+    # idle fire with NOTHING open: no emit, state (and counter) retained
+    st2 = _FakeState(tup=(7, 0.0, 0.0, 0), timed_out=True)
+    [empty] = list(fn(key, iter([]), st2))
+    assert len(empty) == 0 and not st2.removed and st2.get == (7, 0.0, 0.0, 0)
+
+
+def test_sessionize_stream_exact_rejects_short_timeout(spark):
+    import pytest as _pytest
+
+    from webloghunter_spark.streaming.sessions import sessionize_stream_exact
+
+    df = spark.createDataFrame(
+        [("a", "1.1.1.1", "2024-01-01 00:00:00")],
+        "source string, ip string, ts_s string",
+    ).select("source", "ip", F.to_timestamp("ts_s").alias("utc_timestamp"))
+    with _pytest.raises(ValueError, match="idle_timeout_ms"):
+        sessionize_stream_exact(df, threshold=60, idle_timeout_ms=1000)

@@ -236,3 +236,20 @@ def test_stratified_sample_deterministic_and_per_stratum(spark):
     # scalar fraction applies to every stratum
     all_sampled = stratified_sample(df, ["source"], 0.5, id_col="doc_id").count()
     assert 120 < all_sampled < 280
+
+
+def test_stratified_sample_decorrelated_from_split(spark):
+    """Default salts differ between sampling ('sample') and splitting
+    (''), so a sampled corpus still spreads across train/eval/test —
+    same-salt composition would put a 10% sample entirely inside the
+    train bucket range."""
+    from webloghunter_spark.pipelines.split import stratified_sample, with_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    sampled = stratified_sample(df, [], 0.2, id_col="doc_id")
+    labeled = with_split(sampled, "doc_id", {"train": 0.8, "eval": 0.2})
+    by_split = {r["split"]: r["n"] for r in
+                labeled.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert by_split.get("eval", 0) > 0  # correlated salts would zero this
+    total = sum(by_split.values())
+    assert 0.1 < by_split.get("eval", 0) / total < 0.35

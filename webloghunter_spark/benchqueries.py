@@ -1831,7 +1831,7 @@ def q_stratified_sample(spark, sf_dir):
 SQL_STRATIFIED_SAMPLE = """
     WITH b AS (
         SELECT doc_id, source,
-               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 8)
                     AS BIGINT) % 10000 AS INTEGER) AS bucket
         FROM documents
     )

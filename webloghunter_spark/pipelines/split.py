@@ -71,7 +71,7 @@ def stratified_sample(
     strata_cols: Sequence[str],
     fractions: dict[tuple | str, float] | float,
     id_col: str = "doc_id",
-    salt: str = "",
+    salt: str = "sample",
 ) -> DataFrame:
     """Deterministic per-stratum sampling — the corpus-balancing step of
     a training-data pipeline (e.g. downsample an over-represented
@@ -83,6 +83,12 @@ def stratified_sample(
     construction as the train/eval split: stable across reruns,
     repartitions, and appends, and reproducible by any SQL engine. One
     narrow projection + filter, no shuffle, no sampling pass.
+
+    The default salt is 'sample', NOT with_split/split's '' — with the
+    SAME salt, sampling correlates fully with a later train/eval split
+    (a 10% sample lands entirely inside the train bucket range,
+    silently degenerating eval/test). Pass distinct salts explicitly
+    when composing several sampling/splitting stages.
     """
     strata_cols = list(strata_cols)
     bucket = split_bucket_expr(id_col, salt)

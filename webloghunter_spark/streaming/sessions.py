@@ -99,10 +99,19 @@ def _session_fn(threshold: float, idle_timeout_ms: int):
         cols = "source ip local_session start_epoch end_epoch n_events".split()
         source, ip = key
         if state.hasTimedOut:
-            # flush the trailing open session
+            # Flush the trailing open session but KEEP the per-key
+            # session counter: state.remove() here would restart
+            # local_session at 0 on the key's next event, emitting a
+            # duplicate (source, ip, local_session) identity and
+            # breaking batch parity for long-lived keys. Retained state
+            # is four numbers per key; the re-armed timeout keeps
+            # firing (emitting nothing once n == 0), which is the price
+            # of a monotone counter without a key-death oracle.
             local, start, last, n = state.get
-            state.remove()
             out = [(source, ip, int(local), float(start), float(last), int(n))] if n else []
+            if n:
+                state.update((local + 1, 0.0, 0.0, 0))
+            state.setTimeoutDuration(idle_timeout_ms)
             yield pd.DataFrame(out, columns=cols)
             return
         if state.exists:
@@ -141,7 +150,17 @@ def sessionize_stream_exact(
     (source, ip): one record per closed session, local ids counted per
     key in arrival order (the batch GLOBAL dense id is a cross-key
     renumbering that requires the full key set — derive it downstream
-    if needed; (source, ip, local_session) is the stable identity)."""
+    if needed; (source, ip, local_session) is the stable identity).
+
+    idle_timeout_ms must cover the session threshold: a timeout shorter
+    than the gap would flush-and-split sessions the batch sessionizer
+    merges."""
+    if idle_timeout_ms < threshold * 1000:
+        raise ValueError(
+            f"idle_timeout_ms ({idle_timeout_ms}) must be >= threshold*1000 "
+            f"({threshold * 1000}); a shorter idle timeout flushes open "
+            "sessions the batch rule would continue"
+        )
     keyed = events.select(
         "source",
         "ip",
