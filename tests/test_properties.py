@@ -224,3 +224,40 @@ def test_tfidf_invariants(spark, docs):
             assert r.tf == expected_tf
             if r.token == "common":
                 assert r.tfidf == 0.0
+
+
+FP_EDGE_TEXTS = [
+    None, "", "   ", "\t\n", "a", "hello world", "Hello   WORLD  ",
+    "\xa0nbsp\xa0padded\xa0", "mixé unicodé ÀÉİß text",
+    "tabs\tand\nnewlines\x0bmixed\x0cforms\r.",
+    "x" * 500, ("the quick brown fox " * 40).strip(),
+    "short7", "exactly11ch",  # around the kgram+window-1 = 11 boundary
+]
+
+
+def test_fingerprint_fast_twins_match_expr(spark):
+    """The Arrow twins must be bit-identical to the expression forms on
+    edge inputs: empty/blank text, unicode whitespace (Java regex \\s is
+    ASCII-only — Python re must not eat \\xa0), non-ASCII letters, and
+    lengths around the winnow minimum."""
+    from webloghunter_spark.functions.text import (
+        with_rolling_fingerprint,
+        with_rolling_fingerprint_fast,
+        with_winnowed_fingerprints,
+        with_winnowed_fingerprints_fast,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FP_EDGE_TEXTS)], "id long, text string"
+    )
+    slow = with_rolling_fingerprint(df, "text", out_col="fp")
+    fast = with_rolling_fingerprint_fast(df, "text", out_col="fp")
+    srows = {r.id: r.fp for r in slow.collect()}
+    frows = {r.id: r.fp for r in fast.collect()}
+    assert srows == frows
+
+    slow_w = with_winnowed_fingerprints(df, "text", out_col="w", kgram=8, window=4)
+    fast_w = with_winnowed_fingerprints_fast(df, "text", out_col="w", kgram=8, window=4)
+    swin = {r.id: list(r.w) for r in slow_w.collect()}
+    fwin = {r.id: list(r.w) for r in fast_w.collect()}
+    assert swin == fwin

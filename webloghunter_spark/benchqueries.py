@@ -1414,6 +1414,32 @@ SQL_WINNOW = f"""
 """
 
 
+def q_doc_fingerprint_fast(spark, sf_dir):
+    """Arrow twin of doc_fingerprint: identical Rabin-Karp values from
+    a vectorized pandas UDF (numpy dot-with-mod per row) instead of the
+    interpreted per-character HOF aggregate — the 100 TB path. Shares
+    doc_fingerprint's oracle; hash equality IS the twin-parity check."""
+    from webloghunter_spark.functions.text import with_rolling_fingerprint_fast
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    fp = with_rolling_fingerprint_fast(docs, "text", out_col="rh")
+    return fp.select("doc_id", "rh").filter(F.col("rh").isNotNull())
+
+
+def q_winnow_fingerprints_fast(spark, sf_dir):
+    """Arrow twin of winnow_fingerprints (k shifted multiply-adds +
+    strided sliding-min per row); shares the winnow oracle."""
+    from webloghunter_spark.functions.text import with_winnowed_fingerprints_fast
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    # persist: InferFiltersFromGenerate's size(winnow_fps) > 0 would
+    # otherwise be pushed below the projection and re-run the Arrow UDF
+    # a second time (one ArrowEvalPython for the filter, one for the
+    # project) — same barrier as the expr sibling.
+    fps = with_winnowed_fingerprints_fast(docs, "text", kgram=8, window=4).persist()
+    return fps.select("doc_id", F.explode("winnow_fps").alias("fp")).distinct()
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF approximate kNN: nearest-centroid assignment, probe top-2
     lists. Centroids are the lowest-id non-query vectors (ids 1..7) —
@@ -1921,6 +1947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "doc_fingerprint_fast": q_doc_fingerprint_fast,
+    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
     "knn_ivf": q_knn_ivf,
     "tool_focus": q_tool_focus,
     "uri_risk": q_uri_risk,
@@ -1972,6 +2000,8 @@ ORACLES: dict[str, str] = {
     "knn_lsh": SQL_KNN_LSH,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW,
+    "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
+    "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,
     "tool_focus": SQL_TOOL_FOCUS,
     "uri_risk": SQL_URI_RISK,

@@ -8,6 +8,7 @@ can replicate them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -222,6 +223,119 @@ def with_winnowed_fingerprints(
         .withColumn(out_col, mins)
         .drop("_wf_norm", "_wf_codes", "_wf_gh")
     )
+
+
+# --- Arrow-vectorized twins of the fingerprint transforms -------------------
+#
+# The expression forms above are oracle-portable but interpreted (per-
+# character higher-order aggregates); at 100 TB the per-char fold is
+# the scan bottleneck. These twins compute the IDENTICAL values (same
+# normalization, base, modulus — asserted by tests and by sharing the
+# SQL oracle in the query registry) inside Arrow-batched pandas UDFs:
+# per row the work is a handful of numpy vector ops over the char
+# codes, no Python per character.
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python re \s would
+# also eat unicode whitespace and diverge from the Spark expression.
+_PY_WS_RE = "[ \t\n\x0b\x0c\r]+"
+_PY_NONPRINT_RE = "[^\x20-\x7e]"
+
+_RH_POW_CACHE: "list" = [1]  # B^j mod M, grown on demand
+
+
+def _rh_powers(n: int):
+    """numpy int64 array of B^0..B^(n-1) mod M."""
+    import numpy as np
+
+    while len(_RH_POW_CACHE) < n:
+        _RH_POW_CACHE.append(_RH_POW_CACHE[-1] * RH_BASE % RH_MOD)
+    return np.asarray(_RH_POW_CACHE[:n], dtype=np.int64)
+
+
+def _norm_codes_py(s) -> "bytes | None":
+    """Python twin of _norm_ascii_expr: the normalized text's bytes
+    (all chars are printable ASCII after the final substitution, so
+    byte values == the char codes F.ascii yields)."""
+    import re
+
+    if s is None:
+        return None
+    s = re.sub(_PY_WS_RE, " ", s.strip(" ").lower())
+    s = re.sub(_PY_NONPRINT_RE, "", s)
+    return s.encode("ascii")
+
+
+def rolling_fp_udf():
+    """pandas_udf twin of with_rolling_fingerprint: h = fold of
+    (acc * B + c) mod M == sum(c_i * B^(n-1-i)) mod M, evaluated as one
+    vectorized dot-with-mod per row. None for empty normalized text."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(s):
+        b = _norm_codes_py(s)
+        if not b:
+            return None
+        codes = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        n = len(codes)
+        # terms < M * 127 ~ 1.27e17 each after the elementwise mod;
+        # chunk the sum so partial sums stay below 2^63
+        terms = codes * _rh_powers(n)[::-1] % RH_MOD
+        acc = 0
+        for i in range(0, n, 8192):
+            acc = (acc + int(terms[i : i + 8192].sum())) % RH_MOD
+        return acc
+
+    @pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        return texts.map(_one).astype("object")
+
+    return _fp
+
+
+def winnow_fps_udf(kgram: int = 8, window: int = 4):
+    """pandas_udf twin of with_winnowed_fingerprints: per row, k-gram
+    rolling hashes are k shifted vector multiply-adds, window minima a
+    strided sliding view — C speed throughout, identical values."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(s):
+        b = _norm_codes_py(s)
+        if b is None:
+            b = b""
+        codes = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        m = len(codes) - kgram + 1
+        if m < window:  # fewer than one full window of grams
+            return []
+        pw = _rh_powers(kgram)
+        g = np.zeros(m, dtype=np.int64)
+        # sum of kgram terms each < M*127 ~ 1.27e17: safe below 2^63
+        # for kgram <= ~72 without intermediate mods
+        for j in range(kgram):
+            g += codes[j : j + m] * int(pw[kgram - 1 - j])
+        g %= RH_MOD
+        mins = np.lib.stride_tricks.sliding_window_view(g, window).min(axis=1)
+        return np.unique(mins).tolist()
+
+    @pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return _fps
+
+
+def with_rolling_fingerprint_fast(df, col: str = "text", out_col: str = "rolling_fp"):
+    """Drop-in fast twin of with_rolling_fingerprint (Arrow path)."""
+    return df.withColumn(out_col, rolling_fp_udf()(F.col(col)))
+
+
+def with_winnowed_fingerprints_fast(
+    df, col: str = "text", out_col: str = "winnow_fps",
+    kgram: int = 8, window: int = 4,
+):
+    """Drop-in fast twin of with_winnowed_fingerprints (Arrow path)."""
+    return df.withColumn(out_col, winnow_fps_udf(kgram, window)(F.col(col)))
 
 
 def shingles_expr(col: Column | str, k: int = 3) -> Column:
