@@ -253,3 +253,43 @@ def test_stratified_sample_decorrelated_from_split(spark):
     assert by_split.get("eval", 0) > 0  # correlated salts would zero this
     total = sum(by_split.values())
     assert 0.1 < by_split.get("eval", 0) / total < 0.35
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain a-b, b-c, c-d must collapse into ONE component labeled
+    by the min id, even though a!~c directly (pointer jumping must
+    carry labels across multi-hop paths); disconnected nodes stay
+    their own rep."""
+    from webloghunter_spark.pipelines.dedup import connected_components
+    from webloghunter_spark.session import release_materialized
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  "doc_id long")
+    cc = {r.doc_id: r.comp for r in
+          connected_components(edges, nodes, id_col="doc_id").collect()}
+    release_materialized()
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_near_dedup_cc_vs_near_dedup(spark):
+    """CC semantics are transitive: B~A and C~B cluster A,B,C together
+    under rep=min even when near_dedup's direct rule would keep C."""
+    from webloghunter_spark.pipelines.dedup import near_dedup_cc
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base + " extra more"),
+        (4, "completely different text about spark catalyst optimizer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.rep for r in
+           near_dedup_cc(df, threshold=0.5, num_hashes=8, band_size=2).collect()}
+    from webloghunter_spark.session import release_materialized
+    release_materialized()
+    assert out[1] == 1 and out[2] == 1 and out[4] == 4
+    assert out[3] in (1, 3) and out[2] == 1

@@ -1841,6 +1841,38 @@ SQL_NEAR_DEDUP = f"""
 """
 
 
+def q_near_dedup_cc(spark, sf_dir):
+    """Cluster-representative near-dedup: connected components (edge
+    relaxation + pointer jumping, O(log diameter) rounds) over the
+    >=0.8-Jaccard LSH-candidate graph; every doc labeled with the min
+    doc_id of its component. Transitive, unlike near_dedup's
+    direct-neighbor drop rule."""
+    from webloghunter_spark.pipelines.dedup import near_dedup_cc
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    out = near_dedup_cc(docs, threshold=0.8, num_hashes=4, band_size=2)
+    return out.select("doc_id", "rep")
+
+
+# Min reachable id per node: reach(id, r) = "r is reachable from id",
+# grown breadth-first (UNION dedupes, so it terminates); rep = min(r).
+SQL_NEAR_DEDUP_CC = f"""
+    WITH RECURSIVE jacc AS ({SQL_JACCARD_PAIRS}),
+    e2 AS (
+        SELECT id_a AS src, id_b AS dst FROM jacc WHERE jaccard >= 0.8
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM jacc WHERE jaccard >= 0.8
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT reach.id, e2.dst AS r
+        FROM reach JOIN e2 ON e2.src = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling of documents by source:
     one stratum cut to 20%, another to 50%, the rest kept — pure
@@ -1963,6 +1995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
+    "near_dedup_cc": q_near_dedup_cc,
     "stratified_sample": q_stratified_sample,
 }
 
@@ -2016,5 +2049,6 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "pii_redact": SQL_PII_REDACT,
     "near_dedup": SQL_NEAR_DEDUP,
+    "near_dedup_cc": SQL_NEAR_DEDUP_CC,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

@@ -281,3 +281,127 @@ def near_dedup(
     )
     drop = sims.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list
+    (`id_a`, `id_b`): returns (id_col, comp) with comp = the smallest
+    id reachable from the node (singletons map to themselves).
+
+    Each round does (1) edge relaxation — a node's label drops to the
+    min of its neighbors' labels — and (2) pointer jumping — a node's
+    label drops to its label's label. Relaxation alone needs
+    O(diameter) rounds; with jumping, label trees halve in depth each
+    round, so convergence is O(log diameter) — the standard large-scale
+    CC recipe (cf. Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14). Near-dup clusters are almost always
+    shallow, so typical runs converge in 2-3 rounds.
+
+    Per round: two joins + one min-aggregate (3 shuffles on the id
+    key) and one convergence action. Each round's label frame is
+    persisted and the previous round's released, so lineage (and
+    recomputation cost) stays O(1) in the round count. The returned
+    frame is registered with the materialize() lifecycle — call
+    release_materialized() after the consuming action.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = materialize(sym)
+
+    cc = materialize(
+        nodes.select(F.col(id_col).alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # (1) edge relaxation: min over own + neighbors' labels
+        nbr = (
+            sym.join(cc, sym.dst == cc.id)
+            .select(sym.src.alias("id"), F.col("comp"))
+        )
+        relaxed = (
+            cc.select("id", "comp").unionByName(nbr)
+            .groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # (2) pointer jumping: comp <- comp's comp (labels are node ids,
+        # so the label's own label is a valid, never-larger label)
+        parent = cc.select(
+            F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            relaxed.join(parent, relaxed.comp == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new_cc = jumped.persist()
+        changed = (
+            new_cc.alias("n")
+            .join(cc.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        cc.unpersist()
+        # re-register the surviving frame with the lifecycle registry
+        _MATERIALIZED_SWAP(cc, new_cc)
+        cc = new_cc
+        if changed == 0:
+            break
+    return cc.select(F.col("id").alias(id_col), "comp")
+
+
+def _MATERIALIZED_SWAP(old: DataFrame, new: DataFrame) -> None:
+    """Replace `old` with `new` in the materialize() registry (loop
+    rounds persist/unpersist eagerly; only the live frame should stay
+    registered)."""
+    from webloghunter_spark.session import _MATERIALIZED
+
+    try:
+        _MATERIALIZED.remove(old)
+    except ValueError:
+        pass
+    _MATERIALIZED.append(new)
+
+
+def near_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cluster-representative near-dedup — the variant `near_dedup`'s
+    docstring defers: build the >=threshold similarity graph on LSH
+    candidates, run connected components, and label every document
+    with its cluster representative (`rep` = min doc id in the
+    component; singletons are their own rep).
+
+    Unlike near_dedup's direct-neighbor rule this IS transitive: A~B
+    and B~C put A, C in one cluster even if A!~C. Keep one row per rep
+    (`WHERE id == rep`) for the deduped corpus, or aggregate per rep
+    for cluster stats."""
+    pairs = lsh_candidate_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k,
+    )
+    sims = ngram_jaccard_pairs(
+        df, pairs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    cc = connected_components(
+        sims.select("id_a", "id_b"), df.select(id_col), id_col=id_col
+    )
+    return df.join(cc, on=id_col, how="left").withColumn(
+        "rep", F.coalesce(F.col("comp"), F.col(id_col))
+    ).drop("comp")
