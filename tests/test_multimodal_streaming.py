@@ -32,11 +32,111 @@ def test_decode_media_deterministic(spark):
     assert all(64 <= w <= 255 and 1 <= c <= 3 for (w, h, c) in a.values())
 
 
-def test_real_codecs_stubbed(spark):
+def _png_bytes(w=3, h=2, color_type=2):
+    """Minimal valid PNG built with stdlib only (real IHDR + IDAT)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x80" * (w * nch) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _wav_bytes(rate=8000, nch=2, nframes=400):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * nch * nframes)
+    return buf.getvalue()
+
+
+def test_sniff_dimensions_stdlib():
+    """Header sniffer reads REAL dimensions from PNG/GIF/BMP/JPEG."""
+    import struct
+
+    from webloghunter_spark.functions.multimodal import sniff_dimensions
+
+    assert sniff_dimensions(_png_bytes(3, 2, 2)) == (3, 2, 3)
+    assert sniff_dimensions(_png_bytes(7, 5, 6)) == (7, 5, 4)
+    gif = b"GIF89a" + struct.pack("<HH", 11, 9) + b"\x00" * 20
+    assert sniff_dimensions(gif) == (11, 9, 3)
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 6, -4)
+           + b"\x01\x00" + struct.pack("<H", 24) + b"\x00" * 10)
+    assert sniff_dimensions(bmp) == (6, 4, 3)
+    # JPEG: SOI, APP0 (len 4), SOF0 with h=5, w=8, 3 components
+    jpg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00"
+           + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 5, 8) + b"\x03"
+           + b"\x00" * 10)
+    assert sniff_dimensions(jpg) == (8, 5, 3)
+    assert sniff_dimensions(b"not an image") is None
+    assert sniff_dimensions(b"") is None
+
+
+def test_decode_media_real_without_pil(spark):
+    """use_real_codecs=True works WITHOUT PIL via the stdlib sniffer:
+    real dims for known formats, NULLs for junk payloads."""
+    rows = [(0, _png_bytes(3, 2, 2)), (1, _png_bytes(7, 5, 6)), (2, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: (r.width, r.height, r.channels)
+           for r in decode_media(df, use_real_codecs=True).collect()}
+    assert out[0] == (3, 2, 3)
+    assert out[1] == (7, 5, 4)
+    assert out[2] == (None, None, None)
+
+
+def test_decode_media_real_with_pil(spark):
+    """Full PIL decode path (skips when pillow is not installed)."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        decode_media(_media(spark), use_real_codecs=True)
+    pytest.importorskip("PIL")
+    rows = [(0, _png_bytes(3, 2, 2)), (1, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: (r.width, r.height, r.channels)
+           for r in decode_media(df, use_real_codecs=True).collect()}
+    assert out[0] == (3, 2, 3)
+    assert out[1] == (None, None, None)
+
+    from webloghunter_spark.functions.multimodal import resize_media, sniff_dimensions
+    resized = resize_media(df.filter("media_id = 0"), 8, 4,
+                           use_real_codecs=True).collect()
+    assert sniff_dimensions(bytes(resized[0].payload))[:2] == (8, 4)
+
+
+def test_resize_media_real_requires_pil(spark):
+    """Without PIL the real resize path raises the documented guard."""
+    import pytest
+
+    from webloghunter_spark.functions import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("PIL installed; guard not reachable")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_media(_media(spark), 8, 4, use_real_codecs=True)
+
+
+def test_decode_audio_real_wav(spark):
+    """decode_audio reads REAL WAV metadata with the stdlib wave module."""
+    from webloghunter_spark.functions.multimodal import decode_audio
+
+    rows = [(0, _wav_bytes(8000, 2, 400)), (1, _wav_bytes(16000, 1, 1600)),
+            (2, b"not audio")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: (r.sample_rate, r.n_channels, r.n_frames, r.duration_ms)
+           for r in decode_audio(df).collect()}
+    assert out[0] == (8000, 2, 400, 50)
+    assert out[1] == (16000, 1, 1600, 100)
+    assert out[2] == (None, None, None, None)
 
 
 def test_media_embedding_shape(spark):

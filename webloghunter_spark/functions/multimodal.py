@@ -2,12 +2,18 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes, fan-out — is real and tested. The actual media decoding is
-STUBBED: the container has no image/audio libraries, so `_decode_stub`
-derives deterministic fake dimensions/features from the payload bytes.
-Swap `_decode_stub` for a PIL/libav call in a real deployment; the
-decode call sites are marked with `NotImplementedError` guards behind
-`use_real_codecs=True`.
+shapes, fan-out — is real and tested. Decoding has three tiers:
+
+1. `use_real_codecs=False` (default): `_decode_stub` derives
+   deterministic fake dimensions from the payload hash — the
+   benchmarkable, dependency-free path.
+2. `use_real_codecs=True`, PIL absent: a pure-stdlib header sniffer
+   reads REAL width/height/channels from PNG/GIF/BMP/JPEG payloads
+   (undecodable payloads yield NULL dims). Audio WAVs decode with the
+   stdlib `wave` module via `decode_audio` — also real.
+3. `use_real_codecs=True`, PIL importable: full PIL decode (any
+   format PIL knows, plus real `resize_media`). The import is
+   guarded; nothing here requires PIL at import time.
 
 Design for 100 TB of media:
 - payloads stay in `binary` columns (parquet keeps them out of
@@ -22,14 +28,76 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # optional dependency: full image decode/resize
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
+
 MEDIA_META_SCHEMA = "mime string, n_bytes long, sha1 string"
 DECODED_SCHEMA = "width int, height int, channels int"
+
+# PNG color type -> sample channels
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_dimensions(b: bytes) -> tuple[int, int, int] | None:
+    """REAL (stdlib-only) image header parse: (width, height, channels)
+    for PNG / GIF / BMP / JPEG payloads, None if unrecognized or
+    malformed. This is a header read, not a pixel decode — exactly
+    what a metadata-extraction pass over 100 TB of media wants."""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return int(w), int(h), _PNG_CHANNELS.get(b[25], 3)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return int(w), int(h), 3
+        if b[:2] == b"BM" and len(b) >= 30:
+            w, h = struct.unpack("<ii", b[18:26])
+            bits = struct.unpack("<H", b[28:30])[0]
+            return int(w), abs(int(h)), max(bits // 8, 1)
+        if b[:2] == b"\xff\xd8":  # JPEG: scan segments for SOF0/1/2
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    return None
+                marker = b[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return int(w), int(h), int(b[i + 9])
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                i += 2 + seglen
+    except Exception:
+        return None
+    return None
+
+
+def _decode_real(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """PIL decode when available, stdlib header sniff otherwise;
+    (None, None, None) for undecodable payloads."""
+    if HAS_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(b)) as im:
+                return int(im.width), int(im.height), len(im.getbands())
+        except Exception:
+            pass  # fall through to the sniffer (e.g. truncated file)
+    dims = sniff_dimensions(b)
+    return dims if dims is not None else (None, None, None)
 
 
 def with_media_metadata(
@@ -57,23 +125,64 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int]:
 def decode_media(
     df: DataFrame, payload_col: str = "payload", use_real_codecs: bool = False
 ) -> DataFrame:
-    """Add (width, height, channels) per media row via mapInPandas."""
-    if use_real_codecs:
-        raise NotImplementedError(
-            "real image/audio codecs are not available in this environment; "
-            "wire PIL/torchaudio into _decode_stub and pass use_real_codecs"
-        )
+    """Add (width, height, channels) per media row via mapInPandas.
+
+    use_real_codecs=True decodes REAL dimensions: full PIL decode when
+    PIL is importable, else the stdlib header sniffer (PNG/GIF/BMP/
+    JPEG); unrecognized payloads get NULL dims. False keeps the
+    deterministic hash-derived stub (benchmarking without fixtures)."""
+    decode = _decode_real if use_real_codecs else (
+        lambda b: _decode_stub(b)
+    )
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {DECODED_SCHEMA}"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf[payload_col].map(lambda b: _decode_stub(bytes(b)))
+            dims = pdf[payload_col].map(lambda b: decode(bytes(b)))
             pdf = pdf.copy()
-            pdf["width"] = dims.map(lambda d: d[0]).astype("int32")
-            pdf["height"] = dims.map(lambda d: d[1]).astype("int32")
-            pdf["channels"] = dims.map(lambda d: d[2]).astype("int32")
+            # Int32 (capital-I): nullable — real decode yields None for
+            # undecodable payloads
+            pdf["width"] = dims.map(lambda d: d[0]).astype("Int32")
+            pdf["height"] = dims.map(lambda d: d[1]).astype("Int32")
+            pdf["channels"] = dims.map(lambda d: d[2]).astype("Int32")
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+AUDIO_SCHEMA = "sample_rate int, n_channels int, n_frames long, duration_ms long"
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio metadata decode for WAV payloads via the stdlib
+    `wave` module (no optional deps): sample_rate, n_channels,
+    n_frames, duration_ms; NULLs for non-WAV/corrupt payloads. Same
+    Arrow-batched shape as decode_media."""
+    import io
+    import wave
+
+    def _one(b: bytes):
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                rate, nch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
+                return rate, nch, nf, int(nf * 1000 / rate) if rate else None
+        except Exception:
+            return None, None, None, None
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {AUDIO_SCHEMA}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf[payload_col].map(lambda b: _one(bytes(b)))
+            pdf = pdf.copy()
+            pdf["sample_rate"] = meta.map(lambda m: m[0]).astype("Int32")
+            pdf["n_channels"] = meta.map(lambda m: m[1]).astype("Int32")
+            pdf["n_frames"] = meta.map(lambda m: m[2]).astype("Int64")
+            pdf["duration_ms"] = meta.map(lambda m: m[3]).astype("Int64")
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
@@ -103,16 +212,18 @@ def resize_media(
 ) -> DataFrame:
     """Resize each media payload to (target_w, target_h) via mapInPandas.
 
-    The decode/scale/encode is STUBBED (deterministic: truncate/tile the
-    payload bytes to w*h); REAL implementation is
-    PIL.Image.open(...).resize((w, h)).save(...). The Spark plumbing —
-    binary-in/binary-out schema, metadata update, Arrow batching — is
-    the real 100 TB shape: one Python round-trip per batch, payloads
-    never leave the executor as rows."""
-    if use_real_codecs:
+    use_real_codecs=True requires PIL (import-guarded): decode, LANCZOS
+    resize, re-encode as PNG; payloads PIL cannot decode pass through
+    as NULL. Without PIL it raises NotImplementedError. The default
+    stub truncates/tiles the payload bytes to w*h — keeps the Spark
+    plumbing (binary-in/binary-out schema, metadata update, Arrow
+    batching) exercised with no image fixtures. Either way this is the
+    real 100 TB shape: one Python round-trip per batch, payloads never
+    leave the executor as rows."""
+    if use_real_codecs and not HAS_PIL:
         raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "wire PIL into the batch fn and pass use_real_codecs"
+            "resize_media(use_real_codecs=True) requires PIL, which is not "
+            "importable in this environment; install pillow or use the stub"
         )
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -122,17 +233,30 @@ def resize_media(
     n_out = max(target_w * target_h, 1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in it:
             pdf = pdf.copy()
 
-            def scale(b) -> bytes:
+            def scale_stub(b) -> bytes:
                 raw = bytes(b)
                 if not raw:
                     raw = b"\x00"
                 reps = (n_out + len(raw) - 1) // len(raw)
                 return (raw * reps)[:n_out]
 
-            pdf[payload_col] = pdf[payload_col].map(scale)
+            def scale_real(b):
+                try:
+                    with _PILImage.open(io.BytesIO(bytes(b))) as im:
+                        out = io.BytesIO()
+                        im.resize((target_w, target_h)).save(out, format="PNG")
+                        return out.getvalue()
+                except Exception:
+                    return None
+
+            pdf[payload_col] = pdf[payload_col].map(
+                scale_real if use_real_codecs else scale_stub
+            )
             pdf["width"] = target_w
             pdf["height"] = target_h
             yield pdf
