@@ -187,3 +187,66 @@ def test_cli_errors_log_sink(spark, tmp_path, capsys):
     content = errfile.read_text()
     assert "Failed to parse: complete garbage line" in content
     assert content.startswith("AccessLogDataFrameError - ")
+
+
+def test_stage_errors_land_in_errors_log(spark, tmp_path):
+    """EngineStageError logs itself on the configured channel: both the
+    timestamp-validation probe and sigma rule compilation write the
+    reference's errors.log record format (dataframe.py:12-16 /
+    risk.py:16-20 self-logging exception parity)."""
+    import pytest
+
+    from webloghunter_spark.errors import (
+        EngineStageError,
+        configure_stage_errors,
+        reset_stage_errors,
+    )
+    from webloghunter_spark.operators.timeutil import with_utc_timestamp
+    from webloghunter_spark.rules.sigma import compile_predicate
+
+    errfile = tmp_path / "stage_errors.log"
+    configure_stage_errors(str(errfile))
+    try:
+        df = spark.createDataFrame([("not a timestamp",)], "timestamp string")
+        with pytest.raises(EngineStageError):
+            with_utc_timestamp(df, fail_on_unparsed=True)
+        with pytest.raises(ValueError):  # subclass: old catches still work
+            compile_predicate("status|bogusop", 1)
+    finally:
+        reset_stage_errors()
+    content = errfile.read_text()
+    assert "unparseable timestamps" in content
+    assert "Unsupported sigma operator: bogusop" in content
+    assert content.startswith("AccessLogDataFrameError - ")
+    assert " - ERROR - " in content
+
+
+def test_cli_errors_log_captures_rule_compile_error(spark, tmp_path):
+    """--errors-log wires the stage channel: a bad rules file fails the
+    run AND leaves a record in errors.log."""
+    import pytest
+
+    from webloghunter_spark.cli import main
+    from webloghunter_spark.errors import reset_stage_errors
+
+    log = tmp_path / "a.log"
+    log.write_text(
+        '1.1.1.1 - - [01/Jan/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "UA"\n'
+    )
+    rules = tmp_path / "rules.yml"
+    rules.write_text(
+        "- title: Bad\n"
+        "  tags:\n"
+        "    - risk_score: 10\n"
+        "  detection:\n"
+        "    selection:\n"
+        "      status|nosuchop: 1\n"
+    )
+    errfile = tmp_path / "errors.log"
+    try:
+        with pytest.raises(ValueError):
+            main([str(log), "--no-color", "--rules", str(rules),
+                  "--errors-log", str(errfile)])
+    finally:
+        reset_stage_errors()
+    assert "Unsupported sigma operator: nosuchop" in errfile.read_text()

@@ -90,6 +90,14 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("no input paths (positional or --path)")
     if args.output == "standard":  # reference name for the table output
         args.output = "table"
+    if args.errors_log:
+        # Stage errors (rule compile failures, timestamp validation, …)
+        # log themselves to the same errors.log the parse-failure sink
+        # appends to — reference parity: every handler error goes
+        # through the self-logging exception classes (parser.py:37-55).
+        from webloghunter_spark.errors import configure_stage_errors
+
+        configure_stage_errors(args.errors_log)
     base_kwargs = dict(
         session_gap_seconds=args.cluster_threshold,
         cluster_off=args.cluster_off,

@@ -42,5 +42,12 @@ def with_utc_timestamp(
     if fail_on_unparsed:
         bad = out.filter(F.col(out_col).isNull() & ts.isNotNull()).limit(5).collect()
         if bad:
-            raise ValueError(f"unparseable timestamps, e.g.: {[r[ts_col] for r in bad]}")
+            from webloghunter_spark.errors import EngineStageError
+
+            # EngineStageError logs itself to the errors.log channel
+            # (reference: unparseable timestamps raise through the
+            # self-logging AccessLogDataFrameError, dataframe.py:12-16)
+            raise EngineStageError(
+                f"unparseable timestamps, e.g.: {[r[ts_col] for r in bad]}"
+            )
     return out

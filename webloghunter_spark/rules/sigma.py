@@ -37,6 +37,7 @@ import yaml
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from webloghunter_spark.errors import EngineStageError
 from webloghunter_spark.functions.cidr import ip_in_cidr
 
 BARE_LIST_FIELDS = ("status", "method", "user_agent")
@@ -55,7 +56,7 @@ def _numeric(cond: Any, field: str) -> float:
     try:
         return float(cond)
     except (TypeError, ValueError):
-        raise ValueError(f"Invalid condition value for {field}: {cond}")
+        raise EngineStageError(f"Invalid condition value for {field}: {cond}")
 
 
 def compile_predicate(field: str, condition: Any) -> Column:
@@ -83,7 +84,9 @@ def compile_predicate(field: str, condition: Any) -> Column:
             return col.rlike(f"(?i){condition}")
         if op == "contains|all":
             if not isinstance(condition, list):
-                raise ValueError(f"contains|all condition must be a list: {condition}")
+                raise EngineStageError(
+                    f"contains|all condition must be a list: {condition}"
+                )
             out = F.lit(True)
             for v in condition:
                 out = out & _ci_contains(col, v)
@@ -96,7 +99,7 @@ def compile_predicate(field: str, condition: Any) -> Column:
             if isinstance(condition, str):
                 condition = [condition]
             elif not isinstance(condition, list):
-                raise ValueError(f"Invalid CIDR condition value: {condition}")
+                raise EngineStageError(f"Invalid CIDR condition value: {condition}")
             # Validate: all-invalid list means no row can match.
             valid = []
             for item in condition:
@@ -108,7 +111,7 @@ def compile_predicate(field: str, condition: Any) -> Column:
             if not valid:
                 return F.lit(False)
             return ip_in_cidr(name, valid)
-        raise ValueError(f"Unsupported sigma operator: {op}")
+        raise EngineStageError(f"Unsupported sigma operator: {op}")
     if field in BARE_LIST_FIELDS:
         return F.col(field).isin(condition)
     # Unknown bare field: reference silently ignores it (no-op True).
