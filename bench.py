@@ -5,9 +5,15 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[...] parallelism (default all cores)
   WLH_BENCH_QUERIES   comma-separated subset (default: all)
+  WLH_BENCH_REPEATS   runs per query; reported value = MEDIAN (default 3)
 
-Each query is materialized with the no-op writer (full computation,
-no driver-side collection cost)."""
+Each query is materialized with the no-op writer (full computation, no
+driver-side collection cost). Per-query numbers are medians of
+WLH_BENCH_REPEATS runs: this box shows large contention/JIT swings
+(the same single-task query has measured anywhere from 1.6 to 14 s
+across runs), so single-run deltas are attribution noise — medians
+make plan regressions visible. The per-run grid is emitted under
+"runs" for dispersion checks."""
 
 from __future__ import annotations
 
@@ -46,18 +52,29 @@ def main() -> int:
         _warm(_F.col("id").cast("string"))
     ).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Queries that persist() intermediates must not leak cache (or
-        # cross-query speedups) into the next measurement; drain the
-        # materialize() registry first so it doesn't grow unbounded.
-        release_materialized()
-        spark.catalog.clearCache()
+    repeats = max(int(os.environ.get("WLH_BENCH_REPEATS", "3")), 1)
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    # round-robin over queries (A B C, A B C, ...) rather than
+    # back-to-back repeats, so one run's JIT/page-cache warmth doesn't
+    # make its own repeat artificially fast
+    for _ in range(repeats):
+        for name in names:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs[name].append(round(time.perf_counter() - t0, 3))
+            # Queries that persist() intermediates must not leak cache
+            # (or cross-query speedups) into the next measurement; drain
+            # the materialize() registry first so it doesn't grow.
+            release_materialized()
+            spark.catalog.clearCache()
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(v), 3) for name, v in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -67,6 +84,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "runs": runs,
             }
         )
     )

@@ -293,3 +293,83 @@ def test_near_dedup_cc_vs_near_dedup(spark):
     release_materialized()
     assert out[1] == 1 and out[2] == 1 and out[4] == 4
     assert out[3] in (1, 3) and out[2] == 1
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """write_ivf_index lays vectors out one directory per inverted
+    list; the probe's cent_id filter must show up as a PartitionFilter
+    (unprobed lists never opened) and return the same rows as the
+    join-based IVF probe."""
+    import random
+
+    from webloghunter_spark.functions.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, n_centroids=4)
+
+    q = rows[10][1]
+    got = cosine_topk_ivf_index(spark, path, q, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cent_id" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    expected = cosine_topk_ivf(df, q, k=5, n_centroids=4, n_probe=2)
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == \
+           [(r.vec_id, r.cosine) for r in expected.collect()]
+
+
+def test_cms_counts_batch_one_sided(spark):
+    """CMS estimates are >= true counts, exact for a small vocab vs a
+    1024-wide sketch (collision-free with overwhelming probability)."""
+    from webloghunter_spark.streaming.vocab import cms_counts, cms_estimate
+
+    docs = [("the cat and the dog",), ("a CAT sat",), ("the end",), ("",)]
+    df = spark.createDataFrame(docs, "text string")
+    sketch = cms_counts(df, "text")
+    assert sketch.count() <= 4 * 1024
+    est = {r.token: r.est for r in
+           cms_estimate(sketch, ["the", "cat", "dog", "missing"]).collect()}
+    assert est["the"] == 3 and est["cat"] == 2 and est["dog"] == 1
+    assert est["missing"] == 0
+
+
+def test_cms_vocab_stream_matches_batch(spark, tmp_path):
+    """Streaming CMS (complete mode, bounded depth*width state) yields
+    the same estimates as the batch sketch over the same data."""
+    from webloghunter_spark.streaming.vocab import (
+        cms_counts,
+        cms_estimate,
+        cms_vocab_stream,
+    )
+
+    docs = [("spark spark streaming",), ("spark rocks",), ("streaming state",)]
+    batch = spark.createDataFrame(docs, "text string")
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        cms_vocab_stream(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("cms_sketch")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sketch = spark.table("cms_sketch")
+    est = {r.token: r.est for r in
+           cms_estimate(sketch, ["spark", "streaming", "state", "nope"]).collect()}
+    assert est == {"spark": 3, "streaming": 2, "state": 1, "nope": 0}
+    # parity with the batch sketch
+    best = {r.token: r.est for r in
+            cms_estimate(cms_counts(batch), ["spark", "streaming"]).collect()}
+    assert best == {"spark": 3, "streaming": 2}

@@ -76,9 +76,22 @@ def _fan(df: DataFrame) -> DataFrame:
     real multi-file/multi-row-group table) pass through untouched — an
     unconditional full-table round-robin exchange would be a
     scale-killer at 100 TB. This is bench-harness plumbing, not part of
-    any library operator path."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(target, 8):
+    any library operator path.
+
+    The split estimate uses LOGICAL plan statistics (sizeInBytes /
+    maxPartitionBytes) — milliseconds, no physical planning. The old
+    df.rdd.getNumPartitions() probe materialized the physical plan
+    (+AQE prep) once per bench query just to read a partition count."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+        max_pb = int(raw.rstrip("b")) if raw.rstrip("b").isdigit() else 128 << 20
+    except Exception:
+        size, max_pb = 0, 128 << 20
+    est_splits = max(size // max_pb, 1)
+    if est_splits >= min(target, 8):
         return df
     return df.repartition(target)
 

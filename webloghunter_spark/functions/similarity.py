@@ -256,6 +256,72 @@ def cosine_topk_ivf(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index on disk: vectors written PARTITIONED BY
+    their nearest-centroid id (one directory per inverted list), with
+    the centroid table as a sidecar. A probe then reads only the
+    probed lists' directories — partition pruning does the list
+    selection before any I/O, which is the physical layout a 100 TB
+    ANN corpus needs (`cosine_topk_ivf`'s join-based probe still scans
+    the full vector table to compute assignments).
+
+    Layout: <path>/vectors/cent_id=<c>/...parquet, <path>/centroids/.
+    """
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
+        )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    df.join(assigned, on=id_col).write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(f"{path}/vectors")
+
+
+def cosine_topk_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k over a `write_ivf_index` store: pick the n_probe nearest
+    centroids driver-side (centroid table is a few KB), then scan ONLY
+    those lists — the cent_id filter is a PartitionFilter, so unprobed
+    lists are never opened."""
+    cents = {
+        r["cent_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return dot / (na * nb)
+
+    probes = sorted(cents, key=lambda c: (-cos(query_vec, cents[c]), c))[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cent_id").isin([int(p) for p in probes])
+    )
+    scored = vecs.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def _bucket_py(vec: list[float], num_planes: int, dim: int) -> int:
     """Driver-side twin of `hyperplane_bucket_expr` for a known vector —
     same coefficients, so the bucket id matches without launching a

@@ -1,0 +1,99 @@
+"""Streaming vocabulary counting via a count-min sketch.
+
+`vocab_topk` (functions/text.py) is a batch heavy-hitters aggregate;
+its naive streaming twin — groupBy(token).count() in update mode —
+keeps one state row PER DISTINCT TOKEN, which over an unbounded stream
+is unbounded state. The count-min sketch (Cormode & Muthukrishnan,
+2005) bounds state at depth x width counters total, for a one-sided
+error: estimate(token) >= true_count, and with width w the
+overestimate is <= stream_length * e / w with probability
+1 - e^-depth.
+
+The sketch is expressed as a NATIVE streaming aggregation, not custom
+state: each token occurrence emits `depth` (row, pos) cells —
+pos = xxhash64(row, token) mod width — and the query is
+groupBy(row, pos).count(). State is capped at depth*width rows
+regardless of vocabulary size, the aggregate is map-side combinable,
+and the same expressions run identically on a batch frame
+(`cms_counts` works on either).
+
+Point estimates read the sketch with the same hash family:
+estimate(token) = min over rows of count[row][pos_row(token)].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import tokens_expr
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cells(token_col, depth: int, width: int):
+    """array<struct<row,pos>> — the sketch cells one token increments."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(F.xxhash64(F.lit(r), token_col), F.lit(width)).alias("pos"),
+        )
+        for r in range(depth)
+    ])
+
+
+def cms_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, pos, n) sketch cells from a batch OR streaming frame.
+
+    Streaming: aggregate in update/complete output mode — state is at
+    most depth*width rows, independent of vocabulary size."""
+    toks = df.select(
+        F.explode(tokens_expr(text_col)).alias("_tok")
+    ).select(F.lower("_tok").alias("_tok"))
+    cells = toks.select(
+        F.explode(_cms_cells(F.col("_tok"), depth, width)).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.pos").alias("pos")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_vocab_stream(
+    events: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Streaming twin of vocab_topk's counting stage: run with
+    .writeStream.outputMode("complete"|"update"). Returns the sketch
+    cell aggregate (bounded state)."""
+    return cms_counts(events, text_col=text_col, depth=depth, width=width)
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    tokens: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for `tokens` from a materialized sketch:
+    (token, est) with est = min over sketch rows (missing cell = 0).
+    One broadcast join of a |tokens| x depth probe table against the
+    depth*width-row sketch."""
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame(
+        [(t.lower(),) for t in tokens], "token string"
+    ).select(
+        "token",
+        F.explode(_cms_cells(F.col("token"), depth, width)).alias("c"),
+    ).select("token", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    joined = probe.join(F.broadcast(sketch), on=["row", "pos"], how="left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")
+    )
