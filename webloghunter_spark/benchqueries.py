@@ -1435,7 +1435,10 @@ def q_doc_fingerprint_fast(spark, sf_dir):
     from webloghunter_spark.functions.text import with_rolling_fingerprint_fast
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    fp = with_rolling_fingerprint_fast(docs, "text", out_col="rh")
+    # persist: the isNotNull filter would otherwise push below the
+    # projection and evaluate the Arrow UDF twice (same barrier as the
+    # expr sibling / the winnow twin).
+    fp = with_rolling_fingerprint_fast(docs, "text", out_col="rh").persist()
     return fp.select("doc_id", "rh").filter(F.col("rh").isNotNull())
 
 

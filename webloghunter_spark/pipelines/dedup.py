@@ -319,14 +319,18 @@ def connected_components(
         .withColumn("comp", F.col("id"))
     )
     for _ in range(max_iterations):
-        # (1) edge relaxation: min over own + neighbors' labels
-        nbr = (
-            sym.join(cc, sym.dst == cc.id)
-            .select(sym.src.alias("id"), F.col("comp"))
+        # (1) edge relaxation: min over own + neighbors' labels. The
+        # node's previous label rides along (as _prev, via min of an
+        # identical pair) so convergence is a filter on the SAME frame,
+        # not an extra id-keyed join per round.
+        nbr = sym.join(cc, sym.dst == cc.id).select(
+            sym.src.alias("id"), F.col("comp"), F.lit(None).cast("long").alias("_prev")
         )
         relaxed = (
-            cc.select("id", "comp").unionByName(nbr)
-            .groupBy("id").agg(F.min("comp").alias("comp"))
+            cc.select("id", "comp", F.col("comp").alias("_prev"))
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"), F.min("_prev").alias("_prev"))
         )
         # (2) pointer jumping: comp <- comp's comp (labels are node ids,
         # so the label's own label is a valid, never-larger label)
@@ -340,16 +344,11 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
                 ).alias("comp"),
+                "_prev",
             )
         )
         new_cc = jumped.persist()
-        changed = (
-            new_cc.alias("n")
-            .join(cc.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        changed = new_cc.filter(F.col("comp") != F.col("_prev")).limit(1).count()
         cc.unpersist()
         # re-register the surviving frame with the lifecycle registry
         _MATERIALIZED_SWAP(cc, new_cc)
