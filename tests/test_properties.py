@@ -261,3 +261,42 @@ def test_fingerprint_fast_twins_match_expr(spark):
     swin = {r.id: list(r.w) for r in slow_w.collect()}
     fwin = {r.id: list(r.w) for r in fast_w.collect()}
     assert swin == fwin
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0, max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed CC (relaxation + pointer jumping) agrees with a
+    driver-side union-find on random graphs, including self-loops,
+    duplicate edges, and isolated nodes."""
+    from webloghunter_spark.pipelines.dedup import connected_components
+    from webloghunter_spark.session import release_materialized
+
+    nodes = list(range(25))
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in nodes}
+
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    ndf = spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+    got = {r.doc_id: r.comp for r in
+           connected_components(edf, ndf, id_col="doc_id").collect()}
+    release_materialized()
+    assert got == expected

@@ -1916,6 +1916,45 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus size/length profile — the summary a training
+    pipeline reads before choosing sampling weights: doc count, exact
+    token-length percentiles (p50/p90/p99, linear interpolation), mean
+    length. Exact `percentile` is a per-group sort — fine per source
+    group; at 100 TB swap `approx_percentile` (t-digest-style sketch,
+    map-side combinable) for the same plan without the sort."""
+    from webloghunter_spark.functions.text import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", token_count_expr("text").alias("ntok"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(ntok, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(ntok, 0.9)"), 4).alias("p90_tokens"),
+            F.round(F.expr("percentile(ntok, 0.99)"), 4).alias("p99_tokens"),
+            F.round(F.avg("ntok"), 4).alias("mean_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = r"""
+    WITH t AS (
+        SELECT source, len(CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END)::BIGINT AS ntok
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(quantile_cont(ntok, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(ntok, 0.9), 4) AS p90_tokens,
+           round(quantile_cont(ntok, 0.99), 4) AS p99_tokens,
+           round(avg(ntok), 4) AS mean_tokens
+    FROM t GROUP BY source
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing for training data: seed each document with
     deterministic synthetic PII (the corpus itself is clean), then
@@ -2009,6 +2048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
+    "corpus_stats": q_corpus_stats,
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
     "near_dedup_cc": q_near_dedup_cc,
@@ -2063,6 +2103,7 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "corpus_stats": SQL_CORPUS_STATS,
     "pii_redact": SQL_PII_REDACT,
     "near_dedup": SQL_NEAR_DEDUP,
     "near_dedup_cc": SQL_NEAR_DEDUP_CC,
