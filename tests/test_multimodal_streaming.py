@@ -308,3 +308,35 @@ def test_tool_stream_stateful(spark, tmp_path):
     r = got[0]
     assert (r.ip, r.tool, r.n_hits) == ("a", "SC01", 3)
     assert r.last_ts_epoch - r.first_ts_epoch == 20.0
+
+
+def test_dedup_stream_first_occurrence(spark, tmp_path):
+    """Streaming exact dedup keeps one row per fingerprint (watermark-
+    bounded state); batch dropDuplicates over the same data agrees on
+    the surviving key set."""
+    from webloghunter_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        ("fp1", "2024-01-01 00:00:00"), ("fp1", "2024-01-01 00:00:10"),
+        ("fp2", "2024-01-01 00:00:05"), ("fp3", "2024-01-01 00:00:07"),
+        ("fp2", "2024-01-01 00:00:20"),
+    ]
+    batch = spark.createDataFrame(rows, "fingerprint string, ts_s string").select(
+        "fingerprint", F.to_timestamp("ts_s").alias("ts")
+    )
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup_stream(stream, ["fingerprint"], watermark="10 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.fingerprint for r in spark.table("dedup_stream_t").collect())
+    assert got == ["fp1", "fp2", "fp3"]

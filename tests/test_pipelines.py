@@ -373,3 +373,29 @@ def test_cms_vocab_stream_matches_batch(spark, tmp_path):
     best = {r.token: r.est for r in
             cms_estimate(cms_counts(batch), ["spark", "streaming"]).collect()}
     assert best == {"spark": 3, "streaming": 2}
+
+
+def test_repetition_signals(spark):
+    from webloghunter_spark.functions.text import (
+        dup_line_frac_expr,
+        symbol_ratio_expr,
+        top_token_frac_expr,
+    )
+
+    rows = [
+        (0, "x\nx\ny", "a a a b", "ab#…"),
+        (1, "p\nq", "w z", "clean"),
+        (2, "", "", ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, nl string, tok string, sym string")
+    out = {r.id: r for r in df.select(
+        "id",
+        dup_line_frac_expr("nl").alias("dup"),
+        top_token_frac_expr("tok").alias("top"),
+        symbol_ratio_expr("sym").alias("symb"),
+    ).collect()}
+    assert out[0].dup == 3333   # 1 of 3 lines repeated
+    assert out[0].top == 7500   # 'a' is 3 of 4 tokens
+    assert out[0].symb == 5000  # '#' + '…' of 4 chars
+    assert out[1].dup == 0 and out[1].top == 5000 and out[1].symb == 0
+    assert (out[2].dup, out[2].top, out[2].symb) == (0, 0, 0)

@@ -1916,6 +1916,62 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_rep_signals(spark, sf_dir):
+    """Gopher-style repetition/quality signals per document: duplicate-
+    line fraction (over a deterministic newline-ization of the text, so
+    the signal is exercised on single-line corpora), most-frequent-token
+    fraction, and symbol ratio over text seeded with '#' runs on every
+    5th doc. All basis-point integers (floor(x*1e4+0.5)) — portable,
+    no decimal-rounding boundary."""
+    from webloghunter_spark.functions.text import (
+        dup_line_frac_expr,
+        symbol_ratio_expr,
+        top_token_frac_expr,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    seeded = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " ", "\n").alias("_nl"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" ##…#"))
+        ).otherwise(F.col("text")).alias("_sym"),
+    )
+    return seeded.select(
+        "doc_id",
+        dup_line_frac_expr("_nl").alias("dup_line_bp"),
+        top_token_frac_expr("text").alias("top_token_bp"),
+        symbol_ratio_expr("_sym").alias("symbol_bp"),
+    )
+
+
+SQL_REP_SIGNALS = r"""
+    WITH s AS (
+        SELECT doc_id, text,
+               string_split(regexp_replace(text, ' ', chr(10), 'g'), chr(10)) AS nl,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                        x -> lower(x)) END AS lt,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' ##…#' ELSE text END AS sym
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor(CASE WHEN len(nl) > 0 THEN
+                    (len(nl) - len(list_distinct(nl)))::DOUBLE / len(nl)
+                ELSE 0 END * 10000.0 + 0.5) AS BIGINT) AS dup_line_bp,
+           CAST(floor(CASE WHEN len(lt) > 0 THEN
+                    list_max(list_transform(list_distinct(lt),
+                        d -> len(list_filter(lt, x -> x = d))))::DOUBLE / len(lt)
+                ELSE 0 END * 10000.0 + 0.5) AS BIGINT) AS top_token_bp,
+           CAST(floor(CASE WHEN length(sym) > 0 THEN
+                    (length(sym) - length(regexp_replace(sym, '[#…]', '', 'g')))::DOUBLE
+                    / length(sym)
+                ELSE 0 END * 10000.0 + 0.5) AS BIGINT) AS symbol_bp
+    FROM s
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source corpus size/length profile — the summary a training
     pipeline reads before choosing sampling weights: doc count, exact
@@ -2049,6 +2105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
+    "rep_signals": q_rep_signals,
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
     "near_dedup_cc": q_near_dedup_cc,
@@ -2104,6 +2161,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "rep_signals": SQL_REP_SIGNALS,
     "pii_redact": SQL_PII_REDACT,
     "near_dedup": SQL_NEAR_DEDUP,
     "near_dedup_cc": SQL_NEAR_DEDUP_CC,

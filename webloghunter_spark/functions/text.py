@@ -356,6 +356,52 @@ def shingles_expr(col: Column | str, k: int = 3) -> Column:
     return F.when(n < k, F.array().cast("array<string>")).otherwise(joined)
 
 
+def dup_line_frac_expr(col: Column | str) -> Column:
+    """Fraction of newline-separated lines that are duplicates of an
+    earlier line (Gopher-style repetition signal), in integer basis
+    points: floor(x*1e4 + 0.5) — engine-portable, no decimal-rounding
+    boundary. 0 for empty/single-line text."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    dup = (n - F.size(F.array_distinct(lines))).cast("double")
+    frac = F.when(n > 0, dup / n.cast("double")).otherwise(F.lit(0.0))
+    return F.floor(frac * 10000.0 + 0.5).cast("long")
+
+
+def top_token_frac_expr(col: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent lowercased
+    token, in basis points; 0 for empty text. High values flag
+    degenerate repetition ('buy buy buy ...').
+
+    Per-row cost is O(distinct x tokens) interpreted HOF work — fine
+    for profile passes on bounded docs; a 100 TB scan should prefer the
+    exploded global form (vocab_topk / tfidf_topk shapes) or a pandas
+    twin, same trade as the fingerprint ops."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.transform(tokens_expr(c), lambda t: F.lower(t))
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    top = F.array_max(counts).cast("double")
+    frac = F.when(n > 0, top / n.cast("double")).otherwise(F.lit(0.0))
+    return F.floor(frac * 10000.0 + 0.5).cast("long")
+
+
+def symbol_ratio_expr(col: Column | str, symbols: str = "#…") -> Column:
+    """Symbol-to-character ratio in basis points (Gopher uses '#' and
+    ellipsis); 0 for empty text. `symbols` are placed in a regex
+    character class verbatim — don't pass class metachars (]^-\\)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cls = "[" + symbols + "]"
+    n = F.length(c)
+    hits = (n - F.length(F.regexp_replace(c, cls, ""))).cast("double")
+    frac = F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+    return F.floor(frac * 10000.0 + 0.5).cast("long")
+
+
 def vocab_topk(df, text_col: str = "text", k: int = 100):
     """Corpus vocabulary heavy hitters: the k most frequent lowercased
     whitespace tokens with their total counts (ties -> token asc).
