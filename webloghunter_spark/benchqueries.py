@@ -1510,15 +1510,21 @@ SQL_KNN_IVF = """
 
 def q_tool_focus(spark, sf_dir):
     """F14 through the real apply_filters(tool_focus=True) path: first
-    and last event per (source, ip, tool) for tool-tagged rows."""
-    w = weblog_from_events(spark, sf_dir).withColumn(
+    and last event per (source, ip, tool) for tool-tagged rows.
+
+    persist: tool_focus's `tool != ''` filter would otherwise push
+    below the fan-out with the JSON+CASE synthesis inlined per
+    reference — re-running get_json_object several times per row on
+    the single pre-exchange scan task (the same pushdown-substitution
+    trap `_tool_scan_frame` documents)."""
+    w = _fan(weblog_from_events(spark, sf_dir)).withColumn(
         "source", F.lit("ev")
     ).withColumn(
         "tool",
         F.when(F.col("request_uri").isin("/admin/panel", "/login"), "DS01")
         .when(F.col("request_uri").isin("/dump.sql", "/cgi?cmd=whoami"), "SC01")
         .otherwise(""),
-    )
+    ).persist()
     out = apply_filters(w, tool_focus=True, all_extensions=True, order_result=False)
     return out.select("event_id", "tool")
 
