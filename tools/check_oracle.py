@@ -19,7 +19,7 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entrymod
-from webloghunter_spark.session import get_spark
+from webloghunter_spark.session import get_spark, release_materialized
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -58,6 +58,9 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            release_materialized()
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP  {name}: no oracle (rows={len(sdf)})")
             continue
