@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.text import fingerprint_expr, shingles_expr
-from webloghunter_spark.session import materialize
+from webloghunter_spark.session import materialize, swap_materialized
 
 
 def exact_dedup(
@@ -351,24 +351,11 @@ def connected_components(
         changed = new_cc.filter(F.col("comp") != F.col("_prev")).limit(1).count()
         cc.unpersist()
         # re-register the surviving frame with the lifecycle registry
-        _MATERIALIZED_SWAP(cc, new_cc)
+        swap_materialized(cc, new_cc)
         cc = new_cc
         if changed == 0:
             break
     return cc.select(F.col("id").alias(id_col), "comp")
-
-
-def _MATERIALIZED_SWAP(old: DataFrame, new: DataFrame) -> None:
-    """Replace `old` with `new` in the materialize() registry (loop
-    rounds persist/unpersist eagerly; only the live frame should stay
-    registered)."""
-    from webloghunter_spark.session import _MATERIALIZED
-
-    try:
-        _MATERIALIZED.remove(old)
-    except ValueError:
-        pass
-    _MATERIALIZED.append(new)
 
 
 def near_dedup_cc(

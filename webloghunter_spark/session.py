@@ -46,6 +46,17 @@ def materialize(df: DataFrame, memory: bool = True) -> DataFrame:
     return df
 
 
+def swap_materialized(old: DataFrame, new: DataFrame) -> None:
+    """Replace `old` with `new` in the registry — for iterative
+    operators that persist a frame per round and eagerly unpersist the
+    previous one (only the live frame should stay registered)."""
+    try:
+        _MATERIALIZED.remove(old)
+    except ValueError:
+        pass
+    _MATERIALIZED.append(new)
+
+
 def release_materialized() -> int:
     """Unpersist every registered frame (newest first); returns the
     count released. Safe to call repeatedly / with a stopped session."""
