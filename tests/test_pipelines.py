@@ -399,3 +399,29 @@ def test_repetition_signals(spark):
     assert out[0].symb == 5000  # '#' + '…' of 4 chars
     assert out[1].dup == 0 and out[1].top == 5000 and out[1].symb == 0
     assert (out[2].dup, out[2].top, out[2].symb) == (0, 0, 0)
+
+
+def test_pack_chunks_spans(spark):
+    """Concat-and-chunk packing: contiguous spans per shard, chunk
+    boundaries at exact token offsets, empty docs zero-width."""
+    import pytest
+
+    from webloghunter_spark.pipelines.pack import pack_chunks
+
+    rows = [
+        (1, "s", "a b c"),        # prefix 0, 3 toks -> chunk 0
+        (2, "s", "d e f g"),      # prefix 3, spans tokens 3..6 -> chunks 0-1
+        (3, "s", ""),             # prefix 7, empty -> [1, 1], 1 chunk
+        (4, "s", "h i j k l m"),  # prefix 7, tokens 7..12 -> chunks 1-3
+        (5, "t", "z"),            # separate shard restarts at chunk 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: (r.first_chunk, r.last_chunk, r.n_chunks)
+           for r in pack_chunks(df, budget=4).collect()}
+    assert out[1] == (0, 0, 1)
+    assert out[2] == (0, 1, 2)
+    assert out[3] == (1, 1, 1)
+    assert out[4] == (1, 3, 3)
+    assert out[5] == (0, 0, 1)
+    with pytest.raises(ValueError):
+        pack_chunks(df, budget=0)

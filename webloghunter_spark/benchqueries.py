@@ -1922,6 +1922,42 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): per-source token streams
+    sliced into 512-token training chunks; each doc's contiguous chunk
+    span from a shard-partitioned prefix sum — parallel across shards,
+    no global single-partition window."""
+    from webloghunter_spark.pipelines.pack import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_chunks(docs, budget=512)
+    return out.select("doc_id", "source", "ntok", "first_chunk", "last_chunk", "n_chunks")
+
+
+SQL_PACK_CHUNKS = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(CASE WHEN length(trim(text)) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END)::BIGINT AS ntok
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, source, ntok,
+               sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - ntok AS prefix
+        FROM t
+    )
+    SELECT doc_id, source, ntok,
+           (prefix // 512)::BIGINT AS first_chunk,
+           CASE WHEN ntok > 0 THEN ((prefix + ntok - 1) // 512)::BIGINT
+                ELSE (prefix // 512)::BIGINT END AS last_chunk,
+           (CASE WHEN ntok > 0 THEN ((prefix + ntok - 1) // 512)
+                 ELSE (prefix // 512) END - (prefix // 512) + 1)::BIGINT AS n_chunks
+    FROM p
+"""
+
+
 def q_rep_signals(spark, sf_dir):
     """Gopher-style repetition/quality signals per document: duplicate-
     line fraction (over a deterministic newline-ization of the text, so
@@ -2111,6 +2147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
+    "pack_chunks": q_pack_chunks,
     "rep_signals": q_rep_signals,
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
@@ -2167,6 +2204,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "pack_chunks": SQL_PACK_CHUNKS,
     "rep_signals": SQL_REP_SIGNALS,
     "pii_redact": SQL_PII_REDACT,
     "near_dedup": SQL_NEAR_DEDUP,
