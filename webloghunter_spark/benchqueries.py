@@ -78,19 +78,26 @@ def _fan(df: DataFrame) -> DataFrame:
     scale-killer at 100 TB. This is bench-harness plumbing, not part of
     any library operator path.
 
-    The split estimate uses LOGICAL plan statistics (sizeInBytes /
-    maxPartitionBytes) — milliseconds, no physical planning. The old
-    df.rdd.getNumPartitions() probe materialized the physical plan
-    (+AQE prep) once per bench query just to read a partition count."""
+    The split estimate mirrors Spark's FilePartition packing math
+    (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (bytes + nFiles*openCost)/parallelism))) from LOGICAL plan
+    statistics + the file listing — milliseconds, no physical
+    planning. The old df.rdd.getNumPartitions() probe materialized the
+    physical plan (+AQE prep) once per bench query just to read a
+    partition count."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    open_cost = 4 << 20
     try:
         size = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+        n_files = len(df.inputFiles())
         raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
         max_pb = int(raw.rstrip("b")) if raw.rstrip("b").isdigit() else 128 << 20
     except Exception:
-        size, max_pb = 0, 128 << 20
-    est_splits = max(size // max_pb, 1)
+        size, n_files, max_pb = 0, 0, 128 << 20
+    total = size + n_files * open_cost
+    split = min(max_pb, max(open_cost, total // max(target, 1) or 1))
+    est_splits = max(total // split, 1)
     if est_splits >= min(target, 8):
         return df
     return df.repartition(target)
