@@ -425,3 +425,36 @@ def test_pack_chunks_spans(spark):
     assert out[5] == (0, 0, 1)
     with pytest.raises(ValueError):
         pack_chunks(df, budget=0)
+
+
+def test_clean_html_expr(spark):
+    from webloghunter_spark.functions.text import clean_html_expr
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p><script>var x="<i>";</script>!'),
+        (2, '<style type="css">p { color: red }</style>keep &amp;lt; &lt;ok&gt;'),
+        (3, "no markup at all"),
+        (4, "a&nbsp;b&#39;c&quot;d"),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string")
+    out = {r.id: r.c for r in
+           df.select("id", clean_html_expr("h").alias("c")).collect()}
+    assert out[1] == "Hello world !"
+    assert out[2] == "keep &lt; <ok>"   # &amp; decoded LAST, no double decode
+    assert out[3] == "no markup at all"
+    assert out[4] == "a b'c\"d"
+
+
+def test_mad_outliers_flags_and_zero_mad(spark):
+    from webloghunter_spark.operators.outliers import mad_outliers
+
+    rows = ([("g1", float(v)) for v in [10, 11, 9, 10, 12, 10, 200]]
+            + [("g2", 5.0), ("g2", 5.0), ("g2", 5.0), ("g2", 7.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    g1 = [r for r in out if r.g == "g1"]
+    assert {r.v: r.is_outlier for r in g1}[200.0] is True
+    assert sum(r.is_outlier for r in g1) == 1
+    # g2: median 5, MAD 0 -> any deviation flags (standard MAD rule)
+    g2 = {r.v: r.is_outlier for r in out if r.g == "g2"}
+    assert g2[7.0] is True and g2[5.0] is False

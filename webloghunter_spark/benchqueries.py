@@ -1929,6 +1929,87 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_clean_html(spark, sf_dir):
+    """Boilerplate strip over documents deterministically wrapped in
+    HTML (tags + script block + entities) — output is the cleaned
+    text, hash-compared whole."""
+    from webloghunter_spark.functions.text import clean_html_expr
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body class="x"><p>'), F.col("text"),
+            F.lit('</p><script type="text/javascript">var a="<b>";</script>'
+                  "&amp;lt; &lt;kept&gt;&nbsp;&#39;q&#39;</body></html>"),
+        ).alias("_h"),
+    )
+    return seeded.select("doc_id", clean_html_expr("_h").alias("cleaned"))
+
+
+SQL_CLEAN_HTML = r"""
+    WITH s AS (
+        SELECT doc_id,
+               '<html><body class="x"><p>' || text ||
+               '</p><script type="text/javascript">var a="<b>";</script>' ||
+               '&amp;lt; &lt;kept&gt;&nbsp;&#39;q&#39;</body></html>' AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<[^>]+>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS cleaned
+    FROM s
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-ip resp_size outlier flag (median/MAD, k=3), with
+    deterministic outliers seeded (x50 on every 97th event). Exact
+    grouped percentiles; approx_percentile is the same-topology
+    100 TB swap."""
+    from webloghunter_spark.operators.outliers import mad_outliers
+
+    w = _fan(weblog_from_events(spark, sf_dir)).select(
+        "event_id", "ip",
+        (F.col("resp_size")
+         * F.when(F.col("event_id") % 97 == 0, 50).otherwise(1)).alias("sz"),
+    )
+    out = mad_outliers(w, "sz", ["ip"], k=3.0)
+    return out.select(
+        "event_id", "ip", "sz",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "is_outlier",
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+    WITH w AS ({WEBLOG_SQL_BASE}),
+    v AS (
+        SELECT event_id, ip,
+               resp_size * CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END AS sz
+        FROM w
+    ),
+    med AS (SELECT ip, quantile_cont(sz, 0.5) AS med FROM v GROUP BY ip),
+    mad AS (
+        SELECT v.ip, quantile_cont(abs(v.sz - med.med), 0.5) AS mad
+        FROM v JOIN med ON v.ip = med.ip GROUP BY v.ip
+    )
+    SELECT v.event_id, v.ip, v.sz,
+           round(med.med, 4) AS med, round(mad.mad, 4) AS mad,
+           abs(v.sz - med.med) > 3.0 * mad.mad AS is_outlier
+    FROM v JOIN med ON v.ip = med.ip JOIN mad ON v.ip = mad.ip
+"""
+
+
 def q_pack_chunks(spark, sf_dir):
     """Sequence packing (concat-and-chunk): per-source token streams
     sliced into 512-token training chunks; each doc's contiguous chunk
@@ -2154,6 +2235,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
+    "clean_html": q_clean_html,
+    "mad_outliers": q_mad_outliers,
     "pack_chunks": q_pack_chunks,
     "rep_signals": q_rep_signals,
     "pii_redact": q_pii_redact,
@@ -2211,6 +2294,8 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "clean_html": SQL_CLEAN_HTML,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "pack_chunks": SQL_PACK_CHUNKS,
     "rep_signals": SQL_REP_SIGNALS,
     "pii_redact": SQL_PII_REDACT,

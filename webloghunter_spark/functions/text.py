@@ -356,6 +356,24 @@ def shingles_expr(col: Column | str, k: int = 3) -> Column:
     return F.when(n < k, F.array().cast("array<string>")).otherwise(joined)
 
 
+def clean_html_expr(col: Column | str) -> Column:
+    """Boilerplate strip for web-scraped training text: drop
+    script/style blocks, strip tags, decode the common entities,
+    collapse whitespace. Pure chained regexp_replace — codegen'd,
+    scan-speed — and every pattern is RE2-compatible (no
+    backreferences; script/style handled as separate patterns) so a
+    SQL oracle replicates it bit-for-bit. Entity order matters:
+    &amp; decodes LAST so '&amp;lt;' yields '&lt;', not '<'."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def dup_line_frac_expr(col: Column | str) -> Column:
     """Fraction of newline-separated lines that are duplicates of an
     earlier line (Gopher-style repetition signal), in integer basis
