@@ -1929,6 +1929,123 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_referrer_hosts(spark, sf_dir):
+    """Referrer host extraction + frequency — the URL analytics a web
+    corpus pipeline runs for domain filtering. Host via a shared
+    regex (RE2- and Java-compatible) so both engines agree; '-' and
+    non-URL referrers yield no row."""
+    w = _fan(weblog_from_events(spark, sf_dir))
+    host = F.regexp_extract("referrer", r"^https?://([^/]+)", 1)
+    return (
+        w.select(host.alias("host"))
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_REFERRER_HOSTS = f"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT regexp_extract(referrer, '^https?://([^/]+)', 1) AS host,
+           count(*) AS n
+    FROM w
+    WHERE regexp_extract(referrer, '^https?://([^/]+)', 1) <> ''
+    GROUP BY 1
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Sessionless conversion funnel per user: did a 'view' happen, and
+    did a 'purchase' follow STRICTLY AFTER the user's first view
+    (epoch-second order with event_id tiebreak)? Window min-over-views
+    + conditional aggregation — one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    first_view = F.min(
+        F.when(F.col("event_type") == "view",
+               F.struct(F.col("t"), F.col("event_id")))
+    ).alias("fv")
+    agg = ev.groupBy("user_id").agg(
+        first_view,
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase",
+                   F.struct(F.col("t"), F.col("event_id")))
+        ).alias("purchases"),
+    )
+    converted = F.size(
+        F.filter(
+            "purchases",
+            lambda p: (p["t"] > F.col("fv.t"))
+            | ((p["t"] == F.col("fv.t")) & (p["event_id"] > F.col("fv.event_id"))),
+        )
+    ) > 0
+    return agg.select(
+        "user_id",
+        F.col("fv").isNotNull().alias("viewed"),
+        (F.col("fv").isNotNull() & converted).alias("converted"),
+    )
+
+
+SQL_FUNNEL = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    fv AS (
+        SELECT user_id, t AS vt, event_id AS v_eid
+        FROM (SELECT user_id, t, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id) AS rn
+              FROM e WHERE event_type = 'view')
+        WHERE rn = 1
+    ),
+    conv AS (
+        SELECT f.user_id, count(*) AS n
+        FROM fv f JOIN e p ON p.user_id = f.user_id
+        WHERE p.event_type = 'purchase'
+          AND (p.t > f.vt OR (p.t = f.vt AND p.event_id > f.v_eid))
+        GROUP BY f.user_id
+    )
+    SELECT u.user_id,
+           (f.user_id IS NOT NULL) AS viewed,
+           (f.user_id IS NOT NULL AND coalesce(c.n, 0) > 0) AS converted
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN fv f ON u.user_id = f.user_id
+    LEFT JOIN conv c ON u.user_id = c.user_id
+"""
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Wide per-user event-type counts via Spark pivot (explicit value
+    list -> one pass, map-side combinable; never the implicit-distinct
+    two-pass form at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types
+    ]
+    return out.select(*cols)
+
+
+SQL_PIVOT_COUNTS = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
+"""
+
+
 def q_clean_html(spark, sf_dir):
     """Boilerplate strip over documents deterministically wrapped in
     HTML (tags + script block + entities) — output is the cleaned
@@ -2235,6 +2352,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
+    "referrer_hosts": q_referrer_hosts,
+    "funnel": q_funnel,
+    "pivot_counts": q_pivot_counts,
     "clean_html": q_clean_html,
     "mad_outliers": q_mad_outliers,
     "pack_chunks": q_pack_chunks,
@@ -2294,6 +2414,9 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "referrer_hosts": SQL_REFERRER_HOSTS,
+    "funnel": SQL_FUNNEL,
+    "pivot_counts": SQL_PIVOT_COUNTS,
     "clean_html": SQL_CLEAN_HTML,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "pack_chunks": SQL_PACK_CHUNKS,
