@@ -340,3 +340,40 @@ def test_dedup_stream_first_occurrence(spark, tmp_path):
         q.stop()
     got = sorted(r.fingerprint for r in spark.table("dedup_stream_t").collect())
     assert got == ["fp1", "fp2", "fp3"]
+
+
+def test_lsh_pairs_stream_matches_batch(spark, tmp_path):
+    """Streaming LSH candidates (stateful per-bucket memory) drain to
+    the same distinct pair set as the batch banding self-join."""
+    from webloghunter_spark.pipelines.dedup import lsh_candidate_pairs
+    from webloghunter_spark.streaming.neardup import lsh_pairs_stream
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "completely different words entirely here now folks"),
+        (4, "tiny"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {(r.id_a, r.id_b) for r in
+                lsh_candidate_pairs(batch, num_hashes=4, band_size=2).collect()}
+    assert (0, 1) in expected
+
+    src = str(tmp_path / "docs")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        lsh_pairs_stream(stream, num_hashes=4, band_size=2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("lsh_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.id_a, r.id_b)
+           for r in spark.table("lsh_stream_t").select("id_a", "id_b").distinct().collect()}
+    assert got == expected
