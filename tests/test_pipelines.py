@@ -458,3 +458,51 @@ def test_mad_outliers_flags_and_zero_mad(spark):
     # g2: median 5, MAD 0 -> any deviation flags (standard MAD rule)
     g2 = {r.v: r.is_outlier for r in out if r.g == "g2"}
     assert g2[7.0] is True and g2[5.0] is False
+
+
+def test_quantize_embedding_roundtrip_error(spark):
+    from webloghunter_spark.functions.similarity import quantize_embedding_exprs
+
+    rows = [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [-2.0, 2.0, 1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    scale, codes = quantize_embedding_exprs("embedding", bits=8)
+    out = {r.vec_id: (r.s, list(r.c)) for r in
+           df.select("vec_id", scale.alias("s"), codes.alias("c")).collect()}
+    s0, c0 = out[0]
+    assert c0[0] == 127 and c0[3] == 0          # max maps to qmax, zero to 0
+    # dequantized error bounded by scale/2
+    orig = [1.0, -0.5, 0.25, 0.0]
+    assert all(abs(c * s0 - o) <= s0 / 2 + 1e-9 for c, o in zip(c0, orig))
+    assert out[1] == (0.0, [0, 0, 0, 0])        # zero vector -> scale 0
+    s2, c2 = out[2]
+    assert c2[:2] == [-127, 127]                # symmetric extremes
+
+
+def test_simhash_hamming_pairs_pigeonhole(spark):
+    """Banded candidates + exact filter == brute force for d < n_bands;
+    distances > d excluded; d >= n_bands rejected."""
+    import pytest
+
+    from webloghunter_spark.functions.similarity import simhash_hamming_pairs
+
+    rows = [
+        (0, 0b0000000000000000),
+        (1, 0b0000000000000111),   # d(0,1) = 3 -> pair
+        (2, 0b0000000011110000),   # d(0,2) = 4 -> no pair with 0
+        (3, 0b0000000000000110),   # d(1,3) = 1, d(0,3) = 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_pairs(df, max_distance=3).collect()}
+    assert got == {(0, 1): 3, (0, 3): 2, (1, 3): 1, (2, 3): 6} or True
+    # exact expectation: enumerate brute force
+    import itertools
+    exp = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = bin(sa ^ sb).count("1")
+        if d <= 3:
+            exp[(ia, ib)] = d
+    assert got == exp
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_distance=4, n_bands=4)

@@ -1929,6 +1929,70 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_quantize_emb(spark, sf_dir):
+    """Symmetric int8 embedding quantization (per-vector max-abs scale,
+    round-half-away codes) — 4x storage cut for an embedding corpus;
+    pure codegen array exprs."""
+    from webloghunter_spark.functions.similarity import quantize_embedding_exprs
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    scale, codes = quantize_embedding_exprs("embedding", bits=8)
+    return emb.select(
+        "vec_id",
+        F.round(scale, 4).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+SQL_QUANTIZE_EMB = """
+    WITH s AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                   AS raw_scale,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(CASE WHEN raw_scale > 0 THEN raw_scale ELSE 0 END, 4) AS scale,
+           CASE WHEN raw_scale > 0 THEN
+               list_transform(embedding, x ->
+                   CAST(least(greatest(
+                       CASE WHEN CAST(x AS DOUBLE) / raw_scale >= 0
+                            THEN floor(CAST(x AS DOUBLE) / raw_scale + 0.5)
+                            ELSE -floor(-(CAST(x AS DOUBLE) / raw_scale) + 0.5) END,
+                       -128), 127) AS INTEGER))
+           ELSE list_transform(embedding, x -> 0) END AS codes
+    FROM s
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming distance <= 3 over 16-bit
+    fingerprints: multi-index banding (4 bands; pigeonhole guarantees
+    any pair within distance 3 agrees exactly on some band) ->
+    candidate bucket joins -> exact bit_count(xor) filter. Oracle is
+    the O(n^2) brute force at gate scale; the banding keeps the real
+    plan at sum(bucket^2)."""
+    from webloghunter_spark.functions.similarity import simhash_hamming_pairs
+    from webloghunter_spark.pipelines.dedup import simhash_udf
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    udf = simhash_udf(shingle_k=3, bits=16)
+    sh = docs.select(
+        "doc_id", udf(F.col("text")).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+    return simhash_hamming_pairs(sh, max_distance=3, bits=16, n_bands=4)
+
+
+SQL_SIMHASH_PAIRS = f"""
+    WITH sim AS ({SQL_SIMHASH})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_referrer_hosts(spark, sf_dir):
     """Referrer host extraction + frequency — the URL analytics a web
     corpus pipeline runs for domain filtering. Host via a shared
@@ -2352,6 +2416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
+    "quantize_emb": q_quantize_emb,
+    "simhash_pairs": q_simhash_pairs,
     "referrer_hosts": q_referrer_hosts,
     "funnel": q_funnel,
     "pivot_counts": q_pivot_counts,
@@ -2414,6 +2480,8 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
+    "quantize_emb": SQL_QUANTIZE_EMB,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "referrer_hosts": SQL_REFERRER_HOSTS,
     "funnel": SQL_FUNNEL,
     "pivot_counts": SQL_PIVOT_COUNTS,

@@ -256,6 +256,82 @@ def cosine_topk_ivf(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def quantize_embedding_exprs(
+    vec_col: Column | str = "embedding", bits: int = 8
+) -> tuple[Column, Column]:
+    """Symmetric per-vector int quantization for embedding storage:
+    (scale, codes) with scale = max|x| / (2^(bits-1) - 1) and
+    codes[i] = round-half-away(x[i] / scale) clamped to the int range —
+    the standard int8 compression that cuts an embedding store 4x.
+    floor(x + 0.5) sign-split keeps the rounding engine-portable.
+    Zero vectors quantize to scale 0 / all-zero codes."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    qmax = (1 << (bits - 1)) - 1
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0.0, amax / qmax).otherwise(F.lit(0.0))
+
+    def code(x):
+        r = x.cast("double") / scale
+        rounded = F.when(r >= 0, F.floor(r + 0.5)).otherwise(-F.floor(-r + 0.5))
+        return F.least(F.greatest(rounded, F.lit(-qmax - 1)), F.lit(qmax)).cast("int")
+
+    codes = F.when(
+        scale > 0.0, F.transform(v, code)
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return scale, codes
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    simhash_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bits: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_distance.
+
+    Multi-index banding (the standard Hamming-search trick): split the
+    fingerprint into `n_bands` contiguous bit bands; any pair within
+    distance d < n_bands must agree EXACTLY on at least one band
+    (pigeonhole), so candidates come from per-band bucket joins —
+    Σ|bucket|², never n² — and the exact bit_count(xor) filter runs on
+    candidates only. Requires max_distance < n_bands for completeness.
+    """
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"max_distance ({max_distance}) must be < n_bands ({n_bands}) "
+            "for pigeonhole completeness"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = F.col(simhash_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(sh, b * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = df.select(
+        F.col(id_col), sh.alias("_sh"), F.explode(bands).alias("b")
+    ).select(id_col, "_sh", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bv") == F.col("r.bv"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.bit_count(
+            F.col("l._sh").bitwiseXOR(F.col("r._sh"))
+        ).alias("hamming"),
+    ).distinct()
+    return cand.filter(F.col("hamming") <= max_distance)
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
