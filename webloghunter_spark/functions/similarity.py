@@ -316,6 +316,11 @@ def simhash_hamming_pairs(
     banded = df.select(
         F.col(id_col), sh.alias("_sh"), F.explode(bands).alias("b")
     ).select(id_col, "_sh", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    # Materialize: the banded table feeds BOTH sides of the self-join;
+    # unmaterialized, the fingerprint pipeline upstream (typically a
+    # pandas UDF) would be evaluated twice (same barrier as
+    # lsh_candidate_pairs).
+    banded = materialize(banded)
     left, right = banded.alias("l"), banded.alias("r")
     cand = left.join(
         right,
