@@ -1966,6 +1966,62 @@ SQL_QUANTIZE_EMB = """
 """
 
 
+def q_knn_quantized(spark, sf_dir):
+    """Brute-force cosine top-k over the int8-quantized store
+    (codes x scale reconstruction) — the memory-bound search a
+    compressed embedding corpus actually runs; top-k ranks survive
+    quantization at this scale (ties broken by id as everywhere)."""
+    from webloghunter_spark.functions.similarity import (
+        cosine_expr,
+        quantize_embedding_exprs,
+    )
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scale, codes = quantize_embedding_exprs("embedding", bits=8)
+    store = _fan(raw.filter(F.col("vec_id") != 0)).select(
+        "vec_id", scale.alias("_s"), codes.alias("_c")
+    )
+    deq = F.transform(F.col("_c"), lambda c: c.cast("double") * F.col("_s"))
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = store.select(
+        "vec_id", F.round(cosine_expr(deq, q), 4).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
+
+
+SQL_KNN_QUANTIZED = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qz AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                   AS sc,
+               embedding
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    deq AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(CASE WHEN sc > 0 THEN least(greatest(
+                       CASE WHEN CAST(x AS DOUBLE) / sc >= 0
+                            THEN floor(CAST(x AS DOUBLE) / sc + 0.5)
+                            ELSE -floor(-(CAST(x AS DOUBLE) / sc) + 0.5) END,
+                       -128), 127) ELSE 0 END AS DOUBLE) * sc) AS dv
+        FROM qz
+    )
+    SELECT vec_id,
+           round(
+               list_sum(list_transform(generate_series(1, len(dv)),
+                   i -> dv[i] * CAST(qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(dv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))),
+               4) AS cosine
+    FROM deq, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Near-dup pairs by SimHash Hamming distance <= 3 over 16-bit
     fingerprints: multi-index banding (4 bands; pigeonhole guarantees
@@ -2417,6 +2473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "corpus_stats": q_corpus_stats,
     "quantize_emb": q_quantize_emb,
+    "knn_quantized": q_knn_quantized,
     "simhash_pairs": q_simhash_pairs,
     "referrer_hosts": q_referrer_hosts,
     "funnel": q_funnel,
@@ -2481,6 +2538,7 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "quantize_emb": SQL_QUANTIZE_EMB,
+    "knn_quantized": SQL_KNN_QUANTIZED,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "referrer_hosts": SQL_REFERRER_HOSTS,
     "funnel": SQL_FUNNEL,
