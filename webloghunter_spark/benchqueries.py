@@ -2423,6 +2423,212 @@ SQL_PII_REDACT = r"""
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing word n-grams with
+    the eval set (doc_id % 50 == 0 plays the benchmark). Library
+    default is 8-grams (GPT-3/Llama style); the bench uses n=4 scaled
+    to the synthetic corpus's tiny vocabulary so overlap actually
+    occurs. Plan: broadcast the distinct eval-shingle set, semi-shape
+    inner join on the train side (no train shuffle), then one map-side
+    combinable groupBy(doc_id)."""
+    from webloghunter_spark.pipelines.decontam import contaminated_docs
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contaminated_docs(train, eval_df, n=4)
+
+
+SQL_DECONTAMINATE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                                   i -> array_to_string(t[i:i+3], ' ')) END AS s
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 != 0)
+    SELECT tr.doc_id, count(*) AS n_hits
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embedding store: assign to the nearest of 8
+    deterministic centroids (lowest-id vectors — the oracle-checkable
+    stand-in for kmeans_centroids), flag every vector with a lower-id
+    same-cluster member at cosine >= 0.35. Assignment is the broadcast
+    ivf_assign kernel; the pair scan shuffles once on cent_id and its
+    cost is bounded by cluster size (raise n_centroids at scale)."""
+    from webloghunter_spark.pipelines.semdedup import semantic_dup_flags
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    flags = semantic_dup_flags(emb, n_centroids=8, tau=0.35)
+    # NULL max_sim (cluster's lowest id) -> -2.0 sentinel: the driver's
+    # value compare can't equate NaN/NULL doubles across engines.
+    return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
+
+
+SQL_SEMANTIC_DEDUP = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, e AS cv FROM v WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_dot_product(v.e, c.cv)
+                       / (sqrt(list_dot_product(v.e, v.e))
+                          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.cent_id) AS rn
+            FROM v, cents c
+        ) WHERE rn = 1
+    ),
+    pair_sim AS (
+        SELECT b.vec_id,
+               max(round(list_dot_product(ea.e, eb.e)
+                         / (sqrt(list_dot_product(ea.e, ea.e))
+                            * sqrt(list_dot_product(eb.e, eb.e))), 6)) AS max_sim
+        FROM assigned a
+        JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        JOIN v ea ON ea.vec_id = a.vec_id
+        JOIN v eb ON eb.vec_id = b.vec_id
+        GROUP BY b.vec_id
+    )
+    SELECT a.vec_id, a.cent_id, coalesce(p.max_sim, -2.0) AS max_sim,
+           coalesce(p.max_sim >= 0.35, FALSE) AS is_dup
+    FROM assigned a LEFT JOIN pair_sim p ON a.vec_id = p.vec_id
+"""
+
+
+def q_local_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-way join: revenue by nation for one region and
+    year, where the supplier is in the customer's nation. The plan to
+    want at 100 TB: nation+region+supplier broadcast (tiny dims), the
+    orders⋈customer and lineitem⋈orders joins shuffle on their keys
+    with the o_orderdate filter pushed to the orders scan; Catalyst
+    reorders so the selective region filter prunes before the big
+    joins."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_LOCAL_VOLUME = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+def q_order_priority(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS semi-join: orders in one quarter that
+    have at least one line item shipped after the order date, counted
+    by priority. left_semi keeps the probe side un-duplicated (no
+    post-join distinct) — the shape Catalyst turns an EXISTS into."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_ORDER_PRIORITY = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """Canonical-URL rollup: normalize request_uri (strip query/
+    fragment, collapse //, drop trailing /, lowercase) and count
+    requests + distinct raw forms per canonical path. Pure codegen'd
+    regexp chain + one map-side-combinable agg — the URL dedup a web
+    corpus pipeline runs before fetch/dedup."""
+    from webloghunter_spark.functions.url import canonical_uri_expr
+
+    w = _fan(weblog_from_events(spark, sf_dir))
+    return (
+        w.select(
+            canonical_uri_expr("request_uri").alias("canon"),
+            F.col("request_uri"),
+        )
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("request_uri").alias("n_raw"),
+        )
+    )
+
+
+SQL_URL_NORMALIZE = rf"""
+    WITH w AS ({WEBLOG_SQL_BASE})
+    SELECT lower(regexp_replace(regexp_replace(
+               regexp_replace(request_uri, '[?#].*$', ''),
+               '/{{2,}}', '/'), '(.)/$', '\1')) AS canon,
+           count(*) AS n,
+           count(DISTINCT request_uri) AS n_raw
+    FROM w
+    GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -2486,6 +2692,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup": q_near_dedup,
     "near_dedup_cc": q_near_dedup_cc,
     "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
+    "local_volume": q_local_volume,
+    "order_priority": q_order_priority,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2551,4 +2762,9 @@ ORACLES: dict[str, str] = {
     "near_dedup": SQL_NEAR_DEDUP,
     "near_dedup_cc": SQL_NEAR_DEDUP_CC,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "local_volume": SQL_LOCAL_VOLUME,
+    "order_priority": SQL_ORDER_PRIORITY,
+    "url_normalize": SQL_URL_NORMALIZE,
 }

@@ -1,0 +1,122 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
+corpus embeddings with k-means, then inside each cluster drop every
+document whose cosine similarity to another cluster member exceeds a
+threshold, keeping one representative per near-duplicate group.
+
+Spark shape:
+- Centroid assignment reuses `ivf_assign` — a broadcast nested-loop
+  join against the k-row centroid table, so the corpus is never
+  shuffled for assignment (same kernel the IVF ANN index uses).
+- The intra-cluster pair scan is ONE shuffle of the slim
+  (id, cent_id, vec, norm) projection on cent_id, then a self-join
+  within clusters. Cost is Σ|cluster|² — never corpus², and the
+  operator's scale knob is n_centroids: at 100 TB you raise k so the
+  expected cluster size keeps Σ|cluster|² bounded (SemDeDup used
+  k=50k for a 1.3e9-doc corpus, ~25k docs/cluster). Skewed clusters
+  are the hazard; `max_cluster` guards by sub-salting oversized
+  clusters is deliberately NOT done here because dropping across salt
+  boundaries would miss pairs — raise k instead.
+- Keep rule: a document is a duplicate iff some SAME-CLUSTER member
+  with a LOWER id is >= tau similar (keep-first; same documented
+  non-transitive semantics as pipelines/dedup.near_dedup).
+
+Production centroids come from `kmeans_centroids` (pyspark.ml); the
+deterministic first-n-by-id default exists so an external SQL oracle
+can replicate the full pipeline bit-for-bit.
+
+No counterpart in the reference repo (no corpus/embedding tooling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.similarity import (
+    dot_expr,
+    ivf_assign,
+    norm_expr,
+)
+from webloghunter_spark.session import materialize
+
+
+def semantic_dup_flags(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, cent_id, max_sim, is_dup) for every vector.
+
+    max_sim = highest cosine to a lower-id member of the same cluster
+    (NULL for the cluster's lowest id); is_dup = max_sim >= tau.
+    """
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
+        )
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+
+    # Slim member table (id, cent_id, vec, norm) feeds BOTH sides of
+    # the intra-cluster self-join; materialize so norms and the
+    # assignment argmax are computed once, not re-derived per side.
+    members = materialize(
+        df.select(
+            F.col(id_col), F.col(vec_col).alias("_v"),
+            norm_expr(F.col(vec_col)).alias("_vn"),
+        ).join(assigned, id_col)
+    )
+
+    a = members.select(
+        F.col(id_col).alias("_ida"), F.col("cent_id").alias("_ca"),
+        F.col("_v").alias("_va"), F.col("_vn").alias("_na"),
+    )
+    b = members.select(
+        F.col(id_col).alias("_idb"), F.col("cent_id").alias("_cb"),
+        F.col("_v").alias("_vb"), F.col("_vn").alias("_nb"),
+    )
+    pair_sim = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .select(
+            F.col("_idb").alias(id_col),
+            F.round(
+                dot_expr(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("max_sim"))
+    )
+    return (
+        members.select(id_col, "cent_id")
+        .join(pair_sim, id_col, "left")
+        .select(
+            id_col,
+            "cent_id",
+            "max_sim",
+            F.coalesce(F.col("max_sim") >= tau, F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with semantic near-duplicates removed (left-anti against
+    the is_dup list — bounded by duplicate volume, not corpus size)."""
+    flags = semantic_dup_flags(
+        df, centroids, n_centroids, tau, id_col, vec_col
+    )
+    drop = flags.filter(F.col("is_dup")).select(id_col)
+    return df.join(drop, id_col, "left_anti")
