@@ -106,6 +106,25 @@ def test_semantic_dedup_keeps_representatives(spark):
     assert kept == {0, 1, 4}
 
 
+def test_semantic_dup_flags_fast_matches_expr(spark):
+    from webloghunter_spark.pipelines.semdedup import semantic_dup_flags_fast
+
+    expr = semantic_dup_flags(_emb(spark), n_centroids=2, tau=0.9).collect()
+    fast = semantic_dup_flags_fast(_emb(spark), n_centroids=2, tau=0.9).collect()
+    key = lambda r: (r.vec_id, r.cent_id, r.max_sim, r.is_dup)
+    assert sorted(map(key, expr)) == sorted(map(key, fast))
+
+
+def test_semantic_dedup_arrow_path(spark):
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            _emb(spark), n_centroids=2, tau=0.9, use_arrow=True
+        ).collect()
+    }
+    assert kept == {0, 1, 4}
+
+
 def test_semantic_dedup_explicit_centroids(spark):
     cents = spark.createDataFrame(
         [(7, [1.0, 0.0, 0.0]), (9, [0.0, 1.0, 0.0])],

@@ -2509,6 +2509,18 @@ SQL_SEMANTIC_DEDUP = """
 """
 
 
+def q_semantic_dedup_fast(spark, sf_dir):
+    """Arrow twin of semantic_dedup: identical assignment + keep rule,
+    but the intra-cluster pair scan is one NumPy matmul per cluster
+    (applyInPandas) instead of interpreted HOF folds. Same oracle —
+    the two paths must agree after round(6)."""
+    from webloghunter_spark.pipelines.semdedup import semantic_dup_flags_fast
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    flags = semantic_dup_flags_fast(emb, n_centroids=8, tau=0.35)
+    return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
+
+
 def q_local_volume(spark, sf_dir):
     """TPC-H Q5-shaped 6-way join: revenue by nation for one region and
     year, where the supplier is in the customer's nation. The plan to
@@ -2694,6 +2706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_fast": q_semantic_dedup_fast,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -2764,6 +2777,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semantic_dedup_fast": SQL_SEMANTIC_DEDUP,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

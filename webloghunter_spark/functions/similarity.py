@@ -176,6 +176,47 @@ def ivf_assign(
     )
 
 
+def ivf_assign_fast(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "centroid",
+) -> DataFrame:
+    """Arrow twin of `ivf_assign`: the k-row centroid table is collected
+    to the driver (a few KB), shipped in the task closure, and each
+    Arrow batch scores all centroids with ONE (batch x dim)@(dim x k)
+    matmul — BLAS throughput instead of k interpreted HOF dot-folds per
+    row, and no 4M-row row_number window.
+
+    Tie-break parity with ivf_assign: centroid columns are sorted by
+    cent_id ascending, and argmax returns the FIRST maximum — i.e. the
+    lowest cent_id among tied scores, exactly the window's
+    (cos desc, cent_id asc) order."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select(cent_id_col, cent_vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    c = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cn = np.sqrt((c * c).sum(axis=1))
+
+    def gen(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = (v @ c.T) / np.outer(np.sqrt((v * v).sum(axis=1)), cn)
+            j = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], cent_id_col: cids[j]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {cent_id_col} long"
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_centroids: int = 8,
