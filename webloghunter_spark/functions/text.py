@@ -519,3 +519,39 @@ def pii_counts_exprs(col: Column | str) -> list[Column]:
         F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
+
+
+# --- charset / encoding-damage quality signals ------------------------------
+# Mojibake and encoding damage are a top-of-funnel web-corpus filter:
+# control bytes, U+FFFD replacement chars (the decoder's "I gave up"
+# marker), and unusual non-printable-ASCII density flag documents whose
+# upstream decode went wrong. Pure codegen'd length/regexp arithmetic;
+# the character classes avoid constructs RE2 lacks so a SQL oracle
+# replicates them verbatim.
+
+CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+NON_PRINTABLE_ASCII = r"[^\x09\x0A\x0D\x20-\x7E]"
+
+
+def _class_count(col: Column | str, cls: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, cls, ""))).cast("long")
+
+
+def charset_stats_exprs(col: Column | str) -> list[Column]:
+    """[n_chars, n_ctrl, n_repl, non_ascii_ratio, digit_ratio,
+    upper_ratio] — the encoding-damage signal vector. Ratios are
+    length-guarded (empty text -> 0.0) and rounded to 6 places so two
+    IEEE engines agree bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("long")
+    safe = F.greatest(n, F.lit(1)).cast("double")
+    ratio = lambda cnt: F.round(cnt.cast("double") / safe, 6)
+    return [
+        n.alias("n_chars"),
+        _class_count(c, CTRL_CLASS).alias("n_ctrl"),
+        _class_count(c, "�").alias("n_repl"),
+        ratio(_class_count(c, NON_PRINTABLE_ASCII)).alias("non_ascii_ratio"),
+        ratio(_class_count(c, "[0-9]")).alias("digit_ratio"),
+        ratio(_class_count(c, "[A-Z]")).alias("upper_ratio"),
+    ]

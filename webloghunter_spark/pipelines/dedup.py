@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from webloghunter_spark.functions.text import fingerprint_expr, shingles_expr
+from webloghunter_spark.functions.text import (
+    fingerprint_expr,
+    shingles_expr,
+    tokens_expr,
+)
 from webloghunter_spark.session import materialize, swap_materialized
 
 
@@ -391,3 +395,88 @@ def near_dedup_cc(
     return df.join(cc, on=id_col, how="left").withColumn(
         "rep", F.coalesce(F.col("comp"), F.col(id_col))
     ).drop("comp")
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup at fixed token-segment granularity —
+    the scalable stand-in for exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    split each document into consecutive `seg_tokens`-token segments,
+    keep only the globally FIRST occurrence of every distinct segment
+    (ordered by (id, seg_idx)), and reassemble each document from its
+    surviving segments.
+
+    Returns (id_col, n_seg, n_kept, new_text); documents whose every
+    segment already appeared elsewhere come back with n_kept=0 and
+    new_text='' (the boilerplate-only docs a pipeline then drops).
+
+    Scale notes: the keeper per segment is a min(struct) HASH AGGREGATE
+    on md5(segment) — map-side combinable and skew-immune (a boilerplate
+    segment repeated 10^7 times still reduces to one row per partition
+    before the exchange), deliberately NOT a row_number window whose
+    hot-key partitions would straggle. Reassembly shuffles once on the
+    id. Three narrow exchanges total, all on compact keys.
+    """
+    toks = tokens_expr(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = (
+        df.select(
+            F.col(id_col),
+            n_seg.alias("n_seg"),
+            F.posexplode_outer(
+                F.transform(
+                    # sequence(0, -1) DESCENDS in Spark; guard n_seg=0
+                    F.when(
+                        n_seg > 0, F.sequence(F.lit(0), n_seg - 1)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg_key", F.md5(F.col("seg")))
+    )
+    keepers = (
+        segs.filter(F.col("seg").isNotNull())
+        .groupBy("seg_key")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("k")
+        )
+        .select(
+            "seg_key",
+            F.col("k")[id_col].alias(id_col),
+            F.col("k.seg_idx").alias("seg_idx"),
+        )
+    )
+    kept = segs.join(keepers, on=["seg_key", id_col, "seg_idx"], how="left_semi")
+    stats = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    base = df.select(F.col(id_col), n_seg.alias("n_seg"))
+    return (
+        base.join(stats, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_seg",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

@@ -106,3 +106,61 @@ def stratified_sample(
         branch = bucket < cut
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     return df.filter(expr.otherwise(F.lit(True)))
+
+
+def domain_mix(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample a corpus to a TARGET domain/language mix — the
+    "data mixture" step of pretraining-corpus assembly (cf. the
+    mixture weights of GPT-3 / The Pile): given target shares per
+    group, keep the largest deterministic subset whose composition
+    matches the shares exactly (no group can be up-sampled, so the
+    feasible total is  T = min_g(count_g / share_g)  and group g keeps
+    accept_g = share_g * T / count_g  of its rows).
+
+    Membership is the same md5-bucket rule as with_split (pure function
+    of id + salt): stable across reruns/repartitions, appends only grow
+    a group's kept set. Groups absent from `target` are dropped.
+
+    Scale: one map-side-combinable count per group (|groups| rows), the
+    min over a |groups|-row frame, and a broadcast join of the per-group
+    acceptance cut back onto the corpus — no full-table shuffle at any
+    point. The double arithmetic (share * T / count * 10000, truncated)
+    is ANSI-portable, so an external SQL oracle reproduces membership
+    bit-for-bit.
+    """
+    if not target:
+        raise ValueError("target mix is empty")
+    shares = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in target.items()], [group_col, "_share"]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+        .join(shares, on=group_col, how="inner")
+    )
+    feasible = counts.agg(F.min(F.col("_cnt") / F.col("_share")).alias("_total"))
+    cuts = (
+        counts.crossJoin(F.broadcast(feasible))
+        .select(
+            group_col,
+            # explicit floor: Spark's double->long cast truncates but
+            # DuckDB's ROUNDS, so the oracle mirrors floor() instead
+            F.floor(
+                F.col("_share") * F.col("_total") / F.col("_cnt") * SPLIT_BUCKETS
+            )
+            .cast("long")
+            .alias("_cut"),
+        )
+    )
+    bucket = split_bucket_expr(id_col, salt)
+    return (
+        df.join(F.broadcast(cuts), on=group_col, how="inner")
+        .filter(bucket < F.col("_cut"))
+        .drop("_cut")
+    )

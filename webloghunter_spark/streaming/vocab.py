@@ -97,3 +97,70 @@ def cms_estimate(
     return joined.groupBy("token").agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")
     )
+
+
+def _cms_cells_md5(token_col, depth: int, width: int):
+    """md5-family sketch cells — same shape as `_cms_cells`, but the
+    position hash is the first 8 hex digits of md5(row|token), so ANY
+    engine with md5 (every SQL dialect, the DuckDB oracle) rebuilds a
+    bit-identical sketch. xxhash64 stays the streaming default (faster,
+    one JVM intrinsic); this family exists to make the sketch itself
+    oracle-checkable."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{r}|"), token_col)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias("pos"),
+        )
+        for r in range(depth)
+    ])
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Batch heavy-hitters THROUGH the sketch (md5 family): build the
+    depth x width cell aggregate, probe it with the corpus's distinct
+    tokens, and return (token, est) for est >= threshold.
+
+    est = min over rows of the cell count is the classic CMS one-sided
+    estimate: est >= true count always, and the overestimate is bounded
+    by collisions — so this returns a SUPERSET of the true
+    >=threshold heavy hitters, which is exactly the guarantee the
+    streaming twin (`cms_vocab_stream`) gives with bounded state. The
+    whole computation is two map-side-combinable aggregates + one
+    broadcast join of the (depth*width)-row sketch; the token stream is
+    never collected, and the distinct-token probe is itself a hash
+    aggregate (bounded by vocabulary, not corpus size).
+    """
+    toks = df.select(
+        F.lower(F.explode(tokens_expr(text_col))).alias("_tok")
+    )
+    cells = toks.select(
+        F.explode(_cms_cells_md5(F.col("_tok"), depth, width)).alias("c")
+    )
+    sketch = cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.pos").alias("pos")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    probe = toks.distinct().select(
+        F.col("_tok").alias("token"),
+        F.explode(_cms_cells_md5(F.col("_tok"), depth, width)).alias("c"),
+    ).select("token", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    est = (
+        probe.join(F.broadcast(sketch), on=["row", "pos"], how="left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )
+    return est.filter(F.col("est") >= threshold)
