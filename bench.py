@@ -54,42 +54,57 @@ def main() -> int:
 
     repeats = max(int(os.environ.get("WLH_BENCH_REPEATS", "3")), 1)
     runs: dict[str, list[float]] = {name: [] for name in names}
+    errors: dict[str, str] = {}
     # round-robin over queries (A B C, A B C, ...) rather than
     # back-to-back repeats, so one run's JIT/page-cache warmth doesn't
     # make its own repeat artificially fast
     for _ in range(repeats):
         for name in names:
+            if name in errors:
+                continue  # failed once, don't burn repeats on it
             fn = QUERIES[name]
             t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs[name].append(round(time.perf_counter() - t0, 3))
-            # Queries that persist() intermediates must not leak cache
-            # (or cross-query speedups) into the next measurement; drain
-            # the materialize() registry first so it doesn't grow.
-            release_materialized()
-            spark.catalog.clearCache()
+            try:
+                materialize(fn(spark, sf_dir))
+                runs[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # one bad query must not kill the round
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
+            finally:
+                # Queries that persist() intermediates must not leak
+                # cache (or cross-query speedups) into the next
+                # measurement; drain the materialize() registry first so
+                # it doesn't grow.
+                release_materialized()
+                spark.catalog.clearCache()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
-    timings = {name: round(median(v), 3) for name, v in runs.items()}
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "repeats": repeats,
-                "runs": runs,
-            }
-        )
-    )
-    return 0
+    timings = {
+        name: (round(median(v), 3) if v else None) for name, v in runs.items()
+    }
+    ok = {k: v for k, v in timings.items() if v is not None}
+    total = round(sum(ok.values()), 3)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
+        "runs": runs,
+        "completed": len(ok),
+        "failed": sorted(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    # rc=0 as long as the harness produced numbers for most queries;
+    # a systemic failure (nothing ran) still signals rc=1.
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from webloghunter_spark.operators.timeutil import epoch_seconds
+
 BURST_RULE_TITLE = "Attack Success After High-Frequency Server Failures"
 BURST_GROUP = ["source", "ip", "cluster", "request_uri", "method"]
 SUCCESS_MATCH = ["source", "ip", "cluster", "request_uri"]
@@ -38,7 +40,10 @@ def find_bursts(
     """Qualifying 500-bursts: group keys + burst_id, count, min/max time."""
     s500 = df.filter(F.col("status") == 500)
     w = Window.partitionBy(*BURST_GROUP).orderBy(ts_col)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # NTZ-safe fractional epoch (ts.cast("double") is illegal on
+    # TIMESTAMP_NTZ; unix_timestamp would floor sub-second gaps away).
+    ep = epoch_seconds(F.col(ts_col))
+    gap = ep - F.lag(ep).over(w)
     new_burst = F.when(gap > max_gap_seconds, 1).otherwise(0)
     run = (
         s500.withColumn("_nb", new_burst)

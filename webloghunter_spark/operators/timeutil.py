@@ -21,6 +21,19 @@ APACHE_TS_RE = r"^\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2}\s(?:[+-]\d{4}|UTC|[A
 IIS_TS_RE = r"^\d{4}-\d{2}-\d{2}\s\d{2}:\d{2}:\d{2}$"
 
 
+def epoch_seconds(col: "F.Column") -> "F.Column":
+    """Fractional epoch seconds from a timestamp column, NTZ- and LTZ-safe.
+
+    ``ts.cast("double")`` throws DATATYPE_MISMATCH on TIMESTAMP_NTZ
+    (parquet written with isAdjustedToUTC=false surfaces as NTZ), and
+    ``unix_timestamp`` floors away sub-second precision that gap
+    thresholds like ``max_gap_seconds=1.0`` depend on.  ``unix_micros``
+    keeps microseconds; the NTZ->LTZ cast is exact under a UTC session
+    zone and a constant offset otherwise, which cancels in differences.
+    """
+    return F.unix_micros(col.cast("timestamp_ltz")) / F.lit(1_000_000.0)
+
+
 def with_utc_timestamp(
     df: DataFrame,
     ts_col: str = "timestamp",
