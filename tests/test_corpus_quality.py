@@ -1,0 +1,168 @@
+"""Coverage for the round-3 corpus-quality additions: segment_dedup,
+domain_mix, cms_heavy_hitters, charset_stats_exprs — plus the
+algebraic invariants of domain_mix and pack_chunks (composition
+honored at the feasible total; packed token conservation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import charset_stats_exprs
+from webloghunter_spark.pipelines.dedup import segment_dedup
+from webloghunter_spark.pipelines.pack import pack_chunks
+from webloghunter_spark.pipelines.split import domain_mix
+from webloghunter_spark.streaming.vocab import cms_heavy_hitters
+
+
+# --- segment_dedup -----------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    # doc 1 and doc 2 share identical boilerplate; doc 1 wins by id order
+    boiler = " ".join(f"w{i}" for i in range(10))  # exactly one segment
+    df = _docs(spark, [(1, boiler), (2, boiler), (3, "unique text here")])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=10).collect()}
+    assert out[1].n_kept == 1 and out[1].new_text == boiler
+    assert out[2].n_kept == 0 and out[2].new_text == ""
+    assert out[3].n_kept == 1 and out[3].new_text == "unique text here"
+
+
+def test_segment_dedup_reassembles_in_segment_order(spark):
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    df = _docs(spark, [(1, f"{seg_a} {seg_b}")])
+    row = segment_dedup(df, seg_tokens=10).collect()[0]
+    assert row.n_seg == 2 and row.n_kept == 2
+    assert row.new_text == f"{seg_a} {seg_b}"
+
+
+def test_segment_dedup_null_text_all_zero(spark):
+    df = _docs(spark, [(1, None), (2, "alive")])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=10).collect()}
+    # n_seg/n_kept/new_text must be consistently zeroed, never NULL
+    assert (out[1].n_seg, out[1].n_kept, out[1].new_text) == (0, 0, "")
+    assert out[2].n_kept == 1
+
+
+# --- domain_mix --------------------------------------------------------------
+
+def _mix_corpus(spark, counts):
+    rows = []
+    nid = 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append((nid, lang))
+            nid += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_domain_mix_limiting_group_fully_kept(spark):
+    # lang 'b' is limiting: count/share = 100/0.5 = 200 < 900/0.5 = 1800
+    df = _mix_corpus(spark, {"a": 900, "b": 100})
+    out = domain_mix(df, {"a": 0.5, "b": 0.5})
+    kept = {r.lang: r.cnt for r in
+            out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # the limiting group keeps EVERY row (the epsilon guard's contract);
+    # the other group lands near share*T = 100 up to md5-bucket variance
+    assert kept["b"] == 100
+    assert 70 <= kept["a"] <= 130
+
+
+def test_domain_mix_composition_near_target(spark):
+    df = _mix_corpus(spark, {"a": 2000, "b": 2000, "c": 500})
+    out = domain_mix(df, {"a": 0.25, "b": 0.25, "c": 0.5})
+    kept = {r.lang: r.cnt for r in
+            out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # T = min(2000/.25, 2000/.25, 500/.5) = 1000
+    assert kept["c"] == 500  # limiting group intact
+    for g in ("a", "b"):  # expect ~250 each, basis-point + hash variance
+        assert 180 <= kept[g] <= 320
+    # absent target group is dropped entirely
+    assert set(kept) == {"a", "b", "c"}
+
+
+def test_domain_mix_is_repartition_stable(spark):
+    df = _mix_corpus(spark, {"a": 300, "b": 300})
+    ids1 = sorted(r.doc_id for r in domain_mix(df, {"a": 0.5, "b": 0.5}).collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in domain_mix(df.repartition(7), {"a": 0.5, "b": 0.5}).collect()
+    )
+    assert ids1 == ids2
+
+
+# --- cms_heavy_hitters -------------------------------------------------------
+
+def test_cms_heavy_hitters_superset_of_true(spark):
+    # 'hot' appears 50 times, 'warm' 10, singles once each
+    rows = [(i, "hot") for i in range(50)]
+    rows += [(100 + i, "warm") for i in range(10)]
+    rows += [(200 + i, f"cold{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: r.est for r in cms_heavy_hitters(df, threshold=10).collect()}
+    # one-sided estimate: every true >=10 hitter MUST be present, with
+    # est >= true count
+    assert got.get("hot", 0) >= 50
+    assert got.get("warm", 0) >= 10
+    # and nothing with true count < threshold can sneak in unless a
+    # collision inflated it — est still >= threshold by construction
+    assert all(v >= 10 for v in got.values())
+
+
+# --- charset_stats_exprs -----------------------------------------------------
+
+def test_charset_stats_on_mojibake(spark):
+    df = spark.createDataFrame(
+        [(1, "abc\x00\x01XY12"), (2, "café ��"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           df.select("doc_id", *charset_stats_exprs("text")).collect()}
+    r1 = out[1]
+    assert r1.n_chars == 9 and r1.n_ctrl == 2 and r1.n_repl == 0
+    # controls count toward the non-printable ratio (documented overlap)
+    assert r1.non_printable_ascii_ratio == pytest.approx(2 / 9, abs=1e-6)
+    assert r1.digit_ratio == pytest.approx(2 / 9, abs=1e-6)
+    assert r1.upper_ratio == pytest.approx(2 / 9, abs=1e-6)
+    r2 = out[2]
+    assert r2.n_repl == 2  # U+FFFD replacement chars
+    assert r2.non_printable_ascii_ratio == pytest.approx(3 / 7, abs=1e-6)  # é + 2×FFFD
+    r3 = out[3]
+    assert r3.n_chars == 0 and r3.non_printable_ascii_ratio == 0.0
+
+
+# --- pack_chunks conservation ------------------------------------------------
+
+def test_pack_chunks_token_conservation(spark):
+    rows = [
+        (i, "s0", " ".join(["tok"] * n))
+        for i, n in enumerate([7, 3, 12, 0, 5, 9, 1])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_chunks(df, budget=8).collect()
+    total = sum(r.ntok for r in out)
+    # the token stream is sliced contiguously: the last chunk index must
+    # be exactly floor((total-1)/budget), and every doc's span must
+    # cover ceil(ntok/budget) <= n_chunks <= ceil(ntok/budget)+1 chunks
+    # (the +1 when it straddles a boundary)
+    assert max(r.last_chunk for r in out) == (total - 1) // 8
+    for r in out:
+        lo = max(1, -(-r.ntok // 8))
+        assert lo <= r.n_chunks <= (r.ntok // 8) + 2
+
+
+def test_pack_chunks_contiguous_spans_per_shard(spark):
+    rows = [(i, f"s{i % 2}", " ".join(["w"] * (3 + i))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted(
+        pack_chunks(df, budget=5).collect(), key=lambda r: (r.source, r.doc_id)
+    )
+    for shard in ("s0", "s1"):
+        prefix = 0
+        for r in [x for x in out if x.source == shard]:
+            assert r.first_chunk == prefix // 5
+            end = prefix + r.ntok - 1 if r.ntok else prefix
+            assert r.last_chunk == end // 5
+            prefix += r.ntok

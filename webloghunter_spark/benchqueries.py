@@ -1932,7 +1932,10 @@ SQL_STRATIFIED_SAMPLE = """
 def q_quantize_emb(spark, sf_dir):
     """Symmetric int8 embedding quantization (per-vector max-abs scale,
     round-half-away codes) — 4x storage cut for an embedding corpus;
-    pure codegen array exprs."""
+    pure codegen array exprs.  The codes array is serialized to a CSV
+    string for the oracle compare: the driver's canonicalizer sorts
+    rows pandas-side and list cells are unhashable there (round-3 ERR).
+    """
     from webloghunter_spark.functions.similarity import quantize_embedding_exprs
 
     emb = _fan(_t(spark, sf_dir, "embeddings"))
@@ -1940,7 +1943,7 @@ def q_quantize_emb(spark, sf_dir):
     return emb.select(
         "vec_id",
         F.round(scale, 4).alias("scale"),
-        codes.alias("codes"),
+        F.concat_ws(",", codes).alias("codes"),
     )
 
 
@@ -1954,14 +1957,15 @@ SQL_QUANTIZE_EMB = """
     )
     SELECT vec_id,
            round(CASE WHEN raw_scale > 0 THEN raw_scale ELSE 0 END, 4) AS scale,
-           CASE WHEN raw_scale > 0 THEN
-               list_transform(embedding, x ->
-                   CAST(least(greatest(
-                       CASE WHEN CAST(x AS DOUBLE) / raw_scale >= 0
-                            THEN floor(CAST(x AS DOUBLE) / raw_scale + 0.5)
-                            ELSE -floor(-(CAST(x AS DOUBLE) / raw_scale) + 0.5) END,
-                       -128), 127) AS INTEGER))
-           ELSE list_transform(embedding, x -> 0) END AS codes
+           array_to_string(
+               CASE WHEN raw_scale > 0 THEN
+                   list_transform(embedding, x ->
+                       CAST(least(greatest(
+                           CASE WHEN CAST(x AS DOUBLE) / raw_scale >= 0
+                                THEN floor(CAST(x AS DOUBLE) / raw_scale + 0.5)
+                                ELSE -floor(-(CAST(x AS DOUBLE) / raw_scale) + 0.5) END,
+                           -128), 127) AS INTEGER))
+               ELSE list_transform(embedding, x -> 0) END, ',') AS codes
     FROM s
 """
 

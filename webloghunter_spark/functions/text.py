@@ -539,10 +539,16 @@ def _class_count(col: Column | str, cls: str) -> Column:
 
 
 def charset_stats_exprs(col: Column | str) -> list[Column]:
-    """[n_chars, n_ctrl, n_repl, non_ascii_ratio, digit_ratio,
+    """[n_chars, n_ctrl, n_repl, non_printable_ascii_ratio, digit_ratio,
     upper_ratio] — the encoding-damage signal vector. Ratios are
     length-guarded (empty text -> 0.0) and rounded to 6 places so two
-    IEEE engines agree bit-for-bit."""
+    IEEE engines agree bit-for-bit.
+
+    non_printable_ascii_ratio counts everything outside printable ASCII
+    + TAB/LF/CR — i.e. it INCLUDES the C0/DEL controls that n_ctrl also
+    counts, plus all non-ASCII codepoints; it is an encoding-suspicion
+    density, not a "how much Unicode" measure.
+    """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c).cast("long")
     safe = F.greatest(n, F.lit(1)).cast("double")
@@ -551,7 +557,7 @@ def charset_stats_exprs(col: Column | str) -> list[Column]:
         n.alias("n_chars"),
         _class_count(c, CTRL_CLASS).alias("n_ctrl"),
         _class_count(c, "�").alias("n_repl"),
-        ratio(_class_count(c, NON_PRINTABLE_ASCII)).alias("non_ascii_ratio"),
+        ratio(_class_count(c, NON_PRINTABLE_ASCII)).alias("non_printable_ascii_ratio"),
         ratio(_class_count(c, "[0-9]")).alias("digit_ratio"),
         ratio(_class_count(c, "[A-Z]")).alias("upper_ratio"),
     ]

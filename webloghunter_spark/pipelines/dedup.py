@@ -470,7 +470,12 @@ def segment_dedup(
             ).alias("new_text"),
         )
     )
-    base = df.select(F.col(id_col), n_seg.alias("n_seg"))
+    # NULL text => size(null) is null; coalesce so n_seg is consistent
+    # with the coalesced n_kept/new_text (downstream `n_kept < n_seg`
+    # filters must not see a NULL/0 mix for the same document).
+    base = df.select(
+        F.col(id_col), F.coalesce(n_seg, F.lit(0)).alias("n_seg")
+    )
     return (
         base.join(stats, on=id_col, how="left")
         .select(

@@ -119,13 +119,18 @@ def domain_mix(
     "data mixture" step of pretraining-corpus assembly (cf. the
     mixture weights of GPT-3 / The Pile): given target shares per
     group, keep the largest deterministic subset whose composition
-    matches the shares exactly (no group can be up-sampled, so the
-    feasible total is  T = min_g(count_g / share_g)  and group g keeps
-    accept_g = share_g * T / count_g  of its rows).
+    approximates the shares to basis-point bucket granularity (no group
+    can be up-sampled, so the feasible total is
+    T = min_g(count_g / share_g)  and group g keeps
+    accept_g = share_g * T / count_g  of its rows, quantized to 1/10000
+    plus md5-hashing variance within each group).
 
     Membership is the same md5-bucket rule as with_split (pure function
     of id + salt): stable across reruns/repartitions, appends only grow
-    a group's kept set. Groups absent from `target` are dropped.
+    a group's kept set. Groups absent from `target` are dropped;
+    target groups absent from `df` contribute no rows and leave the
+    other groups' counts unconstrained (the inner join skips them), so
+    callers wanting a hard guarantee should check the realized mix.
 
     Scale: one map-side-combinable count per group (|groups| rows), the
     min over a |groups|-row frame, and a broadcast join of the per-group
@@ -150,12 +155,18 @@ def domain_mix(
         .select(
             group_col,
             # explicit floor: Spark's double->long cast truncates but
-            # DuckDB's ROUNDS, so the oracle mirrors floor() instead
-            F.floor(
-                F.col("_share") * F.col("_total") / F.col("_cnt") * SPLIT_BUCKETS
-            )
-            .cast("long")
-            .alias("_cut"),
+            # DuckDB's ROUNDS, so the oracle mirrors floor() instead.
+            # The +1e-6 epsilon and least() clamp protect the limiting
+            # group, whose acceptance fraction is exactly 1.0 in real
+            # arithmetic but can land at 0.999999... after three double
+            # roundings — floor would then shave ~1bp of its rows.
+            F.least(
+                F.lit(SPLIT_BUCKETS).cast("long"),
+                F.floor(
+                    F.col("_share") * F.col("_total") / F.col("_cnt") * SPLIT_BUCKETS
+                    + F.lit(1e-6)
+                ).cast("long"),
+            ).alias("_cut"),
         )
     )
     bucket = split_bucket_expr(id_col, salt)

@@ -145,8 +145,9 @@ def cms_heavy_hitters(
     never collected, and the distinct-token probe is itself a hash
     aggregate (bounded by vocabulary, not corpus size).
     """
-    toks = df.select(
-        F.lower(F.explode(tokens_expr(text_col))).alias("_tok")
+    # explode cannot be nested inside lower(): generate first, then map
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("_t")).select(
+        F.lower(F.col("_t")).alias("_tok")
     )
     cells = toks.select(
         F.explode(_cms_cells_md5(F.col("_tok"), depth, width)).alias("c")
