@@ -166,3 +166,21 @@ def test_pack_chunks_contiguous_spans_per_shard(spark):
             end = prefix + r.ntok - 1 if r.ntok else prefix
             assert r.last_chunk == end // 5
             prefix += r.ntok
+
+
+# --- tfidf salted-path parity ------------------------------------------------
+
+def test_tfidf_salted_path_identical(spark):
+    from webloghunter_spark.functions.text import tfidf_topk
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog ate the cat food"),
+        (3, "quantum flux capacitor the"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(map(tuple, tfidf_topk(df).collect()))
+    salted = sorted(map(tuple, tfidf_topk(df, salt_partitions=8).collect()))
+    assert plain == salted and len(plain) > 0

@@ -1826,6 +1826,18 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(docs, "text", "doc_id", k=5)
 
 
+def q_tfidf_topk_salted(spark, sf_dir):
+    """The 100 TB skew path for tfidf_topk: the tf->df join runs on a
+    salted composite key ((token, pmod(md5(doc), 8))) with the compact
+    df side replicated 8 ways, and df itself is a two-stage partial
+    aggregate — identical results to the unsalted oracle, different
+    shuffle layout (no reducer owns a stopword's full row set)."""
+    from webloghunter_spark.functions.text import tfidf_topk
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return tfidf_topk(docs, "text", "doc_id", k=5, salt_partitions=8)
+
+
 SQL_TFIDF_TOPK = r"""
     WITH toks AS (
         SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -2693,6 +2705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
+    "tfidf_topk_salted": q_tfidf_topk_salted,
     "corpus_stats": q_corpus_stats,
     "quantize_emb": q_quantize_emb,
     "knn_quantized": q_knn_quantized,
@@ -2764,6 +2777,7 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "tfidf_topk_salted": SQL_TFIDF_TOPK,
     "corpus_stats": SQL_CORPUS_STATS,
     "quantize_emb": SQL_QUANTIZE_EMB,
     "knn_quantized": SQL_KNN_QUANTIZED,

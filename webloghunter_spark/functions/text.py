@@ -447,6 +447,7 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    salt_partitions: int = 0,
 ):
     """Per-document top-k terms by TF-IDF (plain ln(N/df), no
     smoothing, so any SQL engine reproduces it bit-for-bit after
@@ -455,12 +456,19 @@ def tfidf_topk(
     Scale shape: one shuffle to (doc, token) term counts (map-side
     combinable); document frequencies aggregate FROM the tf table
     (compact, one row per distinct doc-token) rather than rescanning
-    text; the df join is left unhinted — at bench scale AQE broadcasts
-    it, at 100 TB the vocabulary may be too large to broadcast and the
-    planner keeps a shuffle join (salt stopword-heavy keys with
-    operators.skew.salted_join if the tf side skews); the per-doc top-k
-    is a bounded window, ordered on the ROUNDED score so float ULP
-    differences across engines cannot flip ranks.
+    text; the per-doc top-k is a bounded window, ordered on the ROUNDED
+    score so float ULP differences across engines cannot flip ranks.
+
+    `salt_partitions=S > 0` activates the skew path for the tf->df
+    join: at 100 TB the vocabulary may be too large to broadcast, and a
+    plain shuffle join on `token` sends every tf row for a stopword to
+    one reducer. Salting splits each hot key S ways — tf rows get a
+    deterministic salt pmod(md5(id), S), the one-row-per-token df side
+    is replicated S ways, and the join key becomes (token, salt); df
+    itself is computed as a two-stage (token, salt)-partial then
+    token-total aggregate so no single reducer sees a stopword's full
+    row set. Results are IDENTICAL to the unsalted path (the oracle),
+    only the shuffle layout changes.
     """
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
@@ -472,10 +480,30 @@ def tfidf_topk(
         ).alias("token"),
     )
     tf = toks.groupBy(id_col, "token").agg(_F.count(_F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(_F.count(_F.lit(1)).alias("df"))
     ndocs = df.agg(_F.count(_F.lit(1)).alias("n_docs"))
-    scored = tf.join(dfreq, "token").crossJoin(_F.broadcast(ndocs))
-    scored = scored.withColumn(
+    if salt_partitions > 0:
+        s = _F.lit(salt_partitions)
+        salt = _F.pmod(
+            _F.conv(_F.substring(_F.md5(_F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            s,
+        ).cast("int")
+        tf = tf.withColumn("_salt", salt)
+        # stage 1: per-(token, salt) partial df; stage 2: token total.
+        partial = tf.groupBy("token", "_salt").agg(
+            _F.count(_F.lit(1)).alias("_pdf")
+        )
+        dfreq = partial.groupBy("token").agg(_F.sum("_pdf").alias("df"))
+        # replicate the compact df table S ways so (token, salt) joins
+        # co-partition without any reducer owning a whole hot token
+        dfreq = dfreq.select(
+            "token", "df", _F.explode(_F.sequence(_F.lit(0), s - 1)).alias("_salt")
+        )
+        scored = tf.join(dfreq, ["token", "_salt"]).drop("_salt")
+    else:
+        dfreq = tf.groupBy("token").agg(_F.count(_F.lit(1)).alias("df"))
+        scored = tf.join(dfreq, "token")
+    scored = scored.crossJoin(_F.broadcast(ndocs)).withColumn(
         "tfidf",
         _F.round(
             _F.col("tf") * _F.log(_F.col("n_docs").cast("double") / _F.col("df")), 4
