@@ -315,3 +315,87 @@ def test_sessionize_stream_exact_rejects_short_timeout(spark):
     ).select("source", "ip", F.to_timestamp("ts_s").alias("utc_timestamp"))
     with _pytest.raises(ValueError, match="idle_timeout_ms"):
         sessionize_stream_exact(df, threshold=60, idle_timeout_ms=1000)
+
+
+def test_decontaminate_batch_stream_parity(spark, tmp_path):
+    """foreachBatch decontamination over a streamed train corpus equals
+    the batch operator (same eval shingle set, same survivors)."""
+    from webloghunter_spark.pipelines.decontam import decontaminate
+    from webloghunter_spark.streaming.decontam import decontaminate_stream_writer
+
+    eval_df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    train_rows = [
+        (10, "a b the quick brown fox jumps c d"),      # contaminated
+        (11, "totally original content right here"),     # clean
+        (12, "x lorem ipsum dolor sit amet y"),          # contaminated
+        (13, "another clean training document words"),   # clean
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    expected = {r.doc_id for r in decontaminate(train, eval_df, n=5).collect()}
+    assert expected == {11, 13}
+
+    src = str(tmp_path / "train_src")
+    train.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(train.schema).parquet(src)
+
+    got_ids = set()
+
+    def sink(df, batch_id):
+        got_ids.update(r.doc_id for r in df.collect())
+
+    fn = decontaminate_stream_writer(eval_df, sink, n=5)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got_ids == expected
+
+
+def test_semantic_dedup_batch_stream_parity(spark, tmp_path):
+    """Stateful streaming SemDeDup equals the batch pair scan when ids
+    arrive in order (single micro-batch here)."""
+    from webloghunter_spark.pipelines.semdedup import semantic_dup_flags
+    from webloghunter_spark.streaming.semdedup import semantic_dup_flags_stream
+
+    # two well-separated clusters, near-dup pairs inside each
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),    # near-dup of 0
+        (3, [0.05, 0.99, 0.0]),   # near-dup of 1
+        (4, [0.7, 0.6, 0.4]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    centroids = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centroid")
+    )
+    expected = {
+        (r.vec_id, r.cent_id, r.max_sim, r.is_dup)
+        for r in semantic_dup_flags(df, centroids=centroids, tau=0.9).collect()
+    }
+
+    src = str(tmp_path / "vec_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        semantic_dup_flags_stream(stream, centroids, tau=0.9)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("parity_semdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem"))
+        .start()
+    )
+    try:
+        got = _drain(spark, q, "parity_semdedup", min_rows=len(vecs))
+    finally:
+        q.stop()
+    assert {
+        (r.vec_id, r.cent_id, r.max_sim, r.is_dup) for r in got
+    } == expected

@@ -62,19 +62,28 @@ def eval_shingle_set(
 
 def contaminated_docs(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
     broadcast_eval: bool = True,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_hits) for every train document sharing >=1 n-gram
     with the eval set; n_hits = number of DISTINCT overlapping grams.
 
     Documents with no overlap do not appear (join is inner) — compose
     with `decontaminate` for the filtered corpus.
+
+    `eval_grams` supplies a precomputed `eval_shingle_set` result (the
+    streaming twin persists it once and reuses it across micro-batches
+    instead of re-shingling the eval corpus per batch).
     """
-    grams = eval_shingle_set(eval_df, text_col, n)
+    if eval_grams is None:
+        if eval_df is None:
+            raise ValueError("need eval_df or eval_grams")
+        eval_grams = eval_shingle_set(eval_df, text_col, n)
+    grams = eval_grams
     if broadcast_eval:
         grams = F.broadcast(grams)
     hits = _doc_shingles(train, id_col, text_col, n).join(
@@ -85,16 +94,17 @@ def contaminated_docs(
 
 def decontaminate(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
     broadcast_eval: bool = True,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Train corpus with contaminated documents removed (left-anti join
     against the contaminated id list — the same bounded-shuffle shape
     as near_dedup's drop list)."""
     bad = contaminated_docs(
-        train, eval_df, id_col, text_col, n, broadcast_eval
+        train, eval_df, id_col, text_col, n, broadcast_eval, eval_grams
     ).select(id_col)
     return train.join(bad, id_col, "left_anti")

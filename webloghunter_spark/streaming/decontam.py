@@ -1,0 +1,70 @@
+"""Streaming benchmark decontamination (micro-batch twin).
+
+Decontamination is per-document — whether a train doc shares an n-gram
+with the eval set depends only on that doc and the (static) eval
+corpus — so the streaming form needs no cross-row state at all: each
+micro-batch runs the exact batch operator against a persisted eval
+shingle set via ``foreachBatch``.
+
+Why foreachBatch and not a stream-static join: the per-doc verdict
+needs an aggregate over the doc's exploded shingles (ALL grams must
+miss), and stream-side aggregation in append mode would demand
+watermark machinery for what is a self-contained row-local decision.
+``foreachBatch`` gives the batch plan — broadcast semi-join, zero
+train-side shuffle — per micro-batch, with the eval shingle set
+computed ONCE and reused (persisted DataFrame in the closure), which
+is the property the batch docstring promises at 100 TB: the eval side
+is small and static; only train text streams.
+
+Exactly-once: output inherits foreachBatch's at-least-once contract;
+sinks keyed on (batch_id, doc_id) or idempotent overwrite-by-batch
+get effective exactly-once, same as any foreachBatch pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from webloghunter_spark.pipelines.decontam import (
+    contaminated_docs,
+    decontaminate,
+    eval_shingle_set,
+)
+
+
+def decontaminate_stream_writer(
+    eval_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    emit_hits: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function: per micro-batch, either the
+    decontaminated survivors (default) or the (id, n_hits) audit rows
+    (`emit_hits=True`) are handed to `sink(df, batch_id)`.
+
+    Usage::
+
+        fn = decontaminate_stream_writer(eval_df, my_sink)
+        q = (train_stream.writeStream.foreachBatch(fn)
+             .option("checkpointLocation", ckpt).start())
+    """
+    grams = eval_shingle_set(eval_df, text_col, n).persist()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if emit_hits:
+            out = contaminated_docs(
+                batch_df, id_col=id_col, text_col=text_col, n=n,
+                eval_grams=grams,
+            )
+        else:
+            out = decontaminate(
+                batch_df, id_col=id_col, text_col=text_col, n=n,
+                eval_grams=grams,
+            )
+        sink(out, batch_id)
+
+    return process

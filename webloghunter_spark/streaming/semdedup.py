@@ -1,0 +1,139 @@
+"""Streaming SemDeDup: online semantic near-duplicate flagging.
+
+Batch (`pipelines/semdedup.py`) assigns vectors to centroids and
+pair-scans within each cluster.  The streaming twin keeps per-cluster
+state instead of self-joining: vectors stream in, a closure-broadcast
+centroid matrix assigns each to its cluster map-side (same argmax
+kernel as `ivf_assign_fast` — one matmul per Arrow batch, no window,
+stream-safe), and a stateful operator keyed by `cent_id` compares each
+arrival against the cluster members already seen, emitting
+(vec_id, cent_id, max_sim, is_dup) append-only.
+
+Parity contract with `semantic_dup_flags` (tau, rounding identical):
+- batch defines max_sim against LOWER-ID members of the cluster;
+  the stream compares against lower-id members SEEN SO FAR.  When ids
+  arrive in nondecreasing order (the ingest-with-monotonic-ids case)
+  the two are equal — the parity test feeds exactly that; under
+  out-of-order arrival a late low id cannot retro-update rows already
+  emitted (append-only), the same horizon trade-off `neardup.py`
+  documents for LSH buckets.
+- state per cluster is the member list (id + vector): the same
+  Σ|cluster| memory the batch pair scan needs live per task.  Keep k
+  high enough that clusters stay bounded (the batch SemDeDup skew rule)
+  and evict with `idle_timeout_ms` when dedup only needs a rolling
+  horizon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "vec_id long, cent_id long, max_sim double, is_dup boolean"
+STATE_SCHEMA = "ids array<long>, vecs array<array<double>>"
+
+
+def _cluster_fn(tau: float, round_digits: int, idle_timeout_ms: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (cent_id,) = key
+        cols = ["vec_id", "cent_id", "max_sim", "is_dup"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        ids, vecs = (state.get if state.exists else ([], []))
+        ids = [int(i) for i in ids]
+        mat = (
+            np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if vecs
+            else np.zeros((0, 0))
+        )
+        incoming: list[tuple[int, np.ndarray]] = []
+        for pdf in pdfs:
+            for vid, vec in zip(pdf["vec_id"], pdf["_v"]):
+                incoming.append((int(vid), np.asarray(vec, dtype=np.float64)))
+        incoming.sort(key=lambda t: t[0])
+        rows = []
+        for vid, vec in incoming:
+            lower = [i for i, sid in enumerate(ids) if sid < vid]
+            if lower and mat.size:
+                m = mat[lower]
+                sims = (m @ vec) / (
+                    np.linalg.norm(m, axis=1) * np.linalg.norm(vec)
+                )
+                mx = round(float(sims.max()), round_digits)
+                rows.append((vid, cent_id, mx, mx >= tau))
+            else:
+                rows.append((vid, cent_id, None, False))
+            ids.append(vid)
+            mat = (
+                np.vstack([mat, vec[None, :]])
+                if mat.size
+                else vec[None, :].copy()
+            )
+        state.update((ids, [list(map(float, r)) for r in mat]))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def semantic_dup_flags_stream(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    idle_timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming twin of `semantic_dup_flags`; `centroids` is a BATCH
+    (cent_id, centroid) table, collected once into the task closure
+    (k rows, a few KB — the broadcast centroid table of the batch
+    path)."""
+    crows = centroids.select("cent_id", "centroid").collect()
+    crows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = (v @ cmat.T) / np.outer(np.sqrt((v * v).sum(axis=1)), cnorm)
+            j = s.argmax(axis=1)  # first max -> lowest cent_id on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "cent_id": cids[j],
+                    "_v": pdf[vec_col],
+                }
+            )
+
+    assigned = vecs.select(id_col, vec_col).mapInPandas(
+        assign, "vec_id long, cent_id long, _v array<double>"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return assigned.groupBy("cent_id").applyInPandasWithState(
+        _cluster_fn(tau, round_digits, idle_timeout_ms),
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        timeout,
+    )
