@@ -1793,6 +1793,162 @@ SQL_TRAIN_SPLIT = """
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Target-composition resampling of the documents corpus (the
+    pretraining "data mixture" step): largest md5-bucket-deterministic
+    subset matching {en: .5, de: .2, fr: .3}; the limiting group (fr at
+    this corpus) keeps every row via the epsilon-guarded cut."""
+    from webloghunter_spark.pipelines.split import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_mix(docs, {"en": 0.5, "de": 0.2, "fr": 0.3}, group_col="lang")
+    return out.select("doc_id", "lang")
+
+
+SQL_DOMAIN_MIX = """
+    WITH shares(lang, share) AS (
+        VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+               ('fr', CAST(0.3 AS DOUBLE))
+    ),
+    counts AS (
+        SELECT d.lang, CAST(count(*) AS DOUBLE) AS cnt, any_value(share) AS share
+        FROM documents d JOIN shares s ON d.lang = s.lang
+        GROUP BY d.lang
+    ),
+    t AS (SELECT min(cnt / share) AS total FROM counts),
+    cuts AS (
+        SELECT lang,
+               least(CAST(10000 AS BIGINT),
+                     CAST(floor(share * total / cnt * 10000 + 1e-6) AS BIGINT))
+                   AS cut
+        FROM counts CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cuts c ON d.lang = c.lang
+    WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8)
+               AS BIGINT) % 10000 AS INTEGER) < c.cut
+"""
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Sub-document exact dedup at 10-token segment granularity
+    (Lee et al. exact-substring stand-in): globally-first occurrence
+    of each distinct segment survives; docs reassemble from survivors."""
+    from webloghunter_spark.pipelines.dedup import segment_dedup
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return segment_dedup(docs, "text", "doc_id", seg_tokens=10)
+
+
+SQL_SEGMENT_DEDUP = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               coalesce(CAST(ceil(len(t) / 10.0) AS INTEGER), 0) AS n_seg, t
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(t[i*10+1 : i*10+10], ' ') AS seg
+        FROM base, UNNEST(generate_series(0, n_seg - 1)) AS u(i)
+        WHERE n_seg > 0
+    ),
+    kept AS (
+        SELECT doc_id, seg_idx, seg FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+            FROM segs
+        ) WHERE rn = 1
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_seg,
+           coalesce(s.n_kept, 0) AS n_kept,
+           coalesce(s.new_text, '') AS new_text
+    FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters THROUGH a count-min sketch (md5 cell family, 4x1024):
+    one-sided superset of true >=threshold tokens — the bounded-state
+    vocabulary primitive whose streaming twin is cms_vocab_stream."""
+    from webloghunter_spark.streaming.vocab import cms_heavy_hitters
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return cms_heavy_hitters(docs, "text", threshold=100)
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+    WITH toks AS (
+        SELECT lower(tok) AS tok FROM (
+            SELECT unnest(CASE WHEN length(trim(text)) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+') END) AS tok
+            FROM documents
+        )
+    ),
+    rowsr AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cells AS (
+        SELECT r,
+               CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)
+                    AS BIGINT) % 1024 AS BIGINT) AS pos
+        FROM toks CROSS JOIN rowsr
+    ),
+    sketch AS (SELECT r, pos, count(*) AS n FROM cells GROUP BY r, pos),
+    probe AS (SELECT DISTINCT tok FROM toks),
+    pcells AS (
+        SELECT tok, r,
+               CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)
+                    AS BIGINT) % 1024 AS BIGINT) AS pos
+        FROM probe CROSS JOIN rowsr
+    ),
+    est AS (
+        SELECT tok AS token, min(coalesce(n, 0)) AS est
+        FROM pcells LEFT JOIN sketch USING (r, pos)
+        GROUP BY tok
+    )
+    SELECT token, est FROM est WHERE est >= 100
+"""
+
+
+def q_charset_stats(spark, sf_dir):
+    """Per-document encoding-damage signals (control chars, U+FFFD
+    replacement density, non-printable-ASCII / digit / upper ratios) —
+    the mojibake filter of a web-corpus intake. Pure codegen regexp
+    arithmetic."""
+    from webloghunter_spark.functions.text import charset_stats_exprs
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", *charset_stats_exprs("text"))
+
+
+SQL_CHARSET_STATS = r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(
+               text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_ctrl,
+           length(text) - length(regexp_replace(text, '�', '', 'g')) AS n_repl,
+           round((length(text) - length(regexp_replace(
+               text, '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')))
+               / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+               AS non_printable_ascii_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
+           round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+               / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS upper_ratio
+    FROM documents
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary heavy hitters (exact counts): map-side
     combinable hash aggregate + TakeOrderedAndProject."""
@@ -2703,6 +2859,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_rate": q_trailing_rate,
     "asof_join": q_asof_join,
     "train_split": q_train_split,
+    "domain_mix": q_domain_mix,
+    "segment_dedup": q_segment_dedup,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "charset_stats": q_charset_stats,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -2775,6 +2935,10 @@ ORACLES: dict[str, str] = {
     "trailing_rate": SQL_TRAILING_RATE,
     "asof_join": SQL_ASOF_JOIN,
     "train_split": SQL_TRAIN_SPLIT,
+    "domain_mix": SQL_DOMAIN_MIX,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "charset_stats": SQL_CHARSET_STATS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
