@@ -184,3 +184,29 @@ def test_tfidf_salted_path_identical(spark):
     plain = sorted(map(tuple, tfidf_topk(df).collect()))
     salted = sorted(map(tuple, tfidf_topk(df, salt_partitions=8).collect()))
     assert plain == salted and len(plain) > 0
+
+
+# --- bigram LM scoring -------------------------------------------------------
+
+def test_bigram_logprob_ranks_gibberish_below_fluent(spark):
+    from math import log
+
+    from webloghunter_spark.functions.lm import bigram_logprob
+
+    rows = [
+        (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+        (4, "zq xv jk"),          # bigrams never repeat -> low likelihood
+        (5, "one"),               # < 2 tokens -> no score
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df, alpha=0.5).collect()}
+    assert out[1].avg_ll == out[2].avg_ll == out[3].avg_ll
+    assert out[4].avg_ll < out[1].avg_ll
+    assert out[5].n_bigrams == 0 and out[5].avg_ll is None
+    assert out[6].n_bigrams == 0 and out[6].avg_ll is None
+    # hand-check: "the cat" occurs 3x, "the ·" starts 3 bigrams, V=7
+    # distinct lowercased tokens -> ln((3+.5)/(3+.5*7)); same for
+    # "cat sat", so the doc average equals the single-term value
+    expected = round(log(3.5 / 6.5), 4)
+    assert out[1].avg_ll == expected

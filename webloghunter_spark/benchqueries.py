@@ -1949,6 +1949,50 @@ SQL_CHARSET_STATS = r"""
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-trained add-alpha bigram LM likelihood per document — the
+    perplexity quality filter (CCNet-style, self-trained so the whole
+    model lives in two count aggregates + a broadcast vocab size)."""
+    from webloghunter_spark.functions.lm import bigram_logprob
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return bigram_logprob(docs, "text", "doc_id", alpha=0.5)
+
+
+SQL_BIGRAM_LOGPROB = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\s+') END,
+                   x -> lower(x)) AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    scored AS (
+        SELECT bi.doc_id,
+               ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS lp
+        FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_ll
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_ll
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary heavy hitters (exact counts): map-side
     combinable hash aggregate + TakeOrderedAndProject."""
@@ -2863,6 +2907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "charset_stats": q_charset_stats,
+    "bigram_logprob": q_bigram_logprob,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -2939,6 +2984,7 @@ ORACLES: dict[str, str] = {
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "charset_stats": SQL_CHARSET_STATS,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
