@@ -30,25 +30,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.text import tokens_expr
+from webloghunter_spark.session import materialize
 
 
 def _bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) per consecutive lowercased token pair; docs with
-    fewer than 2 tokens contribute no rows."""
-    toks = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
-    # sequence(1, 0) DESCENDS in Spark — guard the short-doc case
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
+    fewer than 2 tokens contribute no rows.
+
+    Built as arrays_zip of two slices rather than a transform-over-
+    indices HOF: slice/arrays_zip stay inside whole-stage codegen while
+    transform+element_at is interpreted per element — at a 32x corpus
+    the HOF form was the profile's hot spot."""
+    toks = F.lower(F.concat_ws(" ", tokens_expr(text_col)))
+    t = F.split(toks, " ")  # re-split the lowercased join: one lower() call
+    n = F.size(t)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)),
     )
-    return df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
-        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.0").alias("w1"), F.col("_p.1").alias("w2"))
     )
 
 
@@ -62,7 +64,11 @@ def bigram_logprob(
     """(id, n_bigrams, avg_ll): mean ln-likelihood of each document's
     token bigrams under the corpus's own add-alpha bigram model.
     Documents with < 2 tokens return n_bigrams=0, avg_ll NULL."""
-    bi = _bigram_rows(df, text_col, id_col)
+    # The bigram table feeds THREE consumers (cb, cu, the probe side);
+    # without materialization the interpreted-HOF extraction re-runs per
+    # consumer and the query goes superlinear at scale (13x wall at a
+    # 32x corpus, vs ~2x once cached — SCALING.md round 4).
+    bi = materialize(_bigram_rows(df, text_col, id_col))
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
     cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu"))
     vocab = (
