@@ -210,3 +210,60 @@ def test_bigram_logprob_ranks_gibberish_below_fluent(spark):
     # "cat sat", so the doc average equals the single-term value
     expected = round(log(3.5 / 6.5), 4)
     assert out[1].avg_ll == expected
+
+
+# --- quality_gate ------------------------------------------------------------
+
+def test_quality_gate_reasons_fire_in_order(spark):
+    from webloghunter_spark.pipelines.gate import quality_gate
+
+    fluent = ("the cat is on the mat and the dog is in the house "
+              "for a walk to the park in the morning and this text "
+              "keeps going with plenty of common words to pass") * 2
+    rows = [
+        (1, fluent),                               # keep
+        (2, "too short"),                          # too_short
+        (3, " ".join(["w"] * 6000)),               # too_long
+        (4, ("café " * 20 + fluent)[:600]),   # heavy non-ascii -> encoding
+        (5, ("!!!??? " * 30 + "word " * 5)),       # punctuation soup -> low_quality
+        (6, None),                                 # no tokens -> too_short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_gate(
+        df, min_tokens=20, max_tokens=5000, max_nonprintable_bp=200,
+        min_quality_bp=5000, min_avg_ll=None,
+    ).collect()}
+    assert out[1].keep and out[1].reason == ""
+    assert out[2].reason == "too_short"
+    assert out[3].reason == "too_long"
+    assert out[4].reason == "encoding"
+    assert out[5].reason == "low_quality"
+    assert out[6].reason == "too_short"
+
+
+def test_quality_gate_lm_rule(spark):
+    from webloghunter_spark.pipelines.gate import quality_gate
+
+    fluent = ("the cat is on the mat and the dog is in the house "
+              "for a walk to the park in the morning and this text "
+              "keeps going with plenty of common words to pass")
+    # gibberish has the same shape but bigrams that never repeat
+    gibberish = " ".join(f"zx{i}q" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, gibberish)],
+        "doc_id long, text string",
+    )
+    # derive a threshold between the fluent and gibberish scores so the
+    # test pins the RULE (gate fires on the LM score), not a fragile
+    # hand-computed constant
+    from webloghunter_spark.functions.lm import bigram_logprob
+
+    ll = {r.doc_id: r.avg_ll for r in bigram_logprob(df).collect()}
+    assert ll[3] < ll[1]
+    cut = (ll[3] + min(ll[1], ll[2])) / 2
+    out = {r.doc_id: r for r in quality_gate(
+        df, min_tokens=10, min_quality_bp=0, max_nonprintable_bp=10000,
+        min_avg_ll=cut,
+    ).collect()}
+    assert out[1].keep and out[2].keep
+    assert not out[3].keep and out[3].reason == "low_lm"

@@ -1993,6 +1993,78 @@ SQL_BIGRAM_LOGPROB = r"""
 """
 
 
+def q_quality_gate(spark, sf_dir):
+    """Composed intake gate (C4/Gopher-style rule stack): length bounds,
+    encoding damage, heuristic quality, corpus-LM likelihood — first
+    failing rule is the drop reason. Integer threshold arithmetic
+    everywhere except the (rounded) LM compare."""
+    from webloghunter_spark.pipelines.gate import quality_gate
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return quality_gate(
+        docs, min_tokens=30, max_tokens=5000, max_nonprintable_bp=1000,
+        min_quality_bp=5000, min_avg_ll=-8.0,
+    )
+
+
+SQL_QUALITY_GATE = r"""
+    WITH toks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               coalesce(len(t), 0)::BIGINT AS ntok,
+               greatest(coalesce(length(text), 0), 1)::BIGINT AS nc,
+               coalesce(length(text) - length(regexp_replace(
+                   text, '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')), 0)::BIGINT
+                   AS npr,
+               coalesce(CAST(floor((least(len(t)::DOUBLE / 100.0, 1.0) * 0.5
+                   + (1.0 - (length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE
+                       / greatest(length(text)::DOUBLE, 1.0)) * 0.3
+                   + least((len(list_filter(t, x -> list_contains(
+                       ['the','a','an','of','to','in','and','is','on','for'],
+                       lower(x))))::DOUBLE
+                       / greatest(len(t)::DOUBLE, 1.0)) * 5.0, 1.0) * 0.2)
+                   * 10000.0 + 0.5) AS BIGINT), 0) AS qbp
+        FROM toks
+    ),
+    lt AS (SELECT doc_id, list_transform(t, x -> lower(x)) AS t FROM toks),
+    bi AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM lt, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM lt)
+    ),
+    scored AS (
+        SELECT bi.doc_id, ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS lp
+        FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, round(avg(lp), 4) AS avg_ll FROM scored GROUP BY doc_id
+    ),
+    gated AS (
+        SELECT b.doc_id,
+               CASE WHEN b.ntok < 30 THEN 'too_short'
+                    WHEN b.ntok > 5000 THEN 'too_long'
+                    WHEN b.npr * 10000 > 1000 * b.nc THEN 'encoding'
+                    WHEN b.qbp < 5000 THEN 'low_quality'
+                    WHEN a.avg_ll IS NULL OR a.avg_ll < -8.0 THEN 'low_lm'
+                    ELSE '' END AS reason
+        FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    )
+    SELECT doc_id, reason = '' AS keep, reason FROM gated
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary heavy hitters (exact counts): map-side
     combinable hash aggregate + TakeOrderedAndProject."""
@@ -2908,6 +2980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "charset_stats": q_charset_stats,
     "bigram_logprob": q_bigram_logprob,
+    "quality_gate": q_quality_gate,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -2985,6 +3058,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "charset_stats": SQL_CHARSET_STATS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "quality_gate": SQL_QUALITY_GATE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
