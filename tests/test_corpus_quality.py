@@ -267,3 +267,35 @@ def test_quality_gate_lm_rule(spark):
     ).collect()}
     assert out[1].keep and out[2].keep
     assert not out[3].keep and out[3].reason == "low_lm"
+
+
+# --- novelty / source overlap ------------------------------------------------
+
+def test_novelty_frac_first_occurrence_wins(spark):
+    from webloghunter_spark.pipelines.overlap import novelty_frac
+
+    text = "a b c d e"           # grams: "a b c", "b c d", "c d e"
+    rows = [(1, text), (2, text), (3, "x y z w"), (4, "t u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.n_novel)
+           for r in novelty_frac(df, k=3).collect()}
+    assert out[1] == (3, 3)     # everything first here
+    assert out[2] == (3, 0)     # all grams already seen at id 1
+    assert out[3] == (2, 2)
+    assert out[4] == (0, 0)     # < k tokens
+
+
+def test_source_overlap_counts(spark):
+    from webloghunter_spark.pipelines.overlap import source_overlap
+
+    rows = [
+        (1, "s1", "a b c d"),     # grams: {a b c, b c d}
+        (2, "s2", "a b c"),       # grams: {a b c}
+        (3, "s3", "p q r"),       # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.src_a, r.src_b): (r.n_a, r.n_b, r.n_common)
+           for r in source_overlap(df, k=3).collect()}
+    assert out[("s1", "s2")] == (2, 1, 1)
+    assert out[("s1", "s3")] == (2, 1, 0)
+    assert out[("s2", "s3")] == (1, 1, 0)

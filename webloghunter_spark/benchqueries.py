@@ -2065,6 +2065,73 @@ SQL_QUALITY_GATE = r"""
 """
 
 
+def q_novelty_frac(spark, sf_dir):
+    """Per-document novelty: distinct 3-grams vs how many first occur
+    at this id — the memorization signal boilerplate-heavy docs fail
+    even when no single earlier doc matches them wholesale."""
+    from webloghunter_spark.pipelines.overlap import novelty_frac
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return novelty_frac(docs, "text", "doc_id", k=3)
+
+
+SQL_NOVELTY_FRAC = f"""
+    WITH {DOC_TOKENS_SQL},
+    d AS (SELECT doc_id, list_distinct(s) AS s FROM shingles),
+    grams AS (SELECT doc_id, unnest(s) AS g FROM d),
+    first AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g),
+    per AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams JOIN first USING (g) GROUP BY doc_id
+    )
+    SELECT d2.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_novel, 0) AS n_novel
+    FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise distinct-3-gram overlap between sources — the corpus
+    composition matrix that decides whether cross-source dedup pays."""
+    from webloghunter_spark.pipelines.overlap import source_overlap
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return source_overlap(docs, "text", "source", k=3)
+
+
+SQL_SOURCE_OVERLAP = r"""
+    WITH toks AS (
+        SELECT source, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT source, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' ')) END AS s
+        FROM toks
+    ),
+    sg AS (
+        SELECT DISTINCT src, g FROM (
+            SELECT source AS src, unnest(s) AS g FROM sh
+        )
+    ),
+    sizes AS (SELECT src, count(*) AS n FROM sg GROUP BY src),
+    common AS (
+        SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+        FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+        GROUP BY a.src, b.src
+    )
+    SELECT na.src AS src_a, nb.src AS src_b, na.n AS n_a, nb.n AS n_b,
+           coalesce(c.n_common, 0) AS n_common
+    FROM sizes na JOIN sizes nb ON na.src < nb.src
+    LEFT JOIN common c ON c.src_a = na.src AND c.src_b = nb.src
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary heavy hitters (exact counts): map-side
     combinable hash aggregate + TakeOrderedAndProject."""
@@ -2981,6 +3048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_stats": q_charset_stats,
     "bigram_logprob": q_bigram_logprob,
     "quality_gate": q_quality_gate,
+    "novelty_frac": q_novelty_frac,
+    "source_overlap": q_source_overlap,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -3059,6 +3128,8 @@ ORACLES: dict[str, str] = {
     "charset_stats": SQL_CHARSET_STATS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "quality_gate": SQL_QUALITY_GATE,
+    "novelty_frac": SQL_NOVELTY_FRAC,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
