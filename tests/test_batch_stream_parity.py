@@ -399,3 +399,46 @@ def test_semantic_dedup_batch_stream_parity(spark, tmp_path):
     assert {
         (r.vec_id, r.cent_id, r.max_sim, r.is_dup) for r in got
     } == expected
+
+
+def test_quality_gate_batch_stream_parity(spark, tmp_path):
+    """The frozen-LM streaming gate over a streamed corpus equals the
+    batch self-trained gate when the reference corpus IS the corpus."""
+    from webloghunter_spark.pipelines.gate import quality_gate
+    from webloghunter_spark.streaming.gate import quality_gate_stream_writer
+
+    fluent = ("the cat is on the mat and the dog is in the house "
+              "for a walk to the park in the morning and plenty of "
+              "common words fill this text so rules pass cleanly")
+    rows = [
+        (1, fluent), (2, fluent),
+        (3, "too short"),
+        (4, " ".join(f"zx{i}q" for i in range(40))),  # gibberish
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    kwargs = dict(min_tokens=10, max_tokens=5000, max_nonprintable_bp=10000,
+                  min_quality_bp=0, min_avg_ll=-4.0)
+    expected = {
+        (r.doc_id, r.keep, r.reason)
+        for r in quality_gate(corpus, **kwargs).collect()
+    }
+
+    src = str(tmp_path / "gate_src")
+    corpus.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    got = set()
+
+    def sink(df, batch_id):
+        got.update((r.doc_id, r.keep, r.reason) for r in df.collect())
+
+    fn = quality_gate_stream_writer(corpus, sink, **kwargs)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got == expected

@@ -299,3 +299,25 @@ def test_source_overlap_counts(spark):
     assert out[("s1", "s2")] == (2, 1, 1)
     assert out[("s1", "s3")] == (2, 1, 0)
     assert out[("s2", "s3")] == (1, 1, 0)
+
+
+# --- token entropy -----------------------------------------------------------
+
+def test_token_entropy_repetition_signal(spark):
+    from math import log
+
+    from webloghunter_spark.functions.text import token_entropy
+
+    rows = [
+        (1, "spam spam spam spam"),      # H = 0
+        (2, "a b c d"),                  # H = ln(4)
+        (3, "a a b b"),                  # H = ln(2)
+        (4, ""), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].entropy == 0.0
+    assert out[2].entropy == round(log(4), 4)
+    assert out[3].entropy == round(log(2), 4)
+    assert out[4].ntok == 0 and out[4].entropy is None
+    assert out[5].ntok == 0 and out[5].entropy is None

@@ -38,3 +38,28 @@ def test_no_complex_toplevel_columns(spark):
         if complex_cols:
             bad[name] = complex_cols
     assert bad == {}, f"complex top-level columns break driver canon: {bad}"
+
+
+def test_bench_isolates_failing_query(spark, monkeypatch, capsys):
+    """One failing query must not kill the bench run (round 3 lost its
+    whole bench gate to a single AnalysisException)."""
+    import bench
+    import webloghunter_spark.benchqueries as bq
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("injected failure")
+
+    monkeypatch.setitem(bq.QUERIES, "__boom__", boom)
+    monkeypatch.setenv("WLH_BENCH_QUERIES", "train_split,__boom__")
+    monkeypatch.setenv("WLH_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rc = bench.main()
+    out = capsys.readouterr().out
+    import json
+
+    line = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert rc == 0
+    assert line["queries"]["train_split"] is not None
+    assert line["queries"]["__boom__"] is None
+    assert line["failed"] == ["__boom__"]
+    assert "injected failure" in line["errors"]["__boom__"]

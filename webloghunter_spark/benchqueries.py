@@ -2132,6 +2132,41 @@ SQL_SOURCE_OVERLAP = r"""
 """
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the repetitiveness signal; H = ln(n) - sum(c ln c)/n, two map-side
+    combinable aggregates, zero joins."""
+    from webloghunter_spark.functions.text import token_entropy
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return token_entropy(docs, "text", "doc_id")
+
+
+SQL_TOKEN_ENTROPY = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                   x -> lower(x)) END AS t
+        FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok),
+    agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS cl
+        FROM tf GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT doc_id, n AS ntok,
+               round(ln(n::DOUBLE) - cl / n::DOUBLE, 4) AS entropy
+        FROM agg
+    )
+    SELECT d.doc_id, coalesce(e.ntok, 0) AS ntok, e.entropy
+    FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary heavy hitters (exact counts): map-side
     combinable hash aggregate + TakeOrderedAndProject."""
@@ -3050,6 +3085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_gate": q_quality_gate,
     "novelty_frac": q_novelty_frac,
     "source_overlap": q_source_overlap,
+    "token_entropy": q_token_entropy,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -3130,6 +3166,7 @@ ORACLES: dict[str, str] = {
     "quality_gate": SQL_QUALITY_GATE,
     "novelty_frac": SQL_NOVELTY_FRAC,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "token_entropy": SQL_TOKEN_ENTROPY,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,

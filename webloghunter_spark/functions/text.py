@@ -589,3 +589,46 @@ def charset_stats_exprs(col: Column | str) -> list[Column]:
         ratio(_class_count(c, "[0-9]")).alias("digit_ratio"),
         ratio(_class_count(c, "[A-Z]")).alias("upper_ratio"),
     ]
+
+
+def token_entropy(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+):
+    """(id, ntok, entropy): Shannon entropy (nats) of each document's
+    token distribution — the repetitiveness signal (a low-entropy doc
+    is keyword-stuffing / boilerplate even when no n-gram repeats
+    verbatim). Uses the algebraic form H = ln(n) - Σ c·ln(c) / n so the
+    whole computation is one (doc, token) count aggregate plus one
+    per-doc aggregate — both map-side combinable, no join at all.
+    Documents with no tokens return (0, NULL)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+        ).alias("_tok"),
+    )
+    tf = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    agg = tf.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias("_cl"),
+    )
+    ent = agg.select(
+        id_col,
+        F.col("_n").cast("long").alias("ntok"),
+        F.round(
+            F.log(F.col("_n").cast("double")) - F.col("_cl") / F.col("_n").cast("double"),
+            round_digits,
+        ).alias("entropy"),
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("ntok", F.lit(0)).cast("long").alias("ntok"),
+            F.col("entropy"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Streaming document intake gate (micro-batch twin of
+pipelines/gate.quality_gate).
+
+The counting rules (length, encoding, heuristic quality) are row-local
+— expressible directly on a stream with zero state. The LM rule is
+corpus-relative and needs a bigram model; online self-training would
+make early verdicts depend on arrival order, so the streaming form
+takes a FROZEN model trained batch-side (the standard CCNet shape: the
+LM is trained on a reference corpus, not the stream) and joins it per
+micro-batch via foreachBatch, reusing the persisted count tables.
+
+With `lm=None` the gate is a pure stateless stream transformation —
+use `quality_gate_stream` directly in a writeStream pipeline. With a
+model, use `quality_gate_stream_writer` + foreachBatch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.lm import bigram_logprob
+from webloghunter_spark.pipelines.gate import quality_gate
+
+
+def quality_gate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 5000,
+    max_nonprintable_bp: int = 1000,
+    min_quality_bp: int = 5000,
+) -> DataFrame:
+    """Stateless streaming gate (no LM rule): the batch operator's plan
+    is a single narrow projection, which is stream-safe as-is."""
+    return quality_gate(
+        stream, text_col, id_col, min_tokens, max_tokens,
+        max_nonprintable_bp, min_quality_bp, min_avg_ll=None,
+    )
+
+
+def quality_gate_stream_writer(
+    ref_corpus: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 5000,
+    max_nonprintable_bp: int = 1000,
+    min_quality_bp: int = 5000,
+    min_avg_ll: float = -8.0,
+    lm_alpha: float = 0.5,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch form with the LM rule: the bigram model is trained
+    ONCE on `ref_corpus` (batch) and applied to each micro-batch —
+    verdicts are arrival-order independent, unlike self-training on the
+    stream. Per batch: counting rules first (row-local), then the LM
+    join against the frozen model for rows the cheap rules kept alive.
+    """
+    from webloghunter_spark.functions.text import tokens_expr
+    from webloghunter_spark.session import materialize
+
+    # frozen model: counts + vocab from the reference corpus
+    from webloghunter_spark.functions.lm import _bigram_rows
+
+    bi = _bigram_rows(ref_corpus, text_col, id_col)
+    cb = materialize(bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb")))
+    cu = materialize(bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu")))
+    v_rows = (
+        ref_corpus.select(
+            F.explode(F.transform(tokens_expr(text_col), lambda t: F.lower(t))).alias("_tok")
+        ).agg(F.count_distinct("_tok").alias("_v")).collect()
+    )
+    v = int(v_rows[0][0])
+    a = float(lm_alpha)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = quality_gate(
+            batch_df, text_col, id_col, min_tokens, max_tokens,
+            max_nonprintable_bp, min_quality_bp, min_avg_ll=None,
+        )
+        probe = _bigram_rows(batch_df, text_col, id_col)
+        scored = (
+            probe.join(cb, ["w1", "w2"], "left")
+            .join(cu, "w1", "left")
+            .select(
+                id_col,
+                F.log(
+                    (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(a))
+                    / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(a * v))
+                ).alias("_lp"),
+            )
+            .groupBy(id_col)
+            .agg(F.round(F.avg("_lp"), 4).alias("avg_ll"))
+        )
+        out = (
+            base.join(scored, id_col, "left")
+            .select(
+                id_col,
+                F.when(~F.col("keep"), F.col("keep")).otherwise(
+                    F.col("avg_ll").isNotNull() & (F.col("avg_ll") >= min_avg_ll)
+                ).alias("keep"),
+                F.when(F.col("reason") != "", F.col("reason"))
+                .when(
+                    F.col("avg_ll").isNull() | (F.col("avg_ll") < min_avg_ll),
+                    F.lit("low_lm"),
+                )
+                .otherwise(F.lit(""))
+                .alias("reason"),
+            )
+        )
+        sink(out, batch_id)
+
+    return process
