@@ -880,6 +880,53 @@ SQL_KNN = """
 """
 
 
+def q_knn_batch(spark, sf_dir):
+    """Multi-query brute-force kNN — the realistic search shape: a
+    small query batch (ids 0-4) broadcast against one scan of the
+    store, per-query top-10 via a bounded window. One store pass
+    regardless of batch size; no per-query rescans."""
+    from webloghunter_spark.functions.similarity import cosine_expr
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qs = raw.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv")
+    )
+    store = _fan(raw.filter(F.col("vec_id") >= 5))
+    scored = store.crossJoin(F.broadcast(qs)).select(
+        "qid", "vec_id",
+        F.round(cosine_expr(F.col("embedding"), F.col("_qv")), 4).alias("cosine"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+SQL_KNN_BATCH = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 5),
+    s AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+    scored AS (
+        SELECT qid, vec_id,
+               round(list_dot_product(e, qv)
+                     / (sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        FROM s CROSS JOIN q
+    )
+    SELECT qid, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+"""
+
+
 def q_parse_roundtrip(spark, sf_dir):
     """S4/S5/2.4 end-to-end: format events as raw log lines in three
     formats (apache combined / CLF / IIS), run the REAL multi-format
@@ -1512,6 +1559,38 @@ SQL_KNN_IVF = """
     CROSS JOIN q
     ORDER BY cosine DESC, v.vec_id
     LIMIT 10
+"""
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the IVF approximate path against brute-force ground
+    truth (same query, same tie-breaks) — the diagnostic every ANN
+    deployment runs before trusting the probe setting."""
+    from webloghunter_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = list(raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    store = _fan(raw.filter(F.col("vec_id") != 0))
+    brute = cosine_topk(store, qvec, k=10).select("vec_id")
+    approx = cosine_topk_ivf(
+        store, qvec, k=10, n_centroids=8, n_probe=2
+    ).select("vec_id")
+    return (
+        brute.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(F.lit(10).cast("int").alias("k"), "n_common")
+    )
+
+
+SQL_ANN_RECALL = f"""
+    WITH brute AS (SELECT vec_id FROM ({SQL_KNN})),
+    approx AS (SELECT vec_id FROM ({SQL_KNN_IVF}))
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM brute JOIN approx USING (vec_id)
 """
 
 
@@ -3086,6 +3165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "novelty_frac": q_novelty_frac,
     "source_overlap": q_source_overlap,
     "token_entropy": q_token_entropy,
+    "knn_batch": q_knn_batch,
+    "ann_recall": q_ann_recall,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -3167,6 +3248,8 @@ ORACLES: dict[str, str] = {
     "novelty_frac": SQL_NOVELTY_FRAC,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "token_entropy": SQL_TOKEN_ENTROPY,
+    "knn_batch": SQL_KNN_BATCH,
+    "ann_recall": SQL_ANN_RECALL,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
