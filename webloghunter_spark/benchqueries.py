@@ -927,6 +927,65 @@ SQL_KNN_BATCH = """
 """
 
 
+_PNG_HDR = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+    + (8).to_bytes(4, "big") + (6).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00"
+)  # valid 8x6 truecolor IHDR, 29 bytes
+_GIF_HDR = (
+    b"GIF89a" + (5).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    + b"\x00\x00\x00"
+)  # 5x4 screen descriptor, 13 bytes
+
+
+def q_media_sniff(spark, sf_dir):
+    """Multimodal metadata pass through the DRIVER GATE: documents get
+    deterministic binary payloads (real PNG IHDR / GIF descriptor
+    headers by doc_id % 3, raw utf-8 otherwise) and the REAL stdlib
+    header sniffer (mapInPandas over the binary column) extracts
+    dimensions; the oracle knows the constants by construction. This is
+    the binary-column plumbing — schema, Arrow binary transfer, NULL
+    dims for unrecognized payloads — checked by hash, not just tests."""
+    from webloghunter_spark.functions.multimodal import decode_media
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(_PNG_HDR), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(_GIF_HDR), body))
+        .otherwise(body)
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    out = decode_media(media, "payload", use_real_codecs=True)
+    # unrecognized payloads -> -1 sentinel, not NULL: NaN-bearing float
+    # columns are a canonicalization hazard (NaN != NaN breaks multiset
+    # and sort-based compares on both the local mimic and the driver)
+    return out.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.coalesce("width", F.lit(-1)).cast("int").alias("width"),
+        F.coalesce("height", F.lit(-1)).cast("int").alias("height"),
+        F.coalesce("channels", F.lit(-1)).cast("int").alias("channels"),
+    )
+
+
+SQL_MEDIA_SNIFF = """
+    SELECT doc_id,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 29 + octet_length(encode(coalesce(text, '')))
+                WHEN 1 THEN 13 + octet_length(encode(coalesce(text, '')))
+                ELSE octet_length(encode(coalesce(text, ''))) END
+                AS BIGINT) AS n_bytes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 5 ELSE -1 END
+                AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE -1 END
+                AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE -1 END
+                AS INTEGER) AS channels
+    FROM documents
+"""
+
+
 def q_parse_roundtrip(spark, sf_dir):
     """S4/S5/2.4 end-to-end: format events as raw log lines in three
     formats (apache combined / CLF / IIS), run the REAL multi-format
@@ -3167,6 +3226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "knn_batch": q_knn_batch,
     "ann_recall": q_ann_recall,
+    "media_sniff": q_media_sniff,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -3250,6 +3310,7 @@ ORACLES: dict[str, str] = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "knn_batch": SQL_KNN_BATCH,
     "ann_recall": SQL_ANN_RECALL,
+    "media_sniff": SQL_MEDIA_SNIFF,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
