@@ -308,10 +308,16 @@ def connected_components(
 
     Per round: two joins + one min-aggregate (3 shuffles on the id
     key) and one convergence action. Each round's label frame is
-    persisted and the previous round's released, so lineage (and
-    recomputation cost) stays O(1) in the round count. The returned
-    frame is registered with the materialize() lifecycle — call
-    release_materialized() after the consuming action.
+    localCheckpoint'ed EAGERLY: persist alone truncates execution but
+    NOT the logical plan — each round references the prior frame three
+    times, so the plan tree grows ~3^rounds and merely RENDERING it
+    (explain, error messages) OOMs the driver after enough rounds
+    (found by the union-find property test on a long path graph).
+    Checkpointing makes each round's plan a leaf, so both lineage and
+    plan size stay O(1) in the round count; on a real cluster swap
+    localCheckpoint for a reliable checkpoint dir if executor loss
+    matters. The returned frame is registered with the materialize()
+    lifecycle — call release_materialized() after the consuming action.
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -351,7 +357,9 @@ def connected_components(
                 "_prev",
             )
         )
-        new_cc = jumped.persist()
+        # eager localCheckpoint: materializes AND truncates the plan
+        # (persist would leave a ~3^rounds logical tree — see docstring)
+        new_cc = jumped.localCheckpoint(eager=True)
         changed = new_cc.filter(F.col("comp") != F.col("_prev")).limit(1).count()
         cc.unpersist()
         # re-register the surviving frame with the lifecycle registry
