@@ -3135,6 +3135,99 @@ SQL_ORDER_PRIORITY = """
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: selective dim filter (mktsegment) -> two
+    fact joins -> revenue per order -> top 10. The 100 TB plan:
+    the filtered customer side broadcasts (one segment = ~1/5 of an
+    already-small dim), lineitem⋈orders shuffles on the order key with
+    both date filters pushed to the scans, and the top-k is
+    TakeOrderedAndProject on the ROUNDED revenue (rank-stable across
+    engines), never a global sort."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.min(F.unix_timestamp("o_orderdate")).alias("order_epoch"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           min(floor(epoch(o_orderdate))::BIGINT) AS order_epoch
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped: revenue lost to returns per customer in one
+    quarter, top 20. Fact⋈fact shuffles on the order key; the nation
+    dim broadcasts; top-k on rounded revenue via
+    TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.min("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(min(c_acctbal), 2) AS acctbal
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """Canonical-URL rollup: normalize request_uri (strip query/
     fragment, collapse //, drop trailing /, lowercase) and count
@@ -3227,6 +3320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_batch": q_knn_batch,
     "ann_recall": q_ann_recall,
     "media_sniff": q_media_sniff,
+    "shipping_priority": q_shipping_priority,
+    "returned_items": q_returned_items,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
     "tfidf_topk_salted": q_tfidf_topk_salted,
@@ -3311,6 +3406,8 @@ ORACLES: dict[str, str] = {
     "knn_batch": SQL_KNN_BATCH,
     "ann_recall": SQL_ANN_RECALL,
     "media_sniff": SQL_MEDIA_SNIFF,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "returned_items": SQL_RETURNED_ITEMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "tfidf_topk_salted": SQL_TFIDF_TOPK,
