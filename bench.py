@@ -83,8 +83,12 @@ def main() -> int:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    # a query that failed on ANY repeat reports null — a median of its
+    # surviving (warm-up-skewed) samples would both misstate its cost
+    # and let it appear in `queries` and `failed` simultaneously
     timings = {
-        name: (round(median(v), 3) if v else None) for name, v in runs.items()
+        name: (round(median(v), 3) if v and name not in errors else None)
+        for name, v in runs.items()
     }
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)

@@ -26,10 +26,18 @@ def test_all_queries_have_oracle_or_documented_skip():
 
 
 def test_no_complex_toplevel_columns(spark):
-    """Schema-only sweep: driver canon requires scalar columns."""
+    """Schema sweep: driver canon requires scalar columns.
+
+    Mostly plan analysis, but NOT execution-free: several kNN-family
+    builders collect() their query vector / centroids during
+    construction, so this runs small Spark jobs against SF_DIR and
+    must release the materialize() frames some builders persist."""
+    from webloghunter_spark.session import release_materialized
+
     bad = {}
     for name, fn in entrymod.queries().items():
         schema = fn(spark, SF_DIR).schema
+        release_materialized()
         complex_cols = [
             f.name
             for f in schema.fields
@@ -37,6 +45,7 @@ def test_no_complex_toplevel_columns(spark):
         ]
         if complex_cols:
             bad[name] = complex_cols
+    spark.catalog.clearCache()
     assert bad == {}, f"complex top-level columns break driver canon: {bad}"
 
 

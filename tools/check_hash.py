@@ -33,7 +33,9 @@ def canon(df: pd.DataFrame) -> list[tuple]:
         if s.dtype == object:
             df[c] = s.astype(str)
         elif "datetime" in str(s.dtype):
-            df[c] = s.astype("int64") // 10**9
+            # normalize resolution first: Spark toPandas yields ns,
+            # DuckDB/pandas-2 yields us — raw int64 views differ 1000x
+            df[c] = s.astype("datetime64[ns]").astype("int64") // 10**9
         elif s.dtype.kind == "f":
             df[c] = s.astype("float64")  # exact — no rounding
         elif s.dtype.kind in "iu":

@@ -956,7 +956,10 @@ def q_media_sniff(spark, sf_dir):
         .otherwise(body)
     )
     media = docs.select("doc_id", payload.alias("payload"))
-    out = decode_media(media, "payload", use_real_codecs=True)
+    # sniff_only: the oracle hardcodes the HEADER constants; a full PIL
+    # decode (when installed) could read the trailing text bytes as
+    # image data and disagree — the sniffer depends on headers alone
+    out = decode_media(media, "payload", sniff_only=True)
     # unrecognized payloads -> -1 sentinel, not NULL: NaN-bearing float
     # columns are a canonicalization hazard (NaN != NaN breaks multiset
     # and sort-based compares on both the local mimic and the driver)
@@ -2094,7 +2097,11 @@ def q_bigram_logprob(spark, sf_dir):
     from webloghunter_spark.functions.lm import bigram_logprob
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    return bigram_logprob(docs, "text", "doc_id", alpha=0.5)
+    out = bigram_logprob(docs, "text", "doc_id", alpha=0.5)
+    # registry-facing sentinel: NULL doubles become NaN pandas-side and
+    # break the sort/hash canon; 0.0 is unreachable for a real score
+    # (every smoothed bigram probability is < 1, so ln < 0)
+    return out.withColumn("avg_ll", F.coalesce("avg_ll", F.lit(0.0)))
 
 
 SQL_BIGRAM_LOGPROB = r"""
@@ -2126,7 +2133,8 @@ SQL_BIGRAM_LOGPROB = r"""
         SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_ll
         FROM scored GROUP BY doc_id
     )
-    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_ll
+    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.avg_ll, 0.0) AS avg_ll
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
@@ -2277,7 +2285,10 @@ def q_token_entropy(spark, sf_dir):
     from webloghunter_spark.functions.text import token_entropy
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    return token_entropy(docs, "text", "doc_id")
+    out = token_entropy(docs, "text", "doc_id")
+    # registry-facing sentinel (NaN breaks result canonicalization);
+    # -1.0 is unreachable — Shannon entropy is always >= 0
+    return out.withColumn("entropy", F.coalesce("entropy", F.lit(-1.0)))
 
 
 SQL_TOKEN_ENTROPY = r"""
@@ -2300,7 +2311,8 @@ SQL_TOKEN_ENTROPY = r"""
                round(ln(n::DOUBLE) - cl / n::DOUBLE, 4) AS entropy
         FROM agg
     )
-    SELECT d.doc_id, coalesce(e.ntok, 0) AS ntok, e.entropy
+    SELECT d.doc_id, coalesce(e.ntok, 0) AS ntok,
+           coalesce(e.entropy, -1.0) AS entropy
     FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
 """
 

@@ -123,17 +123,30 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_media(
-    df: DataFrame, payload_col: str = "payload", use_real_codecs: bool = False
+    df: DataFrame,
+    payload_col: str = "payload",
+    use_real_codecs: bool = False,
+    sniff_only: bool = False,
 ) -> DataFrame:
     """Add (width, height, channels) per media row via mapInPandas.
 
     use_real_codecs=True decodes REAL dimensions: full PIL decode when
     PIL is importable, else the stdlib header sniffer (PNG/GIF/BMP/
     JPEG); unrecognized payloads get NULL dims. False keeps the
-    deterministic hash-derived stub (benchmarking without fixtures)."""
-    decode = _decode_real if use_real_codecs else (
-        lambda b: _decode_stub(b)
-    )
+    deterministic hash-derived stub (benchmarking without fixtures).
+    sniff_only=True forces the stdlib header sniffer even when PIL is
+    importable — results then depend only on the header bytes, never
+    on which codec library happens to be installed (the property an
+    external oracle needs: PIL can e.g. parse a truncated GIF to mode
+    'P'/1-channel where the sniffer reports the descriptor's 3)."""
+    if sniff_only:
+        decode = lambda b: (
+            lambda d: d if d is not None else (None, None, None)
+        )(sniff_dimensions(b))
+    elif use_real_codecs:
+        decode = _decode_real
+    else:
+        decode = _decode_stub
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {DECODED_SCHEMA}"

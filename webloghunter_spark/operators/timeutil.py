@@ -29,7 +29,12 @@ def epoch_seconds(col: "F.Column") -> "F.Column":
     ``unix_timestamp`` floors away sub-second precision that gap
     thresholds like ``max_gap_seconds=1.0`` depend on.  ``unix_micros``
     keeps microseconds; the NTZ->LTZ cast is exact under a UTC session
-    zone and a constant offset otherwise, which cancels in differences.
+    zone (which ``get_spark`` pins).  PRECONDITION for NTZ inputs
+    under a NON-UTC session zone: the offset is only constant away
+    from DST transitions — two wall-clock instants straddling a
+    spring-forward/fall-back boundary differ by an extra ±3600 s, so
+    gap arithmetic there needs a UTC session (set
+    ``spark.sql.session.timeZone=UTC``, as this engine does).
     """
     return F.unix_micros(col.cast("timestamp_ltz")) / F.lit(1_000_000.0)
 

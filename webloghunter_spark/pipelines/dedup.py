@@ -361,13 +361,24 @@ def connected_components(
         # (persist would leave a ~3^rounds logical tree — see docstring)
         new_cc = jumped.localCheckpoint(eager=True)
         changed = new_cc.filter(F.col("comp") != F.col("_prev")).limit(1).count()
-        cc.unpersist()
+        _release_checkpointed(cc)
         # re-register the surviving frame with the lifecycle registry
         swap_materialized(cc, new_cc)
         cc = new_cc
         if changed == 0:
             break
     return cc.select(F.col("id").alias(id_col), "comp")
+
+
+def _release_checkpointed(df: DataFrame) -> None:
+    """Free a superseded round's storage: Dataset.unpersist() is a
+    no-op for localCheckpoint'ed frames (their RDD is persisted outside
+    the cache manager), so without session._unpersist_any's LogicalRDD
+    reach-in every CC round's label blocks would linger until
+    nondeterministic JVM GC."""
+    from webloghunter_spark.session import _unpersist_any
+
+    _unpersist_any(df)
 
 
 def near_dedup_cc(

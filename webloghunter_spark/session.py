@@ -57,6 +57,19 @@ def swap_materialized(old: DataFrame, new: DataFrame) -> None:
     _MATERIALIZED.append(new)
 
 
+def _unpersist_any(df: DataFrame) -> None:
+    """Unpersist a frame whether it was persist()ed or
+    localCheckpoint()ed: Dataset.unpersist() only clears cache-manager
+    entries; a checkpointed frame's RDD is persisted directly, so reach
+    into its LogicalRDD plan too (guarded — falls back to GC cleanup on
+    any plan-shape change)."""
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_materialized() -> int:
     """Unpersist every registered frame (newest first); returns the
     count released. Safe to call repeatedly / with a stopped session."""
@@ -64,7 +77,7 @@ def release_materialized() -> int:
     while _MATERIALIZED:
         df = _MATERIALIZED.pop()
         try:
-            df.unpersist()
+            _unpersist_any(df)
             n += 1
         except Exception:
             pass
@@ -89,7 +102,7 @@ def materialized_scope():
         del _MATERIALIZED[del_from:]
         for df in reversed(tail):
             try:
-                df.unpersist()
+                _unpersist_any(df)
             except Exception:
                 pass
 

@@ -63,12 +63,17 @@ def quality_gate_stream_writer(
     from webloghunter_spark.functions.text import tokens_expr
     from webloghunter_spark.session import materialize
 
-    # frozen model: counts + vocab from the reference corpus
+    # frozen model: counts + vocab from the reference corpus. The
+    # bigram frame feeds BOTH count aggregates — materialize it so the
+    # extraction runs once (the exact lesson functions/lm.py codifies),
+    # then release it: only cb/cu stay resident for the stream's life.
     from webloghunter_spark.functions.lm import _bigram_rows
 
-    bi = _bigram_rows(ref_corpus, text_col, id_col)
+    bi = _bigram_rows(ref_corpus, text_col, id_col).persist()
     cb = materialize(bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb")))
     cu = materialize(bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu")))
+    cb.count(), cu.count()  # settle both off the cached frame
+    bi.unpersist()
     v_rows = (
         ref_corpus.select(
             F.explode(F.transform(tokens_expr(text_col), lambda t: F.lower(t))).alias("_tok")
