@@ -2419,6 +2419,25 @@ def q_near_dedup_cc(spark, sf_dir):
     return out.select("doc_id", "rep")
 
 
+def q_dup_stats(spark, sf_dir):
+    """The dedup report a pipeline operator actually reads: cluster-size
+    histogram of the near-dup components — (cluster_size, n_clusters,
+    n_docs). One |docs|-row aggregate on top of near_dedup_cc; the
+    histogram itself is a handful of rows."""
+    from webloghunter_spark.pipelines.dedup import near_dedup_cc
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    cc = near_dedup_cc(docs, threshold=0.8, num_hashes=4, band_size=2)
+    sizes = cc.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+        )
+    )
+
+
 # Min reachable id per node: reach(id, r) = "r is reachable from id",
 # grown breadth-first (UNION dedupes, so it terminates); rep = min(r).
 SQL_NEAR_DEDUP_CC = f"""
@@ -2435,6 +2454,16 @@ SQL_NEAR_DEDUP_CC = f"""
         FROM reach JOIN e2 ON e2.src = reach.r
     )
     SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id
+"""
+
+
+SQL_DUP_STATS = f"""
+    WITH cc AS (SELECT * FROM ({SQL_NEAR_DEDUP_CC})),
+    sizes AS (SELECT rep, count(*) AS cluster_size FROM cc GROUP BY rep)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
 """
 
 
@@ -3333,6 +3362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "media_sniff": q_media_sniff,
     "shipping_priority": q_shipping_priority,
+    "dup_stats": q_dup_stats,
     "returned_items": q_returned_items,
     "vocab_topk": q_vocab_topk,
     "tfidf_topk": q_tfidf_topk,
@@ -3419,6 +3449,7 @@ ORACLES: dict[str, str] = {
     "ann_recall": SQL_ANN_RECALL,
     "media_sniff": SQL_MEDIA_SNIFF,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "dup_stats": SQL_DUP_STATS,
     "returned_items": SQL_RETURNED_ITEMS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "tfidf_topk": SQL_TFIDF_TOPK,
