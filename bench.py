@@ -12,8 +12,12 @@ driver-side collection cost). Per-query numbers are medians of
 WLH_BENCH_REPEATS runs: this box shows large contention/JIT swings
 (the same single-task query has measured anywhere from 1.6 to 14 s
 across runs), so single-run deltas are attribution noise — medians
-make plan regressions visible. The per-run grid is emitted under
-"runs" for dispersion checks."""
+make plan regressions visible. The per-run dispersion grid is written
+to BENCH_runs.json next to this script (NOT into the stdout JSON line:
+an 84-query x 3-repeat grid tripled the line length and overflowed the
+driver's tail capture in round 4, leaving BENCH_r04.json unparseable).
+The compact {metric, value, queries, completed, failed} line is always
+the LAST stdout line."""
 
 from __future__ import annotations
 
@@ -99,12 +103,24 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
-        "runs": runs,
         "completed": len(ok),
         "failed": sorted(errors),
     }
     if errors:
         out["errors"] = errors
+    # Per-run dispersion grid goes to a side file, never the stdout
+    # line (see module docstring: the grid overflowed the driver's
+    # tail capture in round 4 and nulled the committed artifact).
+    side = {"sf": out["sf"], "repeats": repeats, "runs": runs}
+    try:
+        runs_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_runs.json"
+        )
+        with open(runs_path, "w") as fh:
+            json.dump(side, fh)
+    except OSError as e:  # dispersion data is best-effort
+        print(f"BENCH-WARN could not write BENCH_runs.json: {e}", file=sys.stderr)
+    sys.stdout.flush()
     print(json.dumps(out))
     # rc=0 as long as the harness produced numbers for most queries;
     # a systemic failure (nothing ran) still signals rc=1.
