@@ -506,3 +506,40 @@ def test_simhash_hamming_pairs_pigeonhole(spark):
     assert got == exp
     with pytest.raises(ValueError):
         simhash_hamming_pairs(df, max_distance=4, n_bands=4)
+
+
+def test_simhash_pairs_output_cap(spark):
+    """max_pairs_per_doc enforces the O(n*k) output contract on a
+    dup-saturated corpus (all-equal fingerprints -> n^2/2 uncapped
+    pairs) while leaving sparse candidate graphs untouched; the kept
+    pairs are each id_a's k closest by (hamming, id_b)."""
+    from webloghunter_spark.functions.similarity import simhash_hamming_pairs
+
+    # dup-saturated: 200 identical fingerprints = 19,900 uncapped pairs
+    sat = spark.createDataFrame(
+        [(i, 0b1010101010101010) for i in range(200)],
+        "doc_id long, simhash long",
+    )
+    capped = simhash_hamming_pairs(sat, max_pairs_per_doc=5)
+    rows = capped.collect()
+    assert len(rows) <= 200 * 5
+    # deterministic top-k: doc 0's partners are the 5 smallest id_b
+    assert sorted(r.id_b for r in rows if r.id_a == 0) == [1, 2, 3, 4, 5]
+    assert (
+        simhash_hamming_pairs(sat, max_pairs_per_doc=None).count() == 19900
+    )
+
+    # sparse graph: default cap (64) changes nothing
+    sparse = spark.createDataFrame(
+        [(0, 0), (1, 0b111), (2, 0b0000000011110000), (3, 0b110)],
+        "doc_id long, simhash long",
+    )
+    uncapped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(sparse, max_pairs_per_doc=None).collect()
+    }
+    default = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(sparse).collect()
+    }
+    assert default == uncapped

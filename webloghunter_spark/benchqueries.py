@@ -2595,7 +2595,10 @@ def q_simhash_pairs(spark, sf_dir):
     """Near-dup pairs by SimHash Hamming distance <= 3 over 16-bit
     fingerprints: multi-index banding (4 bands; pigeonhole guarantees
     any pair within distance 3 agrees exactly on some band) ->
-    candidate bucket joins -> exact bit_count(xor) filter. Oracle is
+    candidate bucket joins -> exact bit_count(xor) filter, output
+    bounded to the 64 closest partners per id_a (hard O(n*k) contract
+    on dup-heavy corpora — the cap is mirrored in the oracle's
+    QUALIFY, same deterministic (hamming, id_b) ranking). Oracle is
     the O(n^2) brute force at gate scale; the banding keeps the real
     plan at sum(bucket^2)."""
     from webloghunter_spark.functions.similarity import simhash_hamming_pairs
@@ -2606,7 +2609,9 @@ def q_simhash_pairs(spark, sf_dir):
     sh = docs.select(
         "doc_id", udf(F.col("text")).alias("simhash")
     ).filter(F.col("simhash").isNotNull())
-    return simhash_hamming_pairs(sh, max_distance=3, bits=16, n_bands=4)
+    return simhash_hamming_pairs(
+        sh, max_distance=3, bits=16, n_bands=4, max_pairs_per_doc=64
+    )
 
 
 SQL_SIMHASH_PAIRS = f"""
@@ -2615,6 +2620,7 @@ SQL_SIMHASH_PAIRS = f"""
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY hamming, id_b) <= 64
 """
 
 

@@ -329,6 +329,7 @@ def simhash_hamming_pairs(
     max_distance: int = 3,
     bits: int = 16,
     n_bands: int = 4,
+    max_pairs_per_doc: int | None = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_distance.
 
@@ -338,6 +339,17 @@ def simhash_hamming_pairs(
     (pigeonhole), so candidates come from per-band bucket joins —
     Σ|bucket|², never n² — and the exact bit_count(xor) filter runs on
     candidates only. Requires max_distance < n_bands for completeness.
+
+    Pair ENUMERATION output is inherently O(Σ|family|²) on dup-heavy
+    corpora (a 32× dup-saturated probe emitted 144M pairs from 160k
+    docs — small fingerprint spaces collide quadratically), so the
+    output is bounded by `max_pairs_per_doc`: each id_a keeps its k
+    closest partners, ranked deterministically by (hamming, id_b),
+    giving a hard O(n·k) output contract. The default (64 near-dup
+    partners per document) is far above any verification-stage need;
+    pass None for the unbounded enumeration. The representative forms
+    (`near_dedup_cc`, `near_dedup`) remain the right operators for
+    dup-heavy corpora — linear output with no cap at all.
     """
     if max_distance >= n_bands:
         raise ValueError(
@@ -375,7 +387,15 @@ def simhash_hamming_pairs(
             F.col("l._sh").bitwiseXOR(F.col("r._sh"))
         ).alias("hamming"),
     ).distinct()
-    return cand.filter(F.col("hamming") <= max_distance)
+    pairs = cand.filter(F.col("hamming") <= max_distance)
+    if max_pairs_per_doc is None:
+        return pairs
+    w = Window.partitionBy("id_a").orderBy("hamming", "id_b")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_pairs_per_doc)
+        .drop("_rn")
+    )
 
 
 def write_ivf_index(
