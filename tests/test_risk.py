@@ -58,6 +58,35 @@ def test_uri_risk_values(spark):
     assert out == URI_CASES
 
 
+def test_uri_risk_col_matches_udf(spark):
+    """The native fast path of uri_risk_col scores bit-for-bit what the
+    Arrow UDF scores, across plain URIs (native path), encoded/edge
+    URIs (routed to the UDF), and NULL."""
+    from webloghunter_spark.functions.risk import uri_risk_col
+
+    shells = frozenset({"c99.php", "cmd.php"})
+    uris = list(URI_CASES) + [
+        "/index.html", "/admin/panel", "/upload/x.php.jpg",
+        "/../../etc/passwd", "/dump.sql", "/x?f=../../etc", "/login",
+        "/a/b/c99.php", "/a/cmd.php?x=1", "/a?b?c=../d",   # query at FIRST '?'
+        "/a/..\\win", "/x\\..y", "/weird�char", "/UPPER/ADMIN/X",
+        "/x.PHP.Jpg", "/a.exe", "/shop.pl?id=1", "/a/b/",
+        "", "no/leading/slash.sql", "plain",
+        # every class that must fall back to the UDF
+        "/enc%2e%2e/x", "/frag#../x", "/semi;p=../x", "http://h/../x",
+        "//netloc/../x", "/tab\t../x", "/nl\n../x", "/cr\r../x",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in uris], "request_uri string")
+    udf = uri_risk_udf(shells)
+    native = uri_risk_col("request_uri", shells)
+    rows = df.select(
+        udf("request_uri").alias("want"), native.alias("got"), "request_uri"
+    ).collect()
+    bad = [(r.request_uri, r.want, r.got) for r in rows if r.want != r.got]
+    assert not bad, bad
+
+
 def test_cidr_ipv4_and_invalid(spark):
     rows = [("10.10.10.5",), ("10.10.32.5",), ("192.168.0.1",), ("garbage",), ("::1",)]
     df = spark.createDataFrame(rows, "ip string")

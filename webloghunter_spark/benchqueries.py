@@ -1722,10 +1722,12 @@ URI_RISK_EXPECTED = [0, 75, 100, 100, 100, 35, 50, 10]
 
 
 def q_uri_risk(spark, sf_dir):
-    """R1: the REAL uri_risk pandas UDF (nested percent-decode,
-    sensitive paths, traversal, webshell set, double extension, risky
-    extension, cap 100) over probe URIs mapped from events."""
-    from webloghunter_spark.functions.risk import uri_risk_udf
+    """R1: the REAL uri_risk scorer (nested percent-decode, sensitive
+    paths, traversal, webshell set, double extension, risky extension,
+    cap 100) over probe URIs mapped from events — via `uri_risk_col`,
+    so the 4 plain probes take the native codegen path and only the 4
+    percent-encoded probes cross into the Arrow UDF."""
+    from webloghunter_spark.functions.risk import uri_risk_col
 
     # _fan: the UDF projection would otherwise run inside the
     # single-task scan stage of the one-row-group test parquet; the
@@ -1737,8 +1739,8 @@ def q_uri_risk(spark, sf_dir):
     for i, u in enumerate(URI_RISK_PROBES):
         cond = F.col("_k") % 8 == i
         uri = F.when(cond, u) if uri is None else uri.when(cond, u)
-    udf = uri_risk_udf(shells=frozenset({"c99.php", "cmd.php"}))
-    return ev.select("event_id", udf(uri).alias("uri_risk"))
+    scored = uri_risk_col(uri, shells=frozenset({"c99.php", "cmd.php"}))
+    return ev.select("event_id", scored.alias("uri_risk"))
 
 
 SQL_URI_RISK = """

@@ -27,7 +27,7 @@ from webloghunter_spark.functions.risk import (
     DEFAULT_SENSITIVE_PATHS,
     method_risk_expr,
     status_risk_expr,
-    uri_risk_udf,
+    uri_risk_col,
 )
 from webloghunter_spark.operators.counts import with_request_count
 from webloghunter_spark.operators.dedup import remove_cross_source_dups
@@ -69,9 +69,13 @@ class EngineConfig:
 def score(df: DataFrame, config: EngineConfig | None = None) -> DataFrame:
     """Sessionized+counted frame -> scored frame (risk cols + detectors)."""
     cfg = config or EngineConfig()
-    uri_risk = uri_risk_udf(cfg.shells, cfg.sensitive_paths, cfg.risky_extensions)
+    # uri_risk_col: native codegen scoring for plain URIs, Arrow UDF
+    # only for the rows with percent-encoding/parse edge cases.
+    uri_risk = uri_risk_col(
+        "request_uri", cfg.shells, cfg.sensitive_paths, cfg.risky_extensions
+    )
     df = (
-        df.withColumn("uri_risk", uri_risk("request_uri"))
+        df.withColumn("uri_risk", uri_risk)
         .withColumn("method_risk", method_risk_expr("method"))
         .withColumn("status_risk", status_risk_expr("status"))
     )

@@ -134,13 +134,107 @@ def uri_risk_udf(
     sensitive_paths: Sequence[str] = DEFAULT_SENSITIVE_PATHS,
     risky_extensions: Sequence[str] = DEFAULT_RISKY_EXTENSIONS,
 ):
-    """Vectorized Arrow UDF computing the 0-100 URI risk score."""
+    """Vectorized Arrow UDF computing the 0-100 URI risk score.
+
+    NULL rows score 0 without entering the per-row scorer (same result
+    as the old fillna('') path — the empty URI scores 0 on every
+    signal — but vectorized, so `uri_risk_col`'s masked routing pays
+    ~nothing in Python for the rows the native path already covered).
+    """
     shells = frozenset(shells or ())
     paths = tuple(p.lower() for p in sensitive_paths)
     exts = tuple(re.compile(p) for p in risky_extensions)
 
     @F.pandas_udf(T.IntegerType())
     def _udf(uris: pd.Series) -> pd.Series:
-        return uris.fillna("").map(lambda u: _uri_risk_one(u, shells, paths, exts))
+        nn = uris.notna()
+        out = pd.Series(0, index=uris.index, dtype="int32")
+        if nn.any():
+            out[nn] = (
+                uris[nn]
+                .map(lambda u: _uri_risk_one(u, shells, paths, exts))
+                .astype("int32")
+            )
+        return out
 
     return _udf
+
+
+def uri_risk_col(
+    col: Column | str,
+    shells: frozenset[str] | None = None,
+    sensitive_paths: Sequence[str] = DEFAULT_SENSITIVE_PATHS,
+    risky_extensions: Sequence[str] = DEFAULT_RISKY_EXTENSIONS,
+) -> Column:
+    """URI risk with a whole-stage-codegen fast path for plain URIs.
+
+    A URI with no '%' cannot percent-decode (depth 0, +0) or contain
+    the '%00' pattern, so for such rows every remaining signal
+    (sensitive-path substring, traversal in path vs query, webshell
+    basename, double extension, risky extension) is computable with
+    native string expressions — no Python, no Arrow transfer cost
+    beyond a NULL column. Rows that the native path cannot replicate
+    bit-for-bit are routed to the Arrow UDF unchanged:
+
+      '%'        percent-decoding (the UDF's reason to exist)
+      '#' ';'    urlparse splits fragment / path-params off `path`
+      ':' '//'-prefix  scheme / netloc parsing
+      tab/newline/CR   urlparse strips WHATWG control chars
+
+    Access-log request URIs are overwhelmingly plain ('/path?query'),
+    so at scale the Python cost collapses to the rare encoded rows —
+    the UDF input is NULL-masked for native rows and `uri_risk_udf`
+    scores NULLs vectorized. `risky_extensions` patterns must be
+    Python+Java-regex-compatible (the defaults are), same shared-regex
+    contract as the rest of the engine.
+
+    Reference semantics: /root/reference/WebLogTriage/risk.py:196-332.
+    """
+    shells = frozenset(shells or ())
+    raw = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(raw, F.lit(""))
+    needs_udf = (
+        c.contains("%")
+        | c.contains("#")
+        | c.contains(";")
+        | c.contains(":")
+        | c.contains("\t")
+        | c.contains("\n")
+        | c.contains("\r")
+        | c.startswith("//")
+    )
+
+    low = F.lower(c)
+    qpos = F.instr(c, "?")
+    path = F.when(qpos > 0, c.substr(F.lit(1), qpos - 1)).otherwise(c)
+    query = F.when(qpos > 0, c.substr(qpos + 1, F.length(c))).otherwise(F.lit(""))
+
+    def _trav(s: Column) -> Column:
+        return (
+            s.contains("../")
+            | s.contains("..\\")
+            | s.contains("/..")
+            | s.contains("\\..")
+            | s.contains("�")
+        )
+
+    sensitive = None
+    for p in sensitive_paths:
+        cond = low.contains(p.lower())
+        sensitive = cond if sensitive is None else (sensitive | cond)
+    score = F.when(sensitive if sensitive is not None else F.lit(False), 25).otherwise(0)
+    score = score + F.when(_trav(path), 80).when(_trav(query), 15).otherwise(0)
+    if shells:
+        fname = F.substring_index(path, "/", -1)
+        score = score + F.when(fname.isin(*sorted(shells)), 50).otherwise(0)
+    score = score + F.when(c.rlike(r"(?i)\.php\.[a-zA-Z0-9]+$"), 80).otherwise(0)
+    risky = None
+    for p in risky_extensions:
+        cond = low.rlike(p)
+        risky = cond if risky is None else (risky | cond)
+    score = score + F.when(risky if risky is not None else F.lit(False), 10).otherwise(0)
+    native = F.least(score, F.lit(100))
+
+    udf = uri_risk_udf(shells, sensitive_paths, risky_extensions)
+    masked = udf(F.when(needs_udf, raw))
+    return F.when(needs_udf, masked).otherwise(native).cast("int")
