@@ -139,6 +139,26 @@ def test_decode_audio_real_wav(spark):
     assert out[2] == (None, None, None, None)
 
 
+def test_decode_audio_pcm_md5(spark):
+    """with_pcm_md5 reads the sample buffer back THROUGH the codec and
+    digests it as md5-of-uppercase-hex (the md5(hex(bytes)) convention
+    shared with SQL oracles); non-WAV rows get NULL."""
+    import hashlib
+
+    from webloghunter_spark.functions.multimodal import decode_audio
+
+    wav = _wav_bytes(8000, 1, 100)
+    df = spark.createDataFrame(
+        [(0, wav), (1, b"junk")], "media_id long, payload binary"
+    )
+    out = {r.media_id: r.pcm_md5
+           for r in decode_audio(df, with_pcm_md5=True).collect()}
+    # the PCM data chunk is the tail of the file past the 44-byte header
+    want = hashlib.md5(wav[44:].hex().upper().encode()).hexdigest()
+    assert out[0] == want
+    assert out[1] is None
+
+
 def test_media_embedding_shape(spark):
     udf = media_embedding_udf(dim=16)
     out = _media(spark).select("media_id", udf("payload").alias("emb")).collect()

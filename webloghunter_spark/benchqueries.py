@@ -950,10 +950,15 @@ def q_media_sniff(spark, sf_dir):
 
     docs = _fan(_t(spark, sf_dir, "documents"))
     body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    # the raw branch carries a 1-byte \x00 marker: no image magic
+    # starts with NUL, so the "unrecognized" expectation holds BY
+    # CONSTRUCTION even for a document whose text begins with 'BM' or
+    # 'GIF8' (without it, such a row would sniff as BMP/GIF while the
+    # oracle hardcodes -1 — a data-dependent latent mismatch)
     payload = (
         F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(_PNG_HDR), body))
         .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(_GIF_HDR), body))
-        .otherwise(body)
+        .otherwise(F.concat(F.lit(b"\x00"), body))
     )
     media = docs.select("doc_id", payload.alias("payload"))
     # sniff_only: the oracle hardcodes the HEADER constants; a full PIL
@@ -977,7 +982,7 @@ SQL_MEDIA_SNIFF = """
            CAST(CASE doc_id % 3
                 WHEN 0 THEN 29 + octet_length(encode(coalesce(text, '')))
                 WHEN 1 THEN 13 + octet_length(encode(coalesce(text, '')))
-                ELSE octet_length(encode(coalesce(text, ''))) END
+                ELSE 1 + octet_length(encode(coalesce(text, ''))) END
                 AS BIGINT) AS n_bytes,
            CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 5 ELSE -1 END
                 AS INTEGER) AS width,
@@ -986,6 +991,113 @@ SQL_MEDIA_SNIFF = """
            CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE -1 END
                 AS INTEGER) AS channels
     FROM documents
+"""
+
+
+import struct as _struct
+
+# Canonical 44-byte PCM WAV header declaring mono/8kHz/16-bit with a
+# FIXED 64-byte data chunk; every payload appends exactly 64 data
+# bytes (utf-8 text, zero-padded/truncated), so the header is a
+# constant and the REAL `wave` decode yields constants the oracle
+# knows by construction — while the PCM digest still depends on the
+# per-document bytes read back THROUGH the codec.
+_WAV_HDR = (
+    b"RIFF" + _struct.pack("<I", 36 + 64) + b"WAVE" + b"fmt "
+    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data" + _struct.pack("<I", 64)
+)
+
+
+def q_media_decode(spark, sf_dir):
+    """Multimodal DECODE tiers made hash-checkable (not just the
+    header sniffer): per document, (a) `sample_frames` fans the image
+    payload into 4 frame slices inside the Arrow batch iterator, (b)
+    `resize_media`'s stub tiles it to a 4x2 buffer, (c) `decode_audio`
+    runs a REAL stdlib-`wave` decode of a synthesized PCM WAV and
+    reads the full sample buffer back through the codec. Every binary
+    output is emitted as md5-of-uppercase-hex (+ length/shape ints) —
+    digests an external SQL oracle reproduces over the same
+    synthesized payloads, with no raw binary in the result (driver
+    canon: binary/array outputs are unhashable). Payload classes match
+    media_sniff (PNG/GIF header or NUL-marked raw text by doc_id%3)."""
+    from webloghunter_spark.functions.multimodal import (
+        decode_audio,
+        resize_media,
+        sample_frames,
+    )
+    from webloghunter_spark.session import materialize
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(_PNG_HDR), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(_GIF_HDR), body))
+        .otherwise(F.concat(F.lit(b"\x00"), body))
+    )
+    # rpad both pads (with '00' pairs) AND truncates the hex string to
+    # 128 chars = the declared 64-byte data chunk
+    body64 = F.unhex(F.rpad(F.hex(body), 128, "0"))
+    wav = F.concat(F.lit(_WAV_HDR), body64)
+    # one scan feeds three mapInPandas branches — barrier it
+    media = materialize(
+        docs.select("doc_id", payload.alias("payload"), wav.alias("wav"))
+    )
+
+    frames = sample_frames(
+        media.select("doc_id", "payload"), "payload", id_col="doc_id", num_frames=4
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.hex("frame_payload")).alias("frame_md5"),
+        F.length("frame_payload").cast("int").alias("frame_len"),
+    )
+    audio = decode_audio(
+        media.select("doc_id", F.col("wav").alias("payload")),
+        "payload",
+        with_pcm_md5=True,
+    ).select("doc_id", "sample_rate", "n_channels", "n_frames", "duration_ms", "pcm_md5")
+    resized = resize_media(media.select("doc_id", "payload"), 4, 2).select(
+        "doc_id", F.md5(F.hex("payload")).alias("resized_md5")
+    )
+    return frames.join(audio, "doc_id").join(resized, "doc_id")
+
+
+_PNG_HDR_HEX = _PNG_HDR.hex().upper()
+_GIF_HDR_HEX = _GIF_HDR.hex().upper()
+
+# Byte arithmetic done on uppercase-hex strings (1 byte = 2 chars):
+# this DuckDB build lacks substring/md5 over BLOB, and hex() is the
+# shared uppercase convention with Spark's hex().
+SQL_MEDIA_DECODE = f"""
+    WITH base AS (
+        SELECT doc_id, hex(encode(coalesce(text, ''))) AS bh FROM documents
+    ), p AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                    WHEN 0 THEN '{_PNG_HDR_HEX}' || bh
+                    WHEN 1 THEN '{_GIF_HDR_HEX}' || bh
+                    ELSE '00' || bh END AS ph,
+               substr(bh || repeat('00', 64), 1, 128) AS pcm_hex
+        FROM base
+    ), geom AS (
+        SELECT doc_id, ph, pcm_hex,
+               greatest((length(ph) // 2) // 4, 1) AS n
+        FROM p
+    )
+    SELECT g.doc_id,
+           CAST(t.i AS INTEGER) AS frame_idx,
+           md5(substr(g.ph, CAST(t.i * g.n * 2 + 1 AS BIGINT), g.n * 2)) AS frame_md5,
+           CAST(length(substr(g.ph, CAST(t.i * g.n * 2 + 1 AS BIGINT), g.n * 2)) // 2
+                AS INTEGER) AS frame_len,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(32 AS BIGINT) AS n_frames,
+           CAST(4 AS BIGINT) AS duration_ms,
+           md5(g.pcm_hex) AS pcm_md5,
+           md5(substr(repeat(g.ph, CAST(ceil(16.0 / length(g.ph)) AS INTEGER)),
+                      1, 16)) AS resized_md5
+    FROM geom g, generate_series(0, 3) AS t(i)
 """
 
 
@@ -3369,6 +3481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_batch": q_knn_batch,
     "ann_recall": q_ann_recall,
     "media_sniff": q_media_sniff,
+    "media_decode": q_media_decode,
     "shipping_priority": q_shipping_priority,
     "dup_stats": q_dup_stats,
     "returned_items": q_returned_items,
@@ -3456,6 +3569,7 @@ ORACLES: dict[str, str] = {
     "knn_batch": SQL_KNN_BATCH,
     "ann_recall": SQL_ANN_RECALL,
     "media_sniff": SQL_MEDIA_SNIFF,
+    "media_decode": SQL_MEDIA_DECODE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "dup_stats": SQL_DUP_STATS,
     "returned_items": SQL_RETURNED_ITEMS,

@@ -168,11 +168,21 @@ def decode_media(
 AUDIO_SCHEMA = "sample_rate int, n_channels int, n_frames long, duration_ms long"
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", with_pcm_md5: bool = False
+) -> DataFrame:
     """REAL audio metadata decode for WAV payloads via the stdlib
     `wave` module (no optional deps): sample_rate, n_channels,
     n_frames, duration_ms; NULLs for non-WAV/corrupt payloads. Same
-    Arrow-batched shape as decode_media."""
+    Arrow-batched shape as decode_media.
+
+    with_pcm_md5=True additionally reads the FULL PCM buffer through
+    the codec (wave.readframes) and emits `pcm_md5` — md5 of the
+    buffer's uppercase-hex encoding, matching Spark's md5(hex(bytes))
+    convention so an external SQL oracle can reproduce the digest of
+    the decoded samples without the raw binary ever appearing in the
+    result (binary/array outputs are unhashable in the driver canon).
+    """
     import io
     import wave
 
@@ -180,13 +190,21 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         try:
             with wave.open(io.BytesIO(b)) as w:
                 rate, nch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
-                return rate, nch, nf, int(nf * 1000 / rate) if rate else None
+                dur = int(nf * 1000 / rate) if rate else None
+                if with_pcm_md5:
+                    pcm = w.readframes(nf)
+                    md = hashlib.md5(pcm.hex().upper().encode()).hexdigest()
+                else:
+                    md = None
+                return rate, nch, nf, dur, md
         except Exception:
-            return None, None, None, None
+            return None, None, None, None, None
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {AUDIO_SCHEMA}"
+    if with_pcm_md5:
+        out_schema += ", pcm_md5 string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -196,6 +214,8 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             pdf["n_channels"] = meta.map(lambda m: m[1]).astype("Int32")
             pdf["n_frames"] = meta.map(lambda m: m[2]).astype("Int64")
             pdf["duration_ms"] = meta.map(lambda m: m[3]).astype("Int64")
+            if with_pcm_md5:
+                pdf["pcm_md5"] = meta.map(lambda m: m[4])
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
