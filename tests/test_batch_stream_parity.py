@@ -442,3 +442,82 @@ def test_quality_gate_batch_stream_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_semdedup_timeout_branch_yields_typed_empty_frame():
+    """ADVICE r4: the hasTimedOut branch must yield an empty frame with
+    OUT_SCHEMA-compatible dtypes (int64/int64/float64/bool) — an
+    all-object empty frame is version-sensitive under Arrow in the
+    applyInPandasWithState path. Unit-drive _cluster_fn with a fake
+    timed-out state."""
+    import pandas as pd
+
+    from webloghunter_spark.streaming import semdedup as sd
+
+    class FakeState:
+        hasTimedOut = True
+        exists = False
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    fn = sd._cluster_fn(tau=0.9, round_digits=6, idle_timeout_ms=100)
+    out = list(fn((7,), iter([]), st))
+    assert st.removed
+    assert len(out) == 1 and len(out[0]) == 0
+    dtypes = {c: str(t) for c, t in out[0].dtypes.items()}
+    assert dtypes == {
+        "vec_id": "int64",
+        "cent_id": "int64",
+        "max_sim": "float64",
+        "is_dup": "bool",
+    }
+
+
+def test_semantic_dedup_stream_eviction(spark, tmp_path):
+    """With idle_timeout_ms set, an idle cluster's state is evicted:
+    a later near-dup of a pre-eviction vector is NOT flagged, because
+    the sketch it would have matched against is gone. Also exercises
+    the timed-out empty-frame Arrow conversion end-to-end."""
+    from webloghunter_spark.streaming.semdedup import semantic_dup_flags_stream
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id long, centroid array<double>",
+    )
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "evict_src")
+    b1 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], schema
+    )
+    b1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        semantic_dup_flags_stream(
+            stream, centroids, tau=0.9, idle_timeout_ms=500
+        )
+        .writeStream.outputMode("append").format("memory")
+        .queryName("evict_sem")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .start()
+    )
+    try:
+        _drain(spark, q, "evict_sem", min_rows=2)
+        # > idle_timeout_ms with no traffic: Spark schedules empty
+        # micro-batches to service processing-time timeouts, so both
+        # clusters' state is evicted through the hasTimedOut branch
+        # (the Arrow empty-frame conversion under test) during this gap
+        time.sleep(3)
+        # near-dup of vec 1 — cluster-1's sketch was evicted, so it
+        # must NOT be flagged (with NoTimeout it would be: the batch
+        # parity test above shows the same geometry flagging)
+        spark.createDataFrame([(4, [0.01, 1.0])], schema).write.mode(
+            "append"
+        ).parquet(src)
+        got = {r.vec_id: r for r in _drain(spark, q, "evict_sem", min_rows=3)}
+    finally:
+        q.stop()
+    assert not got[4].is_dup  # evicted cluster: sketch gone, no flag
+    assert got[4].max_sim is None  # NULL = no lower-id sketch (batch conv.)

@@ -67,4 +67,8 @@ def decontaminate_stream_writer(
             )
         sink(out, batch_id)
 
+    def release() -> None:
+        grams.unpersist()
+
+    process.release = release  # free the eval-shingle set after stream stop
     return process

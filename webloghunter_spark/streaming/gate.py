@@ -61,17 +61,22 @@ def quality_gate_stream_writer(
     join against the frozen model for rows the cheap rules kept alive.
     """
     from webloghunter_spark.functions.text import tokens_expr
-    from webloghunter_spark.session import materialize
 
     # frozen model: counts + vocab from the reference corpus. The
-    # bigram frame feeds BOTH count aggregates — materialize it so the
+    # bigram frame feeds BOTH count aggregates — persist it so the
     # extraction runs once (the exact lesson functions/lm.py codifies),
     # then release it: only cb/cu stay resident for the stream's life.
+    # cb/cu are persist()ed directly and held by the closure, NOT via
+    # session.materialize(): the global registry is drained by
+    # release_materialized() after unrelated batch queries (bench.py
+    # does so per query), which would silently unpersist a live
+    # stream's model and degrade "trained once" into a full recompute
+    # per micro-batch (matches streaming/decontam.py's grams.persist()).
     from webloghunter_spark.functions.lm import _bigram_rows
 
     bi = _bigram_rows(ref_corpus, text_col, id_col).persist()
-    cb = materialize(bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb")))
-    cu = materialize(bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu")))
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb")).persist()
+    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu")).persist()
     cb.count(), cu.count()  # settle both off the cached frame
     bi.unpersist()
     v_rows = (
@@ -119,4 +124,9 @@ def quality_gate_stream_writer(
         )
         sink(out, batch_id)
 
+    def release() -> None:
+        cb.unpersist()
+        cu.unpersist()
+
+    process.release = release  # free the frozen model after stream stop
     return process

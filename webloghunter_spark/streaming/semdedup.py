@@ -47,8 +47,19 @@ def _cluster_fn(tau: float, round_digits: int, idle_timeout_ms: int):
         (cent_id,) = key
         cols = ["vec_id", "cent_id", "max_sim", "is_dup"]
         if state.hasTimedOut:
+            # eviction: drop the cluster's state and emit nothing. The
+            # empty frame must carry OUT_SCHEMA-compatible dtypes — an
+            # all-object empty frame trips Arrow conversion on some
+            # pyspark versions in the applyInPandasWithState path.
             state.remove()
-            yield pd.DataFrame([], columns=cols)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cent_id": pd.Series(dtype="int64"),
+                    "max_sim": pd.Series(dtype="float64"),
+                    "is_dup": pd.Series(dtype="bool"),
+                }
+            )
             return
         ids, vecs = (state.get if state.exists else ([], []))
         ids = [int(i) for i in ids]
