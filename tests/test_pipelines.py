@@ -543,3 +543,69 @@ def test_simhash_pairs_output_cap(spark):
         for r in simhash_hamming_pairs(sparse).collect()
     }
     assert default == uncapped
+
+
+def test_kmeans_lloyd_converges_on_separated_clusters(spark):
+    """Three tight blobs, seeds all inside blob A: after one update
+    pass the means migrate and the final assignment must recover the
+    true partition (classic Lloyd's on separable data)."""
+    from webloghunter_spark.pipelines.kmeans import (
+        kmeans_cluster_sizes,
+        kmeans_lloyd,
+    )
+
+    rows = []
+    blobs = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    for b, (bx, by) in enumerate(blobs):
+        for i in range(6):
+            rows.append((b * 6 + i, [bx + 0.01 * i, by - 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=3, iters=4).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id // 6, set()).add(r.cent_id)
+    # every blob maps to exactly one centroid, and the blobs are split
+    # across distinct centroids (no two blobs share one)
+    assert all(len(c) == 1 for c in by_blob.values())
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+    sizes = {
+        r.cent_id: r.n
+        for r in kmeans_cluster_sizes(kmeans_lloyd(df, k=3, iters=4)).collect()
+    }
+    assert sorted(sizes.values()) == [6, 6, 6]
+
+
+def test_kmeans_lloyd_deterministic_and_inertia_decreases(spark):
+    """Two invocations agree row-for-row (seeded init + quantized
+    means), and total inertia is monotonically non-increasing with
+    more Lloyd passes."""
+    from webloghunter_spark.pipelines.kmeans import kmeans_lloyd
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, kmeans_lloyd(df, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(df, k=4, iters=2).collect()))
+    assert a == b
+    inertia = [
+        sum(r.dist for r in kmeans_lloyd(df, k=4, iters=t).collect())
+        for t in (1, 2, 3)
+    ]
+    assert inertia[0] >= inertia[1] - 1e-4 >= inertia[2] - 2e-4
+
+
+def test_kmeans_lloyd_tie_breaks_to_lowest_cent_id(spark):
+    """A vector equidistant from two seed centroids lands on the
+    lower cent_id (argmin first-min == SQL (d, cent_id) order)."""
+    from webloghunter_spark.pipelines.kmeans import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.cent_id for r in kmeans_lloyd(df, k=2, iters=1).collect()}
+    assert out[2] == 0

@@ -3210,6 +3210,83 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_kmeans_train(spark, sf_dir):
+    """Deterministic 2-pass Lloyd's k-means over the embedding store:
+    seeds are the 8 lowest-id vectors, one quantized mean update, then
+    the final assignment with squared-L2 distances. The trainer the
+    SemDeDup/IVF stand-in centroids graduate to when real centers are
+    wanted with an exact oracle (pyspark.ml's k-means|| is random-init
+    and unorderable). Per pass: broadcast k x dim matmul assignment
+    (mapInPandas, no shuffle) + a combinable posexplode mean whose
+    exchange carries k x dim cells per partition, not n x dim rows."""
+    from webloghunter_spark.pipelines.kmeans import kmeans_lloyd
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    return kmeans_lloyd(emb, k=8, iters=2)
+
+
+SQL_KMEANS_TRAIN = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+               e AS cv
+        FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS d
+            FROM v, c0 c
+        ) QUALIFY row_number()
+              OVER (PARTITION BY vec_id ORDER BY d, cent_id) = 1
+    ),
+    le AS (
+        SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM v
+    ),
+    c1 AS (
+        SELECT cent_id, list(val ORDER BY pos) AS cv FROM (
+            SELECT a1.cent_id, pos, round(avg(val), 6) AS val
+            FROM a1 JOIN le USING (vec_id)
+            GROUP BY a1.cent_id, pos
+        ) GROUP BY cent_id
+    )
+    SELECT vec_id, cent_id, round(d, 6) AS dist FROM (
+        SELECT v.vec_id, c.cent_id,
+               list_dot_product(v.e, v.e)
+               - 2 * list_dot_product(v.e, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d
+        FROM v, c1 c
+    ) QUALIFY row_number()
+          OVER (PARTITION BY vec_id ORDER BY d, cent_id) = 1
+"""
+
+
+def q_kmeans_sizes(spark, sf_dir):
+    """Cluster-size / inertia diagnostic over the trained assignment:
+    one combinable aggregate on the kmeans_train output (k rows)."""
+    from webloghunter_spark.pipelines.kmeans import (
+        kmeans_cluster_sizes,
+        kmeans_lloyd,
+    )
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    return kmeans_cluster_sizes(kmeans_lloyd(emb, k=8, iters=2))
+
+
+SQL_KMEANS_SIZES = f"""
+    WITH assigned AS ({SQL_KMEANS_TRAIN})
+    SELECT cent_id, count(*) AS n,
+           round(sum(CAST(round(dist * 1e6) AS BIGINT)) / count(*) / 1e6,
+                 6) AS mean_dist
+    FROM assigned GROUP BY cent_id
+"""
+
+
 def q_local_volume(spark, sf_dir):
     """TPC-H Q5-shaped 6-way join: revenue by nation for one region and
     year, where the supplier is in the customer's nation. The plan to
@@ -3506,6 +3583,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_fast": q_semantic_dedup_fast,
+    "kmeans_train": q_kmeans_train,
+    "kmeans_sizes": q_kmeans_sizes,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3594,6 +3673,8 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_dedup_fast": SQL_SEMANTIC_DEDUP,
+    "kmeans_train": SQL_KMEANS_TRAIN,
+    "kmeans_sizes": SQL_KMEANS_SIZES,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -1,0 +1,146 @@
+"""Deterministic fixed-iteration Lloyd's k-means on DataFrames.
+
+`pyspark.ml`'s KMeans (functions/similarity.kmeans_centroids) is the
+production trainer, but its k-means|| init is seeded-random and its
+update order is nondeterministic — useless for an exact cross-engine
+oracle. This module is the oracle-checkable trainer the SemDeDup / IVF
+operators can feed on: seeds are the k lowest-id vectors, every
+iteration's centroid means are rounded to a fixed grid (so the
+iteration STATE is quantized and two engines cannot drift), ties in
+the argmin break to the lowest cent_id, and the iteration count is a
+parameter, not a convergence test.
+
+100 TB design per iteration:
+- ASSIGN: one `mapInPandas` pass; the k x dim centroid matrix (a few
+  KB) rides the task closure and each Arrow batch scores all
+  centroids with a single (batch x dim) @ (dim x k) matmul — no
+  shuffle, no HOF folds, no k-way crossJoin.
+- UPDATE: `posexplode` + groupBy(cent_id, pos) avg. The explode is
+  n x dim rows but avg is combinable, so map-side partial aggregation
+  collapses each partition to <= k x dim cells before the exchange —
+  the shuffle moves O(k x dim x partitions) rows, not O(n x dim).
+- The k x dim new-centroid table is collected per round (same k-row
+  driver-artifact convention as ivf_assign_fast / semdedup). Lineage
+  grows by two narrow stages per iteration; for iters beyond ~10,
+  re-seed via localCheckpoint like pipelines/dedup.near_dedup_cc.
+
+Empty clusters simply drop out of the mean aggregate (both engines),
+so k can only shrink, never resurrect — matching the SQL mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _collect_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[tuple[int, list[float]]]:
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [
+        (i, [float(x) for x in r[1]]) for i, r in enumerate(rows)
+    ]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run `iters` assignment passes with a centroid update between
+    each; return (id, cent_id, dist) — the final assignment and its
+    SQUARED L2 distance, rounded to `round_digits`.
+
+    Distances use the expanded |e|^2 - 2 e.c + |c|^2 form in both the
+    Arrow kernel and the SQL oracle so the float rounding surface
+    matches; centroid means are rounded to `round_digits` each round,
+    making the per-round state identical across engines (a raw-mean
+    iteration would let 1e-13 summation-order noise compound into
+    assignment flips)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _collect_centroids(df, id_col, vec_col, k)
+
+    def assign_with(cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+        cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+        cmat = np.stack(
+            [np.asarray(c[1], dtype=np.float64) for c in cent_rows]
+        )
+        c2 = (cmat * cmat).sum(axis=1)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # rows sorted by cent_id => argmin's first-min IS the
+                # lowest cent_id on exact ties
+                d = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cmat.T) + c2
+                j = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cent_id": cids[j],
+                        "dist": np.round(
+                            d[np.arange(len(j)), j], round_digits
+                        ),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            gen, f"{id_col} long, cent_id long, dist double"
+        )
+
+    for _ in range(max(iters, 1) - 1):
+        assigned = assign_with(cents)
+        means = (
+            assigned.join(df.select(id_col, vec_col), id_col)
+            .select("cent_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("val"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = float(
+                r["val"]
+            )
+        cents = [
+            (cid, [vals[p] for p in sorted(vals)])
+            for cid, vals in sorted(by_cid.items())
+        ]
+
+    return assign_with(cents)
+
+
+def kmeans_cluster_sizes(
+    assigned: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(cent_id, n, mean_dist) summary of a kmeans_lloyd output — the
+    inertia-per-cluster diagnostic; one combinable aggregate.
+
+    `dist` sits on a 1e-6 grid (kmeans_lloyd rounds it), so the mean
+    is computed over exact integer micro-units: a float sum's order
+    dependence put the raw avg within 1e-13 of a rounding boundary on
+    real data, flipping the last digit between engines. Integer sums
+    are order-free, so the division result is bit-identical anywhere."""
+    micro = F.round(F.col("dist") * 1e6).cast("long")
+    return (
+        assigned.groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(micro) / F.count(F.lit(1)) / 1e6, 6).alias(
+                "mean_dist"
+            ),
+        )
+    )
