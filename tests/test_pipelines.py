@@ -609,3 +609,46 @@ def test_kmeans_lloyd_tie_breaks_to_lowest_cent_id(spark):
     )
     out = {r.vec_id: r.cent_id for r in kmeans_lloyd(df, k=2, iters=1).collect()}
     assert out[2] == 0
+
+
+def test_mix_resample_t1_is_identity(spark):
+    """T=1 keeps the natural mix: every rate is exactly 1.0 (pow(x,1)
+    is exact), so each row appears exactly once with rep=0."""
+    from webloghunter_spark.pipelines.split import mix_resample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_resample(df, "lang", temperature=1.0).collect()
+    assert sorted((r.doc_id, r.rep) for r in out) == [
+        (i, 0) for i in range(30)
+    ]
+
+
+def test_mix_resample_flattens_and_preserves_size(spark):
+    """High T upsamples the minority group (rep>0 rows exist), the
+    majority rate drops below 1 (some rows sampled out), and total
+    output stays within a few percent of the input size."""
+    from webloghunter_spark.pipelines.split import mix_resample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_resample(df, "lang", temperature=4.0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    assert any(r.rep > 0 for r in by["small"])          # upsampled
+    assert len({r.doc_id for r in by["big"]}) < 400      # downsampled
+    assert abs(len(out) - 500) <= 25                     # ~size kept
+    # deterministic
+    again = mix_resample(df, "lang", temperature=4.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mix_resample_rejects_bad_temperature(spark):
+    from webloghunter_spark.pipelines.split import mix_resample
+
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        mix_resample(df, "lang", temperature=0.0)

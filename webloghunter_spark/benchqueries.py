@@ -3210,6 +3210,55 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_mix_resample(spark, sf_dir):
+    """Temperature-flattened (T=2) language-mixture resampling WITH
+    replacement over the documents corpus: en (44% of rows) samples at
+    rate ~0.70, the minority langs upsample at ~1.2-1.3x with rep>0
+    duplicate rows — the pretraining domain-reweighting step that
+    domain_mix (downsample-only composition) cannot express. Rates are
+    quantized to integer basis points once per GROUP; per-row copy
+    counts are pure integer md5-bucket arithmetic, so the sample is a
+    deterministic function of (doc_id, lang counts)."""
+    from webloghunter_spark.pipelines.split import mix_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_resample(docs, group_col="lang", temperature=2.0)
+    return out.select("doc_id", "lang", "rep")
+
+
+SQL_MIX_RESAMPLE = """
+    WITH n AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT sum(cnt) AS total FROM n),
+    p AS (
+        SELECT lang, cnt, total, pow(cnt / total, 0.5) AS pw
+        FROM n CROSS JOIN t
+    ),
+    z AS (SELECT sum(pw) AS zz FROM p),
+    r AS (
+        SELECT lang,
+               CAST(floor(pw / zz * total / cnt * 10000 + 1e-6) AS BIGINT)
+                   AS rbp
+        FROM p CROSS JOIN z
+    ),
+    c AS (
+        SELECT d.doc_id, d.lang,
+               r.rbp // 10000
+               + CASE WHEN CAST(CAST('0x' ||
+                         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 AS BIGINT) < r.rbp % 10000
+                      THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN r USING (lang)
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(0, CAST(copies AS INTEGER) - 1))
+                AS INTEGER) AS rep
+    FROM c
+"""
+
+
 def q_kmeans_train(spark, sf_dir):
     """Deterministic 2-pass Lloyd's k-means over the embedding store:
     seeds are the 8 lowest-id vectors, one quantized mean update, then
@@ -3585,6 +3634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_fast": q_semantic_dedup_fast,
     "kmeans_train": q_kmeans_train,
     "kmeans_sizes": q_kmeans_sizes,
+    "mix_resample": q_mix_resample,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3675,6 +3725,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup_fast": SQL_SEMANTIC_DEDUP,
     "kmeans_train": SQL_KMEANS_TRAIN,
     "kmeans_sizes": SQL_KMEANS_SIZES,
+    "mix_resample": SQL_MIX_RESAMPLE,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -175,3 +175,71 @@ def domain_mix(
         .filter(bucket < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def mix_resample(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Temperature-flattened mixture resampling WITH replacement — the
+    pretraining domain-reweighting step `domain_mix` cannot express:
+    minority groups are UPSAMPLED (rows repeat, tagged 0..k-1 in
+    `rep_col`) and majority groups downsampled, holding total size
+    ~|df|.
+
+    Group share p_g ∝ (n_g/N)^(1/temperature) (T=1 keeps the natural
+    mix; T→∞ → uniform over groups). Per-group sampling rate
+    r_g = p_g·N/n_g is quantized to integer basis points ONCE
+    (floor(r·10000 + 1e-6)), then every row's copy count is pure
+    integer arithmetic on its md5 bucket: copies = r_bp div 10000 +
+    (bucket < r_bp mod 10000). Deterministic per (id, salt) — adding
+    data only perturbs counts through n_g, never through row identity —
+    and exactly mirrorable in SQL (the only float op shared with the
+    oracle is one pow per GROUP, epsilon-guarded, not one per row).
+
+    Plan shape at scale: two |groups|-row aggregates, a broadcast rate
+    join, one narrow sequence-explode — no wide shuffle anywhere; the
+    output is prunable and the explode is whole-stage codegen.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    n = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    tot = n.agg(F.sum("_n").alias("_tot"))  # NB: "_N" would collide
+    p = n.crossJoin(F.broadcast(tot)).withColumn(  # (case-insensitive)
+        "_p", F.pow(F.col("_n") / F.col("_tot"), 1.0 / temperature)
+    )
+    z = p.agg(F.sum("_p").alias("_z"))
+    rates = p.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.floor(
+            F.col("_p") / F.col("_z") * F.col("_tot") / F.col("_n")
+            * SPLIT_BUCKETS
+            + F.lit(1e-6)
+        ).cast("long").alias("_rbp"),
+    )
+    bucket = split_bucket_expr(id_col, salt)
+    copies = (F.col("_rbp") / SPLIT_BUCKETS).cast("long") + F.when(
+        bucket < F.col("_rbp") % SPLIT_BUCKETS, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rates), on=group_col, how="inner")
+        .withColumn(
+            rep_col,
+            # sequence(0, -1) DESCENDS in Spark (step auto-negates), so
+            # the zero-copy case must yield an empty array explicitly —
+            # explode then drops the row, i.e. the doc is sampled out
+            F.explode(
+                F.when(
+                    copies > 0,
+                    F.sequence(F.lit(0), copies.cast("int") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_rbp")
+    )
