@@ -652,3 +652,61 @@ def test_mix_resample_rejects_bad_temperature(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         mix_resample(df, "lang", temperature=0.0)
+
+
+def test_sliding_chunks_overlap_and_coverage(spark):
+    """12 tokens, window=5, stride=3: chunks at 0,3,6 (+ tail check),
+    n_chunks = 1 + ceil((12-5)/3) = 4 with starts 0,3,6,9; every token
+    covered; consecutive chunks overlap by window-stride except a
+    short tail."""
+    from webloghunter_spark.pipelines.pack import sliding_chunks
+
+    text = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        sliding_chunks(df, window=5, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.start_tok for r in out] == [0, 3, 6, 9]
+    assert [r.chunk_len for r in out] == [5, 5, 5, 3]
+    covered = set()
+    for r in out:
+        covered |= set(range(r.start_tok, r.start_tok + r.chunk_len))
+    assert covered == set(range(12))
+
+
+def test_sliding_chunks_short_empty_and_exact_fit(spark):
+    """Docs shorter than the window get ONE chunk; empty docs get
+    none; a doc exactly window-long gets one (no sliver tail)."""
+    from webloghunter_spark.pipelines.pack import sliding_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, " ".join("x" * 5 for _ in range(5)))],
+        "doc_id long, text string",
+    )
+    out = sliding_chunks(df, window=5, stride=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    assert len(by.get(1, [])) == 1 and by[1][0].chunk_len == 3
+    assert 2 not in by
+    assert len(by.get(3, [])) == 1 and by[3][0].chunk_len == 5
+
+
+def test_sliding_chunks_md5_matches_slice(spark):
+    """chunk_md5 is the digest of the space-joined token slice."""
+    import hashlib
+
+    from webloghunter_spark.pipelines.pack import sliding_chunks
+
+    toks = [f"w{i}" for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    out = {
+        r.chunk_id: r
+        for r in sliding_chunks(df, window=4, stride=2).collect()
+    }
+    for cid, r in out.items():
+        want = " ".join(toks[cid * 2 : cid * 2 + 4])
+        assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()

@@ -3210,6 +3210,51 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunker over the documents corpus (window=32
+    tokens, stride=24 → 8-token overlap, sized so the fixture's 10-99
+    token docs genuinely fan out to 1-4 chunks): one chunk row per window
+    with the md5 of its token slice — the RAG/long-context slicing
+    step, emitted as digests so chunk-level dedup composes directly.
+    Single codegen scan, no shuffle; output scales with chunk count."""
+    from webloghunter_spark.pipelines.pack import sliding_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return sliding_chunks(docs, window=32, stride=24)
+
+
+SQL_CHUNK_SLIDING = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 0 THEN 0
+                    ELSE 1 + greatest((len(toks) - 32 + 24 - 1) // 24, 0)
+               END::BIGINT AS n_chunks
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               CAST(unnest(generate_series(0, CAST(n_chunks AS INTEGER) - 1))
+                    AS INTEGER) AS chunk_id
+        FROM n
+    )
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+           len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32])::BIGINT
+               AS chunk_len,
+           md5(array_to_string(
+               toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+               AS chunk_md5
+    FROM c
+"""
+
+
 def q_mix_resample(spark, sf_dir):
     """Temperature-flattened (T=2) language-mixture resampling WITH
     replacement over the documents corpus: en (44% of rows) samples at
@@ -3635,6 +3680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_train": q_kmeans_train,
     "kmeans_sizes": q_kmeans_sizes,
     "mix_resample": q_mix_resample,
+    "chunk_sliding": q_chunk_sliding,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3726,6 +3772,7 @@ ORACLES: dict[str, str] = {
     "kmeans_train": SQL_KMEANS_TRAIN,
     "kmeans_sizes": SQL_KMEANS_SIZES,
     "mix_resample": SQL_MIX_RESAMPLE,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

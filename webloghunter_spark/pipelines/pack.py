@@ -59,3 +59,69 @@ def pack_chunks(
         .withColumn("last_chunk", last.cast("long"))
         .withColumn("n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1))
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the RAG /
+    long-context training slicer `pack_chunks` (stream concat-and-cut)
+    is not: chunk k covers tokens [k*stride, k*stride + window), and a
+    new chunk is emitted only while the previous window did not already
+    reach the document's end, so n_chunks = 1 + ceil((ntok-window)/
+    stride) for non-empty docs and tails are never re-emitted as
+    fully-contained slivers. Empty documents produce no chunks.
+
+    Chunk text is emitted as md5 of the space-joined token slice plus
+    its length — hash-stable across engines, and downstream chunk-level
+    dedup wants exactly that digest anyway.
+
+    Whole-stage codegen throughout (split/slice/concat_ws/md5, integer
+    ceil via (ntok - window + stride - 1) div stride — no float); the
+    explode is narrow, so the op is a single scan with no shuffle and
+    scales with output chunk count alone.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be > 0, got {window}/{stride}")
+    from webloghunter_spark.functions.text import tokens_expr
+
+    toks = tokens_expr(text_col)
+    ntok = F.size(toks).cast("long")
+    extra = F.floor(
+        (ntok - F.lit(window) + F.lit(stride) - 1) / F.lit(stride)
+    ).cast("long")
+    n_chunks = F.when(ntok <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(extra, F.lit(0))
+    )
+    base = df.select(
+        id_col,
+        toks.alias("_toks"),
+        ntok.alias("ntok"),
+        n_chunks.alias("n_chunks"),
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    sl = F.slice(F.col("_toks"), start + 1, window)
+    return (
+        base.withColumn(
+            "chunk_id",
+            F.explode(
+                F.when(
+                    F.col("n_chunks") > 0,
+                    F.sequence(
+                        F.lit(0), (F.col("n_chunks") - 1).cast("int")
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            start.cast("long").alias("start_tok"),
+            F.size(sl).cast("long").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+        )
+    )
