@@ -710,3 +710,57 @@ def test_sliding_chunks_md5_matches_slice(spark):
     for cid, r in out.items():
         want = " ".join(toks[cid * 2 : cid * 2 + 4])
         assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_jl_projection_matrix_deterministic_and_sparse():
+    """The md5-derived Achlioptas matrix is a pure function of the
+    dims, entries are in {-1,0,1}, and ~2/3 of them are zero."""
+    from webloghunter_spark.functions.similarity import jl_projection_matrix
+
+    a = jl_projection_matrix(64, 16)
+    b = jl_projection_matrix(64, 16)
+    assert a == b
+    flat = [x for row in a for x in row]
+    assert set(flat) <= {-1, 0, 1}
+    zero_frac = flat.count(0) / len(flat)
+    assert 0.55 < zero_frac < 0.78  # E=2/3, 1024 Bernoulli draws
+
+
+def test_jl_project_preserves_pairwise_distances(spark):
+    """JL guarantee (loose check): squared distances after a 64->16
+    projection stay within a broad multiplicative band of the
+    originals for a handful of seeded random pairs."""
+    import random
+
+    import numpy as np
+
+    from webloghunter_spark.functions.similarity import jl_project
+
+    rng = random.Random(3)
+    vecs = {
+        i: [rng.gauss(0, 1) for _ in range(64)] for i in range(12)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    rows = jl_project(df, out_dim=16, in_dim=64).collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.val
+    ratios = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            d0 = float(
+                np.sum(
+                    (np.array(vecs[i]) - np.array(vecs[j])) ** 2
+                )
+            )
+            d1 = float(
+                np.sum((np.array(proj[i]) - np.array(proj[j])) ** 2)
+            )
+            ratios.append(d1 / d0)
+    # eps ~ sqrt(8 ln 12 / 16) is large; just require the band holds
+    # on average and nothing collapses or explodes
+    assert 0.5 < sum(ratios) / len(ratios) < 1.6
+    assert all(0.15 < r < 3.5 for r in ratios)

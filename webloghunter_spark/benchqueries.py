@@ -3210,6 +3210,44 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 reduction of the embedding store
+    with an md5-derived Achlioptas ±1/0 matrix — the deterministic
+    pre-shrink before ANN indexing. One mapInPandas matmul, no
+    shuffle; the oracle rebuilds the same matrix from the same md5
+    expression and projects in long form."""
+    from webloghunter_spark.functions.similarity import jl_project
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    return jl_project(emb, out_dim=16, in_dim=64)
+
+
+SQL_JL_PROJECT = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+    jdx AS (SELECT unnest(generate_series(0, 15)) AS j),
+    r AS (
+        SELECT i, j,
+               CASE CAST('0x' ||
+                        substr(md5('jl:' || i || ':' || j), 1, 8)
+                    AS BIGINT) % 6
+                    WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS rv
+        FROM idx CROSS JOIN jdx
+    ),
+    le AS (
+        SELECT vec_id, generate_subscripts(e, 1) - 1 AS i,
+               unnest(e) AS ev
+        FROM v
+    )
+    SELECT le.vec_id, CAST(r.j AS INTEGER) AS dim,
+           round(sqrt(3.0 / 16) * sum(le.ev * r.rv), 6) AS val
+    FROM le JOIN r USING (i)
+    GROUP BY le.vec_id, r.j
+"""
+
+
 def q_chunk_sliding(spark, sf_dir):
     """Sliding-window chunker over the documents corpus (window=32
     tokens, stride=24 → 8-token overlap, sized so the fixture's 10-99
@@ -3681,6 +3719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_sizes": q_kmeans_sizes,
     "mix_resample": q_mix_resample,
     "chunk_sliding": q_chunk_sliding,
+    "jl_project": q_jl_project,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3773,6 +3812,7 @@ ORACLES: dict[str, str] = {
     "kmeans_sizes": SQL_KMEANS_SIZES,
     "mix_resample": SQL_MIX_RESAMPLE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
+    "jl_project": SQL_JL_PROJECT,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -504,3 +504,72 @@ def cosine_topk_lsh(
         F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def jl_projection_matrix(in_dim: int, out_dim: int) -> "list[list[int]]":
+    """Achlioptas sparse JL matrix with md5-derived entries: r[i][j] is
+    +1 / -1 / 0 with probability 1/6 / 1/6 / 2/3, decided by
+    md5(f"jl:{i}:{j}") % 6 — the exact expression a SQL oracle (or any
+    other engine) evaluates, so the 'random' projection is a pure
+    function of the dimensions. Sparse entries mean 2/3 of the mass
+    never multiplies; the sqrt(3/k) scale restores expected norms
+    (Achlioptas 2003, database-friendly random projections)."""
+    import hashlib
+
+    mat = []
+    for i in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+            v = int(h[:8], 16) % 6
+            row.append(1 if v == 0 else (-1 if v == 1 else 0))
+        mat.append(row)
+    return mat
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of an embedding
+    column: (id, dim, val) long-form rows of the out_dim-dimensional
+    projection, val = round(sqrt(3/out_dim) * e . r_dim, 6).
+
+    Pairwise distances are preserved within (1 +/- eps) for
+    eps ~ sqrt(8 ln n / out_dim) — the standard pre-shrink before ANN
+    indexing when the raw dimension makes candidate scoring
+    memory-bound. One mapInPandas matmul per Arrow batch against the
+    closure-shipped in_dim x out_dim +/-1 matrix; no shuffle, output
+    n x out_dim rows. Deterministic: the matrix derives from md5, not
+    an RNG, so re-runs and SQL mirrors agree bit-for-bit after
+    rounding."""
+    import numpy as np
+    import pandas as pd
+
+    r = np.array(
+        jl_projection_matrix(in_dim, out_dim), dtype=np.float64
+    )
+    scale = float(np.sqrt(3.0 / out_dim))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = np.round(scale * (v @ r), round_digits)
+            n, k = p.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "dim": np.tile(np.arange(k, dtype=np.int32), n),
+                    "val": p.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, dim int, val double"
+    )
