@@ -764,3 +764,52 @@ def test_jl_project_preserves_pairwise_distances(spark):
     # on average and nothing collapses or explodes
     assert 0.5 < sum(ratios) / len(ratios) < 1.6
     assert all(0.15 < r < 3.5 for r in ratios)
+
+
+def test_knn_ivf_trained_probes_and_recall(spark):
+    """On separable blobs the trained index's probed search returns
+    exactly the brute-force nearest neighbors (query sits inside one
+    blob; n_probe=1 covers it), and every result carries the probed
+    cluster's cent_id."""
+    import random
+
+    from webloghunter_spark.pipelines.kmeans import knn_ivf_trained
+
+    rng = random.Random(11)
+    rows = []
+    for b, center in enumerate([0.0, 50.0, 100.0]):
+        for i in range(10):
+            rows.append(
+                (b * 10 + i + 1, [center + rng.uniform(-1, 1) for _ in range(4)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [50.0, 50.0, 50.0, 50.0]
+    out = knn_ivf_trained(
+        df, qv, k=5, n_centroids=3, n_probe=1, iters=3
+    ).collect()
+    assert len(out) == 5
+    assert len({r.cent_id for r in out}) == 1  # all from the probed list
+    # brute-force ground truth over the middle blob
+    import numpy as np
+
+    def d2(v):
+        return float(np.sum((np.array(v) - np.array(qv)) ** 2))
+
+    want = sorted(rows, key=lambda r: (d2(r[1]), r[0]))[:5]
+    assert [r.vec_id for r in out] == [w[0] for w in want]
+
+
+def test_kmeans_fit_returns_quantized_centroids(spark):
+    """kmeans_fit centroids after an update are the per-cluster means
+    rounded to the grid; iters=1 returns the raw seeds."""
+    from webloghunter_spark.pipelines.kmeans import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [1.0, 1.0]), (3, [11.0, 11.0])],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = kmeans_fit(df, k=2, iters=1)
+    assert seeds == [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    trained = dict(kmeans_fit(df, k=2, iters=2))
+    assert trained[0] == [0.5, 0.5]
+    assert trained[1] == [10.5, 10.5]

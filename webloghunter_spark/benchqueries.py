@@ -3210,6 +3210,90 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_knn_ivf_trained(spark, sf_dir):
+    """End-to-end trained-index ANN: Lloyd-train 8 centroids on the
+    corpus (2 quantized passes), build the inverted lists from the
+    final assignment, probe the 2 centroids nearest the query by the
+    same squared-L2 metric, return the 10 nearest corpus vectors among
+    the probed lists. The full train→index→search composition under
+    one oracle — assignment + query scoring fused into a single
+    shuffle-free kernel pass, top-k via TakeOrderedAndProject."""
+    from webloghunter_spark.pipelines.kmeans import knn_ivf_trained
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    corpus = _fan(raw.filter(F.col("vec_id") != 0))
+    return knn_ivf_trained(
+        corpus, list(qvec), k=10, n_centroids=8, n_probe=2, iters=2
+    )
+
+
+SQL_KNN_IVF_TRAINED = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id != 0
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+               e AS cv
+        FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS d
+            FROM v, c0 c
+        ) QUALIFY row_number()
+              OVER (PARTITION BY vec_id ORDER BY d, cent_id) = 1
+    ),
+    le AS (
+        SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM v
+    ),
+    c1 AS (
+        SELECT cent_id, list(val ORDER BY pos) AS cv FROM (
+            SELECT a1.cent_id, pos, round(avg(val), 6) AS val
+            FROM a1 JOIN le USING (vec_id)
+            GROUP BY a1.cent_id, pos
+        ) GROUP BY cent_id
+    ),
+    probes AS (
+        SELECT cent_id FROM c1, q
+        ORDER BY list_dot_product(cv, cv)
+                 - 2 * list_dot_product(cv, qv)
+                 + list_dot_product(qv, qv),
+                 cent_id
+        LIMIT 2
+    ),
+    a2 AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.cv)
+                   + list_dot_product(c.cv, c.cv) AS d
+            FROM v, c1 c
+        ) QUALIFY row_number()
+              OVER (PARTITION BY vec_id ORDER BY d, cent_id) = 1
+    )
+    SELECT v.vec_id, a2.cent_id,
+           round(list_dot_product(v.e, v.e)
+                 - 2 * list_dot_product(v.e, qv)
+                 + list_dot_product(qv, qv), 6) AS dist
+    FROM v
+    JOIN a2 ON v.vec_id = a2.vec_id
+    JOIN probes p ON a2.cent_id = p.cent_id
+    CROSS JOIN q
+    ORDER BY dist, v.vec_id
+    LIMIT 10
+"""
+
+
 def q_jl_project(spark, sf_dir):
     """Johnson-Lindenstrauss 64→16 reduction of the embedding store
     with an md5-derived Achlioptas ±1/0 matrix — the deterministic
@@ -3720,6 +3804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_resample": q_mix_resample,
     "chunk_sliding": q_chunk_sliding,
     "jl_project": q_jl_project,
+    "knn_ivf_trained": q_knn_ivf_trained,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3813,6 +3898,7 @@ ORACLES: dict[str, str] = {
     "mix_resample": SQL_MIX_RESAMPLE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "jl_project": SQL_JL_PROJECT,
+    "knn_ivf_trained": SQL_KNN_IVF_TRAINED,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+Centroids = "list[tuple[int, list[float]]]"
+
 
 def _collect_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int
@@ -46,6 +48,86 @@ def _collect_centroids(
     return [
         (i, [float(x) for x in r[1]]) for i, r in enumerate(rows)
     ]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One assignment pass against a fixed (cent_id, vector) list:
+    (id, cent_id, dist) with dist the rounded squared L2. Shuffle-free
+    — the centroid matrix ships in the task closure and each Arrow
+    batch is one matmul. Ties argmin to the lowest cent_id."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cents, key=lambda c: c[0])
+    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    cmat = np.stack(
+        [np.asarray(c[1], dtype=np.float64) for c in cent_rows]
+    )
+    c2 = (cmat * cmat).sum(axis=1)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # rows sorted by cent_id => argmin's first-min IS the
+            # lowest cent_id on exact ties
+            d = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cmat.T) + c2
+            j = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cent_id": cids[j],
+                    "dist": np.round(
+                        d[np.arange(len(j)), j], round_digits
+                    ),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, cent_id long, dist double"
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Train centroids: seed from the k lowest ids, run iters-1
+    (assign → quantized-mean update) rounds, return the (cent_id,
+    vector) list the iters-th assignment pass would use. Centroid
+    means are rounded to `round_digits` each round so the iteration
+    state is identical across engines."""
+    cents = _collect_centroids(df, id_col, vec_col, k)
+    for _ in range(max(iters, 1) - 1):
+        assigned = kmeans_assign(df, cents, id_col, vec_col, round_digits)
+        means = (
+            assigned.join(df.select(id_col, vec_col), id_col)
+            .select("cent_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("val"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = float(
+                r["val"]
+            )
+        cents = [
+            (cid, [vals[p] for p in sorted(vals)])
+            for cid, vals in sorted(by_cid.items())
+        ]
+    return cents
 
 
 def kmeans_lloyd(
@@ -66,61 +148,83 @@ def kmeans_lloyd(
     making the per-round state identical across engines (a raw-mean
     iteration would let 1e-13 summation-order noise compound into
     assignment flips)."""
+    cents = kmeans_fit(df, k, iters, id_col, vec_col, round_digits)
+    return kmeans_assign(df, cents, id_col, vec_col, round_digits)
+
+
+def knn_ivf_trained(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF search over a LLOYD-TRAINED index, end-to-end in one call:
+    fit centroids (kmeans_fit), build the inverted lists (the final
+    assignment), pick the n_probe centroids nearest the query by the
+    SAME squared-L2 metric the index was trained with, and return the
+    top-k nearest corpus vectors among the probed lists as
+    (id, cent_id, dist).
+
+    This is functions/similarity.cosine_topk_ivf with the
+    stand-in-lowest-id centroids replaced by trained ones and a
+    metric-consistent L2 probe (training by L2 then probing by cosine
+    degrades recall for no reason). Probe selection is a k-row driver
+    computation; assignment and query scoring run in ONE kernel pass
+    (no join, no shuffle) and the top-k is orderBy+limit
+    (TakeOrderedAndProject — never a global sort). At scale the
+    assignment is written once as the partitioned index
+    (sources/store.write_ivf_index) and only the probe+scan runs per
+    query."""
     import numpy as np
     import pandas as pd
 
-    cents = _collect_centroids(df, id_col, vec_col, k)
-
-    def assign_with(cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
-        cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
-        cmat = np.stack(
-            [np.asarray(c[1], dtype=np.float64) for c in cent_rows]
+    cents = kmeans_fit(df, n_centroids, iters, id_col, vec_col, round_digits)
+    cent_rows = sorted(cents, key=lambda c: c[0])
+    cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+    cmat = np.stack(
+        [np.asarray(c[1], dtype=np.float64) for c in cent_rows]
+    )
+    c2 = (cmat * cmat).sum(axis=1)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    q2 = float(q @ q)
+    probe_order = []
+    for cid, cv in cent_rows:
+        cv = np.asarray(cv, dtype=np.float64)
+        probe_order.append(
+            (float((cv * cv).sum() - 2.0 * (cv @ q) + q2), cid)
         )
-        c2 = (cmat * cmat).sum(axis=1)
+    probe_order.sort()
+    probe_ids = {cid for _, cid in probe_order[:n_probe]}
 
-        def gen(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                # rows sorted by cent_id => argmin's first-min IS the
-                # lowest cent_id on exact ties
-                d = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ cmat.T) + c2
-                j = d.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "cent_id": cids[j],
-                        "dist": np.round(
-                            d[np.arange(len(j)), j], round_digits
-                        ),
-                    }
-                )
-
-        return df.select(id_col, vec_col).mapInPandas(
-            gen, f"{id_col} long, cent_id long, dist double"
-        )
-
-    for _ in range(max(iters, 1) - 1):
-        assigned = assign_with(cents)
-        means = (
-            assigned.join(df.select(id_col, vec_col), id_col)
-            .select("cent_id", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg(F.round(F.avg("val"), round_digits).alias("val"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = float(
-                r["val"]
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v2 = (v * v).sum(axis=1)
+            d = v2[:, None] - 2.0 * (v @ cmat.T) + c2
+            j = d.argmin(axis=1)
+            dq = np.round(v2 - 2.0 * (v @ q) + q2, round_digits)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cent_id": cids[j],
+                    "dist": dq,
+                }
             )
-        cents = [
-            (cid, [vals[p] for p in sorted(vals)])
-            for cid, vals in sorted(by_cid.items())
-        ]
+            yield out[out["cent_id"].isin(probe_ids)]
 
-    return assign_with(cents)
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(gen, f"{id_col} long, cent_id long, dist double")
+        .orderBy("dist", id_col)
+        .limit(k)
+    )
 
 
 def kmeans_cluster_sizes(
