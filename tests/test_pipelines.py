@@ -813,3 +813,54 @@ def test_kmeans_fit_returns_quantized_centroids(spark):
     trained = dict(kmeans_fit(df, k=2, iters=2))
     assert trained[0] == [0.5, 0.5]
     assert trained[1] == [10.5, 10.5]
+
+
+def test_shard_assignment_stable_and_writer_partitions(spark, tmp_path):
+    """Shard membership is a pure function of the id: adding rows
+    never moves an existing one; the writer lands shard_id=K parquet
+    partitions whose recomputed manifest matches the planned one."""
+    from webloghunter_spark.pipelines.shard import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.xor_digest)
+        for r in shard_manifest(df, n_shards=8).collect()
+    }
+    assert sum(n for n, _, _ in m1.values()) == 200
+    # growing the corpus only adds to shards, never moves
+    df2 = spark.createDataFrame(
+        rows + [(i, "x") for i in range(200, 260)],
+        "doc_id long, text string",
+    )
+    bigger = {
+        r.shard_id: r.n_docs
+        for r in shard_manifest(df2, n_shards=8).collect()
+    }
+    assert all(bigger[s] >= m1[s][0] for s in m1)
+    # writer round-trip: per-shard recomputed manifest == planned
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=8)
+    back = spark.read.parquet(out)
+    m2 = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.xor_digest)
+        for r in (
+            shard_manifest(back, n_shards=8).collect()
+        )
+    }
+    assert m2 == m1
+
+
+def test_shard_digest_is_order_free(spark):
+    """The xor digest does not depend on row order or partitioning."""
+    from webloghunter_spark.pipelines.shard import shard_manifest
+
+    rows = [(i, "t") for i in range(64)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(rows[::-1], "doc_id long, text string").repartition(7)
+    da = {r.shard_id: r.xor_digest for r in shard_manifest(a, 4).collect()}
+    db = {r.shard_id: r.xor_digest for r in shard_manifest(b, 4).collect()}
+    assert da == db

@@ -3210,6 +3210,42 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic 16-way training-shard manifest over documents:
+    per shard, doc count, whitespace-token count, and an ORDER-FREE
+    xor digest of per-id md5 prefixes — the delivery-verification row
+    a trainer recomputes over what arrived. bit_xor is commutative and
+    map-side combinable, so the manifest is one N x partitions-cell
+    shuffle regardless of corpus size (a sorted-concat digest would
+    funnel every id through one reducer per shard)."""
+    from webloghunter_spark.pipelines.shard import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=16)
+
+
+SQL_SHARD_MANIFEST = r"""
+    SELECT shard_id,
+           count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           bit_xor(dig) AS xor_digest
+    FROM (
+        SELECT CAST(CAST('0x' ||
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 16 AS INTEGER) AS shard_id,
+               len(CASE WHEN length(trim(text)) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+')
+                   END)::BIGINT AS ntok,
+               CAST('0x' ||
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS dig
+        FROM documents
+    )
+    GROUP BY shard_id
+"""
+
+
 def q_knn_ivf_trained(spark, sf_dir):
     """End-to-end trained-index ANN: Lloyd-train 8 centroids on the
     corpus (2 quantized passes), build the inverted lists from the
@@ -3805,6 +3841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_sliding": q_chunk_sliding,
     "jl_project": q_jl_project,
     "knn_ivf_trained": q_knn_ivf_trained,
+    "shard_manifest": q_shard_manifest,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3899,6 +3936,7 @@ ORACLES: dict[str, str] = {
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "jl_project": SQL_JL_PROJECT,
     "knn_ivf_trained": SQL_KNN_IVF_TRAINED,
+    "shard_manifest": SQL_SHARD_MANIFEST,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

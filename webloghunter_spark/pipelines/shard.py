@@ -1,0 +1,94 @@
+"""Deterministic training-shard assignment + order-free manifests.
+
+The last step of a pretraining data pipeline is a global shuffle into
+N shards that trainers stream independently. Spark's `repartition(N)`
+is round-robin over an arbitrary task layout — re-running the job
+moves rows. This module shards by md5 of the id (the same engine-
+portable hash family as pipelines/split), so shard membership is a
+pure function of the id: adding data never moves an existing row, two
+engines agree, and a resume after partial failure rewrites identical
+shards.
+
+The manifest digests each shard WITHOUT collecting its members:
+`bit_xor` of a per-row 63-bit md5 prefix is commutative/associative —
+a map-side-combinable aggregate whose result is independent of row
+order and partitioning. At 100 TB the manifest is one shuffle of
+N x partitions partial cells; a sorted-concat digest (collect_list +
+md5) would move every id to one reducer per shard and depend on sort
+stability. Verifying a delivered shard = recompute xor over what
+arrived, compare one number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_expr(id_col: Column | str, n_shards: int, salt: str = "") -> Column:
+    """Stable shard in [0, n_shards) from md5 of the id (+ salt)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
+def _row_digest(id_col: Column | str, salt: str = "") -> Column:
+    """63-bit per-row digest (md5 first 15 hex digits -> BIGINT, always
+    non-negative) fed to the xor aggregate. 15 digits keep the value
+    inside the positive BIGINT range in every engine."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    salt: str = "",
+) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, xor_digest) per shard — the
+    audit row a trainer checks before consuming a shard. n_tokens is
+    whitespace-token count when `text_col` is given (else 0); the
+    digest is order-free (bit_xor of per-id 63-bit md5 prefixes), so
+    any engine computing it over the same membership agrees."""
+    from webloghunter_spark.functions.text import token_count_expr
+
+    ntok = (
+        token_count_expr(text_col) if text_col is not None else F.lit(0)
+    )
+    return (
+        df.select(
+            shard_expr(id_col, n_shards, salt).alias("shard_id"),
+            ntok.alias("_ntok"),
+            _row_digest(id_col, salt).alias("_dig"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.bit_xor("_dig").alias("xor_digest"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> None:
+    """Land the corpus as shard_id=K/ parquet partitions: one shuffle
+    on the shard expr, partition-pruned reads per trainer. Pair with
+    `shard_manifest` (same id/salt) to verify delivery."""
+    (
+        df.withColumn("shard_id", shard_expr(id_col, n_shards, salt))
+        .repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
