@@ -521,3 +521,72 @@ def test_semantic_dedup_stream_eviction(spark, tmp_path):
         q.stop()
     assert not got[4].is_dup  # evicted cluster: sketch gone, no flag
     assert got[4].max_sim is None  # NULL = no lower-id sketch (batch conv.)
+
+
+def test_mix_resample_batch_stream_parity(spark, tmp_path):
+    """Frozen-rates streaming mix_resample equals the batch operator
+    when the reference corpus IS the streamed corpus — copy counts are
+    a pure function of (id, rate), so arrival slicing cannot change
+    them. Also pins the release() hook."""
+    from webloghunter_spark.pipelines.split import mix_resample
+    from webloghunter_spark.streaming.resample import (
+        mix_resample_stream_writer,
+    )
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string")
+    expected = sorted(
+        (r.doc_id, r.lang, r.rep)
+        for r in mix_resample(corpus, "lang", temperature=4.0).collect()
+    )
+
+    src = str(tmp_path / "mix_src")
+    corpus.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+
+    got = []
+
+    def sink(df, batch_id):
+        got.extend((r.doc_id, r.lang, r.rep) for r in df.collect())
+
+    fn = mix_resample_stream_writer(corpus, sink, "lang", temperature=4.0)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(got) == expected
+    fn.release()
+
+
+def test_sliding_chunks_is_stream_safe(spark, tmp_path):
+    """sliding_chunks is a stateless narrow transformation: applying
+    it directly to a readStream produces exactly the batch chunks."""
+    from webloghunter_spark.pipelines.pack import sliding_chunks
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(i + 3))) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = sorted(map(tuple, sliding_chunks(docs, 4, 3).collect()))
+
+    src = str(tmp_path / "chunk_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        sliding_chunks(stream, 4, 3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("chunk_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM chunk_stream").collect())
+    )
+    assert got == expected

@@ -205,6 +205,16 @@ def mix_resample(
     join, one narrow sequence-explode — no wide shuffle anywhere; the
     output is prunable and the explode is whole-stage codegen.
     """
+    rates = mix_rates(df, group_col, temperature)
+    return apply_mix_rates(df, rates, group_col, id_col, salt, rep_col)
+
+
+def mix_rates(
+    df: DataFrame, group_col: str, temperature: float = 1.0
+) -> DataFrame:
+    """(group, _rbp) integer-basis-point sampling rates for
+    `mix_resample` — split out so a streaming twin can freeze the
+    rates from a reference corpus and apply them per micro-batch."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     n = df.groupBy(group_col).agg(
@@ -215,7 +225,7 @@ def mix_resample(
         "_p", F.pow(F.col("_n") / F.col("_tot"), 1.0 / temperature)
     )
     z = p.agg(F.sum("_p").alias("_z"))
-    rates = p.crossJoin(F.broadcast(z)).select(
+    return p.crossJoin(F.broadcast(z)).select(
         group_col,
         F.floor(
             F.col("_p") / F.col("_z") * F.col("_tot") / F.col("_n")
@@ -223,6 +233,19 @@ def mix_resample(
             + F.lit(1e-6)
         ).cast("long").alias("_rbp"),
     )
+
+
+def apply_mix_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Realize a (group, _rbp) rate table over rows: md5-bucket copy
+    counts + sequence-explode. Groups absent from `rates` are dropped
+    (inner join) — matching the batch operator."""
     bucket = split_bucket_expr(id_col, salt)
     copies = (F.col("_rbp") / SPLIT_BUCKETS).cast("long") + F.when(
         bucket < F.col("_rbp") % SPLIT_BUCKETS, F.lit(1)
