@@ -294,3 +294,21 @@ def test_ivf_with_kmeans_centroids(spark):
     ivf = cosine_topk_ivf(df, q, k=5, n_probe=4, centroids=cents).collect()
     exact = cosine_topk(df, q, k=5).collect()
     assert [(r.vec_id, r.cosine) for r in ivf] == [(r.vec_id, r.cosine) for r in exact]
+
+
+def test_ecdf_bp_matches_percent_rank_semantics(spark):
+    """ecdf_bp equals floor(strict-rank-below / N * 10000): ties share
+    a percentile, min score gets 0, and the histogram construction
+    agrees with a brute-force computation."""
+    from webloghunter_spark.operators.outliers import ecdf_bp
+
+    vals = [5, 5, 7, 9, 9, 9, 12, 20]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, score long"
+    )
+    out = {r.doc_id: r.pctile_bp for r in ecdf_bp(df, "score").collect()}
+    n = len(vals)
+    for i, v in enumerate(vals):
+        below = sum(1 for x in vals if x < v)
+        assert out[i] == (below * 10000) // n
+    assert out[0] == 0  # min score at percentile 0

@@ -3210,6 +3210,38 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_quality_ecdf(spark, sf_dir):
+    """Percentile calibration of the heuristic quality score — global
+    rank WITHOUT a global sort: the bp score's histogram (<=10001
+    cells, map-side combinable), a running sum over that tiny table,
+    and a broadcast join back. Pure integer arithmetic, ties share a
+    percentile by construction."""
+    from webloghunter_spark.functions.text import quality_bp_expr
+    from webloghunter_spark.operators.outliers import ecdf_bp
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", quality_bp_expr("text").alias("quality_bp"))
+    return ecdf_bp(scored, "quality_bp")
+
+
+SQL_QUALITY_ECDF = f"""
+    WITH scored AS ({SQL_QUALITY}),
+    hist AS (
+        SELECT quality_bp, count(*) AS c FROM scored GROUP BY quality_bp
+    ),
+    cum AS (
+        SELECT quality_bp,
+               sum(c) OVER (ORDER BY quality_bp
+                            ROWS UNBOUNDED PRECEDING) - c AS below
+        FROM hist
+    ),
+    t AS (SELECT count(*) AS n FROM scored)
+    SELECT s.doc_id, s.quality_bp,
+           CAST(floor(below * 10000.0 / n) AS BIGINT) AS pctile_bp
+    FROM scored s JOIN cum USING (quality_bp) CROSS JOIN t
+"""
+
+
 def q_shard_manifest(spark, sf_dir):
     """Deterministic 16-way training-shard manifest over documents:
     per shard, doc count, whitespace-token count, and an ORDER-FREE
@@ -3842,6 +3874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_project": q_jl_project,
     "knn_ivf_trained": q_knn_ivf_trained,
     "shard_manifest": q_shard_manifest,
+    "quality_ecdf": q_quality_ecdf,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3937,6 +3970,7 @@ ORACLES: dict[str, str] = {
     "jl_project": SQL_JL_PROJECT,
     "knn_ivf_trained": SQL_KNN_IVF_TRAINED,
     "shard_manifest": SQL_SHARD_MANIFEST,
+    "quality_ecdf": SQL_QUALITY_ECDF,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -44,3 +44,44 @@ def mad_outliers(
     return out.withColumn(
         "is_outlier", F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad")
     )
+
+
+def ecdf_bp(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "pctile_bp",
+) -> DataFrame:
+    """Exact empirical-CDF percentile (basis points) of an INTEGER
+    score column — global rank calibration WITHOUT a global sort.
+
+    percent_rank() over an unpartitioned window funnels the whole
+    table through one reducer; for a bounded integer score (quality
+    basis points, risk scores) the same answer comes from the score
+    HISTOGRAM: count per distinct value (map-side combinable, <=
+    |score domain| cells), a running sum over that tiny table (the
+    only windowed stage — |domain| rows regardless of corpus size),
+    and a broadcast join back. pctile_bp = floor(n_below * 10000 / N)
+    where n_below counts STRICTLY smaller scores — pure integer
+    arithmetic end to end, so any engine agrees bit-for-bit and ties
+    share a percentile by construction.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        value_col,
+        (F.sum("_c").over(w) - F.col("_c")).alias("_below"),
+    )
+    total = df.count()
+    return df.join(F.broadcast(cum), on=value_col).withColumn(
+        out_col,
+        # _below * 10000 stays far inside the double-exact integer
+        # range, so floor(x / N) matches integer division everywhere
+        F.floor(F.col("_below") * F.lit(10_000) / F.lit(total)).cast(
+            "long"
+        ),
+    ).drop("_below")
