@@ -312,3 +312,57 @@ def test_ecdf_bp_matches_percent_rank_semantics(spark):
         below = sum(1 for x in vals if x < v)
         assert out[i] == (below * 10000) // n
     assert out[0] == 0  # min score at percentile 0
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """Registers are mergeable by max (sketch of a union == max of the
+    sketches), and the raw estimate lands within the textbook
+    ~1.04/sqrt(64) error band on a 5k-distinct set."""
+    from webloghunter_spark.functions.sketches import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    rows_a = [("g", f"tok{i}") for i in range(0, 3000)]
+    rows_b = [("g", f"tok{i}") for i in range(2000, 5000)]
+    a = spark.createDataFrame(rows_a, "g string, v string")
+    b = spark.createDataFrame(rows_b, "g string, v string")
+    u = a.union(b)
+
+    def regmap(df):
+        return {
+            r.bucket: r.reg
+            for r in hll_registers(df, "v", ["g"]).collect()
+        }
+
+    ra, rb, ru = regmap(a), regmap(b), regmap(u)
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+    row = hll_distinct(u, "v", ["g"]).collect()[0]
+    assert row.n_exact == 5000
+    assert abs(row.hll_est - 5000) / 5000 < 0.35  # ~2.7 sigma of 13%
+
+
+def test_hll_rho_edge_cases(spark):
+    """rho is 1-based leading-zero count in the 50-bit field and the
+    all-zero remainder maps to 51 — pinned against hand computation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.sketches import hll_rho_expr
+
+    vals = ["alpha", "beta", "gamma", "x"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.v: (r.br.bucket, r.br.rho)
+        for r in df.select("v", hll_rho_expr(F.col("v")).alias("br")).collect()
+    }
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:14], 16)
+        bucket, rem = h % 64, h // 64
+        rho = 51 if rem == 0 else 50 - rem.bit_length() + 1
+        assert got[v] == (bucket, rho), v

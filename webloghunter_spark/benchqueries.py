@@ -3210,6 +3210,62 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-token count per source, next
+    to the exact count (the accuracy audit row). Registers derive from
+    md5, so the SKETCH STATE itself — not just the estimate — is
+    reproducible by any engine and mergeable across partitions/corpora
+    by max. The sketch path is one map-side-combinable max per
+    (source, bucket): <=64 cells per group per partition regardless of
+    token volume — never a distinct shuffle."""
+    from webloghunter_spark.functions.sketches import hll_distinct
+    from webloghunter_spark.functions.text import tokens_expr
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(tokens_expr("text")).alias("_t"),
+    ).select("source", F.lower(F.col("_t")).alias("tok"))
+    return hll_distinct(toks, "tok", ["source"])
+
+
+SQL_HLL_DISTINCT = r"""
+    WITH toks AS (
+        SELECT source, lower(unnest(string_split_regex(trim(text), '\s+')))
+                   AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    h AS (
+        SELECT source, tok,
+               CAST('0x' || substr(md5(tok), 1, 14) AS BIGINT) AS hv
+        FROM toks
+    ),
+    r AS (
+        SELECT source, hv % 64 AS bucket,
+               CASE WHEN hv // 64 = 0 THEN 51
+                    ELSE strpos(lpad(bin(hv // 64), 50, '0'), '1')
+               END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT source, bucket, max(rho) AS reg
+        FROM r GROUP BY source, bucket
+    ),
+    est AS (
+        SELECT source,
+               round(0.7213 / (1.0 + 1.079 / 64) * 64 * 64
+                     / (sum(pow(2.0, -reg)) + (64 - count(*))), 2)
+                   AS hll_est
+        FROM regs GROUP BY source
+    ),
+    ex AS (
+        SELECT source, count(DISTINCT tok) AS n_exact
+        FROM toks GROUP BY source
+    )
+    SELECT ex.source, n_exact, hll_est FROM ex JOIN est USING (source)
+"""
+
+
 def q_quality_ecdf(spark, sf_dir):
     """Percentile calibration of the heuristic quality score — global
     rank WITHOUT a global sort: the bp score's histogram (<=10001
@@ -3875,6 +3931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_trained": q_knn_ivf_trained,
     "shard_manifest": q_shard_manifest,
     "quality_ecdf": q_quality_ecdf,
+    "hll_distinct": q_hll_distinct,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -3971,6 +4028,7 @@ ORACLES: dict[str, str] = {
     "knn_ivf_trained": SQL_KNN_IVF_TRAINED,
     "shard_manifest": SQL_SHARD_MANIFEST,
     "quality_ecdf": SQL_QUALITY_ECDF,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,
