@@ -864,3 +864,46 @@ def test_shard_digest_is_order_free(spark):
     da = {r.shard_id: r.xor_digest for r in shard_manifest(a, 4).collect()}
     db = {r.shard_id: r.xor_digest for r in shard_manifest(b, 4).collect()}
     assert da == db
+
+
+def test_pagerank_star_graph_and_dangling(spark):
+    """Star graph a,b,c -> hub: the hub accumulates damped mass, the
+    leaves keep only the base term (no in-edges), and the hub's
+    dangling mass is dropped (totals < 1 by design)."""
+    from webloghunter_spark.pipelines.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")], "src string, dst string"
+    )
+    pr = {r.node: r.pr for r in pagerank(edges, iters=2).collect()}
+    n, d = 4, 0.85
+    base = round((1 - d) / n, 6)
+    assert pr["a"] == pr["b"] == pr["c"] == base
+    # after round 1 hub = base + d*3*(1/4); round 2 = base + d*3*base
+    assert pr["hub"] == round(base + d * 3 * base, 6)
+    assert sum(pr.values()) < 1.0
+
+
+def test_pagerank_cycle_is_uniform_fixed_point(spark):
+    """A 3-cycle's uniform distribution is the exact fixed point: any
+    number of iterations returns 1/3 (quantized) everywhere."""
+    from webloghunter_spark.pipelines.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    for it in (1, 3):
+        pr = {r.node: r.pr for r in pagerank(edges, iters=it).collect()}
+        assert all(abs(v - 1 / 3) < 2e-6 for v in pr.values()), (it, pr)
+
+
+def test_pagerank_parallel_edges_weight_transitions(spark):
+    """Duplicate edge rows weight a transition: with a->b twice and
+    a->c once, b receives 2/3 of a's mass and outranks c."""
+    from webloghunter_spark.pipelines.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    pr = {r.node: r.pr for r in pagerank(edges, iters=1).collect()}
+    assert pr["b"] > pr["c"] > 0

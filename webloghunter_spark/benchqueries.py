@@ -3210,6 +3210,71 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (2 quantized power-iteration rounds) over the
+    per-user URI transition graph — which pages accumulate authority
+    in navigation flows. Edges from one lag window per user; each
+    round is an edge⋈score join plus a combinable sum. The third
+    oracle-checked iterative algorithm beside CC dedup and Lloyd's
+    k-means."""
+    from webloghunter_spark.pipelines.pagerank import pagerank
+
+    w = _fan(weblog_from_events(spark, sf_dir))
+    win = Window.partitionBy("user_id").orderBy(
+        F.col("utc_timestamp"), F.col("event_id")
+    )
+    edges = (
+        w.select(
+            F.lag("request_uri").over(win).alias("src"),
+            F.col("request_uri").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    return pagerank(edges, iters=2, damping=0.85)
+
+
+SQL_PAGERANK = f"""
+    WITH w AS ({WEBLOG_SQL_BASE}),
+    e AS (
+        SELECT src, dst FROM (
+            SELECT lag(request_uri) OVER (PARTITION BY user_id
+                       ORDER BY utc_timestamp, event_id) AS src,
+                   request_uri AS dst
+            FROM w
+        ) WHERE src IS NOT NULL
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        )
+    ),
+    t AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    p0 AS (SELECT node, round(1.0 / n, 6) AS pr FROM nodes CROSS JOIN t),
+    s1 AS (
+        SELECT e.dst AS node, sum(p.pr / deg.d) AS s
+        FROM e JOIN deg USING (src) JOIN p0 p ON p.node = e.src
+        GROUP BY e.dst
+    ),
+    p1 AS (
+        SELECT nodes.node,
+               round((1 - 0.85) / n + 0.85 * coalesce(s, 0), 6) AS pr
+        FROM nodes CROSS JOIN t LEFT JOIN s1 ON s1.node = nodes.node
+    ),
+    s2 AS (
+        SELECT e.dst AS node, sum(p.pr / deg.d) AS s
+        FROM e JOIN deg USING (src) JOIN p1 p ON p.node = e.src
+        GROUP BY e.dst
+    ),
+    p2 AS (
+        SELECT nodes.node,
+               round((1 - 0.85) / n + 0.85 * coalesce(s, 0), 6) AS pr
+        FROM nodes CROSS JOIN t LEFT JOIN s2 ON s2.node = nodes.node
+    )
+    SELECT node, pr FROM p2
+"""
+
+
 def q_hll_distinct(spark, sf_dir):
     """Deterministic HyperLogLog distinct-token count per source, next
     to the exact count (the accuracy audit row). Registers derive from
@@ -3932,6 +3997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "quality_ecdf": q_quality_ecdf,
     "hll_distinct": q_hll_distinct,
+    "pagerank": q_pagerank,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4029,6 +4095,7 @@ ORACLES: dict[str, str] = {
     "shard_manifest": SQL_SHARD_MANIFEST,
     "quality_ecdf": SQL_QUALITY_ECDF,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "pagerank": SQL_PAGERANK,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,
