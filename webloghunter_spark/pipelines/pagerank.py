@@ -38,7 +38,15 @@ def pagerank(
     round_digits: int = 6,
 ) -> DataFrame:
     """(node, pr) after `iters` damped power-iteration rounds."""
-    nodes = (
+    from webloghunter_spark.session import materialize
+
+    # edges feed the node set, the degree table, and every iteration's
+    # contribution join — 3 + iters scans of what is often a windowed
+    # derivation. materialize() once (registered for the caller's
+    # release_materialized()/materialized_scope, the library-operator
+    # convention from functions/lm.py).
+    edges = materialize(edges.select(src_col, dst_col))
+    nodes = materialize(
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
         .distinct()
