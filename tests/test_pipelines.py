@@ -907,3 +907,49 @@ def test_pagerank_parallel_edges_weight_transitions(spark):
     )
     pr = {r.node: r.pr for r in pagerank(edges, iters=1).collect()}
     assert pr["b"] > pr["c"] > 0
+
+
+def test_pack_bins_respects_budget_and_packs_greedily(spark):
+    """No bin exceeds the budget (except single oversize docs), bins
+    are consecutive from 0 per shard, and the walk is next-fit over
+    (ntok desc, id) order."""
+    from webloghunter_spark.pipelines.pack import pack_bins
+
+    rows = [
+        (1, " ".join("a" * 1 for _ in range(6))),   # 6 tokens
+        (2, " ".join("b" for _ in range(5))),        # 5
+        (3, " ".join("c" for _ in range(4))),        # 4
+        (4, " ".join("d" for _ in range(3))),        # 3
+        (5, " ".join("e" for _ in range(12))),       # oversize vs budget 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_bins(df, budget=8, n_shards=1).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    # bins consecutive from 0
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    # budget respected except single-doc oversize bins
+    for b, members in by_bin.items():
+        tot = sum(r.ntok for r in members)
+        if tot > 8:
+            assert len(members) == 1 and members[0].ntok > 8
+    # next-fit-decreasing: 12 first (own bin), then 6, 5 -> overflow,
+    # bins: [12], [6], [5+3], [4]? walk: 12|6(new? 12+6>8 new bin
+    # fill=6)|5(6+5>8 new, fill=5)|4(5+4>8 new, fill=4)|3(4+3<=8 same)
+    seq = {r.doc_id: r.bin_id for r in out}
+    assert seq[5] == 0 and seq[1] == 1 and seq[2] == 2
+    assert seq[3] == 3 and seq[4] == 3
+
+
+def test_pack_bins_shard_determinism(spark):
+    """Repartitioning the input never changes any assignment (shard
+    membership is md5; the walk order is a total order)."""
+    from webloghunter_spark.pipelines.pack import pack_bins
+
+    rows = [(i, " ".join("w" for _ in range(i % 40 + 1))) for i in range(120)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(rows[::-1], "doc_id long, text string").repartition(9)
+    ra = sorted(map(tuple, pack_bins(a, budget=64, n_shards=3).collect()))
+    rb = sorted(map(tuple, pack_bins(b, budget=64, n_shards=3).collect()))
+    assert ra == rb

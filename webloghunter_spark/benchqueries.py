@@ -3210,6 +3210,52 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_pack_bins(spark, sf_dir):
+    """Next-fit-decreasing sample packing: whole documents into
+    512-token bins, 4 md5 shards, one sequential walk per shard
+    (applyInPandas kernel over (id, ntok) pairs only). The oracle
+    replays the identical walk with a per-shard recursive CTE."""
+    from webloghunter_spark.pipelines.pack import pack_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_bins(docs, budget=512, n_shards=4)
+
+
+SQL_PACK_BINS = r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               CAST(CAST('0x' ||
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)
+               AS BIGINT) % 4 AS INTEGER) AS shard_id,
+               len(CASE WHEN length(trim(text)) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(text), '\s+')
+                   END)::BIGINT AS ntok
+        FROM documents
+    ),
+    seq AS (
+        SELECT shard_id, doc_id, ntok,
+               row_number() OVER (PARTITION BY shard_id
+                                  ORDER BY ntok DESC, doc_id) AS rn
+        FROM t
+    ),
+    rec AS (
+        SELECT shard_id, doc_id, ntok, rn,
+               CAST(0 AS BIGINT) AS bin_id, ntok AS fill
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.shard_id, s.doc_id, s.ntok, s.rn,
+               CASE WHEN r.fill + s.ntok > 512
+                    THEN r.bin_id + 1 ELSE r.bin_id END,
+               CASE WHEN r.fill + s.ntok > 512
+                    THEN s.ntok ELSE r.fill + s.ntok END
+        FROM rec r
+        JOIN seq s ON s.shard_id = r.shard_id AND s.rn = r.rn + 1
+    )
+    SELECT doc_id, shard_id, ntok, bin_id FROM rec
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Damped PageRank (2 quantized power-iteration rounds) over the
     per-user URI transition graph — which pages accumulate authority
@@ -3998,6 +4044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_ecdf": q_quality_ecdf,
     "hll_distinct": q_hll_distinct,
     "pagerank": q_pagerank,
+    "pack_bins": q_pack_bins,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4096,6 +4143,7 @@ ORACLES: dict[str, str] = {
     "quality_ecdf": SQL_QUALITY_ECDF,
     "hll_distinct": SQL_HLL_DISTINCT,
     "pagerank": SQL_PAGERANK,
+    "pack_bins": SQL_PACK_BINS,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

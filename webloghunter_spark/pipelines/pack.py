@@ -125,3 +125,65 @@ def sliding_chunks(
             F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
         )
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy next-fit-decreasing bin packing of WHOLE documents into
+    token-budget bins — the "sample packing" step that builds training
+    batches without splitting documents (pack_chunks slices a stream;
+    this preserves document boundaries so attention never crosses
+    docs). Returns (id, shard_id, bin_id, ntok).
+
+    Packing is inherently sequential, so it runs as a per-shard kernel
+    (the tool-scanner discipline): documents are md5-bucketed into
+    `n_shards` independent shards, each shard sorts by (ntok DESC, id)
+    and walks once — open a new bin whenever the current one would
+    overflow; oversize docs (> budget) get bins of their own. The
+    kernel is O(rows-per-shard) numpy/python inside applyInPandas;
+    shard count is the scale knob (at 100 TB raise n_shards so a
+    shard's (id, ntok) pairs — NOT its text — fit a task comfortably;
+    only two small columns ever reach the kernel). Deterministic:
+    shard membership is md5, the walk order is a total order, so the
+    oracle replays it with a recursive CTE.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import pandas as pd
+
+    from webloghunter_spark.pipelines.shard import shard_expr
+
+    base = df.select(
+        F.col(id_col),
+        shard_expr(id_col, n_shards, salt).alias("shard_id"),
+        token_count_expr(text_col).alias("ntok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["ntok", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        first = True
+        for nt in pdf["ntok"]:
+            nt = int(nt)
+            if first:
+                cur, fill, first = 0, nt, False
+            elif fill + nt > budget:
+                cur += 1
+                fill = nt
+            else:
+                fill += nt
+            bins.append(cur)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[[id_col, "shard_id", "ntok", "bin_id"]]
+
+    return base.groupBy("shard_id").applyInPandas(
+        pack, f"{id_col} long, shard_id int, ntok long, bin_id long"
+    )
