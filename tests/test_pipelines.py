@@ -953,3 +953,62 @@ def test_pack_bins_shard_determinism(spark):
     ra = sorted(map(tuple, pack_bins(a, budget=64, n_shards=3).collect()))
     rb = sorted(map(tuple, pack_bins(b, budget=64, n_shards=3).collect()))
     assert ra == rb
+
+
+def test_exact_jaccard_pairs_matches_bruteforce(spark):
+    """The gram-key-join exact Jaccard equals a brute-force
+    computation over all pairs, at every threshold."""
+    from itertools import combinations
+
+    from webloghunter_spark.pipelines.dedup import exact_jaccard_pairs
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g x",      # high overlap with 1
+        3: "p q r s t u v w",      # disjoint
+        4: "a b c d p q r s",      # partial with 1/2/3
+        5: "short",                # < k tokens -> no shingles
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def shingles(t, k=3):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    for tau in (0.2, 0.5, 0.8):
+        want = set()
+        for a, b in combinations(sorted(texts), 2):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= tau:
+                want.add((a, b))
+        got = {
+            (r.id_a, r.id_b)
+            for r in exact_jaccard_pairs(df, tau).collect()
+        }
+        assert got == want, tau
+
+
+def test_lsh_recall_audit_sentinel_and_counts(spark):
+    """No true pairs above tau -> recall_bp = -1 sentinel; with planted
+    near-dups the audit counts them as caught."""
+    from webloghunter_spark.pipelines.dedup import lsh_recall_audit
+
+    disjoint = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
+    )
+    row = lsh_recall_audit(disjoint, tau=0.5).collect()[0]
+    assert row.n_true == 0 and row.recall_bp == -1
+
+    dup = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u")],
+        "doc_id long, text string",
+    )
+    row = lsh_recall_audit(dup, tau=0.9).collect()[0]
+    assert row.n_true == 1 and row.n_caught == 1 and row.recall_bp == 10000

@@ -3210,6 +3210,71 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Dedup deployment audit: recall of the MinHash-LSH candidate
+    generator (4 hashes, 2 bands) against EXACT all-pairs Jaccard >=
+    0.5 ground truth. Truth comes from the gram-key self-join (pairs
+    with J > 0 must share a shingle — never n^2); the one-row result
+    is the number a band/hash configuration must justify before
+    near_dedup trusts it. ann_recall's text twin."""
+    from webloghunter_spark.pipelines.dedup import lsh_recall_audit
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return lsh_recall_audit(docs, tau=0.5, num_hashes=4, band_size=2)
+
+
+SQL_LSH_RECALL = f"""
+    WITH {DOC_TOKENS_SQL},
+    dsh AS (
+        SELECT doc_id, list_distinct(s) AS s FROM shingles WHERE len(s) > 0
+    ),
+    sz AS (SELECT doc_id, len(s) AS n FROM dsh),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM dsh),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sz x ON x.doc_id = id_a
+        JOIN sz y ON y.doc_id = id_b
+        WHERE sh >= 0.5 * (x.n + y.n - sh)
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM shingles WHERE len(s) > 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM sig, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ),
+    caught AS (SELECT id_a, id_b FROM truth JOIN cand USING (id_a, id_b)),
+    m AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand) AS n_cand,
+               (SELECT count(*) FROM caught) AS n_caught
+    )
+    SELECT n_true, n_cand, n_caught,
+           CASE WHEN n_true > 0
+                THEN CAST(floor(n_caught * 10000.0 / n_true) AS BIGINT)
+                ELSE -1 END AS recall_bp
+    FROM m
+"""
+
+
 def q_pack_bins(spark, sf_dir):
     """Next-fit-decreasing sample packing: whole documents into
     512-token bins, 4 md5 shards, one sequential walk per shard
@@ -4045,6 +4110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "pagerank": q_pagerank,
     "pack_bins": q_pack_bins,
+    "lsh_recall": q_lsh_recall,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4144,6 +4210,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "pagerank": SQL_PAGERANK,
     "pack_bins": SQL_PACK_BINS,
+    "lsh_recall": SQL_LSH_RECALL,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

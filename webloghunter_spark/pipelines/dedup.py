@@ -504,3 +504,97 @@ def segment_dedup(
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
     )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard >= tau — no sketches, no bands.
+
+    Not the n^2 crossJoin: a pair with Jaccard > 0 must share a
+    shingle, so candidates come from the gram-key self-join (the
+    source_overlap bound: sum over grams of per-gram doc-cardinality
+    squared), then one count aggregate per pair gives |A ∩ B| exactly
+    (shingle sets are distinct per doc, so join rows == shared grams).
+    This is the ground-truth side of the LSH recall audit — run it on
+    an audit sample at 100 TB, never the full corpus: boilerplate
+    grams make the per-gram bound explode exactly when dedup matters
+    most.
+    """
+    from webloghunter_spark.session import materialize
+
+    sh = materialize(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_s"),
+        ).filter(F.size("_s") > 0)
+    )
+    sizes = sh.select(id_col, F.size("_s").alias("_n"))
+    grams = sh.select(id_col, F.explode("_s").alias("_g"))
+    shared = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("_n", "_nb"), "id_b")
+        .filter(
+            F.col("_shared")
+            >= F.lit(tau) * (F.col("_na") + F.col("_nb") - F.col("_shared"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    tau: float = 0.5,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One-row audit of the MinHash-LSH candidate generator against
+    exact ground truth: (n_true, n_cand, n_caught, recall_bp) where
+    recall_bp = caught/true in integer basis points. The dedup
+    deployment check ann_recall is for vectors — band/hash settings
+    are only trustworthy once this row says the true near-dup pairs
+    actually land in candidate buckets."""
+    truth = exact_jaccard_pairs(df, tau, id_col, text_col, shingle_k)
+    cand = lsh_candidate_pairs(
+        df, num_hashes=num_hashes, band_size=band_size,
+        id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+    ).select("id_a", "id_b")
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    g = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(g)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_caught",
+            F.when(
+                F.col("n_true") > 0,
+                F.floor(F.col("n_caught") * 10000 / F.col("n_true")),
+            ).otherwise(F.lit(-1)).cast("long").alias("recall_bp"),
+        )
+    )
