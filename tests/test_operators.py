@@ -366,3 +366,42 @@ def test_hll_rho_edge_cases(spark):
         bucket, rem = h % 64, h // 64
         rho = 51 if rem == 0 else 50 - rem.bit_length() + 1
         assert got[v] == (bucket, rho), v
+
+
+def test_gapfill_zero_fills_missing_cells(spark):
+    """A planted 2-hour gap appears as zero rows for every type, and
+    filled counts match the raw aggregate."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "2024-01-01 00:10:00"),
+        ("a", "2024-01-01 00:50:00"),
+        ("b", "2024-01-01 03:05:00"),   # hours 1 and 2 are a gap
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    counts = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    full = (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            F.hour("h").alias("hh"), "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    ).collect()
+    cells = {(r.hh, r.event_type): r.n for r in full}
+    assert len(cells) == 4 * 2  # 4 hours x 2 types, gaps included
+    assert cells[(0, "a")] == 2 and cells[(3, "b")] == 1
+    assert cells[(1, "a")] == 0 and cells[(2, "b")] == 0

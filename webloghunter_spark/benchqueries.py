@@ -3210,6 +3210,108 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_gapfill_hourly(spark, sf_dir):
+    """Time-spine gap fill: hourly event counts per type with missing
+    (hour, type) cells zero-filled — the resample step dashboards and
+    rate alerts need (a SQL GROUP BY silently drops empty buckets).
+    The spine is |hours| x |types| dimension rows (generated, tiny,
+    broadcast); the only data-sized exchange is the count aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_epoch"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+SQL_GAPFILL_HOURLY = """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', min(ts)) AS mn,
+               date_trunc('hour', max(ts)) AS mx
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM b
+    ),
+    ty AS (SELECT DISTINCT event_type FROM events)
+    SELECT floor(epoch(s.h))::BIGINT AS hour_epoch, ty.event_type,
+           coalesce(n, 0) AS n
+    FROM spine s CROSS JOIN ty
+    LEFT JOIN c ON c.h = s.h AND c.event_type = ty.event_type
+"""
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy entity resolution: a probe list of typo'd
+    customer names (last char corrupted, synthesized deterministically
+    from every 97th customer) matched back against the customer table
+    — equi-join on a 16-char block key so levenshtein only runs
+    within blocks (codegen both sides, probes broadcast), never
+    all-pairs. The record-linkage shape: block, then edit-distance."""
+    cust = _t(spark, sf_dir, "customer")
+    probes = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            F.expr(
+                "concat(substr(c_name, 1, length(c_name) - 1), 'X')"
+            ).alias("probe_name"),
+        )
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            cust,
+            (
+                F.substring("probe_name", 1, 16)
+                == F.substring("c_name", 1, 16)
+            )
+            & (F.levenshtein("probe_name", "c_name") <= 1),
+        )
+        .select(
+            "probe_key",
+            F.col("c_custkey").alias("match_key"),
+            F.levenshtein("probe_name", "c_name").alias("dist"),
+        )
+    )
+
+
+SQL_FUZZY_MATCH = """
+    WITH probes AS (
+        SELECT c_custkey AS probe_key,
+               substr(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT probe_key, c.c_custkey AS match_key,
+           levenshtein(probe_name, c_name) AS dist
+    FROM probes p JOIN customer c
+      ON substr(p.probe_name, 1, 16) = substr(c.c_name, 1, 16)
+     AND levenshtein(p.probe_name, c.c_name) <= 1
+"""
+
+
 def q_lsh_recall(spark, sf_dir):
     """Dedup deployment audit: recall of the MinHash-LSH candidate
     generator (4 hashes, 2 bands) against EXACT all-pairs Jaccard >=
@@ -4111,6 +4213,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "pack_bins": q_pack_bins,
     "lsh_recall": q_lsh_recall,
+    "gapfill_hourly": q_gapfill_hourly,
+    "fuzzy_match": q_fuzzy_match,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4211,6 +4315,8 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "pack_bins": SQL_PACK_BINS,
     "lsh_recall": SQL_LSH_RECALL,
+    "gapfill_hourly": SQL_GAPFILL_HOURLY,
+    "fuzzy_match": SQL_FUZZY_MATCH,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,
