@@ -405,3 +405,45 @@ def test_gapfill_zero_fills_missing_cells(spark):
     assert len(cells) == 4 * 2  # 4 hours x 2 types, gaps included
     assert cells[(0, "a")] == 2 and cells[(3, "b")] == 1
     assert cells[(1, "a")] == 0 and cells[(2, "b")] == 0
+
+
+def test_value_quantiles_match_numpy_on_grid(spark):
+    """Histogram quantiles equal the 'smallest value whose rank
+    reaches ceil(p*n)' definition on a known set (inverted-CDF /
+    type-1 quantile), per group."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    vals = {"a": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10], "b": [5, 5, 5, 100]}
+    rows = [(t, float(v)) for t, vs in vals.items() for v in vs]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    cell = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = ev.select("event_type", cell.alias("v")).groupBy(
+        "event_type", "v"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "event_type", "v", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def q(p):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("v"))
+        )
+
+    got = {
+        r.event_type: (r.p50, r.p90)
+        for r in cum.groupBy("event_type")
+        .agg(q(0.5).alias("p50"), q(0.9).alias("p90"))
+        .collect()
+    }
+    import math
+
+    for t, vs in vals.items():
+        s = sorted(vs)
+        want50 = s[math.ceil(0.5 * len(s)) - 1] * 100
+        want90 = s[math.ceil(0.9 * len(s)) - 1] * 100
+        assert got[t] == (want50, want90), t

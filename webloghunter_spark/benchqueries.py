@@ -3210,6 +3210,67 @@ def q_semantic_dedup_fast(spark, sf_dir):
     return flags.withColumn("max_sim", F.coalesce("max_sim", F.lit(-2.0)))
 
 
+def q_value_quantiles(spark, sf_dir):
+    """p50/p90/p99 of event value per type WITHOUT a sort: values
+    quantized to a centi-unit grid (bounded error 0.005), histogram
+    per (type, cell) — map-side combinable, <=|grid| cells per type —
+    then the quantile is the smallest cell whose running count reaches
+    ceil(p*n). The same fixed-grid trick as quality_ecdf, pointed at
+    the classic latency-percentile workload; exact integer arithmetic
+    end to end."""
+    ev = _t(spark, sf_dir, "events")
+    cell = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        ev.select("event_type", cell.alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "v", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def q(p):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("v")
+            )
+        )
+
+    return cum.groupBy("event_type").agg(
+        q(0.5).alias("p50_centi"),
+        q(0.9).alias("p90_centi"),
+        q(0.99).alias("p99_centi"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+    WITH hist AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    )
+    SELECT event_type,
+           min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50_centi,
+           min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90_centi,
+           min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99_centi
+    FROM cum GROUP BY event_type
+"""
+
+
 def q_gapfill_hourly(spark, sf_dir):
     """Time-spine gap fill: hourly event counts per type with missing
     (hour, type) cells zero-filled — the resample step dashboards and
@@ -4215,6 +4276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall": q_lsh_recall,
     "gapfill_hourly": q_gapfill_hourly,
     "fuzzy_match": q_fuzzy_match,
+    "value_quantiles": q_value_quantiles,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4317,6 +4379,7 @@ ORACLES: dict[str, str] = {
     "lsh_recall": SQL_LSH_RECALL,
     "gapfill_hourly": SQL_GAPFILL_HOURLY,
     "fuzzy_match": SQL_FUZZY_MATCH,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,
