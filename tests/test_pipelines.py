@@ -1012,3 +1012,24 @@ def test_lsh_recall_audit_sentinel_and_counts(spark):
     )
     row = lsh_recall_audit(dup, tau=0.9).collect()[0]
     assert row.n_true == 1 and row.n_caught == 1 and row.recall_bp == 10000
+
+
+def test_lsh_recall_audit_sample_knob(spark):
+    """sample_bp restricts the audit to a deterministic md5 subset
+    (both truth and candidate sides), and validates its range."""
+    import pytest
+
+    from webloghunter_spark.pipelines.dedup import lsh_recall_audit
+
+    rows = [(i, f"w{i} " * 8 + "a b c d e f g h") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = lsh_recall_audit(df, tau=0.99).collect()[0]
+    half = lsh_recall_audit(df, tau=0.99, sample_bp=5000).collect()[0]
+    assert half.n_cand <= full.n_cand
+    # deterministic: same sample, same counts, on repeat
+    again = lsh_recall_audit(df, tau=0.99, sample_bp=5000).collect()[0]
+    assert tuple(half) == tuple(again)
+    with pytest.raises(ValueError):
+        lsh_recall_audit(df, sample_bp=0)
+    with pytest.raises(ValueError):
+        lsh_recall_audit(df, sample_bp=20000)

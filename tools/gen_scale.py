@@ -71,6 +71,21 @@ def main() -> int:
                     sel.append(f"({c} + {k * strides[c]}) AS {c}")
                 elif t == "documents" and c == "text" and k > 0:
                     sel.append(f"(text || ' c{k}') AS text")
+                elif t == "customer" and c == "c_name" and k > 0:
+                    # distinct per-copy names WITHOUT shifting string
+                    # alignment: overwrite two leading zero digits
+                    # (inside any prefix-block key) with the copy tag.
+                    # A same-length in-block edit scales block COUNT
+                    # with copies while block depth stays constant —
+                    # the shape a genuinely 32x-bigger entity table
+                    # has. (A 'cK' prefix shifts digits out of a
+                    # 16-char block key and block depth explodes
+                    # 100-1000x instead.)
+                    sel.append(
+                        "(substr(c_name, 1, 9) || "
+                        f"lpad('{k}', 2, '0') || "
+                        "substr(c_name, 12)) AS c_name"
+                    )
                 else:
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{src}'")

@@ -569,13 +569,31 @@ def lsh_recall_audit(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    sample_bp: int = 10_000,
 ) -> DataFrame:
     """One-row audit of the MinHash-LSH candidate generator against
     exact ground truth: (n_true, n_cand, n_caught, recall_bp) where
     recall_bp = caught/true in integer basis points. The dedup
     deployment check ann_recall is for vectors — band/hash settings
     are only trustworthy once this row says the true near-dup pairs
-    actually land in candidate buckets."""
+    actually land in candidate buckets.
+
+    `sample_bp` ENFORCES the audit-sample contract (the
+    simhash_pairs lesson: a scale limit that lives only in a
+    docstring gets violated): below 10000, the audit runs on a
+    deterministic md5-bucket subset of documents — recall estimated
+    on a sample is statistically the point of the audit, and the
+    exact-truth side's gram join is quadratic in duplicate-family
+    size, which on a dup-saturated corpus kills the job outright
+    (measured: the 32x dup-stress fixture OOMs the full audit)."""
+    if not 0 < sample_bp <= 10_000:
+        raise ValueError(f"sample_bp must be in (0, 10000], got {sample_bp}")
+    if sample_bp < 10_000:
+        from webloghunter_spark.pipelines.split import split_bucket_expr
+
+        df = df.filter(
+            split_bucket_expr(id_col, "lshaudit") < sample_bp
+        )
     truth = exact_jaccard_pairs(df, tau, id_col, text_col, shingle_k)
     cand = lsh_candidate_pairs(
         df, num_hashes=num_hashes, band_size=band_size,
