@@ -1033,3 +1033,30 @@ def test_lsh_recall_audit_sample_knob(spark):
         lsh_recall_audit(df, sample_bp=0)
     with pytest.raises(ValueError):
         lsh_recall_audit(df, sample_bp=20000)
+
+
+def test_bloom_audit_no_false_negatives_and_tiny_filter_fps(spark):
+    """Per doc, bloom hits >= exact hits always (no false negatives by
+    construction); shrinking the filter to 64 bits forces false
+    positives, which the audit surfaces as the bloom-exact gap."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.pipelines.decontam import bloom_prefilter_audit
+
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = [(i, f"w{i} x{i} y{i} z{i} " * 3 + ("the quick brown fox jumps" if i % 2 else "nothing here")) for i in range(1, 21)]
+    tr = spark.createDataFrame(rows, "doc_id long, text string")
+
+    big = bloom_prefilter_audit(tr, ev, n=4, k=3).collect()
+    for r in big:
+        assert r.n_bloom_hits >= r.n_exact_hits
+        if r.doc_id % 2:
+            assert r.n_exact_hits > 0  # planted contamination found
+
+    tiny = bloom_prefilter_audit(tr, ev, n=4, k=3, m=64).collect()
+    for r in tiny:
+        assert r.n_bloom_hits >= r.n_exact_hits
+    assert sum(r.n_bloom_hits - r.n_exact_hits for r in tiny) > 0

@@ -3149,6 +3149,75 @@ SQL_DECONTAMINATE = r"""
 """
 
 
+def q_bloom_audit(spark, sf_dir):
+    """False-positive audit of the bloom decontamination prefilter:
+    the same eval/train split as `decontaminate` (every 50th doc is
+    eval, 4-gram shingles), but membership is first probed through a
+    64 Kbit md5-seeded bloom (2048 words, bit_or-built, broadcast)
+    and compared per doc against the exact join. n_bloom >= n_exact
+    by construction; the gap prices the two-stage
+    bloom-then-exact-join plan a giant eval suite forces at 100 TB."""
+    from webloghunter_spark.pipelines.decontam import bloom_prefilter_audit
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_prefilter_audit(tr, ev, n=4, k=3)
+
+
+SQL_BLOOM_AUDIT = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                                   i -> array_to_string(t[i:i+3], ' ')) END AS s
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
+           WHERE doc_id % 50 != 0),
+    evpos AS (
+        SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g),
+                                   1, 12) AS BIGINT) % 65536 AS h
+        FROM ev, (SELECT unnest(generate_series(0, 2)) AS i)
+    ),
+    bloom AS (
+        SELECT h // 32 AS w, bit_or(1::BIGINT << CAST(h % 32 AS INTEGER))
+                   AS bits
+        FROM evpos GROUP BY 1
+    ),
+    probes AS (
+        SELECT doc_id, g,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g),
+                                   1, 12) AS BIGINT) % 65536 AS h
+        FROM tr, (SELECT unnest(generate_series(0, 2)) AS i)
+    ),
+    gram_hits AS (
+        SELECT doc_id, g,
+               CAST(sum(CASE WHEN (coalesce(bits, 0)
+                                   & (1::BIGINT << CAST(h % 32 AS INTEGER)))
+                                  != 0
+                             THEN 1 ELSE 0 END) = 3 AS INTEGER)
+                   AS bloom_hit
+        FROM probes LEFT JOIN bloom ON bloom.w = probes.h // 32
+        GROUP BY doc_id, g
+    ),
+    exact AS (SELECT doc_id, g, 1 AS exact_hit FROM tr JOIN ev USING (g))
+    SELECT gh.doc_id,
+           count(*) AS n_grams,
+           sum(bloom_hit) AS n_bloom_hits,
+           coalesce(sum(exact_hit), 0) AS n_exact_hits
+    FROM gram_hits gh
+    LEFT JOIN exact e ON e.doc_id = gh.doc_id AND e.g = gh.g
+    GROUP BY gh.doc_id
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embedding store: assign to the nearest of 8
     deterministic centroids (lowest-id vectors — the oracle-checkable
@@ -4277,6 +4346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_hourly": q_gapfill_hourly,
     "fuzzy_match": q_fuzzy_match,
     "value_quantiles": q_value_quantiles,
+    "bloom_audit": q_bloom_audit,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4380,6 +4450,7 @@ ORACLES: dict[str, str] = {
     "gapfill_hourly": SQL_GAPFILL_HOURLY,
     "fuzzy_match": SQL_FUZZY_MATCH,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "bloom_audit": SQL_BLOOM_AUDIT,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

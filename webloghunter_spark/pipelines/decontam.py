@@ -28,7 +28,7 @@ jaccard and decontamination all agree on token boundaries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.text import shingles_expr
@@ -108,3 +108,118 @@ def decontaminate(
         train, eval_df, id_col, text_col, n, broadcast_eval, eval_grams
     ).select(id_col)
     return train.join(bad, id_col, "left_anti")
+
+
+BLOOM_M = 1 << 16  # bloom bits (1024 64-bit words)
+
+
+def _bloom_positions(
+    gram: Column, k: int = 3, m: int = BLOOM_M
+) -> list[Column]:
+    """k md5-derived bit positions in [0, m) — seeded the
+    repo-standard way (md5('i|gram')) so any engine re-derives them."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram)), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % m
+        for i in range(k)
+    ]
+
+
+def bloom_bits(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 3,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(word, bits) bloom filter over the eval shingle set: each gram
+    sets k md5 bits; words aggregate with bit_or (commutative and
+    map-side combinable, like the shard-manifest digests). 2048 rows
+    regardless of eval size — the broadcastable sketch that replaces
+    shipping the full eval shingle set when a giant eval suite
+    overflows broadcast (the scale note in this module's header)."""
+    grams = eval_shingle_set(eval_df, text_col, n)
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col("_gram"), k, m))).alias("h")
+    )
+    # 32-bit words: DuckDB's << errors on 1 << 63 (BIGINT overflow)
+    # where Spark wraps to the sign bit — bit 31 is safe in both
+    return (
+        pos.select(
+            F.floor(F.col("h") / 32).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(h % 32 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_prefilter_audit(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 3,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Per-doc audit of the bloom prefilter against exact membership:
+    (id, n_grams, n_bloom_hits, n_exact_hits). n_bloom >= n_exact
+    always (no false negatives by construction); the gap is the
+    false-positive volume the exact second-pass join must absorb —
+    THE number that decides whether the two-stage
+    bloom-prefilter-then-exact-join decontamination pays off at
+    100 TB. Probe side: distinct (doc, gram) pairs explode to k
+    position probes, join the 2048-word bloom broadcast, a gram hits
+    iff all k bits are set."""
+    from webloghunter_spark.session import materialize
+
+    tr = materialize(_doc_shingles(train, id_col, text_col, n))
+    bloom = bloom_bits(eval_df, text_col, n, k, m)
+    probes = tr.select(
+        id_col,
+        F.col("_gram"),
+        F.posexplode(
+            F.array(*_bloom_positions(F.col("_gram"), k, m))
+        ).alias("_hi", "h"),
+    )
+    bits_set = (
+        probes.select(
+            id_col,
+            "_gram",
+            F.floor(F.col("h") / 32).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(h % 32 as int))").alias("m"),
+        )
+        .join(F.broadcast(bloom), "w", "left")
+        .select(
+            id_col,
+            "_gram",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m"))
+                != 0
+            ).cast("int").alias("_set"),
+        )
+        .groupBy(id_col, "_gram")
+        .agg((F.sum("_set") == k).cast("int").alias("_bloom_hit"))
+    )
+    ev = eval_shingle_set(eval_df, text_col, n)
+    exact = tr.join(
+        ev.withColumnRenamed("_gram", "_g"),
+        tr["_gram"] == F.col("_g"),
+        "left_semi",
+    ).select(id_col, "_gram").withColumn("_exact_hit", F.lit(1))
+    return (
+        bits_set.join(exact, [id_col, "_gram"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_bloom_hit").alias("n_bloom_hits"),
+            F.coalesce(F.sum("_exact_hit"), F.lit(0)).alias(
+                "n_exact_hits"
+            ),
+        )
+    )
