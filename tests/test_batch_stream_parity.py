@@ -590,3 +590,43 @@ def test_sliding_chunks_is_stream_safe(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM chunk_stream").collect())
     )
     assert got == expected
+
+
+def test_hll_batch_stream_parity_exact(spark, tmp_path):
+    """HLL registers merge by max, so the streamed sketch equals the
+    batch sketch EXACTLY — not approximately — however the corpus is
+    sliced into micro-batches. Estimates therefore agree to the last
+    digit."""
+    from webloghunter_spark.functions.sketches import hll_distinct
+    from webloghunter_spark.streaming.hll import hll_distinct_stream_writer
+
+    rows = [("g1" if i % 3 else "g2", f"tok{i % 700}") for i in range(2000)]
+    corpus = spark.createDataFrame(rows, "grp string, v string")
+    batch = {
+        (r.grp,): r.hll_est
+        for r in hll_distinct(corpus, "v", ["grp"]).collect()
+    }
+
+    src = str(tmp_path / "hll_src")
+    # two separate files -> at least the chance of multiple batches;
+    # parity must hold regardless
+    corpus.filter("v < 'tok4'").write.mode("overwrite").parquet(src)
+    corpus.filter("v >= 'tok4'").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    seen = []
+    fn = hll_distinct_stream_writer(lambda rows, bid: seen.append(rows), "v", ["grp"])
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(g,): est for g, est in fn.estimates()}
+    assert got == batch
+    assert len(seen) >= 2  # really ran as multiple micro-batches
