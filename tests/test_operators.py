@@ -447,3 +447,78 @@ def test_value_quantiles_match_numpy_on_grid(spark):
         want50 = s[math.ceil(0.5 * len(s)) - 1] * 100
         want90 = s[math.ceil(0.9 * len(s)) - 1] * 100
         assert got[t] == (want50, want90), t
+
+
+def test_interval_join_semantics_and_bucketization(spark):
+    """Inclusive start / exclusive end; intervals spanning bucket
+    boundaries still catch points in every overlapped bucket; keys
+    restrict matches; result equals a brute-force inequality join."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.operators.intervals import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"),
+         (2, "a", "2024-01-01 00:59:59"),
+         (3, "a", "2024-01-01 01:00:00"),   # == end -> excluded
+         (4, "b", "2024-01-01 00:30:00")],  # wrong key
+        "pid long, k string, ts_s string",
+    ).select("pid", "k", F.to_timestamp("ts_s").alias("ts"))
+    ivs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "k string, s_s string, e_s string",
+    ).select("k", F.to_timestamp("s_s").alias("s"),
+             F.to_timestamp("e_s").alias("e"))
+    for bucket in (60, 900, 7200):   # boundary-heavy and oversized
+        got = {
+            r.pid
+            for r in interval_join(
+                pts, ivs, "ts", "s", "e", bucket_seconds=bucket,
+                keys=["k"],
+            ).collect()
+        }
+        assert got == {1, 2}, bucket
+
+
+def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):
+    """Same inputs -> same sample; heavier rows are sampled with
+    visibly higher frequency than near-zero-weight rows."""
+    from webloghunter_spark.pipelines.split import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", k=60).collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "w", k=60).collect())
+    assert a == b
+    heavy = sum(1 for i in a if i < 50)
+    assert heavy >= 40  # 50 heavy rows at 1000x weight dominate
+    # zero/negative weights are ineligible
+    z = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 7)], "doc_id long, w long"
+    )
+    got = [r.doc_id for r in weighted_sample(z, "w", k=1).collect()]
+    assert got == [3]
+
+
+def test_decontam_bloom_equals_exact_decontaminate(spark):
+    """The two-stage bloom path returns exactly the one-stage survivor
+    set — even with a tiny filter whose false positives must all be
+    removed by the exact pass."""
+    from webloghunter_spark.pipelines.decontam import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = [(i, f"w{i} x{i} y{i} z{i} " * 2 + ("the quick brown fox jumps" if i % 3 == 0 else "clean text here")) for i in range(1, 31)]
+    tr = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(r.doc_id for r in decontaminate(tr, ev, n=4).collect())
+    for m in (1 << 16, 64):
+        got = sorted(
+            r.doc_id
+            for r in decontaminate_bloom(tr, ev, n=4, m=m).collect()
+        )
+        assert got == want, m

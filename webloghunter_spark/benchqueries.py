@@ -3149,6 +3149,137 @@ SQL_DECONTAMINATE = r"""
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyless big-big range join via time bucketization: incident
+    windows (hours with >= 2 errors, padded to [h-30min, h+90min))
+    joined to ALL events falling inside them, aggregated per window.
+    Naive Spark makes this a BroadcastNestedLoopJoin; the operator
+    explodes intervals to their overlapping hour buckets and
+    equi-joins on bucket, so both sides hash-partition (15-minute
+    buckets here -> 8 rows per 2-hour window). Generalizes the keyed
+    burst->success range join to the keyless case."""
+    from webloghunter_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 2)
+        .select(
+            (F.col("h").cast("timestamp") - F.expr("INTERVAL 30 MINUTES"))
+            .alias("w_start"),
+            (F.col("h").cast("timestamp") + F.expr("INTERVAL 90 MINUTES"))
+            .alias("w_end"),
+        )
+    )
+    joined = interval_join(
+        ev, windows, "ts", "w_start", "w_end", bucket_seconds=900
+    )
+    return joined.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).select(
+        F.unix_timestamp("w_start").alias("w_start_epoch"),
+        "n_events",
+        "n_users",
+    )
+
+
+SQL_INTERVAL_JOIN = """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) - INTERVAL 30 MINUTE AS w_start,
+               date_trunc('hour', ts) + INTERVAL 90 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts)
+        HAVING count(*) >= 2
+    )
+    SELECT floor(epoch(w.w_start))::BIGINT AS w_start_epoch,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.w_start
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sample (Efraimidis-Spirakis, 200 of
+    ~500 docs, weight = heuristic quality score): key = u^(1/w) with
+    md5-derived uniforms, top-k by key — inclusion probability tracks
+    quality, deterministic per (id, salt), one TakeOrderedAndProject
+    pass."""
+    from webloghunter_spark.functions.text import quality_bp_expr
+    from webloghunter_spark.pipelines.split import weighted_sample
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "lang", quality_bp_expr("text").alias("quality_bp")
+    )
+    return weighted_sample(scored, "quality_bp", k=200)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+    WITH scored AS ({SQL_QUALITY}),
+    keyed AS (
+        SELECT s.doc_id, d.lang, s.quality_bp,
+               CASE WHEN s.quality_bp > 0 THEN
+                   pow((CAST('0x' ||
+                            substr(md5(CAST(s.doc_id AS VARCHAR)
+                                       || 'wsample'), 1, 12)
+                        AS BIGINT) + 0.5) / 281474976710656.0,
+                       1.0 / s.quality_bp)
+               ELSE 0.0 END AS skey
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, quality_bp
+    FROM keyed ORDER BY skey DESC, doc_id LIMIT 200
+"""
+
+
+def q_decontam_bloom(spark, sf_dir):
+    """Two-stage decontamination (bloom prefilter -> exact join over
+    survivors): MUST return exactly the one-stage survivor set — no
+    false negatives by bloom construction, false positives removed by
+    the exact pass — so the oracle is the plain exact left-anti,
+    making the equivalence itself the checked claim. At 100 TB the
+    exact join probes only bloom survivors and the 16 KB filter
+    broadcasts where a giant eval shingle set cannot."""
+    from webloghunter_spark.pipelines.decontam import decontaminate_bloom
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_bloom(train, eval_df, n=4).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_DECONTAM_BLOOM = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                                   i -> array_to_string(t[i:i+3], ' ')) END AS s
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
+           WHERE doc_id % 50 != 0),
+    bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (g))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 50 != 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def q_bloom_audit(spark, sf_dir):
     """False-positive audit of the bloom decontamination prefilter:
     the same eval/train split as `decontaminate` (every 50th doc is
@@ -4347,6 +4478,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "value_quantiles": q_value_quantiles,
     "bloom_audit": q_bloom_audit,
+    "decontam_bloom": q_decontam_bloom,
+    "weighted_sample": q_weighted_sample,
+    "interval_join": q_interval_join,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4451,6 +4585,9 @@ ORACLES: dict[str, str] = {
     "fuzzy_match": SQL_FUZZY_MATCH,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "bloom_audit": SQL_BLOOM_AUDIT,
+    "decontam_bloom": SQL_DECONTAM_BLOOM,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "interval_join": SQL_INTERVAL_JOIN,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -223,3 +223,67 @@ def bloom_prefilter_audit(
             ),
         )
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 3,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Two-stage decontamination: bloom prefilter, then the exact
+    eval-gram join ONLY over bloom-candidate grams. Returns exactly
+    `decontaminate`'s survivor set (blooms have no false negatives;
+    the exact pass removes the false positives), but at 100 TB the
+    exact join's probe side shrinks from every (doc, gram) pair to
+    the bloom survivors — the filter is a fixed 16 KB broadcast where
+    the full eval shingle set may not broadcast at all. `bloom_audit`
+    prices the FP volume this second pass absorbs."""
+    from webloghunter_spark.session import materialize
+
+    tr = materialize(_doc_shingles(train, id_col, text_col, n))
+    bloom = bloom_bits(eval_df, text_col, n, k, m)
+    probes = tr.select(
+        id_col,
+        F.col("_gram"),
+        F.posexplode(
+            F.array(*_bloom_positions(F.col("_gram"), k, m))
+        ).alias("_hi", "h"),
+    )
+    candidates = (
+        probes.select(
+            id_col,
+            "_gram",
+            F.floor(F.col("h") / 32).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(h % 32 as int))").alias("m"),
+        )
+        .join(F.broadcast(bloom), "w", "left")
+        .groupBy(id_col, "_gram")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                            F.col("m")
+                        )
+                        != 0
+                    ).cast("int")
+                )
+                == k
+            ).alias("_maybe")
+        )
+        .filter(F.col("_maybe"))
+        .select(id_col, "_gram")
+    )
+    ev = eval_shingle_set(eval_df, text_col, n).withColumnRenamed(
+        "_gram", "_g"
+    )
+    bad = (
+        candidates.join(ev, candidates["_gram"] == F.col("_g"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -266,3 +266,41 @@ def apply_mix_rates(
         )
         .drop("_rbp")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws key = u^(1/w) with u a
+    per-(id, salt) md5-derived uniform, and the k largest keys are the
+    sample — inclusion probability proportional to weight, exactly one
+    pass, no sequential state. The standard way to sample a corpus by
+    quality score.
+
+    u = (first 12 md5 hex digits + 0.5) / 2^48 — a 48-bit grid, exact
+    in a double, derived identically by any engine; re-runs,
+    repartitions, and appends never change an existing row's key
+    (appends only compete at the selection boundary, the A-ES
+    semantics). Rows with weight <= 0 are ineligible (key 0). The
+    top-k is orderBy+limit — TakeOrderedAndProject, never a global
+    sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    c = F.col(id_col)
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    u = (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), c)
+        .limit(k)
+        .drop("_skey")
+    )
