@@ -3149,6 +3149,27 @@ SQL_DECONTAMINATE = r"""
 """
 
 
+def q_emb_outliers(spark, sf_dir):
+    """Embedding QC: flag vectors whose squared distance to their
+    Lloyd-trained centroid exceeds 3 MADs of their cluster — the
+    drop-the-garbage pass SemDeDup pipelines run before semantic
+    dedup, composed entirely from oracled pieces (kmeans_lloyd ->
+    mad_outliers). Two tiny per-cluster percentile aggregates over the
+    k-row assignment, broadcast back."""
+    from webloghunter_spark.operators.outliers import mad_outliers
+    from webloghunter_spark.pipelines.kmeans import kmeans_lloyd
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    assigned = kmeans_lloyd(emb, k=8, iters=2)
+    out = mad_outliers(assigned, "dist", ["cent_id"])
+    return out.select(
+        "vec_id", "cent_id", "dist",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "is_outlier",
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Keyless big-big range join via time bucketization: incident
     windows (hours with >= 2 errors, padded to [h-30min, h+90min))
@@ -4166,6 +4187,23 @@ SQL_KMEANS_SIZES = f"""
 """
 
 
+SQL_EMB_OUTLIERS = f"""
+    WITH assigned AS ({SQL_KMEANS_TRAIN}),
+    med AS (
+        SELECT cent_id, quantile_cont(dist, 0.5) AS med
+        FROM assigned GROUP BY cent_id
+    ),
+    mad AS (
+        SELECT a.cent_id, quantile_cont(abs(a.dist - med.med), 0.5) AS mad
+        FROM assigned a JOIN med USING (cent_id) GROUP BY a.cent_id
+    )
+    SELECT a.vec_id, a.cent_id, a.dist,
+           round(med.med, 4) AS med, round(mad.mad, 4) AS mad,
+           abs(a.dist - med.med) > 3.0 * mad.mad AS is_outlier
+    FROM assigned a JOIN med USING (cent_id) JOIN mad USING (cent_id)
+"""
+
+
 def q_local_volume(spark, sf_dir):
     """TPC-H Q5-shaped 6-way join: revenue by nation for one region and
     year, where the supplier is in the customer's nation. The plan to
@@ -4481,6 +4519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_bloom": q_decontam_bloom,
     "weighted_sample": q_weighted_sample,
     "interval_join": q_interval_join,
+    "emb_outliers": q_emb_outliers,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4588,6 +4627,7 @@ ORACLES: dict[str, str] = {
     "decontam_bloom": SQL_DECONTAM_BLOOM,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "interval_join": SQL_INTERVAL_JOIN,
+    "emb_outliers": SQL_EMB_OUTLIERS,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,
