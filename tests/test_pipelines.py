@@ -1060,3 +1060,25 @@ def test_bloom_audit_no_false_negatives_and_tiny_filter_fps(spark):
     for r in tiny:
         assert r.n_bloom_hits >= r.n_exact_hits
     assert sum(r.n_bloom_hits - r.n_exact_hits for r in tiny) > 0
+
+
+def test_group_split_keeps_groups_together(spark):
+    """Every row of a group lands in the same split, and adding docs
+    to a group never moves the group."""
+    from webloghunter_spark.pipelines.split import with_group_split
+
+    rows = [(i, f"src{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = with_group_split(df, "source", {"train": 0.7, "eval": 0.3}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_src.values())
+    assignment = {s: next(iter(v)) for s, v in by_src.items()}
+    df2 = spark.createDataFrame(
+        rows + [(100 + i, f"src{i % 7}") for i in range(70)],
+        "doc_id long, source string",
+    )
+    out2 = with_group_split(df2, "source", {"train": 0.7, "eval": 0.3}).collect()
+    for r in out2:
+        assert r.split == assignment[r.source]

@@ -3149,6 +3149,32 @@ SQL_DECONTAMINATE = r"""
 """
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-safe train/eval split at SOURCE granularity: the md5
+    bucket is computed on the group key, so every doc of a source
+    lands in one split — near-dups cluster within sources, and a
+    doc-level split would leak them across the boundary and inflate
+    eval. One narrow projection, no shuffle, prunable."""
+    from webloghunter_spark.pipelines.split import with_group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_group_split(
+        docs, "source", {"train": 0.8, "eval": 0.2}
+    ).select("doc_id", "source", "split")
+
+
+SQL_GROUP_SPLIT = """
+    SELECT doc_id, source,
+           CASE WHEN b < 8000 THEN 'train' ELSE 'eval' END AS split
+    FROM (
+        SELECT doc_id, source,
+               CAST(CAST('0x' || substr(md5(source || 'gsplit'), 1, 8)
+                    AS BIGINT) % 10000 AS INTEGER) AS b
+        FROM documents
+    )
+"""
+
+
 def q_emb_outliers(spark, sf_dir):
     """Embedding QC: flag vectors whose squared distance to their
     Lloyd-trained centroid exceeds 3 MADs of their cluster — the
@@ -4520,6 +4546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "interval_join": q_interval_join,
     "emb_outliers": q_emb_outliers,
+    "group_split": q_group_split,
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
@@ -4628,6 +4655,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "interval_join": SQL_INTERVAL_JOIN,
     "emb_outliers": SQL_EMB_OUTLIERS,
+    "group_split": SQL_GROUP_SPLIT,
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,

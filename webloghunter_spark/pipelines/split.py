@@ -304,3 +304,31 @@ def weighted_sample(
         .limit(k)
         .drop("_skey")
     )
+
+
+def with_group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "gsplit",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: the md5 bucket is computed on the GROUP key
+    (source, domain, author...), so every row of a group lands in the
+    same split. Near-duplicate documents cluster within sources; a
+    doc-level split leaks them across train/eval and inflates eval
+    scores — the standard fix is to split at the unit of correlation.
+    Same cumulative-cut machinery as with_split, same purity: adding
+    docs to a group never moves the group."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = split_bucket_expr(group_col, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cut = int(round(cum * SPLIT_BUCKETS))
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(F.lit(None)))
