@@ -1,5 +1,5 @@
 """Benchmark harness: runs the query registry end-to-end and prints one
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "sf", "completed", "failed"}.
 
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -13,11 +13,12 @@ WLH_BENCH_REPEATS runs: this box shows large contention/JIT swings
 (the same single-task query has measured anywhere from 1.6 to 14 s
 across runs), so single-run deltas are attribution noise — medians
 make plan regressions visible. The per-run dispersion grid is written
-to BENCH_runs.json next to this script (NOT into the stdout JSON line:
-an 84-query x 3-repeat grid tripled the line length and overflowed the
-driver's tail capture in round 4, leaving BENCH_r04.json unparseable).
-The compact {metric, value, queries, completed, failed} line is always
-the LAST stdout line."""
+to BENCH_runs.json next to this script along with per-query medians
+(NOT into the stdout JSON line: inlined per-query numbers overflowed
+the driver's tail capture in rounds 4 AND 5, nulling both committed
+artifacts). The compact summary-only
+{metric, value, sf, repeats, completed, failed} line is always the
+LAST stdout line and is O(1) in registry size."""
 
 from __future__ import annotations
 
@@ -96,22 +97,29 @@ def main() -> int:
     }
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)
+    # The stdout line is SUMMARY-ONLY. Rounds 4 and 5 both produced
+    # unparseable driver artifacts because the line inlined per-query
+    # numbers (84x3 grid in r4; 106 medians in r5) and outgrew the
+    # driver's tail capture. Per-query medians + the per-run dispersion
+    # grid live in BENCH_runs.json; the compact line stays O(1) in the
+    # registry size.
     out = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
         "completed": len(ok),
         "failed": sorted(errors),
     }
     if errors:
-        out["errors"] = errors
-    # Per-run dispersion grid goes to a side file, never the stdout
-    # line (see module docstring: the grid overflowed the driver's
-    # tail capture in round 4 and nulled the committed artifact).
-    side = {"sf": out["sf"], "repeats": repeats, "runs": runs}
+        out["errors"] = {k: v[:120] for k, v in errors.items()}
+    side = {
+        "sf": out["sf"],
+        "repeats": repeats,
+        "queries": timings,
+        "runs": runs,
+    }
     try:
         runs_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_runs.json"

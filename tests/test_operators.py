@@ -480,6 +480,64 @@ def test_interval_join_semantics_and_bucketization(spark):
         assert got == {1, 2}, bucket
 
 
+def test_interval_join_degenerate_intervals_dropped_pre_explode(spark):
+    """end <= start intervals match nothing AND must not fan out
+    through the descending-sequence gotcha: a year-long inverted
+    interval at bucket=60 would explode to ~525k rows per interval
+    if the guard were a post-filter instead of a pre-filter."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.operators.intervals import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "pid long, ts_s string"
+    ).select("pid", F.to_timestamp("ts_s").alias("ts"))
+    ivs = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00"),   # good
+         ("2024-01-01 00:40:00", "2024-01-01 00:40:00"),   # empty
+         ("2025-01-01 00:00:00", "2024-01-01 00:00:00")],  # inverted, 1y
+        "s_s string, e_s string",
+    ).select(F.to_timestamp("s_s").alias("s"),
+             F.to_timestamp("e_s").alias("e"))
+    out = interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=60)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].pid == 1
+
+
+def test_blocked_fuzzy_join_matches_and_depth_guard(spark):
+    """Within-block levenshtein matches come back with dist; a
+    degenerate block key (all rows share the 16-char prefix) trips
+    the depth guard BEFORE the quadratic join instead of running it —
+    the 32x-probe pathology, enforced in the operator."""
+    import pytest
+
+    from webloghunter_spark.operators.fuzzy import blocked_fuzzy_join
+
+    corpus = spark.createDataFrame(
+        [(i, f"Customer Record {i:04d} alpha") for i in range(50)],
+        "cid long, name string",
+    )
+    probes = spark.createDataFrame(
+        [(7, "Customer Record 0007 alphX")], "pid long, pname string"
+    )
+    got = blocked_fuzzy_join(
+        probes, corpus, "pname", "name", block_len=16, max_dist=1
+    ).collect()
+    assert [(r.cid, r.dist) for r in got] == [(7, 1)]
+    # degenerate key: every corpus row shares the block prefix
+    with pytest.raises(ValueError, match="deeper than"):
+        blocked_fuzzy_join(
+            probes, corpus, "pname", "name",
+            block_len=16, max_dist=1, max_block_depth=10,
+        )
+    # explicit opt-out skips the histogram entirely
+    got = blocked_fuzzy_join(
+        probes, corpus, "pname", "name",
+        block_len=16, max_dist=1, max_block_depth=None,
+    ).collect()
+    assert len(got) == 1
+
+
 def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):
     """Same inputs -> same sample; heavier rows are sampled with
     visibly higher frequency than near-zero-weight rows."""
@@ -497,6 +555,10 @@ def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):
         [(1, 0), (2, -5), (3, 7)], "doc_id long, w long"
     )
     got = [r.doc_id for r in weighted_sample(z, "w", k=1).collect()]
+    assert got == [3]
+    # ... even when k exceeds the eligible row count (round-6 fix:
+    # the old key-0.0 fallback leaked them back in exactly this case)
+    got = [r.doc_id for r in weighted_sample(z, "w", k=10).collect()]
     assert got == [3]
 
 
@@ -516,9 +578,45 @@ def test_decontam_bloom_equals_exact_decontaminate(spark):
     rows = [(i, f"w{i} x{i} y{i} z{i} " * 2 + ("the quick brown fox jumps" if i % 3 == 0 else "clean text here")) for i in range(1, 31)]
     tr = spark.createDataFrame(rows, "doc_id long, text string")
     want = sorted(r.doc_id for r in decontaminate(tr, ev, n=4).collect())
-    for m in (1 << 16, 64):
+    # None = the auto-sized default (round 6): m derived from the
+    # eval-side distinct gram count, survivors must be identical
+    for m in (1 << 16, 64, None):
         got = sorted(
             r.doc_id
             for r in decontaminate_bloom(tr, ev, n=4, m=m).collect()
         )
         assert got == want, m
+
+
+def test_round_half_up_matches_sql_round_semantics():
+    """The numpy kernels must round half AWAY FROM ZERO like
+    F.round/DuckDB, not np.round's half-to-even: exact 5e-7 midpoints
+    are where the engines would otherwise diverge."""
+    import numpy as np
+
+    from webloghunter_spark.functions.numeric import round_half_up
+
+    x = np.array([0.0000005, 0.0000015, -0.0000005, -0.0000015, 1.25])
+    got = round_half_up(x, 6).tolist()
+    assert got == [0.000001, 0.000002, -0.000001, -0.000002, 1.25]
+    # np.round would give half-to-even here: 0.0 and 0.000002
+    assert np.round(0.0000005, 6) == 0.0  # the divergence being fixed
+    assert round_half_up(np.array([2.5]), 0).tolist() == [3.0]
+    assert round_half_up(np.array([-2.5]), 0).tolist() == [-3.0]
+
+
+def test_auto_bloom_m_sizing_rule():
+    """~12 bits/eval gram, whole 32-bit words, 64 Kbit floor — pure
+    integer arithmetic so the rule is engine-reproducible."""
+    from webloghunter_spark.pipelines.decontam import (
+        BLOOM_M,
+        auto_bloom_m,
+    )
+
+    assert auto_bloom_m(0) == BLOOM_M
+    assert auto_bloom_m(1000) == BLOOM_M  # below the floor
+    assert auto_bloom_m(BLOOM_M) == 12 * BLOOM_M  # 12 bits/gram
+    assert auto_bloom_m(BLOOM_M) % 32 == 0
+    # rounds UP to a whole word
+    assert auto_bloom_m(100_003) == 32 * (-(-12 * 100_003 // 32))
+    assert auto_bloom_m(100_003) >= 12 * 100_003

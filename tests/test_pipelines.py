@@ -942,6 +942,27 @@ def test_pack_bins_respects_budget_and_packs_greedily(spark):
     assert seq[3] == 3 and seq[4] == 3
 
 
+def test_pack_bins_auto_shards_rule_and_default(spark):
+    """n_shards=None derives the shard count from the row count:
+    max(4, ceil(rows/5000)) — bounded per-shard walk at any scale,
+    engine-reproducible integer arithmetic."""
+    from webloghunter_spark.pipelines.pack import (
+        auto_pack_shards,
+        pack_bins,
+    )
+
+    assert auto_pack_shards(0) == 4
+    assert auto_pack_shards(5_000) == 4
+    assert auto_pack_shards(20_001) == 5
+    assert auto_pack_shards(160_000) == 32
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(40)], "doc_id long, text string"
+    )
+    auto = sorted(map(tuple, pack_bins(df, budget=8).collect()))
+    expl = sorted(map(tuple, pack_bins(df, budget=8, n_shards=4).collect()))
+    assert auto == expl  # 40 rows -> the floor of 4 shards
+
+
 def test_pack_bins_shard_determinism(spark):
     """Repartitioning the input never changes any assignment (shard
     membership is md5; the walk order is a total order)."""
@@ -1003,14 +1024,16 @@ def test_lsh_recall_audit_sentinel_and_counts(spark):
     disjoint = spark.createDataFrame(
         [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
     )
-    row = lsh_recall_audit(disjoint, tau=0.5).collect()[0]
+    # sample_bp=10_000 = the explicit exact-audit opt-in (the default
+    # is a bounded 2000-bp sample that would drop these tiny fixtures)
+    row = lsh_recall_audit(disjoint, tau=0.5, sample_bp=10_000).collect()[0]
     assert row.n_true == 0 and row.recall_bp == -1
 
     dup = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u")],
         "doc_id long, text string",
     )
-    row = lsh_recall_audit(dup, tau=0.9).collect()[0]
+    row = lsh_recall_audit(dup, tau=0.9, sample_bp=10_000).collect()[0]
     assert row.n_true == 1 and row.n_caught == 1 and row.recall_bp == 10000
 
 
@@ -1023,12 +1046,20 @@ def test_lsh_recall_audit_sample_knob(spark):
 
     rows = [(i, f"w{i} " * 8 + "a b c d e f g h") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    full = lsh_recall_audit(df, tau=0.99).collect()[0]
+    full = lsh_recall_audit(df, tau=0.99, sample_bp=10_000).collect()[0]
     half = lsh_recall_audit(df, tau=0.99, sample_bp=5000).collect()[0]
     assert half.n_cand <= full.n_cand
     # deterministic: same sample, same counts, on repeat
     again = lsh_recall_audit(df, tau=0.99, sample_bp=5000).collect()[0]
     assert tuple(half) == tuple(again)
+    # the DEFAULT is a bounded sample, never the exact all-pairs audit:
+    # on a 40-doc fixture a 20% md5 bucket keeps strictly fewer docs,
+    # so the candidate count cannot exceed the exact audit's
+    deflt = lsh_recall_audit(df, tau=0.99).collect()[0]
+    assert deflt.n_cand <= full.n_cand
+    assert tuple(deflt) == tuple(
+        lsh_recall_audit(df, tau=0.99, sample_bp=2000).collect()[0]
+    )
     with pytest.raises(ValueError):
         lsh_recall_audit(df, sample_bp=0)
     with pytest.raises(ValueError):

@@ -65,10 +65,18 @@ def test_bench_isolates_failing_query(spark, monkeypatch, capsys):
     rc = bench.main()
     out = capsys.readouterr().out
     import json
+    import os
 
     line = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
     assert rc == 0
-    assert line["queries"]["train_split"] is not None
-    assert line["queries"]["__boom__"] is None
+    # round 6: the stdout line is SUMMARY-ONLY (two rounds of driver
+    # artifacts went unparseable from inlined per-query numbers);
+    # per-query medians live in BENCH_runs.json
+    assert "queries" not in line
+    assert line["completed"] == 1
     assert line["failed"] == ["__boom__"]
     assert "injected failure" in line["errors"]["__boom__"]
+    side_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_runs.json")
+    side = json.load(open(side_path))
+    assert side["queries"]["train_split"] is not None
+    assert side["queries"]["__boom__"] is None

@@ -3270,15 +3270,15 @@ def q_weighted_sample(spark, sf_dir):
 SQL_WEIGHTED_SAMPLE = f"""
     WITH scored AS ({SQL_QUALITY}),
     keyed AS (
+        -- weight <= 0 rows are ineligible: filtered, not keyed 0.0
         SELECT s.doc_id, d.lang, s.quality_bp,
-               CASE WHEN s.quality_bp > 0 THEN
-                   pow((CAST('0x' ||
-                            substr(md5(CAST(s.doc_id AS VARCHAR)
-                                       || 'wsample'), 1, 12)
-                        AS BIGINT) + 0.5) / 281474976710656.0,
-                       1.0 / s.quality_bp)
-               ELSE 0.0 END AS skey
+               pow((CAST('0x' ||
+                        substr(md5(CAST(s.doc_id AS VARCHAR)
+                                   || 'wsample'), 1, 12)
+                    AS BIGINT) + 0.5) / 281474976710656.0,
+                   1.0 / s.quality_bp) AS skey
         FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.quality_bp > 0
     )
     SELECT doc_id, lang, quality_bp
     FROM keyed ORDER BY skey DESC, doc_id LIMIT 200
@@ -3291,8 +3291,11 @@ def q_decontam_bloom(spark, sf_dir):
     false negatives by bloom construction, false positives removed by
     the exact pass — so the oracle is the plain exact left-anti,
     making the equivalence itself the checked claim. At 100 TB the
-    exact join probes only bloom survivors and the 16 KB filter
-    broadcasts where a giant eval shingle set cannot."""
+    exact join probes only bloom survivors and the auto-sized filter
+    (~12 bits per distinct eval gram, 64 Kbit floor — round-6 change;
+    the fixed 64 Kbit default saturated at the 32x probe) broadcasts
+    where a giant eval shingle set cannot. The oracle is
+    m-independent, so auto-sizing is invisible to correctness."""
     from webloghunter_spark.pipelines.decontam import decontaminate_bloom
 
     docs = _fan(_t(spark, sf_dir, "documents"))
@@ -3334,13 +3337,16 @@ def q_bloom_audit(spark, sf_dir):
     64 Kbit md5-seeded bloom (2048 words, bit_or-built, broadcast)
     and compared per doc against the exact join. n_bloom >= n_exact
     by construction; the gap prices the two-stage
-    bloom-then-exact-join plan a giant eval suite forces at 100 TB."""
+    bloom-then-exact-join plan a giant eval suite forces at 100 TB.
+    m=65536 is passed EXPLICITLY: this audit prices a SPECIFIC filter
+    size (the auto-sizing floor), and the oracle's bit positions are
+    derived mod that m."""
     from webloghunter_spark.pipelines.decontam import bloom_prefilter_audit
 
     docs = _fan(_t(spark, sf_dir, "documents"))
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
-    return bloom_prefilter_audit(tr, ev, n=4, k=3)
+    return bloom_prefilter_audit(tr, ev, n=4, k=3, m=65536)
 
 
 SQL_BLOOM_AUDIT = r"""
@@ -3577,7 +3583,12 @@ def q_fuzzy_match(spark, sf_dir):
     from every 97th customer) matched back against the customer table
     — equi-join on a 16-char block key so levenshtein only runs
     within blocks (codegen both sides, probes broadcast), never
-    all-pairs. The record-linkage shape: block, then edit-distance."""
+    all-pairs. The record-linkage shape: block, then edit-distance.
+    The operator's block-depth guard (round 6) prices the key before
+    the join: the 32x probe measured degenerate keys blowing
+    within-block cost 32-1000x."""
+    from webloghunter_spark.operators.fuzzy import blocked_fuzzy_join
+
     cust = _t(spark, sf_dir, "customer")
     probes = (
         cust.filter(F.col("c_custkey") % 97 == 0)
@@ -3588,21 +3599,17 @@ def q_fuzzy_match(spark, sf_dir):
             ).alias("probe_name"),
         )
     )
-    return (
-        F.broadcast(probes)
-        .join(
-            cust,
-            (
-                F.substring("probe_name", 1, 16)
-                == F.substring("c_name", 1, 16)
-            )
-            & (F.levenshtein("probe_name", "c_name") <= 1),
-        )
-        .select(
-            "probe_key",
-            F.col("c_custkey").alias("match_key"),
-            F.levenshtein("probe_name", "c_name").alias("dist"),
-        )
+    return blocked_fuzzy_join(
+        probes,
+        cust.select("c_custkey", "c_name"),
+        "probe_name",
+        "c_name",
+        block_len=16,
+        max_dist=1,
+    ).select(
+        "probe_key",
+        F.col("c_custkey").alias("match_key"),
+        "dist",
     )
 
 
@@ -3626,17 +3633,31 @@ def q_lsh_recall(spark, sf_dir):
     0.5 ground truth. Truth comes from the gram-key self-join (pairs
     with J > 0 must share a shingle — never n^2); the one-row result
     is the number a band/hash configuration must justify before
-    near_dedup trusts it. ann_recall's text twin."""
+    near_dedup trusts it. ann_recall's text twin.
+
+    sample_bp is passed EXPLICITLY (matching the operator default) so
+    the oracle stays hash-exact if the default ever moves: the audit
+    runs on the deterministic 20% md5-bucket subset — the exact
+    all-pairs audit is opt-in only (it dies at the 32x dup-stress)."""
     from webloghunter_spark.pipelines.dedup import lsh_recall_audit
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    return lsh_recall_audit(docs, tau=0.5, num_hashes=4, band_size=2)
+    return lsh_recall_audit(
+        docs, tau=0.5, num_hashes=4, band_size=2, sample_bp=2000
+    )
 
 
 SQL_LSH_RECALL = f"""
     WITH {DOC_TOKENS_SQL},
+    aud AS (
+        -- mirror of split_bucket_expr(doc_id, 'lshaudit') < 2000:
+        -- the audit's deterministic 20% md5-bucket document sample
+        SELECT sh.doc_id, sh.s FROM shingles sh
+        WHERE CAST('0x' || substr(md5(CAST(sh.doc_id AS VARCHAR) || 'lshaudit'), 1, 8)
+                   AS BIGINT) % 10000 < 2000
+    ),
     dsh AS (
-        SELECT doc_id, list_distinct(s) AS s FROM shingles WHERE len(s) > 0
+        SELECT doc_id, list_distinct(s) AS s FROM aud WHERE len(s) > 0
     ),
     sz AS (SELECT doc_id, len(s) AS n FROM dsh),
     g AS (SELECT doc_id, unnest(s) AS gram FROM dsh),
@@ -3653,7 +3674,7 @@ SQL_LSH_RECALL = f"""
     ),
     hashed AS (
         SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
-        FROM shingles WHERE len(s) > 0
+        FROM aud WHERE len(s) > 0
     ),
     sig AS (
         SELECT doc_id,
@@ -3687,26 +3708,34 @@ SQL_LSH_RECALL = f"""
 
 def q_pack_bins(spark, sf_dir):
     """Next-fit-decreasing sample packing: whole documents into
-    512-token bins, 4 md5 shards, one sequential walk per shard
-    (applyInPandas kernel over (id, ntok) pairs only). The oracle
-    replays the identical walk with a per-shard recursive CTE."""
+    512-token bins, AUTO-SHARDED md5 shards (round 6:
+    max(4, ceil(rows/5000)) — keeps the per-shard sequential walk
+    bounded as the corpus grows), one walk per shard (applyInPandas
+    kernel over (id, ntok) pairs only). The oracle re-derives the
+    shard count from count(*) and replays the identical walk with a
+    per-shard recursive CTE."""
     from webloghunter_spark.pipelines.pack import pack_bins
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_bins(docs, budget=512, n_shards=4)
+    return pack_bins(docs, budget=512)
 
 
 SQL_PACK_BINS = r"""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE ns AS (
+        -- mirror of auto_pack_shards(count(*)): max(4, ceil(n/5000))
+        SELECT GREATEST(4, (count(*) + 4999) // 5000) AS n
+        FROM documents
+    ),
+    t AS (
         SELECT doc_id,
                CAST(CAST('0x' ||
                    substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)
-               AS BIGINT) % 4 AS INTEGER) AS shard_id,
+               AS BIGINT) % ns.n AS INTEGER) AS shard_id,
                len(CASE WHEN length(trim(text)) = 0
                    THEN CAST([] AS VARCHAR[])
                    ELSE string_split_regex(trim(text), '\s+')
                    END)::BIGINT AS ntok
-        FROM documents
+        FROM documents, ns
     ),
     seq AS (
         SELECT shard_id, doc_id, ntok,
@@ -3968,7 +3997,12 @@ SQL_KNN_IVF_TRAINED = """
     ),
     c1 AS (
         SELECT cent_id, list(val ORDER BY pos) AS cv FROM (
-            SELECT a1.cent_id, pos, round(avg(val), 6) AS val
+            -- integer micro-unit mean (order-free), mirroring
+            -- kmeans_fit: a raw float avg's summation order can flip
+            -- the 6th digit at a rounding boundary
+            SELECT a1.cent_id, pos,
+                   round(sum(CAST(round(val * 1e6) AS BIGINT))
+                         / count(*) / 1e6, 6) AS val
             FROM a1 JOIN le USING (vec_id)
             GROUP BY a1.cent_id, pos
         ) GROUP BY cent_id
@@ -4176,7 +4210,12 @@ SQL_KMEANS_TRAIN = """
     ),
     c1 AS (
         SELECT cent_id, list(val ORDER BY pos) AS cv FROM (
-            SELECT a1.cent_id, pos, round(avg(val), 6) AS val
+            -- integer micro-unit mean (order-free), mirroring
+            -- kmeans_fit: a raw float avg's summation order can flip
+            -- the 6th digit at a rounding boundary
+            SELECT a1.cent_id, pos,
+                   round(sum(CAST(round(val * 1e6) AS BIGINT))
+                         / count(*) / 1e6, 6) AS val
             FROM a1 JOIN le USING (vec_id)
             GROUP BY a1.cent_id, pos
         ) GROUP BY cent_id
@@ -4444,56 +4483,12 @@ SQL_URL_NORMALIZE = rf"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "pricing_summary": q_pricing_summary,
-    "top_revenue": q_top_revenue,
-    "sessionize": q_sessionize,
-    "session_stats": q_session_stats,
-    "request_count": q_request_count,
-    "lag_delta": q_lag_delta,
-    "burst_detect": q_burst_detect,
-    "first_last": q_first_last,
-    "event_risk": q_event_risk,
-    "sigma_rules": q_sigma_rules,
-    "filter_api": q_filter_api,
-    "cidr_filter": q_cidr_filter,
-    "topk_per_group": q_topk_per_group,
-    "json_agg": q_json_agg,
-    "dedup_exact": q_dedup_exact,
-    "dedup_cross_source": q_dedup_cross_source,
-    "token_stats": q_token_stats,
-    "quality_score": q_quality,
-    "lang_id": q_lang_id,
-    "minhash_signatures": q_minhash,
-    "lsh_pairs": q_lsh_pairs,
-    "knn_bruteforce": q_knn,
-    "parse_roundtrip": q_parse_roundtrip,
-    "jaccard_pairs": q_jaccard_pairs,
-    "simhash": q_simhash,
-    "neardup_embeddings": q_neardup_embeddings,
-    "burst_success": q_burst_success,
-    "tool_scan": q_tool_scan,
-    "tool_scan_single": q_tool_scan_single,
-    "tool_scan_windowed": q_tool_scan_windowed,
-    "knn_lsh": q_knn_lsh,
-    "doc_fingerprint": q_doc_fingerprint,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "doc_fingerprint_fast": q_doc_fingerprint_fast,
-    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
-    "knn_ivf": q_knn_ivf,
-    "tool_focus": q_tool_focus,
-    "uri_risk": q_uri_risk,
-    "bpe_tokens": q_bpe_tokens,
-    "salted_join": q_salted_join,
-    "salted_collect": q_salted_collect,
-    "rollup_counts": q_rollup_counts,
-    "trailing_rate": q_trailing_rate,
-    "asof_join": q_asof_join,
-    "train_split": q_train_split,
-    "domain_mix": q_domain_mix,
-    "segment_dedup": q_segment_dedup,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "charset_stats": q_charset_stats,
-    "bigram_logprob": q_bigram_logprob,
+    # ORDER IS DRIVER COVERAGE: the correctness driver samples the
+    # FIRST 50 entries, so the 56 queries it has never sampled
+    # (rounds 3-5) sit up front this round; the long-green
+    # reference-surface queries move to the back, where the committed
+    # full-registry HASHCHECK artifact covers them. Rotate again when
+    # coverage shifts.
     "quality_gate": q_quality_gate,
     "novelty_frac": q_novelty_frac,
     "source_overlap": q_source_overlap,
@@ -4550,6 +4545,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
+    # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
+    "pricing_summary": q_pricing_summary,
+    "top_revenue": q_top_revenue,
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "request_count": q_request_count,
+    "lag_delta": q_lag_delta,
+    "burst_detect": q_burst_detect,
+    "first_last": q_first_last,
+    "event_risk": q_event_risk,
+    "sigma_rules": q_sigma_rules,
+    "filter_api": q_filter_api,
+    "cidr_filter": q_cidr_filter,
+    "topk_per_group": q_topk_per_group,
+    "json_agg": q_json_agg,
+    "dedup_exact": q_dedup_exact,
+    "dedup_cross_source": q_dedup_cross_source,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality,
+    "lang_id": q_lang_id,
+    "minhash_signatures": q_minhash,
+    "lsh_pairs": q_lsh_pairs,
+    "knn_bruteforce": q_knn,
+    "parse_roundtrip": q_parse_roundtrip,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "neardup_embeddings": q_neardup_embeddings,
+    "burst_success": q_burst_success,
+    "tool_scan": q_tool_scan,
+    "tool_scan_single": q_tool_scan_single,
+    "tool_scan_windowed": q_tool_scan_windowed,
+    "knn_lsh": q_knn_lsh,
+    "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "doc_fingerprint_fast": q_doc_fingerprint_fast,
+    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
+    "knn_ivf": q_knn_ivf,
+    "tool_focus": q_tool_focus,
+    "uri_risk": q_uri_risk,
+    "bpe_tokens": q_bpe_tokens,
+    "salted_join": q_salted_join,
+    "salted_collect": q_salted_collect,
+    "rollup_counts": q_rollup_counts,
+    "trailing_rate": q_trailing_rate,
+    "asof_join": q_asof_join,
+    "train_split": q_train_split,
+    "domain_mix": q_domain_mix,
+    "segment_dedup": q_segment_dedup,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "charset_stats": q_charset_stats,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 ORACLES: dict[str, str] = {

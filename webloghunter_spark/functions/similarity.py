@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from webloghunter_spark.functions.numeric import round_half_up
 from webloghunter_spark.session import materialize
 
 
@@ -560,7 +561,9 @@ def jl_project(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            p = np.round(scale * (v @ r), round_digits)
+            # half-up (away-from-zero) like F.round/DuckDB — np.round
+            # is banker's and diverges on exact 5e-7 midpoints
+            p = round_half_up(scale * (v @ r), round_digits)
             n, k = p.shape
             yield pd.DataFrame(
                 {

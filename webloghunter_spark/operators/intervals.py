@@ -44,8 +44,13 @@ def interval_join(
     b = F.lit(int(bucket_seconds))
     p = points.withColumn("_bucket", F.floor(ep(ts_col) / b))
     # end is exclusive: an interval [s, e) touches buckets
-    # floor(s/b) .. floor((e-1)/b)
-    iv = intervals.withColumn(
+    # floor(s/b) .. floor((e-1)/b). Degenerate intervals (e <= s)
+    # match no point and MUST be dropped BEFORE the explode:
+    # F.sequence auto-steps -1 when stop < start, so one bad interval
+    # would silently fan out to (s-e)/b rows that only the post-filter
+    # removes — the zero-length-sequence gotcha, enforced here rather
+    # than documented.
+    iv = intervals.filter(ep(end_col) > ep(start_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -110,7 +110,19 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
-BLOOM_M = 1 << 16  # bloom bits (1024 64-bit words)
+BLOOM_M = 1 << 16  # bloom-bit FLOOR (2048 32-bit words = 64 Kbit)
+BLOOM_BITS_PER_GRAM = 12  # auto-sizing rule: ~12 bits/eval gram
+
+
+def auto_bloom_m(n_eval_grams: int) -> int:
+    """Filter size in bits for an eval set with `n_eval_grams` distinct
+    shingles: BLOOM_BITS_PER_GRAM bits per gram (the 10-16 bits/gram
+    rule SCALING.md derived from the 32x probe, where the fixed 64 Kbit
+    default saturated and inflated the exact second pass 6.5x), rounded
+    up to a whole 32-bit word, clamped below by the BLOOM_M floor.
+    Pure integer arithmetic so any engine re-derives the same m."""
+    want = BLOOM_BITS_PER_GRAM * max(int(n_eval_grams), 0)
+    return max(BLOOM_M, 32 * -(-want // 32))
 
 
 def _bloom_positions(
@@ -135,14 +147,20 @@ def bloom_bits(
     n: int = 8,
     k: int = 3,
     m: int = BLOOM_M,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(word, bits) bloom filter over the eval shingle set: each gram
     sets k md5 bits; words aggregate with bit_or (commutative and
-    map-side combinable, like the shard-manifest digests). 2048 rows
-    regardless of eval size — the broadcastable sketch that replaces
-    shipping the full eval shingle set when a giant eval suite
-    overflows broadcast (the scale note in this module's header)."""
-    grams = eval_shingle_set(eval_df, text_col, n)
+    map-side combinable, like the shard-manifest digests). m/32 rows
+    at most, regardless of eval size — the broadcastable sketch that
+    replaces shipping the full eval shingle set when a giant eval
+    suite overflows broadcast (the scale note in this module's
+    header). `eval_grams` short-circuits re-shingling when the caller
+    already materialized `eval_shingle_set` (the auto-sizing path
+    counts it first)."""
+    grams = eval_grams if eval_grams is not None else eval_shingle_set(
+        eval_df, text_col, n
+    )
     pos = grams.select(
         F.explode(F.array(*_bloom_positions(F.col("_gram"), k, m))).alias("h")
     )
@@ -232,20 +250,32 @@ def decontaminate_bloom(
     text_col: str = "text",
     n: int = 8,
     k: int = 3,
-    m: int = BLOOM_M,
+    m: int | None = None,
 ) -> DataFrame:
     """Two-stage decontamination: bloom prefilter, then the exact
     eval-gram join ONLY over bloom-candidate grams. Returns exactly
     `decontaminate`'s survivor set (blooms have no false negatives;
     the exact pass removes the false positives), but at 100 TB the
     exact join's probe side shrinks from every (doc, gram) pair to
-    the bloom survivors — the filter is a fixed 16 KB broadcast where
-    the full eval shingle set may not broadcast at all. `bloom_audit`
-    prices the FP volume this second pass absorbs."""
+    the bloom survivors — the filter is a small broadcast where the
+    full eval shingle set may not broadcast at all. `bloom_audit`
+    prices the FP volume this second pass absorbs.
+
+    `m=None` (the default) AUTO-SIZES the filter from the eval-side
+    distinct gram count via `auto_bloom_m` — one cheap count() on the
+    SMALL side. The round-5 32x probe measured the old fixed 64 Kbit
+    default saturating (FP volume inflated the exact pass to 6.5x
+    wall; a right-sized filter restored 8.4 s with identical
+    survivors), so static sizing is opt-in, not default. The survivor
+    set is invariant to m (test-pinned), so auto-sizing cannot change
+    results — only the FP volume the exact pass absorbs."""
     from webloghunter_spark.session import materialize
 
     tr = materialize(_doc_shingles(train, id_col, text_col, n))
-    bloom = bloom_bits(eval_df, text_col, n, k, m)
+    ev_grams = materialize(eval_shingle_set(eval_df, text_col, n))
+    if m is None:
+        m = auto_bloom_m(ev_grams.count())
+    bloom = bloom_bits(eval_df, text_col, n, k, m, eval_grams=ev_grams)
     probes = tr.select(
         id_col,
         F.col("_gram"),
@@ -278,9 +308,7 @@ def decontaminate_bloom(
         .filter(F.col("_maybe"))
         .select(id_col, "_gram")
     )
-    ev = eval_shingle_set(eval_df, text_col, n).withColumnRenamed(
-        "_gram", "_g"
-    )
+    ev = ev_grams.withColumnRenamed("_gram", "_g")
     bad = (
         candidates.join(ev, candidates["_gram"] == F.col("_g"), "left_semi")
         .select(id_col)

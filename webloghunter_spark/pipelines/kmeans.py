@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webloghunter_spark.functions.numeric import round_half_up
+
 Centroids = "list[tuple[int, list[float]]]"
 
 
@@ -84,7 +86,7 @@ def kmeans_assign(
                 {
                     id_col: pdf[id_col],
                     "cent_id": cids[j],
-                    "dist": np.round(
+                    "dist": round_half_up(
                         d[np.arange(len(j)), j], round_digits
                     ),
                 }
@@ -111,11 +113,26 @@ def kmeans_fit(
     cents = _collect_centroids(df, id_col, vec_col, k)
     for _ in range(max(iters, 1) - 1):
         assigned = kmeans_assign(df, cents, id_col, vec_col, round_digits)
+        # Mean over INTEGER micro-units, not a raw float avg: float
+        # summation order differs across engines/partitions, so an avg
+        # landing within ~1e-13 of a 1e-6 rounding boundary could flip
+        # centroid state between Spark and the SQL oracle (the exact
+        # failure kmeans_cluster_sizes hit on real data). Integer sums
+        # are order-free; the single division + round is bit-identical
+        # anywhere. Quantizing inputs to the 1e-6 grid first is part of
+        # the deterministic-trainer contract, like the per-round
+        # centroid rounding.
+        grid = 10.0 ** round_digits
+        micro = F.round(F.col("val") * grid).cast("long")
         means = (
             assigned.join(df.select(id_col, vec_col), id_col)
             .select("cent_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cent_id", "pos")
-            .agg(F.round(F.avg("val"), round_digits).alias("val"))
+            .agg(
+                F.round(
+                    F.sum(micro) / F.count(F.lit(1)) / grid, round_digits
+                ).alias("val")
+            )
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
@@ -209,7 +226,7 @@ def knn_ivf_trained(
             v2 = (v * v).sum(axis=1)
             d = v2[:, None] - 2.0 * (v @ cmat.T) + c2
             j = d.argmin(axis=1)
-            dq = np.round(v2 - 2.0 * (v @ q) + q2, round_digits)
+            dq = round_half_up(v2 - 2.0 * (v @ q) + q2, round_digits)
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],

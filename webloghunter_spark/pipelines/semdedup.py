@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webloghunter_spark.functions.numeric import round_half_up
 from webloghunter_spark.functions.similarity import (
     dot_expr,
     ivf_assign,
@@ -148,7 +149,8 @@ def semantic_dup_flags_fast(
             j1 = min(j0 + block, n)
             # rows 0..j1-1 against columns j0..j1-1; mask i >= j
             s = (v[:j1] @ v[j0:j1].T) / np.outer(norms[:j1], norms[j0:j1])
-            s = np.round(s, round_digits)
+            # half-up like F.round/DuckDB (np.round is banker's)
+            s = round_half_up(s, round_digits)
             i_idx = np.arange(j1)[:, None]
             j_idx = np.arange(j0, j1)[None, :]
             s[i_idx >= j_idx] = -np.inf

@@ -286,9 +286,11 @@ def weighted_sample(
     in a double, derived identically by any engine; re-runs,
     repartitions, and appends never change an existing row's key
     (appends only compete at the selection boundary, the A-ES
-    semantics). Rows with weight <= 0 are ineligible (key 0). The
-    top-k is orderBy+limit — TakeOrderedAndProject, never a global
-    sort."""
+    semantics). Rows with weight <= 0 are INELIGIBLE — filtered out
+    before the top-k, never returned even when k exceeds the eligible
+    row count (round-6 fix: the old key-0.0 fallback let them leak in
+    exactly that case, violating this contract). The top-k is
+    orderBy+limit — TakeOrderedAndProject, never a global sort."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     c = F.col(id_col)
@@ -297,9 +299,9 @@ def weighted_sample(
         F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + F.lit(0.5)
     ) / F.lit(float(1 << 48))
     w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
     return (
-        df.withColumn("_skey", key)
+        df.filter(w > 0)
+        .withColumn("_skey", F.pow(u, F.lit(1.0) / w))
         .orderBy(F.col("_skey").desc(), c)
         .limit(k)
         .drop("_skey")
