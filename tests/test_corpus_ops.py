@@ -169,3 +169,118 @@ def test_host_expr(spark):
         .collect()
     ]
     assert got == ["example.com", "a.b:8080", ""]
+
+
+def test_mix_temperature_boosts_tail_sources(spark):
+    """alpha<1 up-weights tail groups: boost_bp > 10000 for the small
+    source, < 10000 for the dominant one; shares sum to ~10000."""
+    from webloghunter_spark.pipelines.split import mix_temperature
+
+    rows = [(i, "tok " * 20, "big") for i in range(90)] + [
+        (100 + i, "tok " * 20, "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in mix_temperature(df, "source", 0.7).collect()}
+    assert out["big"].raw_bp == 9000 and out["small"].raw_bp == 1000
+    assert out["small"].temp_bp > out["small"].raw_bp
+    assert out["big"].temp_bp < out["big"].raw_bp
+    assert out["small"].boost_bp > 10000 > out["big"].boost_bp
+    assert abs(out["big"].temp_bp + out["small"].temp_bp - 10000) <= 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        mix_temperature(df, "source", 0.0)
+
+
+def test_oov_rate_flags_planted_oov_tokens(spark):
+    """Tokens outside the top-k vocab count as OOV; fully-in-vocab
+    docs score 0; empty docs score 0 with ntok 0."""
+    from webloghunter_spark.pipelines.select import oov_rate
+
+    common = "alpha beta gamma delta"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, common + " zzz-rare-1 zzz-rare-2"))
+    rows.append((101, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in oov_rate(df, vocab_size=4).collect()}
+    assert out[0].n_oov == 0 and out[0].oov_bp == 0
+    assert out[100].n_oov == 2 and out[100].ntok == 6
+    assert out[100].oov_bp == 3333  # floor(2*10000/6 + .5)
+    assert out[101].ntok == 0 and out[101].oov_bp == 0
+
+
+def test_contamination_spans_runs_and_extent(spark):
+    """A doc embedding a full eval passage shows one long run; a doc
+    with two separated quotes shows max_run < n_pos_hits; clean docs
+    are absent."""
+    from webloghunter_spark.pipelines.decontam import contamination_spans
+
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # full passage embedded -> every 4-gram hits, one run
+            (1, "x1 x2 the quick brown fox jumps over the lazy dog y1"),
+            # two separated 4-token quotes -> two runs of length 1
+            (2, "the quick brown fox a b c d e jumps over the lazy"),
+            (3, "totally clean text here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_spans(tr, ev, n=4).collect()}
+    assert 3 not in out
+    assert out[1].max_run == out[1].n_pos_hits == 6
+    assert out[2].n_pos_hits == 2 and out[2].max_run == 1
+
+
+def test_token_budget_select_histogram_cutoff_and_boundary(spark):
+    """Docs above the cutoff bucket are all selected; the boundary
+    bucket admits greedily in id order (skipping an overflowing doc
+    but admitting a later one that fits); below-cutoff rejected."""
+    from webloghunter_spark.pipelines.select import token_budget_select
+
+    rows = [
+        (1, "t " * 10, 900),   # 10 tok, high bucket
+        (2, "t " * 10, 900),
+        # boundary bucket 500: ids 3,4,5 with 8, 7, 2 tokens
+        (3, "t " * 8, 500),
+        (4, "t " * 7, 500),
+        (5, "t " * 2, 500),
+        (6, "t " * 10, 100),   # below cutoff
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score int")
+    # budget 30: bucket 900 eats 20, remaining 10 at bucket 500:
+    # id 3 (8) fits -> rem 2; id 4 (7) overflows -> skipped;
+    # id 5 (2) fits -> rem 0. bucket 100 rejected.
+    out = {r.doc_id: r.selected for r in
+           token_budget_select(df, 30, score_col="score").collect()}
+    assert out == {1: True, 2: True, 3: True, 4: False, 5: True, 6: False}
+    # budget covering everything -> all selected
+    out = {r.doc_id: r.selected for r in
+           token_budget_select(df, 10_000, score_col="score").collect()}
+    assert all(out.values())
+
+
+def test_repeated_window_spans_union_no_double_count(spark):
+    """A 10-token passage shared by two docs yields overlapping
+    repeated 8-token windows whose UNION is 10 tokens, not 24; a
+    unique doc is absent."""
+    from webloghunter_spark.pipelines.dedup import repeated_window_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),
+            (2, f"b1 {shared} b2 b3 b4"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_window_spans(df, window=8).collect()}
+    assert 3 not in out
+    # 10-token shared span -> 3 overlapping 8-windows, union = 10
+    assert out[1].n_rep_windows == 3 and out[1].dup_tokens == 10
+    assert out[2].n_rep_windows == 3 and out[2].dup_tokens == 10
+    assert out[1].ntok == 14 and out[1].dup_bp == 7143

@@ -4482,6 +4482,252 @@ SQL_URL_NORMALIZE = rf"""
 """
 
 
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-based sampling weights per source (the mBERT/XLM-R
+    p^alpha rule, alpha=0.7): one combinable token-count aggregate per
+    group, then all arithmetic on the |groups|-row frame. temp_bp >
+    raw_bp on tail sources = up-sampling; all shares floored to basis
+    points with the repo's portable rounding."""
+    from webloghunter_spark.pipelines.split import mix_temperature
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_temperature(docs, group_col="source", alpha=0.7)
+
+
+SQL_MIX_TEMPERATURE = r"""
+    WITH toks AS (
+        SELECT doc_id, source, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(t))::BIGINT AS n_tokens
+        FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+    z AS (SELECT sum(pow(n_tokens / tot, 0.7)) AS z FROM per, tot)
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(n_tokens / tot * 10000.0 + 0.5) AS BIGINT)
+               AS raw_bp,
+           CAST(floor(pow(n_tokens / tot, 0.7) / z * 10000.0 + 0.5)
+               AS BIGINT) AS temp_bp,
+           CAST(floor(pow(n_tokens / tot, 0.7) / z / (n_tokens / tot)
+                      * 10000.0 + 0.5) AS BIGINT) AS boost_bp
+    FROM per, tot, z
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit: per-doc fraction of tokens outside
+    the corpus's own top-1000 vocabulary (count DESC, token ASC ties).
+    Vocab via one combinable count + TakeOrderedAndProject; per-doc
+    OOV via explode + broadcast anti-join against the 1000-row vocab."""
+    from webloghunter_spark.pipelines.select import oov_rate
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return oov_rate(docs, vocab_size=1000)
+
+
+SQL_OOV_RATE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vc AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM tk GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 1000
+        )
+    ),
+    oov AS (
+        SELECT doc_id, count(*) AS n_oov FROM tk
+        WHERE tok NOT IN (SELECT tok FROM vc)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS ntok,
+           coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+           CASE WHEN len(t.t) > 0
+                THEN CAST(floor(coalesce(o.n_oov, 0) * 10000.0
+                                / len(t.t) + 0.5) AS BIGINT)
+                ELSE 0 END AS oov_bp
+    FROM toks t LEFT JOIN oov o USING (doc_id)
+"""
+
+
+def q_contam_spans(spark, sf_dir):
+    """Contamination EXTENT per contaminated doc (same eval/train
+    split as decontaminate: every 50th doc is eval, 4-gram shingles):
+    total contaminated positions and the longest consecutive run —
+    max_run ~ ntok means the doc IS the benchmark item, short runs are
+    incidental quotes. Positional explode + broadcast semi-join + the
+    gap-and-island window over hit positions only."""
+    from webloghunter_spark.pipelines.decontam import contamination_spans
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_spans(tr, ev, n=4)
+
+
+SQL_CONTAM_SPANS = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                                   i -> array_to_string(t[i:i+3], ' ')) END AS s
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+    pos AS (
+        SELECT doc_id, generate_subscripts(s, 1) - 1 AS p, unnest(s) AS g
+        FROM sh WHERE doc_id % 50 != 0
+    ),
+    hit AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM ev)),
+    runs AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM hit
+    ),
+    rl AS (SELECT doc_id, grp, count(*) AS rlen FROM runs GROUP BY 1, 2)
+    SELECT doc_id, sum(rlen)::BIGINT AS n_pos_hits,
+           max(rlen)::BIGINT AS max_run
+    FROM rl GROUP BY doc_id
+"""
+
+
+def q_token_budget(spark, sf_dir):
+    """Data selection under a 10k-token budget: highest quality_bp
+    first, boundary bucket admitted greedily in doc_id order. The
+    scalable shape is the two-level histogram cutoff (<=10001-cell
+    bucket histogram to the driver, then one filter pass) — the global
+    sort+cumsum it replaces is a single-partition stage at 100 TB.
+    The oracle replays the boundary walk with a recursive CTE."""
+    from webloghunter_spark.pipelines.select import token_budget_select
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "text", quality_bp_expr("text").alias("quality_bp")
+    )
+    return token_budget_select(base, budget=10_000).select(
+        "doc_id", "quality_bp", "ntok", "selected"
+    )
+
+
+SQL_TOKEN_BUDGET = rf"""
+    WITH RECURSIVE q AS ({SQL_QUALITY}),
+    toks2 AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT q.doc_id, q.quality_bp, len(t2.t)::BIGINT AS ntok
+        FROM q JOIN toks2 t2 USING (doc_id)
+    ),
+    hist AS (SELECT quality_bp, sum(ntok) AS btok FROM d GROUP BY quality_bp),
+    csum AS (
+        SELECT quality_bp, btok,
+               sum(btok) OVER (ORDER BY quality_bp DESC) AS cum
+        FROM hist
+    ),
+    cut AS (
+        SELECT quality_bp AS cutoff, 10000 - (cum - btok) AS remaining
+        FROM csum WHERE cum > 10000
+        ORDER BY quality_bp DESC LIMIT 1
+    ),
+    bnd AS (
+        SELECT d.doc_id, d.ntok,
+               row_number() OVER (ORDER BY d.doc_id) AS rn
+        FROM d, cut WHERE d.quality_bp = cut.cutoff
+    ),
+    rec AS (
+        SELECT rn, doc_id, ntok,
+               ntok <= c.remaining AS admit,
+               CASE WHEN ntok <= c.remaining THEN c.remaining - ntok
+                    ELSE c.remaining END AS rem
+        FROM bnd, cut c WHERE rn = 1
+        UNION ALL
+        SELECT b.rn, b.doc_id, b.ntok,
+               b.ntok <= r.rem,
+               CASE WHEN b.ntok <= r.rem THEN r.rem - b.ntok ELSE r.rem END
+        FROM rec r JOIN bnd b ON b.rn = r.rn + 1
+    )
+    SELECT d.doc_id, d.quality_bp, d.ntok,
+           CASE WHEN NOT EXISTS (SELECT 1 FROM cut) THEN TRUE
+                WHEN d.quality_bp > (SELECT cutoff FROM cut) THEN TRUE
+                WHEN d.quality_bp = (SELECT cutoff FROM cut)
+                     AND EXISTS (SELECT 1 FROM rec
+                                 WHERE rec.doc_id = d.doc_id
+                                   AND rec.admit)
+                     THEN TRUE
+                ELSE FALSE END AS selected
+    FROM d
+"""
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication signal (Lee et al. ExactSubstr,
+    relational form): 8-token windows whose md5 repeats anywhere in
+    the corpus; per affected doc, the repeated-window count and the
+    UNION length of covered spans (running-max interval merge — no
+    double counting) in tokens and basis points."""
+    from webloghunter_spark.pipelines.dedup import repeated_window_spans
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return repeated_window_spans(docs, window=8)
+
+
+SQL_SUBSTRING_DEDUP = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 7),
+                                   i -> array_to_string(t[i:i+7], ' ')) END AS s
+        FROM toks
+    ),
+    base AS (SELECT doc_id, len(t)::BIGINT AS ntok FROM toks),
+    w AS (
+        SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos,
+               md5(unnest(s)) AS h
+        FROM sh
+    ),
+    repd AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    rep AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM repd)),
+    iv AS (
+        SELECT doc_id, pos, pos + 8 AS e,
+               max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM rep
+    ),
+    pd AS (
+        SELECT doc_id, count(*) AS n_rep_windows,
+               sum(greatest(e - greatest(pos, coalesce(pe, pos)), 0))::BIGINT
+                   AS dup_tokens
+        FROM iv GROUP BY doc_id
+    )
+    SELECT p.doc_id, b.ntok, p.n_rep_windows, p.dup_tokens,
+           CAST(floor(p.dup_tokens * 10000.0 / b.ntok + 0.5) AS BIGINT)
+               AS dup_bp
+    FROM pd p JOIN base b USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -4545,6 +4791,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_volume": q_local_volume,
     "order_priority": q_order_priority,
     "url_normalize": q_url_normalize,
+    # --- round-6 additions ---
+    "mix_temperature": q_mix_temperature,
+    "oov_rate": q_oov_rate,
+    "contam_spans": q_contam_spans,
+    "token_budget": q_token_budget,
+    "substring_dedup": q_substring_dedup,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -4705,4 +4957,9 @@ ORACLES: dict[str, str] = {
     "local_volume": SQL_LOCAL_VOLUME,
     "order_priority": SQL_ORDER_PRIORITY,
     "url_normalize": SQL_URL_NORMALIZE,
+    "mix_temperature": SQL_MIX_TEMPERATURE,
+    "oov_rate": SQL_OOV_RATE,
+    "contam_spans": SQL_CONTAM_SPANS,
+    "token_budget": SQL_TOKEN_BUDGET,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
 }

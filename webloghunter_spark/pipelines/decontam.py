@@ -110,6 +110,54 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+    eval_grams: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_pos_hits, max_run) for every contaminated train doc:
+    how MUCH of the document is contaminated, not just whether.
+    n_pos_hits counts contaminated n-gram POSITIONS (contaminated_docs
+    counts distinct grams); max_run is the longest run of consecutive
+    contaminated positions — a max_run near ntok-n+1 means the doc IS
+    the benchmark item (drop it), a short run means an incidental
+    quote (maybe keep it). The per-doc triage signal GPT-3's appendix
+    C-style decontamination needs before choosing drop-vs-redact.
+
+    Shape: positional shingle explode (no distinct — position
+    matters), broadcast semi-join against the eval gram set, then the
+    classic gap-and-island trick (pos - row_number = run key) with a
+    per-doc window — the ordered scan covers one document's HIT
+    positions only, bounded by contamination volume, not corpus."""
+    from pyspark.sql import Window
+
+    if eval_grams is None:
+        if eval_df is None:
+            raise ValueError("need eval_df or eval_grams")
+        eval_grams = eval_shingle_set(eval_df, text_col, n)
+    grams = F.broadcast(eval_grams) if broadcast_eval else eval_grams
+    pos = train.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(text_col, n)).alias("_pos", "_gram"),
+    )
+    hits = pos.join(grams, "_gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    runs = hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_len").alias("n_pos_hits"),
+            F.max("_len").alias("max_run"),
+        )
+    )
+
+
 BLOOM_M = 1 << 16  # bloom-bit FLOOR (2048 32-bit words = 64 Kbit)
 BLOOM_BITS_PER_GRAM = 12  # auto-sizing rule: ~12 bits/eval gram
 

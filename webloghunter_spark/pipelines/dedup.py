@@ -622,3 +622,81 @@ def lsh_recall_audit(
             ).otherwise(F.lit(-1)).cast("long").alias("recall_bp"),
         )
     )
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr shape, re-expressed relationally): a `window`-token
+    span is DUPLICATED if its md5 appears 2+ times anywhere in the
+    corpus — across documents or repeated within one. Returns, per
+    document that contains at least one duplicated window,
+    (id, ntok, n_rep_windows, dup_tokens, dup_bp) where dup_tokens is
+    the UNION length of the covered token spans (overlapping windows
+    don't double-count) and dup_bp = dup_tokens/ntok in basis points.
+    Downstream policy (cut the spans, drop the doc, weight it down)
+    composes on top; suffix-array exactness is traded for the fixed
+    window the hash join needs.
+
+    Scale shape:
+    - windows are one shingle projection (no shuffle), hashed to md5;
+    - the repeat set is one combinable count per distinct hash; the
+      join back is a semi-join on the 16-byte key — Σ volume bounded
+      by window count, never pairwise;
+    - the span-union is the running-max interval merge: one window
+      function per doc ordered by position, where each span
+      contributes max(0, end - max(start, max_prev_end)) — O(hits)
+      rows through the exchange, never O(ntok).
+    """
+    if window <= 0:
+        raise ValueError(f"window must be > 0, got {window}")
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("ntok")
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(text_col, window)).alias("_pos", "_g"),
+    ).select(id_col, "_pos", F.md5(F.col("_g")).alias("_h"))
+    wins = materialize(wins)
+    repeated = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
+    )
+    rep = wins.join(repeated, "_h", "left_semi")
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    end = F.col("_pos") + F.lit(window)
+    prev_end = F.max(F.col("_pos") + F.lit(window)).over(w)
+    contrib = F.greatest(
+        end - F.greatest(F.col("_pos"), F.coalesce(prev_end, F.col("_pos"))),
+        F.lit(0),
+    )
+    per_doc = (
+        rep.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rep_windows"),
+            F.sum("_c").cast("long").alias("dup_tokens"),
+        )
+    )
+    return per_doc.join(base, id_col).select(
+        id_col,
+        "ntok",
+        "n_rep_windows",
+        "dup_tokens",
+        F.floor(F.col("dup_tokens") * 10000.0 / F.col("ntok") + F.lit(0.5))
+        .cast("long")
+        .alias("dup_bp"),
+    )

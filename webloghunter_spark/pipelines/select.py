@@ -1,0 +1,167 @@
+"""Corpus selection under constraints — the "which documents make the
+training set" step after cleaning/dedup/decontamination.
+
+Two operators:
+
+- `token_budget_select`: the data-selection primitive behind
+  quality-filtered pretraining mixes (DoReMi/DsDm-style pipelines
+  reduce to "rank by a score, take until the token budget"): select
+  the highest-scoring documents whose cumulative token count fits a
+  budget. The naive shape is a GLOBAL sort + running sum — a
+  single-partition stage at 100 TB. The scalable shape used here is
+  the two-level histogram cutoff (same discipline as sessionize's
+  two-level prefix sum and value_quantiles' fixed grid):
+    1. one combinable aggregate: tokens per score bucket (the score is
+       already basis-point-quantized, so the histogram is <= 10001
+       cells regardless of corpus size);
+    2. a driver-side running sum over the tiny histogram finds the
+       cutoff bucket: every doc scoring ABOVE it fits, the boundary
+       bucket gets the remaining budget;
+    3. one filter pass keeps score > cutoff, plus boundary-bucket docs
+       admitted in (doc_id) order via a window cumsum PARTITIONED BY
+       the boundary bucket only — the one ordered scan runs over a
+       single bucket's rows, never the corpus.
+  Ties inside the boundary bucket admit lowest doc_id first
+  (deterministic, append-stable for ids beyond the admitted set).
+
+- `oov_rate`: tokenizer-coverage audit — per-document fraction of
+  tokens outside the corpus's top-`vocab_size` vocabulary (ties on
+  count break to the lexicographically smaller token, the vocab_topk
+  convention). High OOV flags encoding-mangled or off-domain text
+  that inflates token counts under a fixed tokenizer.
+
+No counterpart in the reference repo (log triage has no corpus
+assembly); token boundaries match functions/text.tokens_expr.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import token_count_expr, tokens_expr
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_bp",
+    id_col: str = "doc_id",
+    ntok_col: Column | str | None = None,
+) -> DataFrame:
+    """Rows of `df` (plus `ntok`) whose docs are selected: highest
+    `score_col` first, then lowest `id_col`, cumulative ntok <= budget.
+    A doc whose ntok alone overflows the remaining boundary budget is
+    skipped and admission continues with the next id (greedy by order,
+    the packing-style rule both engines replay exactly).
+
+    `score_col` must be integer-bucketed (basis points); the histogram
+    is one cell per distinct score, collected to the driver — bounded
+    by the score grid, not the corpus."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    ntok = (
+        F.col(ntok_col) if isinstance(ntok_col, str)
+        else ntok_col if ntok_col is not None
+        else token_count_expr("text")
+    )
+    base = df.withColumn("ntok", ntok.cast("long"))
+    hist = (
+        base.groupBy(score_col)
+        .agg(F.sum("ntok").alias("_btok"))
+        .orderBy(F.col(score_col).desc())
+        .collect()
+    )
+    # driver walk over the <=10001-cell histogram: find the boundary
+    # score and the budget remaining when we reach it
+    remaining = int(budget)
+    cutoff = None  # boundary score; None = every bucket fit
+    for r in hist:
+        btok = int(r["_btok"])
+        if btok > remaining:
+            cutoff = r[score_col]
+            break
+        remaining -= btok
+    if cutoff is None:
+        return base.withColumn("selected", F.lit(True))
+    above = F.col(score_col) > F.lit(cutoff)
+    # boundary bucket: greedy admission in id order against the
+    # remaining budget — the ordered scan covers ONE bucket's rows.
+    # Greedy-skip semantics need the running sum of ADMITTED tokens,
+    # which is sequential; the boundary bucket is driver-bounded in
+    # token volume (its total exceeds `remaining`, each admitted doc
+    # consumes budget), so compute admission over the bucket's
+    # (id, ntok) pairs — never the corpus — via one more tiny collect.
+    bnd = (
+        base.filter(F.col(score_col) == F.lit(cutoff))
+        .select(id_col, "ntok")
+        .orderBy(id_col)
+        .collect()
+    )
+    admitted, rem = [], remaining
+    for r in bnd:
+        nt = int(r["ntok"])
+        if nt <= rem:
+            admitted.append(r[id_col])
+            rem -= nt
+    in_boundary = (F.col(score_col) == F.lit(cutoff)) & F.col(
+        id_col
+    ).isin(admitted)
+    return base.withColumn("selected", above | in_boundary)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, ntok, n_oov, oov_bp) per document against the corpus's own
+    top-`vocab_size` token vocabulary (count DESC, token ASC).
+
+    Two passes: token counts (one combinable aggregate + a
+    TakeOrderedAndProject top-k — never a global sort), then the
+    per-doc OOV count via an explode + broadcast LEFT ANTI join
+    against the k-row vocab. The explode's shuffle is the groupBy
+    back to doc_id, bounded by token volume; at 100 TB prefer a
+    precomputed static vocab and skip pass one."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_tok")
+    )
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .select("_tok")
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "_tok", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        df.select(
+            id_col, token_count_expr(text_col).cast("long").alias("ntok")
+        )
+        .join(oov, id_col, "left")
+        .select(
+            id_col,
+            "ntok",
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.when(
+                F.col("ntok") > 0,
+                F.floor(
+                    F.coalesce(F.col("n_oov"), F.lit(0))
+                    * 10000.0
+                    / F.col("ntok")
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("oov_bp"),
+        )
+    )

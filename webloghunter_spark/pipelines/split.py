@@ -268,6 +268,70 @@ def apply_mix_rates(
     )
 
 
+def mix_temperature(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    ntok_col: Column | str | None = None,
+) -> DataFrame:
+    """Temperature-based sampling weights per group — the multilingual
+    /multi-source mixing rule (mBERT/XLM-R exponentiated-count
+    sampling; T5's alpha=0.3, XLM-R's 0.7): a group with share p of
+    the corpus is sampled with probability proportional to p^alpha,
+    up-weighting the tail without flattening the head.
+
+    Returns one row per group: n_docs, n_tokens, raw_bp (observed
+    token share), temp_bp (p^alpha-normalized share), boost_bp
+    (temp/raw ratio in basis points, >10000 = up-sampled). Shares are
+    over TOKENS (what the training loop actually consumes), not docs;
+    pass `ntok_col` for a real tokenizer's counts.
+
+    Scale: one map-side-combinable count per group, then all
+    arithmetic on the |groups|-row frame — no second pass over the
+    corpus, no shuffle beyond the one aggregate. Output is quantized
+    to basis points via floor(x*1e4+0.5) (the repo's portable-rounding
+    convention), so the SQL oracle reproduces it bit-for-bit (pow on
+    doubles is IEEE in both engines)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from webloghunter_spark.functions.text import token_count_expr
+
+    ntok = (
+        F.col(ntok_col) if isinstance(ntok_col, str)
+        else ntok_col if ntok_col is not None
+        else token_count_expr("text")
+    )
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok.cast("long")).alias("n_tokens"),
+    )
+    raw = F.col("n_tokens").cast("double") / F.col("_tot")
+    powed = F.pow(raw, F.lit(float(alpha)))
+    # both normalizers are |groups|-row aggregates (the first must land
+    # before p^alpha can be formed, hence two tiny frames, not a window)
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    z = (
+        per.crossJoin(F.broadcast(tot))
+        .agg(F.sum(powed).alias("_z"))
+    )
+    temp = powed / F.col("_z")
+    bp = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            bp(raw).alias("raw_bp"),
+            bp(temp).alias("temp_bp"),
+            F.floor(temp / raw * 10000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("boost_bp"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
