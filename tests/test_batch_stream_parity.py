@@ -630,3 +630,46 @@ def test_hll_batch_stream_parity_exact(spark, tmp_path):
     got = {(g,): est for g, est in fn.estimates()}
     assert got == batch
     assert len(seen) >= 2  # really ran as multiple micro-batches
+
+
+def test_mix_temperature_batch_stream_parity(spark, tmp_path):
+    """Per-source totals merge by sum, so the streamed temperature
+    weights equal the batch operator's rows exactly after the last
+    micro-batch, however the corpus is sliced."""
+    from webloghunter_spark.pipelines.split import mix_temperature
+    from webloghunter_spark.streaming.mix import (
+        mix_temperature_stream_writer,
+    )
+
+    rows = [
+        (i, "tok " * (5 + i % 7), f"src{i % 3}") for i in range(300)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    batch = sorted(
+        tuple(r) for r in mix_temperature(corpus, "source", 0.7).collect()
+    )
+
+    src = str(tmp_path / "mix_src")
+    corpus.filter("doc_id < 120").write.mode("overwrite").parquet(src)
+    corpus.filter("doc_id >= 120").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    seen = []
+    fn = mix_temperature_stream_writer(
+        lambda rows, bid: seen.append(rows), "source", "text", 0.7
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mix"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(fn.weights()) == batch
+    assert len(seen) >= 2

@@ -284,3 +284,29 @@ def test_repeated_window_spans_union_no_double_count(spark):
     assert out[1].n_rep_windows == 3 and out[1].dup_tokens == 10
     assert out[2].n_rep_windows == 3 and out[2].dup_tokens == 10
     assert out[1].ntok == 14 and out[1].dup_bp == 7143
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target's vocabulary score higher than docs in
+    pure raw-pool vocabulary; weights are deterministic and n_grams
+    matches token counts."""
+    from webloghunter_spark.pipelines.select import dsir_weights
+
+    target = spark.createDataFrame(
+        [(1000 + i, "science physics quantum theory energy") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "science physics quantum theory energy"),
+         (2, "casino jackpot lucky winner bonus"),
+         (3, "casino jackpot lucky winner bonus")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r.n_grams == 5 for r in out.values())
+    assert out[1].weight_micro > out[2].weight_micro
+    assert out[2].weight_micro == out[3].weight_micro
+    again = {r.doc_id: r.weight_micro
+             for r in dsir_weights(raw, target).collect()}
+    assert again == {k: v.weight_micro for k, v in out.items()}

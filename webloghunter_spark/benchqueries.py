@@ -4728,6 +4728,55 @@ SQL_SUBSTRING_DEDUP = r"""
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every 50th doc is
+    the target distribution, the rest are the raw pool; md5-hashed
+    1024-bucket token features, Laplace-smoothed, per-bucket
+    log-ratios quantized to integer micro-units BEFORE the per-doc
+    sum (order-free, engine-exact — no float log-likelihood sum).
+    weight_micro > 0 = more target-like than the raw pool."""
+    from webloghunter_spark.pipelines.select import dsir_weights
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    target = docs.filter(F.col("doc_id") % 50 == 0)
+    raw = docs.filter(F.col("doc_id") % 50 != 0)
+    return dsir_weights(raw, target)
+
+
+SQL_DSIR_WEIGHTS = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(unnest(t)), 1, 8) AS BIGINT)
+                   % 1024 AS b
+        FROM toks
+    ),
+    rt AS (SELECT doc_id, b FROM tk WHERE doc_id % 50 != 0),
+    tt AS (SELECT doc_id, b FROM tk WHERE doc_id % 50 = 0),
+    rc AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
+    tc AS (SELECT b, count(*) AS ct FROM tt GROUP BY b),
+    tr AS (SELECT count(*)::BIGINT AS trn FROM rt),
+    ttot AS (SELECT count(*)::BIGINT AS ttn FROM tt),
+    ratios AS (
+        SELECT rc.b,
+               CAST(round(ln(((coalesce(tc.ct, 0) + 1)
+                              / (ttot.ttn + 1024.0))
+                             / ((rc.cr + 1) / (tr.trn + 1024.0)))
+                          * 1e6) AS BIGINT) AS lr
+        FROM rc LEFT JOIN tc ON rc.b = tc.b, tr, ttot
+    )
+    SELECT rt.doc_id, count(*) AS n_grams,
+           sum(r.lr)::BIGINT AS weight_micro
+    FROM rt JOIN ratios r ON r.b = rt.b
+    GROUP BY rt.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -4797,6 +4846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_spans": q_contam_spans,
     "token_budget": q_token_budget,
     "substring_dedup": q_substring_dedup,
+    "dsir_weights": q_dsir_weights,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -4962,4 +5012,5 @@ ORACLES: dict[str, str] = {
     "contam_spans": SQL_CONTAM_SPANS,
     "token_budget": SQL_TOKEN_BUDGET,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }

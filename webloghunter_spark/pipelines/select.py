@@ -1,7 +1,7 @@
 """Corpus selection under constraints — the "which documents make the
 training set" step after cleaning/dedup/decontamination.
 
-Two operators:
+Operators:
 
 - `token_budget_select`: the data-selection primitive behind
   quality-filtered pretraining mixes (DoReMi/DsDm-style pipelines
@@ -36,7 +36,7 @@ assembly); token boundaries match functions/text.tokens_expr.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.text import token_count_expr, tokens_expr
@@ -163,5 +163,80 @@ def oov_rate(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("oov_bp"),
+        )
+    )
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023)
+    re-expressed relationally: score every raw-corpus document by how
+    target-like its hashed token-feature distribution is.
+
+    Features are md5-hashed token buckets (the DSIR hashed-ngram
+    trick: a fixed B-bucket table stands in for an open vocabulary).
+    Both corpora reduce to B-row smoothed bucket distributions
+    (Laplace +1); each bucket carries
+        lr_b = round(ln(p_target_b / p_raw_b) * 1e6)  (integer
+    micro-units — quantized BEFORE the per-doc sum, so the sum is
+    order-free and engine-exact, unlike a float log-likelihood sum).
+    A document's weight is the sum of its tokens' lr_b; resampling
+    by exp(weight) is the caller's policy (weighted_sample composes).
+
+    Scale: two combinable B-cell aggregates (one per corpus), a B-row
+    broadcast join onto the exploded raw tokens, and one groupBy(id)
+    sum — bounded by token volume, no pairwise anything. The B-row
+    log-ratio table is the whole "model"."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    b = F.lit(int(n_buckets))
+    bucket = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % b
+    )
+    tok = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_t")
+    ).select(id_col, bucket(F.col("_t")).alias("_b"))
+    rt = tok(raw)
+    tt = tok(target)
+    rc = rt.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tc = tt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    rtot = rt.agg(F.count(F.lit(1)).alias("_tr"))
+    ttot = tt.agg(F.count(F.lit(1)).alias("_tt"))
+    ratios = (
+        rc.join(tc, "_b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
+                        / (F.col("_tt") + b)
+                    )
+                    / (
+                        (F.col("_cr") + F.lit(1)) / (F.col("_tr") + b)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_lr"),
+        )
+    )
+    return (
+        rt.join(F.broadcast(ratios), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_lr").alias("weight_micro"),
         )
     )

@@ -1,0 +1,85 @@
+"""Streaming twin of pipelines/split.mix_temperature — continuously
+updated sampling-temperature weights over an unbounded corpus feed.
+
+Per-source (n_docs, n_tokens) totals merge by SUM — commutative and
+associative, so like streaming/hll.py (max-merge) the final state is
+EXACTLY the batch aggregate regardless of arrival order or batch
+slicing: parity is free, no frozen reference corpus needed (contrast
+the frozen-model twins gate/resample, which pin a reference to keep
+batch/stream results comparable). Each micro-batch contributes one
+map-side-combinable aggregate (|sources-in-batch| rows to the
+driver); the p^alpha normalization re-derives from the running totals
+with the SAME basis-point quantization as the batch operator, so
+`weights()` after the last batch is row-identical to
+mix_temperature() over the union of all batches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mix_temperature_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function. After each micro-batch,
+    `sink(rows, batch_id)` receives the CURRENT
+    [(group, n_docs, n_tokens, raw_bp, temp_bp, boost_bp)] list over
+    everything seen so far. Exposes `.totals` (the merged state) and
+    `.weights()` for parity checks."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from webloghunter_spark.functions.text import token_count_expr
+
+    state: dict[str, list[int]] = {}  # group -> [n_docs, n_tokens]
+
+    def weights() -> list[tuple]:
+        import math
+
+        tot = float(sum(v[1] for v in state.values()))
+        if tot <= 0:
+            return []
+        raws = {g: v[1] / tot for g, v in state.items()}
+        # sum in sorted-group order: deterministic across runs (the
+        # batch twin's |groups|-row aggregate is float-order-tolerant
+        # at bp granularity; the parity test pins it)
+        z = sum(raws[g] ** alpha for g in sorted(raws))
+
+        def bp(x: float) -> int:
+            return int(math.floor(x * 10000.0 + 0.5))
+
+        out = []
+        for g in sorted(state):
+            n_docs, n_tokens = state[g]
+            raw = raws[g]
+            temp = raw ** alpha / z
+            out.append(
+                (g, n_docs, n_tokens, bp(raw), bp(temp),
+                 bp(temp / raw))
+            )
+        return out
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("_d"),
+                F.sum(token_count_expr(text_col).cast("long")).alias("_t"),
+            )
+            .collect()
+        )
+        for r in rows:
+            cur = state.setdefault(r[group_col], [0, 0])
+            cur[0] += int(r["_d"])
+            cur[1] += int(r["_t"] or 0)
+        sink(weights(), batch_id)
+
+    process.totals = state
+    process.weights = weights
+    return process
