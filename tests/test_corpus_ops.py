@@ -310,3 +310,49 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     again = {r.doc_id: r.weight_micro
              for r in dsir_weights(raw, target).collect()}
     assert again == {k: v.weight_micro for k, v in out.items()}
+
+
+def test_score_calibration_per_group_quantiles(spark):
+    """Quantiles are the smallest score reaching ceil(p*n/10000)
+    running count, computed per group; validates against a known
+    1..100 score ladder and a skewed group."""
+    from webloghunter_spark.pipelines.select import score_calibration
+
+    rows = [(f"d{i}", "a", i) for i in range(1, 101)]      # 1..100
+    rows += [(f"e{i}", "b", 10) for i in range(9)]          # 9x 10
+    rows += [("e9", "b", 99)]                               # 1x 99
+    df = spark.createDataFrame(rows, "doc_id string, source string, score int")
+    out = {r.source: r for r in
+           score_calibration(df, score_col="score").collect()}
+    assert out["a"].n_docs == 100
+    assert (out["a"].p2500_bp, out["a"].p5000_bp, out["a"].p7500_bp) == (25, 50, 75)
+    # group b: 9 tens + one 99 -> p25/p50/p75 all land on 10
+    assert out["b"].n_docs == 10
+    assert (out["b"].p2500_bp, out["b"].p5000_bp, out["b"].p7500_bp) == (10, 10, 10)
+    import pytest
+
+    with pytest.raises(ValueError):
+        score_calibration(df, score_col="score", ps_bp=(0,))
+
+
+def test_component_representatives_pick_best_quality(spark):
+    """Exactly one is_rep per component; highest score wins, ties to
+    the lowest id; singletons are their own representative."""
+    from webloghunter_spark.pipelines.dedup import component_representatives
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8)], "doc_id long, rep long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (8, 0)],
+        "doc_id long, quality_bp int",
+    )
+    out = {r.doc_id: r for r in
+           component_representatives(cc, scores).collect()}
+    assert [d for d, r in out.items() if r.is_rep] == sorted(
+        d for d, r in out.items() if r.is_rep
+    )
+    # component 1: docs 2 and 3 tie at 90 -> lowest id (2) wins
+    assert out[2].is_rep and not out[3].is_rep and not out[1].is_rep
+    assert out[7].is_rep and out[8].is_rep  # singletons
+    assert sum(1 for r in out.values() if r.is_rep) == 3

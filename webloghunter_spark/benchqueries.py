@@ -4777,6 +4777,87 @@ SQL_DSIR_WEIGHTS = r"""
 """
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Per-source quality-quantile calibration table (p25/p50/p75 of
+    quality_bp per source): the per-domain quality bar a fixed global
+    cutoff gets wrong. Fixed-grid histogram per (source, score) —
+    map-side combinable — with the window running over histogram
+    CELLS, never a corpus sort; exact integer arithmetic."""
+    from webloghunter_spark.pipelines.select import score_calibration
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "source", quality_bp_expr("text").alias("quality_bp")
+    )
+    return score_calibration(base)
+
+
+SQL_QUALITY_CALIBRATION = rf"""
+    WITH q AS ({SQL_QUALITY}),
+    d AS (
+        SELECT doc.source, q.quality_bp
+        FROM q JOIN documents doc USING (doc_id)
+    ),
+    hist AS (
+        SELECT source, quality_bp, count(*) AS c
+        FROM d GROUP BY source, quality_bp
+    ),
+    cum AS (
+        SELECT source, quality_bp,
+               sum(c) OVER (PARTITION BY source ORDER BY quality_bp)
+                   AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM hist
+    )
+    SELECT source, max(n)::BIGINT AS n_docs,
+           min(CASE WHEN cum >= (2500 * n + 9999) // 10000
+                    THEN quality_bp END) AS p2500_bp,
+           min(CASE WHEN cum >= (5000 * n + 9999) // 10000
+                    THEN quality_bp END) AS p5000_bp,
+           min(CASE WHEN cum >= (7500 * n + 9999) // 10000
+                    THEN quality_bp END) AS p7500_bp
+    FROM cum GROUP BY source
+"""
+
+
+def q_cc_representatives(spark, sf_dir):
+    """Keep-the-best-copy near-dedup: connected components over the
+    >=0.8-Jaccard candidate graph (near_dedup_cc), then each
+    component's survivor is its HIGHEST-quality member (ties to
+    lowest id) — the curation policy min-id keep rules approximate.
+    The argmax is a combinable max(struct(score, -id)) aggregate, not
+    a per-component window, so giant dup families cost a wide
+    aggregate cell, never a single-task sort."""
+    from webloghunter_spark.pipelines.dedup import (
+        component_representatives,
+        near_dedup_cc,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    cc = near_dedup_cc(docs, threshold=0.8, num_hashes=4, band_size=2)
+    scores = docs.select(
+        "doc_id", quality_bp_expr("text").alias("quality_bp")
+    )
+    return component_representatives(cc.select("doc_id", "rep"), scores)
+
+
+SQL_CC_REPRESENTATIVES = f"""
+    WITH cc AS (SELECT * FROM ({SQL_NEAR_DEDUP_CC})),
+    q AS ({SQL_QUALITY}),
+    j AS (
+        SELECT cc.doc_id, cc.rep, q.quality_bp
+        FROM cc JOIN q USING (doc_id)
+    ),
+    sel AS (
+        SELECT doc_id, rep, quality_bp,
+               row_number() OVER (PARTITION BY rep
+                   ORDER BY quality_bp DESC, doc_id) AS rn
+        FROM j
+    )
+    SELECT doc_id, rep, quality_bp, rn = 1 AS is_rep FROM sel
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -4847,6 +4928,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "substring_dedup": q_substring_dedup,
     "dsir_weights": q_dsir_weights,
+    "quality_calibration": q_quality_calibration,
+    "cc_representatives": q_cc_representatives,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5013,4 +5096,6 @@ ORACLES: dict[str, str] = {
     "token_budget": SQL_TOKEN_BUDGET,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "quality_calibration": SQL_QUALITY_CALIBRATION,
+    "cc_representatives": SQL_CC_REPRESENTATIVES,
 }

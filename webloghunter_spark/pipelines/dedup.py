@@ -700,3 +700,47 @@ def repeated_window_spans(
         .cast("long")
         .alias("dup_bp"),
     )
+
+
+def component_representatives(
+    cc: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    rep_col: str = "rep",
+    score_col: str = "quality_bp",
+) -> DataFrame:
+    """Pick each near-dup component's BEST-scoring member as the
+    survivor instead of the min-id default: `cc` is a
+    near_dedup_cc-style (id, rep) labeling, `scores` a per-id score
+    table; returns (id, rep, score, is_rep) with exactly one
+    is_rep=true per component — highest score wins, ties to the
+    lowest id. The keep-the-best-quality-copy policy real curation
+    pipelines want (the min-id rule keeps an arbitrary copy).
+
+    Scale: the argmax is a combinable groupBy(rep) aggregate over
+    max(struct(score, -id)) — no per-component window, so a
+    dup-saturated giant component costs a wide aggregate cell, not a
+    single-task sort; the keep table joins back on rep (hash join,
+    |components| rows — do NOT broadcast, components ~ docs)."""
+    j = cc.join(scores, id_col)
+    best = (
+        j.groupBy(rep_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("ni"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            rep_col,
+            (-F.col("_b.ni")).cast("long").alias("_keep_id"),
+        )
+    )
+    return j.join(best, rep_col).select(
+        id_col,
+        rep_col,
+        score_col,
+        (F.col(id_col) == F.col("_keep_id")).alias("is_rep"),
+    )

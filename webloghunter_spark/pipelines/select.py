@@ -65,7 +65,13 @@ def token_budget_select(
         else ntok_col if ntok_col is not None
         else token_count_expr("text")
     )
-    base = df.withColumn("ntok", ntok.cast("long"))
+    from webloghunter_spark.session import materialize
+
+    # three actions touch base (histogram, boundary bucket, final
+    # filter); without materialize each re-runs the upstream scan —
+    # with a regex-heavy score expr that tripled the wall (32x probe:
+    # 5.9x -> ~2x after)
+    base = materialize(df.withColumn("ntok", ntok.cast("long")))
     hist = (
         base.groupBy(score_col)
         .agg(F.sum("ntok").alias("_btok"))
@@ -240,3 +246,51 @@ def dsir_weights(
             F.sum("_lr").alias("weight_micro"),
         )
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    score_col: str = "quality_bp",
+    group_col: str = "source",
+    ps_bp: tuple[int, ...] = (2500, 5000, 7500),
+) -> DataFrame:
+    """Per-group score-quantile calibration table — the "different
+    quality bar per domain" step (a fixed global cutoff over-prunes
+    clean domains and under-prunes noisy ones; CCNet-style pipelines
+    calibrate per source). For each group: n_docs and, per requested
+    percentile p (basis points), the smallest score whose running
+    count reaches ceil(p * n / 10000) — exact integer arithmetic over
+    the (group, score) histogram, never a sort of the corpus.
+
+    Scale: `score_col` must be integer-bucketed (basis points), so
+    the histogram is <= |grid| cells per group, map-side combinable;
+    the window runs over histogram CELLS. Same fixed-grid discipline
+    as value_quantiles/quality_ecdf, with a group dimension."""
+    from pyspark.sql import Window as W
+
+    if not ps_bp or any(not 0 < p <= 10_000 for p in ps_bp):
+        raise ValueError(f"ps_bp must be in (0, 10000], got {ps_bp}")
+    hist = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        score_col,
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n_docs")]
+    for p in ps_bp:
+        need = F.floor((F.lit(int(p)) * F.col("_n") + 9999) / 10000)
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= need, F.col(score_col))
+            ).alias(f"p{int(p)}_bp")
+        )
+    return cum.groupBy(group_col).agg(*aggs)
