@@ -356,3 +356,66 @@ def test_component_representatives_pick_best_quality(spark):
     assert out[2].is_rep and not out[3].is_rep and not out[1].is_rep
     assert out[7].is_rep and out[8].is_rep  # singletons
     assert sum(1 for r in out.values() if r.is_rep) == 3
+
+
+def test_jsonl_source_roundtrip_and_error_channel(spark, tmp_path):
+    """Well-formed lines parse to typed rows; malformed JSON and
+    id-less objects land in the errors frame with their raw text;
+    blank lines are skipped; writer round-trips."""
+    import json as _json
+
+    from webloghunter_spark.sources.jsonl import (
+        read_jsonl_documents,
+        write_jsonl_documents,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world", "lang": "en",
+                     "source": "s0", "n_chars": 11}),
+        "",
+        _json.dumps({"text": "no id here"}),       # id-less -> error
+        "{not json at all",                         # malformed -> error
+        _json.dumps({"doc_id": 2, "text": "zwei", "lang": "de",
+                     "source": "s1", "n_chars": 4}),
+    ]
+    src.write_text("\n".join(lines))
+    docs, errors = read_jsonl_documents(spark, str(src))
+    got = {r.doc_id: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].text == "hello world" and got[2].lang == "de"
+    assert got[1].source_file.endswith("docs.jsonl")
+    errs = [r.raw for r in errors.collect()]
+    assert len(errs) == 2 and "{not json at all" in errs
+    # round-trip through the writer
+    out = tmp_path / "out_jsonl"
+    write_jsonl_documents(docs.drop("source_file"), str(out))
+    back, back_err = read_jsonl_documents(spark, str(out))
+    assert back.count() == 2 and back_err.count() == 0
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """Repetitive text compresses far below varied text; empty/null
+    text yields NULL; deterministic across calls."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.text import compression_ratio_udf
+
+    udf = compression_ratio_udf()
+    df = spark.createDataFrame(
+        [
+            (1, "buy " * 500),
+            (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(500))),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bp for r in
+           df.select("doc_id", udf(F.col("text")).alias("bp")).collect()}
+    assert out[3] is None and out[4] is None
+    assert 0 < out[1] < 500          # 'buy buy buy' squeezes tiny
+    assert out[2] > 2 * out[1]       # varied text compresses less
+    again = {r.doc_id: r.bp for r in
+             df.select("doc_id", udf(F.col("text")).alias("bp")).collect()}
+    assert again == out

@@ -652,3 +652,37 @@ def token_entropy(
             F.col("entropy"),
         )
     )
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-vectorized deflate-compressibility signal:
+    floor(len(zlib(text)) * 10000 / len(utf8(text)) + 0.5) basis
+    points — the Gopher/RefinedWeb repetition heuristic (highly
+    repetitive boilerplate compresses far below normal prose; a very
+    HIGH ratio flags already-compressed/binary junk pasted as text).
+    Empty/NULL text returns NULL (no bytes, no ratio).
+
+    Deflate has no SQL mirror, so this is a tests-only operator like
+    the scan/sink surface (the registry's oracle-coverage gate stays
+    100%); determinism holds for a fixed zlib level within a runtime.
+    Complements rep_signals: dup_line/top_token are token-level and
+    SQL-exact, this one sees sub-token and cross-line redundancy."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        import math
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            b = t.encode("utf-8")
+            return int(
+                math.floor(len(zlib.compress(b, level)) * 10000.0
+                           / len(b) + 0.5)
+            )
+
+        return texts.map(one)
+
+    return _udf
