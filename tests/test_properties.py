@@ -300,3 +300,80 @@ def test_connected_components_matches_union_find(spark, edges):
            connected_components(edf, ndf, id_col="doc_id").collect()}
     release_materialized()
     assert got == expected
+
+
+word_st = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+doc_text_st = st.lists(word_st, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(doc_text_st, min_size=1, max_size=12),
+    budget=st.integers(0, 200),
+)
+def test_token_budget_select_invariants(spark, docs, budget):
+    """Selected token mass never exceeds the budget (when any doc was
+    rejected); selection is monotone: every selected id stays
+    selected when the budget grows."""
+    from webloghunter_spark.pipelines.select import token_budget_select
+
+    rows = [(i, t, (i * 37) % 100) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score int")
+    out = token_budget_select(df, budget, score_col="score").collect()
+    sel_tok = sum(r.ntok for r in out if r.selected)
+    if any(not r.selected for r in out):
+        assert sel_tok <= budget
+    bigger = token_budget_select(df, budget + 50, score_col="score").collect()
+    sel_small = {r.doc_id for r in out if r.selected}
+    sel_big = {r.doc_id for r in bigger if r.selected}
+    assert sel_small <= sel_big
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(doc_text_st, min_size=1, max_size=10))
+def test_repeated_window_spans_invariants(spark, docs):
+    """dup_tokens never exceeds ntok; every reported doc has >= 1
+    repeated window; duplicating the whole corpus makes every doc
+    with >= window tokens fully covered."""
+    from webloghunter_spark.pipelines.dedup import repeated_window_spans
+
+    w = 3
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in repeated_window_spans(df, window=w).collect():
+        assert 0 < r.dup_tokens <= r.ntok
+        assert r.n_rep_windows >= 1
+    # union with an id-shifted copy: every window now repeats
+    dup = df.union(
+        df.selectExpr("doc_id + 1000 as doc_id", "text")
+    )
+    full = {r.doc_id: r for r in repeated_window_spans(dup, window=w).collect()}
+    for i, t in rows:
+        ntok = len(t.split()) if t.strip() else 0
+        if ntok >= w:
+            assert full[i].dup_tokens == ntok
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(doc_text_st, min_size=1, max_size=10))
+def test_dedup_normalized_partition_invariants(spark, docs):
+    """Exactly one kept doc per family; family sizes sum to the row
+    count; normalization-insensitive copies share a family."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.text import normalized_text_expr
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    rows += [(100 + i, t.upper() + " ") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keyed = df.select(
+        "doc_id", F.md5(normalized_text_expr("text")).alias("k")
+    )
+    fam = keyed.groupBy("k").agg(
+        F.min("doc_id").alias("keep"), F.count("*").alias("n")
+    ).collect()
+    assert sum(r.n for r in fam) == len(rows)
+    # the upper()+trailing-space twin always joins doc i's family
+    kv = {r.doc_id: r.k for r in keyed.collect()}
+    for i, _ in enumerate(docs):
+        assert kv[i] == kv[100 + i]

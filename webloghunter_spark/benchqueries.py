@@ -4858,6 +4858,50 @@ SQL_CC_REPRESENTATIVES = f"""
 """
 
 
+def q_dedup_normalized(spark, sf_dir):
+    """Normalized-text exact dedup: canonical key = lowercase,
+    punctuation-stripped, whitespace-collapsed text (md5'd) — catches
+    reformatted copies byte-exact dedup misses at hash-join cost, the
+    cheap middle tier between exact and MinHash dedup. Keep-min-id
+    per family; family_n sizes the duplicate cluster. One hash
+    shuffle on the 16-byte key; pure codegen normalization."""
+    from webloghunter_spark.functions.text import normalized_text_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(normalized_text_expr("text")).alias("norm_md5")
+    )
+    fam = keyed.groupBy("norm_md5").agg(
+        F.min("doc_id").alias("_keep"),
+        F.count(F.lit(1)).alias("family_n"),
+    )
+    return keyed.join(fam, "norm_md5").select(
+        "doc_id",
+        "norm_md5",
+        "family_n",
+        (F.col("doc_id") == F.col("_keep")).alias("is_kept"),
+    )
+
+
+SQL_DEDUP_NORMALIZED = r"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text),
+                       '[.,;:!?''"()\[\]{}-]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS norm_md5
+        FROM documents
+    ),
+    fam AS (
+        SELECT norm_md5, min(doc_id) AS keep, count(*) AS family_n
+        FROM keyed GROUP BY norm_md5
+    )
+    SELECT k.doc_id, k.norm_md5, f.family_n,
+           k.doc_id = f.keep AS is_kept
+    FROM keyed k JOIN fam f USING (norm_md5)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -4930,6 +4974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "quality_calibration": q_quality_calibration,
     "cc_representatives": q_cc_representatives,
+    "dedup_normalized": q_dedup_normalized,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5098,4 +5143,5 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "cc_representatives": SQL_CC_REPRESENTATIVES,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
 }

@@ -686,3 +686,17 @@ def compression_ratio_udf(level: int = 6):
         return texts.map(one)
 
     return _udf
+
+
+def normalized_text_expr(col: Column | str) -> Column:
+    """Canonical dedup key for trivially-different duplicates:
+    lowercase, strip the standard punctuation class (the SQL_QUALITY
+    class — portable across Java and RE2 regex dialects), collapse
+    whitespace runs to single spaces, trim. 'Hello,  World!' and
+    'hello world' normalize identically; exact dedup on this key
+    catches reformatted copies that byte-exact dedup misses while
+    staying far cheaper than MinHash. Pure codegen exprs."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    nopunct = F.regexp_replace(low, r"[.,;:!?'\"()\[\]{}-]", "")
+    return F.trim(F.regexp_replace(nopunct, r"\s+", " "))
