@@ -419,3 +419,29 @@ def test_compression_ratio_flags_repetition(spark):
     again = {r.doc_id: r.bp for r in
              df.select("doc_id", udf(F.col("text")).alias("bp")).collect()}
     assert again == out
+
+
+def test_incremental_near_dedup_asymmetric(spark):
+    """Batch docs near-duplicating a corpus doc are dropped; novel
+    batch docs survive — including new-vs-new duplicates (asymmetry
+    is the contract); corpus is untouched by construction."""
+    from webloghunter_spark.pipelines.dedup import incremental_near_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+         (11, "totally novel content nothing shared here at all"),
+         (12, "totally novel content nothing shared here at all")],  # new-vs-new
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r.doc_id
+        for r in incremental_near_dedup(
+            new, corpus, threshold=0.8, num_hashes=4, band_size=2
+        ).collect()
+    )
+    assert out == [11, 12]

@@ -4902,6 +4902,60 @@ SQL_DEDUP_NORMALIZED = r"""
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Asymmetric ingest-batch near-dedup: every 5th doc is the NEW
+    batch, the rest the accepted corpus; batch docs with a >= 0.8
+    Jaccard near-dup in the corpus are dropped, the corpus is never
+    re-deduped (its band signatures are the persistent index —
+    lsh_band_signatures). Candidate volume is Σ batch-bucket x
+    corpus-bucket; new-vs-new dups deliberately survive."""
+    from webloghunter_spark.pipelines.dedup import incremental_near_dedup
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_near_dedup(
+        new, corpus, threshold=0.8, num_hashes=4, band_size=2
+    ).select("doc_id", "lang", "source")
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+    WITH {DOC_TOKENS_SQL},
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM shingles WHERE len(s) > 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM sig, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    nb AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+    cb AS (SELECT * FROM banded WHERE doc_id % 5 != 0),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS id_a, cb.doc_id AS id_b
+        FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
+    ),
+    dsh AS (SELECT doc_id, list_distinct(s) AS sh FROM shingles),
+    hit AS (
+        SELECT DISTINCT id_a FROM cand
+        JOIN dsh a ON a.doc_id = cand.id_a
+        JOIN dsh b ON b.doc_id = cand.id_b
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh)) >= 0.8
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND d.doc_id NOT IN (SELECT id_a FROM hit)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -4975,6 +5029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibration": q_quality_calibration,
     "cc_representatives": q_cc_representatives,
     "dedup_normalized": q_dedup_normalized,
+    "incremental_dedup": q_incremental_dedup,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5144,4 +5199,5 @@ ORACLES: dict[str, str] = {
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "cc_representatives": SQL_CC_REPRESENTATIVES,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

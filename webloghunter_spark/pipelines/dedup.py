@@ -112,6 +112,36 @@ def minhash_signatures(
     ).withColumn("seed", F.col("seed").cast("long"))
 
 
+def lsh_band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, bh) LSH band-hash rows — the INDEX representation:
+    one 32-byte hash per band per doc. Persist this for a corpus and
+    any future batch joins against it on (band, bh) without
+    re-signaturing the corpus (incremental_near_dedup's shape)."""
+    udf = minhash_sig_udf(num_hashes, shingle_k)
+    base = df.select(F.col(id_col), udf(F.col(text_col)).alias("_sig")).filter(
+        F.col("_sig").isNotNull()
+    )
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        parts = [
+            F.element_at("_sig", b * band_size + s + 1) for s in range(band_size)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    return base.select(
+        id_col, F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -126,26 +156,14 @@ def lsh_candidate_pairs(
     band hash become a candidate pair. Join cost is sum over buckets of
     |bucket|^2 — bounded, never global n^2.
     """
-    udf = minhash_sig_udf(num_hashes, shingle_k)
-    base = df.select(F.col(id_col), udf(F.col(text_col)).alias("_sig")).filter(
-        F.col("_sig").isNotNull()
-    )
-    n_bands = num_hashes // band_size
-    band_cols = []
-    for b in range(n_bands):
-        parts = [
-            F.element_at("_sig", b * band_size + s + 1) for s in range(band_size)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
-        )
-    banded = base.select(
-        id_col, F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     # Materialize the (tiny: id + band + 32-byte hash) banded table once;
     # a plain self-join would recompute the full shingle+md5 pipeline on
     # both sides.
-    banded = materialize(banded)
+    banded = materialize(
+        lsh_band_signatures(
+            df, text_col, id_col, num_hashes, band_size, shingle_k
+        )
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(
@@ -744,3 +762,56 @@ def component_representatives(
         score_col,
         (F.col(id_col) == F.col("_keep_id")).alias("is_rep"),
     )
+
+
+def incremental_near_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-dedup — the daily-ingest production shape: drop
+    every NEW-batch document with a >= threshold Jaccard near-dup in
+    the already-accepted corpus, WITHOUT re-deduping the corpus
+    (near_dedup re-scans everything; at 100 TB the corpus's band
+    signatures are written once — `lsh_band_signatures` is the index
+    — and each ingest batch only signatures ITSELF). Ids must be
+    globally unique across both frames. New-vs-new duplicates are
+    deliberately NOT dropped here — run near_dedup on the batch first
+    if ingest batches self-duplicate.
+
+    Cost: |batch| signatures + an equi-join on (band, bh) whose volume
+    is Σ batch-bucket x corpus-bucket — bounded by bucket sizes, never
+    |batch| x |corpus| — then exact Jaccard on candidates only and a
+    left-anti drop."""
+    nb = materialize(
+        lsh_band_signatures(
+            new, text_col, id_col, num_hashes, band_size, shingle_k
+        )
+    ).alias("n")
+    cb = lsh_band_signatures(
+        corpus, text_col, id_col, num_hashes, band_size, shingle_k
+    ).alias("c")
+    cand = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    u = new.select(id_col, text_col).union(corpus.select(id_col, text_col))
+    sims = ngram_jaccard_pairs(
+        u, cand, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    drop = sims.select(F.col("id_a").alias(id_col)).distinct()
+    return new.join(drop, id_col, "left_anti")
