@@ -673,3 +673,55 @@ def test_mix_temperature_batch_stream_parity(spark, tmp_path):
         q.stop()
     assert sorted(fn.weights()) == batch
     assert len(seen) >= 2
+
+
+def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
+    """The asymmetric contract (batch docs compared only against the
+    frozen corpus) makes per-batch survivor unions equal the batch
+    operator exactly, however ingestion is sliced."""
+    from webloghunter_spark.pipelines.dedup import incremental_near_dedup
+    from webloghunter_spark.streaming.incdedup import (
+        incremental_dedup_stream_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"c{i} alpha beta gamma delta epsilon zeta") for i in range(10)]
+        + [(50, "shared shingle run one two three four five six")],
+        "doc_id long, text string",
+    )
+    new_rows = [(100 + i, f"n{i} fresh words nothing like corpus {i}")
+                for i in range(8)]
+    new_rows += [(200, "shared shingle run one two three four five six")]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    want = sorted(
+        r.doc_id
+        for r in incremental_near_dedup(
+            new, corpus, threshold=0.8, num_hashes=4, band_size=2
+        ).collect()
+    )
+
+    src = str(tmp_path / "inc_src")
+    new.filter("doc_id < 104").write.mode("overwrite").parquet(src)
+    new.filter("doc_id >= 104").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    seen = []
+    fn = incremental_dedup_stream_writer(
+        lambda rows, bid: seen.append(rows), corpus,
+        threshold=0.8, num_hashes=4, band_size=2,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        fn.release()
+    assert sorted(fn.survivors) == want
+    assert 200 not in fn.survivors  # the planted corpus near-dup died
+    assert len(seen) >= 2

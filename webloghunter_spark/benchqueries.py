@@ -4866,10 +4866,16 @@ def q_dedup_normalized(spark, sf_dir):
     per family; family_n sizes the duplicate cluster. One hash
     shuffle on the 16-byte key; pure codegen normalization."""
     from webloghunter_spark.functions.text import normalized_text_expr
+    from webloghunter_spark.session import materialize
 
     docs = _t(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id", F.md5(normalized_text_expr("text")).alias("norm_md5")
+    # keyed feeds BOTH the family aggregate and the join probe side:
+    # unmaterialized, the three-regex normalization runs twice over
+    # the corpus (the ngram_jaccard_pairs lesson)
+    keyed = materialize(
+        docs.select(
+            "doc_id", F.md5(normalized_text_expr("text")).alias("norm_md5")
+        )
     )
     fam = keyed.groupBy("norm_md5").agg(
         F.min("doc_id").alias("_keep"),
@@ -4956,6 +4962,63 @@ SQL_INCREMENTAL_DEDUP = f"""
 """
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language: chars/token and
+    bytes/token in centi-units, plus token and byte totals — the
+    numbers that decide whether a fixed tokenizer taxes some
+    languages (high bytes/token = more tokens per sentence = higher
+    effective cost). One combinable aggregate over integer sums; the
+    ratio forms at |langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        token_count_expr("text").alias("_ntok"),
+        F.length("text").cast("long").alias("_nchar"),
+        F.octet_length("text").cast("long").alias("_nbyte"),
+    )
+    cu = lambda num, den: (  # noqa: E731
+        F.when(
+            F.sum(den) > 0,
+            F.floor(F.sum(num) * 100.0 / F.sum(den) + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.sum("_nbyte").alias("n_bytes"),
+        cu("_nchar", "_ntok").alias("chars_per_tok_c"),
+        cu("_nbyte", "_ntok").alias("bytes_per_tok_c"),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+    WITH toks AS (
+        SELECT lang, text, CASE WHEN length(trim(text)) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT lang, len(t)::BIGINT AS ntok,
+               length(text)::BIGINT AS nchar,
+               octet_length(encode(text))::BIGINT AS nbyte
+        FROM toks
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(ntok)::BIGINT AS n_tokens,
+           sum(nbyte)::BIGINT AS n_bytes,
+           CASE WHEN sum(ntok) > 0
+                THEN CAST(floor(sum(nchar) * 100.0 / sum(ntok) + 0.5)
+                          AS BIGINT) ELSE 0 END AS chars_per_tok_c,
+           CASE WHEN sum(ntok) > 0
+                THEN CAST(floor(sum(nbyte) * 100.0 / sum(ntok) + 0.5)
+                          AS BIGINT) ELSE 0 END AS bytes_per_tok_c
+    FROM b GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -5030,6 +5093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_representatives": q_cc_representatives,
     "dedup_normalized": q_dedup_normalized,
     "incremental_dedup": q_incremental_dedup,
+    "tokenizer_fertility": q_tokenizer_fertility,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5200,4 +5264,5 @@ ORACLES: dict[str, str] = {
     "cc_representatives": SQL_CC_REPRESENTATIVES,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
 }

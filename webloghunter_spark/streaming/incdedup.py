@@ -1,0 +1,114 @@
+"""Streaming twin of pipelines/dedup.incremental_near_dedup — the
+continuous-ingest near-dedup gate.
+
+The accepted corpus's LSH band signatures are the FROZEN INDEX
+(computed once, persisted for the stream's life — the gate/decontam
+frozen-model discipline); each micro-batch signatures only ITSELF,
+joins the index on (band, bh), exact-Jaccards the candidates, and
+forwards survivors to the sink. Because the operator is ASYMMETRIC
+(batch docs are only compared against the corpus, never against each
+other or other batches), the union of per-batch survivor sets equals
+the batch operator over the union of all batches EXACTLY — parity is
+free, like the sum/max-merge twins (hll, mix), with no cross-batch
+state at all.
+
+Index freshness is the caller's policy: fold accepted survivors back
+into the index offline and restart the stream with the new index
+(the standard daily-compaction loop); folding in-stream would break
+the asymmetric contract and the parity property both.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.pipelines.dedup import lsh_band_signatures
+
+
+def incremental_dedup_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function. Per micro-batch, `sink(rows,
+    batch_id)` receives the batch's SURVIVING (id,) rows. The frozen
+    corpus index (band signatures + distinct shingle sets) is
+    persist()ed in the closure — NOT session.materialize(), whose
+    registry is drained per-query by bench/batch callers and would
+    silently unpersist a live stream's index. Exposes `.release` to
+    free it after stream stop, and `.survivors` (all ids so far)."""
+    cb = lsh_band_signatures(
+        corpus, text_col, id_col, num_hashes, band_size, shingle_k
+    ).persist()
+    from webloghunter_spark.functions.text import shingles_expr
+
+    csh = corpus.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+    ).persist()
+    cb.count(), csh.count()  # settle the frozen index
+
+    survivors: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nb = lsh_band_signatures(
+            batch_df, text_col, id_col, num_hashes, band_size, shingle_k
+        ).alias("n")
+        cand = (
+            nb.join(
+                cb.alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bh") == F.col("c.bh")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("id_a"),
+                F.col(f"c.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        bsh = batch_df.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_expr(text_col, shingle_k)
+            ).alias("_sh"),
+        )
+        a = bsh.alias("a")
+        b = csh.alias("b")
+        sims = (
+            cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+            .join(b, cand.id_b == F.col(f"b.{id_col}"))
+            .select(
+                "id_a",
+                (
+                    F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
+                    / F.size(F.array_union("a._sh", "b._sh")).cast("double")
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= threshold)
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        kept = [
+            (r[id_col],)
+            for r in batch_df.join(sims, id_col, "left_anti")
+            .select(id_col)
+            .collect()
+        ]
+        survivors.extend(k for k, in kept)
+        sink(kept, batch_id)
+
+    def release() -> None:
+        cb.unpersist()
+        csh.unpersist()
+
+    process.release = release
+    process.survivors = survivors
+    return process
