@@ -725,3 +725,72 @@ def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
     assert sorted(fn.survivors) == want
     assert 200 not in fn.survivors  # the planted corpus near-dup died
     assert len(seen) >= 2
+
+
+def test_oov_rate_batch_stream_parity_frozen_vocab(spark, tmp_path):
+    """Scoring is stateless against a frozen vocab, so per-batch
+    outputs union to exactly the batch operator's rows when the
+    batch side uses the same frozen vocabulary."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.text import (
+        token_count_expr,
+        tokens_expr,
+    )
+    from webloghunter_spark.streaming.oov import (
+        frozen_vocab,
+        oov_rate_stream_writer,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    feed = spark.createDataFrame(
+        [(100, "alpha beta zzz1"), (101, "alpha beta gamma"),
+         (102, "zzz2 zzz3 zzz4 zzz5"), (103, "")],
+        "doc_id long, text string",
+    )
+    vocab = frozen_vocab(ref, vocab_size=4)
+    # batch reference: same frozen vocab, same scoring exprs
+    toks = feed.select("doc_id", F.explode(tokens_expr("text")).alias("_tok"))
+    oov = (toks.join(F.broadcast(vocab), "_tok", "left_anti")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_oov")))
+    want = sorted(
+        tuple(r)
+        for r in feed.select(
+            "doc_id", token_count_expr("text").cast("long").alias("ntok")
+        )
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id", "ntok",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(F.col("ntok") > 0,
+                   F.floor(F.coalesce("n_oov", F.lit(0)) * 10000.0
+                           / F.col("ntok") + F.lit(0.5)))
+            .otherwise(F.lit(0)).cast("long").alias("oov_bp"),
+        ).collect()
+    )
+
+    src = str(tmp_path / "oov_src")
+    feed.filter("doc_id < 102").write.mode("overwrite").parquet(src)
+    feed.filter("doc_id >= 102").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(feed.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    seen = []
+    fn = oov_rate_stream_writer(lambda rows, bid: seen.extend(rows), vocab)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_oov"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        vocab.unpersist()
+    assert sorted(seen) == want
+    got = {r[0]: r for r in seen}
+    assert got[100][3] == 3333 and got[102][3] == 10000 and got[103][1] == 0

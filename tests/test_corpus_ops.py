@@ -445,3 +445,59 @@ def test_incremental_near_dedup_asymmetric(spark):
         ).collect()
     )
     assert out == [11, 12]
+
+
+def test_corpus_ops_tolerate_empty_and_null_inputs(spark):
+    """Zero-row and NULL-text inputs must not crash any curation
+    operator — the empty-partition / bad-record reality of a 100 TB
+    ingest. Each op returns a well-formed (possibly empty) frame."""
+    from webloghunter_spark.pipelines.decontam import contamination_spans
+    from webloghunter_spark.pipelines.dedup import (
+        incremental_near_dedup,
+        repeated_window_spans,
+    )
+    from webloghunter_spark.pipelines.select import (
+        dsir_weights,
+        oov_rate,
+        score_calibration,
+        token_budget_select,
+    )
+    from webloghunter_spark.pipelines.split import mix_temperature
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    nulls = spark.createDataFrame(
+        [(1, None, "s0"), (2, "", "s0"), (3, "ok text here", "s1")],
+        "doc_id long, text string, source string",
+    )
+    some = spark.createDataFrame(
+        [(9, "a b c d e", "s9")], "doc_id long, text string, source string"
+    )
+
+    assert repeated_window_spans(empty, window=3).count() == 0
+    assert repeated_window_spans(nulls, window=3).count() == 0
+    assert oov_rate(empty).count() == 0
+    ov = {r.doc_id: r for r in oov_rate(nulls).collect()}
+    assert ov[1].ntok == 0 and ov[2].ntok == 0 and ov[3].ntok == 3
+    assert mix_temperature(empty).count() == 0
+    mt = mix_temperature(nulls).collect()
+    assert {r.source for r in mt} == {"s0", "s1"}
+    assert score_calibration(
+        empty.selectExpr("source", "doc_id as quality_bp")
+    ).count() == 0
+    scored = nulls.selectExpr("doc_id", "text", "doc_id as score")
+    sel = token_budget_select(scored, 100, score_col="score")
+    assert all(r.selected for r in sel.collect())
+    assert token_budget_select(
+        empty.selectExpr("doc_id", "text", "doc_id as score"),
+        100,
+        score_col="score",
+    ).count() == 0
+    assert dsir_weights(empty, some).count() == 0
+    # null/empty-text raw docs simply contribute no grams
+    dw = dsir_weights(nulls, some)
+    assert {r.doc_id for r in dw.collect()} == {3}
+    assert contamination_spans(empty, some, n=2).count() == 0
+    assert contamination_spans(nulls, some, n=2).count() == 0
+    assert incremental_near_dedup(empty, some).count() == 0
+    # empty corpus: everything in the batch survives
+    assert incremental_near_dedup(some, empty).count() == 1

@@ -4513,8 +4513,11 @@ SQL_MIX_TEMPERATURE = r"""
                AS raw_bp,
            CAST(floor(pow(n_tokens / tot, 0.7) / z * 10000.0 + 0.5)
                AS BIGINT) AS temp_bp,
-           CAST(floor(pow(n_tokens / tot, 0.7) / z / (n_tokens / tot)
-                      * 10000.0 + 0.5) AS BIGINT) AS boost_bp
+           CASE WHEN n_tokens > 0
+                THEN CAST(floor(pow(n_tokens / tot, 0.7) / z
+                                / (n_tokens / tot)
+                                * 10000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS boost_bp
     FROM per, tot, z
 """
 

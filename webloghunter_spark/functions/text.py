@@ -28,9 +28,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_expr(col: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text -> empty array."""
+    """Whitespace tokenization; empty/blank/NULL text -> empty array
+    (NULL used to propagate, leaking NULL ntok/size(-1) into every
+    downstream count — the bad-record reality of real ingest)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = F.trim(F.coalesce(c, F.lit("")))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

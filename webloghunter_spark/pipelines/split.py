@@ -316,6 +316,10 @@ def mix_temperature(
     )
     temp = powed / F.col("_z")
     bp = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    # a zero-token group has share 0 and an undefined boost; emit 0s
+    # rather than tripping ANSI DIVIDE_BY_ZERO on temp/raw (the
+    # bad-record reality: all-NULL/empty-text groups do occur)
+    has_tok = F.col("n_tokens") > 0
     return (
         per.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(z))
@@ -325,7 +329,11 @@ def mix_temperature(
             "n_tokens",
             bp(raw).alias("raw_bp"),
             bp(temp).alias("temp_bp"),
-            F.floor(temp / raw * 10000.0 + F.lit(0.5))
+            F.when(
+                has_tok,
+                F.floor(temp / raw * 10000.0 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(F.lit(0))
             .cast("long")
             .alias("boost_bp"),
         )
