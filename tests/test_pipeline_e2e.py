@@ -88,3 +88,53 @@ def test_pipeline_filters(spark, logdir):
     # ordering by (source, utc_timestamp)
     out = query(scored, all_extensions=True).collect()
     assert [r.source for r in out] == sorted(r.source for r in out)
+
+
+def test_curate_corpus_full_funnel(spark):
+    """The one-call funnel: plumbing order, attrition bookkeeping,
+    and stage skipping — each stage's semantics are pinned by its own
+    oracle/tests elsewhere."""
+    from webloghunter_spark.pipelines.curate import curate_corpus
+
+    def body(i):  # unique 30-token body per doc (pairwise J ~ 0)
+        return " ".join(f"w{i}x{j}" for j in range(30))
+
+    rows = [(i, body(i), "s0") for i in range(10)]
+    rows += [(100, "tiny", "s0")]                      # gate: too short
+    rows += [(101, body(0).upper(), "s0")]             # normalized dup of 0
+    rows += [(102, body(1) + " extra", "s0")]          # near dup of 1
+    eval_df = spark.createDataFrame(
+        [(900, body(5))], "doc_id long, text string"
+    )                                                   # contaminates doc 5
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out, funnel = curate_corpus(
+        docs, eval_df=eval_df, min_quality_bp=1000,
+        near_dedup_threshold=0.8, decontam_n=8,
+    )
+    stages = [s for s, _, _ in funnel]
+    assert stages == ["quality_gate", "normalized_dedup", "near_dedup",
+                      "decontaminate"]
+    # monotone attrition, rows_in chains
+    for (s1, i1, o1), (s2, i2, o2) in zip(funnel, funnel[1:]):
+        assert o1 == i2 and o1 <= i1
+    ids = {r.doc_id for r in out.collect()}
+    assert 100 not in ids     # gated
+    assert 101 not in ids     # normalized dup (upper-case twin)
+    assert 102 not in ids     # near dup
+    assert 5 not in ids       # contaminated
+    assert {0, 1, 2, 3, 4, 6, 7, 8, 9} <= ids
+
+    # skipping every stage is identity with an empty funnel
+    out2, f2 = curate_corpus(
+        docs, min_quality_bp=None, near_dedup_threshold=None,
+    )
+    assert f2 == [] and out2.count() == docs.count()
+
+    # budget stage derives quality on the fly when score_col is None
+    out3, f3 = curate_corpus(
+        docs, min_quality_bp=1000, near_dedup_threshold=None,
+        token_budget=200,
+    )
+    assert f3[-1][0] == "token_budget"
+    assert f3[-1][2] <= f3[-1][1]

@@ -1,0 +1,144 @@
+"""One-call corpus curation: the full pretraining-data funnel.
+
+Composes the individually-oracled stages into the pipeline a user
+actually runs, in the canonical order (cheap row-local rules first so
+the expensive corpus-wide joins see the smallest survivor set):
+
+    1. quality gate      row-local rule stack (pipelines/gate.py)
+    2. normalized dedup  canonical-key exact families (cheap tier)
+    3. near dedup        MinHash-LSH drop-first (pipelines/dedup.py)
+    4. decontamination   eval n-gram overlap (pipelines/decontam.py)
+    5. token budget      quality-ranked selection (pipelines/select.py)
+
+Each stage is optional (None/0 disables it and its jobs entirely).
+Returns (survivors, funnel) where `funnel` is one row per stage with
+rows-in/rows-out — the attrition report every curation run gets
+audited by. The funnel numbers cost one count per stage boundary
+(cheap aggregates over materialized survivor sets; the stages
+themselves each materialize once anyway at 100 TB — write survivors
+between stages rather than fusing five corpus-wide joins into one
+plan whose failure loses everything).
+
+This is deliberately a COMPOSITION, not new semantics: every stage's
+exact behavior is pinned by its own DuckDB oracle and tests; the
+pipeline test checks plumbing (ordering, attrition bookkeeping,
+stage-skip), not re-proves the math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.session import materialize
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_bp: int | None = 5000,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    near_dedup_threshold: float | None = 0.8,
+    decontam_n: int = 8,
+    token_budget: int | None = None,
+    score_col: str | None = None,
+) -> tuple[DataFrame, list[tuple[str, int, int]]]:
+    """Run the funnel; returns (survivors, funnel) with funnel =
+    [(stage, rows_in, rows_out), ...] for every ENABLED stage.
+
+    - `min_quality_bp=None` skips the gate; `near_dedup_threshold=None`
+      skips both dedup tiers; `eval_df=None` skips decontamination;
+      `token_budget=None` skips selection (`score_col` names the
+      integer score column for it; required when budget is set unless
+      the gate ran, in which case quality_bp is derived on the fly).
+    """
+    from webloghunter_spark.functions.text import (
+        normalized_text_expr,
+        quality_bp_expr,
+    )
+
+    funnel: list[tuple[str, int, int]] = []
+    cur = materialize(docs)
+    n = cur.count()
+
+    if min_quality_bp is not None:
+        from webloghunter_spark.pipelines.gate import quality_gate
+
+        verdicts = quality_gate(
+            cur,
+            text_col=text_col,
+            id_col=id_col,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_quality_bp=min_quality_bp,
+        )
+        keep = verdicts.filter(F.col("keep")).select(id_col)
+        cur = materialize(cur.join(keep, id_col, "left_semi"))
+        m = cur.count()
+        funnel.append(("quality_gate", n, m))
+        n = m
+
+    if near_dedup_threshold is not None:
+        # cheap tier: canonical-key exact families, keep min id
+        keyed = cur.select(
+            F.col(id_col),
+            F.md5(normalized_text_expr(text_col)).alias("_k"),
+        )
+        keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col)).select(
+            id_col
+        )
+        cur = materialize(cur.join(keep, id_col, "left_semi"))
+        m = cur.count()
+        funnel.append(("normalized_dedup", n, m))
+        n = m
+
+        from webloghunter_spark.pipelines.dedup import near_dedup
+
+        cur = materialize(
+            near_dedup(
+                cur,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=near_dedup_threshold,
+            )
+        )
+        m = cur.count()
+        funnel.append(("near_dedup", n, m))
+        n = m
+
+    if eval_df is not None:
+        from webloghunter_spark.pipelines.decontam import decontaminate
+
+        cur = materialize(
+            decontaminate(
+                cur, eval_df, id_col=id_col, text_col=text_col, n=decontam_n
+            )
+        )
+        m = cur.count()
+        funnel.append(("decontaminate", n, m))
+        n = m
+
+    if token_budget is not None:
+        from webloghunter_spark.pipelines.select import token_budget_select
+
+        if score_col is None:
+            scored = cur.withColumn(
+                "_score", quality_bp_expr(text_col)
+            )
+            sc = "_score"
+        else:
+            scored, sc = cur, score_col
+        sel = token_budget_select(
+            scored, token_budget, score_col=sc, id_col=id_col
+        )
+        cur = materialize(
+            sel.filter(F.col("selected")).drop("selected", "ntok", "_score")
+        )
+        m = cur.count()
+        funnel.append(("token_budget", n, m))
+        n = m
+
+    return cur, funnel
