@@ -501,3 +501,25 @@ def test_corpus_ops_tolerate_empty_and_null_inputs(spark):
     assert incremental_near_dedup(empty, some).count() == 0
     # empty corpus: everything in the batch survives
     assert incremental_near_dedup(some, empty).count() == 1
+
+
+def test_token_budget_boundary_guard_and_zero_token_admission(spark):
+    """Zero-token docs in the boundary bucket are admitted without a
+    driver round-trip; an over-deep boundary bucket trips the guard
+    instead of collecting it."""
+    import pytest
+
+    from webloghunter_spark.pipelines.select import token_budget_select
+
+    rows = [(1, "t " * 10, 900)]
+    rows += [(10 + i, "t " * 4, 500) for i in range(6)]   # boundary
+    rows += [(50, "", 500), (51, None, 500)]               # zero-token
+    df = spark.createDataFrame(rows, "doc_id long, text string, score int")
+    # budget 18: bucket 900 eats 10; remaining 8 admits ids 10,11 (4+4)
+    out = {r.doc_id: r.selected for r in
+           token_budget_select(df, 18, score_col="score").collect()}
+    assert out[1] and out[10] and out[11]
+    assert not any(out[i] for i in (12, 13, 14, 15))
+    assert out[50] and out[51]  # zero-token boundary docs always fit
+    with pytest.raises(ValueError, match="boundary score bucket"):
+        token_budget_select(df, 18, score_col="score", max_boundary_rows=3)

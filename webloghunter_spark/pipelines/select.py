@@ -48,6 +48,7 @@ def token_budget_select(
     score_col: str = "quality_bp",
     id_col: str = "doc_id",
     ntok_col: Column | str | None = None,
+    max_boundary_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Rows of `df` (plus `ntok`) whose docs are selected: highest
     `score_col` first, then lowest `id_col`, cumulative ntok <= budget.
@@ -94,25 +95,38 @@ def token_budget_select(
     # boundary bucket: greedy admission in id order against the
     # remaining budget — the ordered scan covers ONE bucket's rows.
     # Greedy-skip semantics need the running sum of ADMITTED tokens,
-    # which is sequential; the boundary bucket is driver-bounded in
-    # token volume (its total exceeds `remaining`, each admitted doc
-    # consumes budget), so compute admission over the bucket's
-    # (id, ntok) pairs — never the corpus — via one more tiny collect.
-    bnd = (
-        base.filter(F.col(score_col) == F.lit(cutoff))
-        .select(id_col, "ntok")
-        .orderBy(id_col)
-        .collect()
-    )
+    # which is sequential, so the bucket's (id, ntok) pairs — never
+    # the corpus — come to the driver. Hardened (round 6):
+    # - zero-token docs are ALWAYS admitted (they consume nothing) and
+    #   never collected, so a bucket bloated with empty docs costs 0;
+    # - `max_boundary_rows` guards the collect itself: a score grid so
+    #   coarse that one bucket holds millions of rows should be
+    #   re-bucketed (finer score), not silently driver-OOM'd — the
+    #   fuzzy-join depth-guard discipline. The count is one job on the
+    #   already-materialized base.
+    bnd_df = base.filter(
+        (F.col(score_col) == F.lit(cutoff)) & (F.col("ntok") > 0)
+    ).select(id_col, "ntok")
+    if max_boundary_rows is not None:
+        depth = bnd_df.count()
+        if depth > max_boundary_rows:
+            raise ValueError(
+                f"token_budget_select: boundary score bucket {cutoff!r}"
+                f" holds {depth} rows (> {max_boundary_rows}) — the"
+                f" score grid is too coarse for a driver-side boundary"
+                f" walk. Use a finer-grained score, or raise"
+                f" max_boundary_rows deliberately."
+            )
+    bnd = bnd_df.orderBy(id_col).collect()
     admitted, rem = [], remaining
     for r in bnd:
         nt = int(r["ntok"])
         if nt <= rem:
             admitted.append(r[id_col])
             rem -= nt
-    in_boundary = (F.col(score_col) == F.lit(cutoff)) & F.col(
-        id_col
-    ).isin(admitted)
+    in_boundary = (F.col(score_col) == F.lit(cutoff)) & (
+        (F.col("ntok") == 0) | F.col(id_col).isin(admitted)
+    )
     return base.withColumn("selected", above | in_boundary)
 
 
