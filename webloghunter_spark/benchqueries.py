@@ -5022,6 +5022,141 @@ SQL_TOKENIZER_FERTILITY = r"""
 """
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """THE END-TO-END FUNNEL under one oracle: quality gate (length /
+    encoding / quality rules, LM off) -> normalized-key exact dedup ->
+    MinHash-LSH near-dedup (>=0.8, 4 hashes / 2 bands) ->
+    4-gram decontamination against the every-50th-doc eval set —
+    composed by pipelines/curate.curate_corpus exactly as a user runs
+    it, with survivors materialized between stages. Each stage is
+    individually oracled elsewhere; THIS row pins the COMPOSITION
+    (stage order, survivor threading, filter interplay) against a
+    single chained-CTE replay."""
+    from webloghunter_spark.pipelines.curate import curate_corpus
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out, _funnel = curate_corpus(
+        tr,
+        eval_df=ev,
+        min_quality_bp=3000,
+        min_tokens=10,
+        max_tokens=5000,
+        near_dedup_threshold=0.8,
+        dedup_num_hashes=4,
+        dedup_band_size=2,
+        decontam_n=4,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_CURATE_PIPELINE = r"""
+    WITH toks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents WHERE doc_id % 50 != 0
+    ),
+    gate AS (
+        SELECT doc_id,
+               coalesce(len(t), 0)::BIGINT AS ntok,
+               greatest(coalesce(length(text), 0), 1)::BIGINT AS nc,
+               coalesce(length(text) - length(regexp_replace(
+                   text, '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')), 0)::BIGINT
+                   AS npr,
+               coalesce(CAST(floor((least(len(t)::DOUBLE / 100.0, 1.0) * 0.5
+                   + (1.0 - (length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE
+                       / greatest(length(text)::DOUBLE, 1.0)) * 0.3
+                   + least((len(list_filter(t, x -> list_contains(
+                       ['the','a','an','of','to','in','and','is','on','for'],
+                       lower(x))))::DOUBLE
+                       / greatest(len(t)::DOUBLE, 1.0)) * 5.0, 1.0) * 0.2)
+                   * 10000.0 + 0.5) AS BIGINT), 0) AS qbp
+        FROM toks
+    ),
+    s1 AS (
+        SELECT doc_id FROM gate
+        WHERE ntok >= 10 AND ntok <= 5000
+          AND npr * 10000 <= 1000 * nc AND qbp >= 3000
+    ),
+    keyed AS (
+        SELECT d.doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(d.text),
+                       '[.,;:!?''"()\[\]{}-]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS k
+        FROM documents d JOIN s1 USING (doc_id)
+    ),
+    s2 AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k),
+    sh3 AS (
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - 2),
+                   i -> array_to_string(t.t[i:i+2], ' ')) END AS s
+        FROM toks t JOIN s2 USING (doc_id)
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM sh3 WHERE len(s) > 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM sig, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ),
+    dsh AS (SELECT doc_id, list_distinct(s) AS sh FROM sh3),
+    dropped AS (
+        SELECT DISTINCT id_b FROM cand
+        JOIN dsh a ON a.doc_id = cand.id_a
+        JOIN dsh b ON b.doc_id = cand.id_b
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ),
+    s3 AS (
+        SELECT doc_id FROM s2
+        WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    ),
+    evt AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(CASE WHEN len(t) < 4
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                   i -> array_to_string(t[i:i+3], ' ')) END) AS g
+        FROM evt
+    ),
+    tr4 AS (
+        SELECT DISTINCT t.doc_id,
+               unnest(CASE WHEN len(t.t) < 4
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - 3),
+                   i -> array_to_string(t.t[i:i+3], ' ')) END) AS g
+        FROM toks t JOIN s3 USING (doc_id)
+    ),
+    bad AS (SELECT DISTINCT tr4.doc_id FROM tr4 JOIN ev USING (g))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN s3 USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -5097,6 +5232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_normalized": q_dedup_normalized,
     "incremental_dedup": q_incremental_dedup,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "curate_pipeline": q_curate_pipeline,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5268,4 +5404,5 @@ ORACLES: dict[str, str] = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "curate_pipeline": SQL_CURATE_PIPELINE,
 }

@@ -42,6 +42,9 @@ def curate_corpus(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     near_dedup_threshold: float | None = 0.8,
+    dedup_num_hashes: int = 8,
+    dedup_band_size: int = 2,
+    dedup_shingle_k: int = 3,
     decontam_n: int = 8,
     token_budget: int | None = None,
     score_col: str | None = None,
@@ -103,6 +106,9 @@ def curate_corpus(
                 text_col=text_col,
                 id_col=id_col,
                 threshold=near_dedup_threshold,
+                num_hashes=dedup_num_hashes,
+                band_size=dedup_band_size,
+                shingle_k=dedup_shingle_k,
             )
         )
         m = cur.count()
