@@ -523,3 +523,30 @@ def test_token_budget_boundary_guard_and_zero_token_admission(spark):
     assert out[50] and out[51]  # zero-token boundary docs always fit
     with pytest.raises(ValueError, match="boundary score bucket"):
         token_budget_select(df, 18, score_col="score", max_boundary_rows=3)
+
+
+def test_distribution_drift_js_properties(spark):
+    """JS is ~0 for identical halves, grows with disjoint vocabulary,
+    is symmetric, and bounded by ln 2 (in nano-nats)."""
+    from webloghunter_spark.pipelines.select import distribution_drift
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = same.filter("doc_id % 2 = 0")
+    b = same.filter("doc_id % 2 = 1")
+    low = distribution_drift(a, b).collect()[0]
+    assert low.n_a == low.n_b == 80
+    assert abs(low.js_nano) < 1_000_000  # ~0 vs ln2 ~ 6.9e8 nano-nats
+
+    other = spark.createDataFrame(
+        [(i, "zeta eta theta iota") for i in range(20)],
+        "doc_id long, text string",
+    )
+    hi = distribution_drift(a, other).collect()[0]
+    assert hi.js_nano > 20 * abs(low.js_nano) + 10_000_000
+    assert hi.js_nano < 693_147_181 + 1_000_000  # <= ln 2 + slack
+    # symmetric
+    rev = distribution_drift(other, a).collect()[0]
+    assert rev.js_nano == hi.js_nano

@@ -5157,6 +5157,55 @@ SQL_CURATE_PIPELINE = r"""
 """
 
 
+def q_dist_drift(spark, sf_dir):
+    """Snapshot drift monitor: one-row Jensen-Shannon divergence (in
+    integer nano-nats) between the even- and odd-doc halves' hashed
+    token-feature distributions — the alert number a pipeline watches
+    between crawls. Full 1024-bucket spine with Laplace smoothing;
+    per-bucket contributions quantized to the 1e-9 grid before the
+    order-free integer sum (the dsir convention)."""
+    from webloghunter_spark.pipelines.select import distribution_drift
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+SQL_DIST_DRIFT = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(unnest(t)), 1, 8) AS BIGINT)
+                   % 1024 AS b
+        FROM toks
+    ),
+    ca AS (SELECT b, count(*) AS ca FROM tk WHERE doc_id % 2 = 0 GROUP BY b),
+    cb AS (SELECT b, count(*) AS cb FROM tk WHERE doc_id % 2 = 1 GROUP BY b),
+    ta AS (SELECT count(*)::BIGINT AS ta FROM tk WHERE doc_id % 2 = 0),
+    tb AS (SELECT count(*)::BIGINT AS tb FROM tk WHERE doc_id % 2 = 1),
+    spine AS (SELECT unnest(generate_series(0, 1023)) AS b),
+    terms AS (
+        SELECT ta.ta, tb.tb,
+               (coalesce(ca.ca, 0) + 1) / (ta.ta + 1024) AS p,
+               (coalesce(cb.cb, 0) + 1) / (tb.tb + 1024) AS q
+        FROM spine
+        LEFT JOIN ca USING (b) LEFT JOIN cb USING (b), ta, tb
+    )
+    SELECT ta AS n_a, tb AS n_b,
+           sum(CAST(round((p * ln(p / ((p + q) / 2.0))
+                           + q * ln(q / ((p + q) / 2.0)))
+                          / 2.0 * 1e9) AS BIGINT))::BIGINT AS js_nano
+    FROM terms GROUP BY ta, tb
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -5233,6 +5282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "tokenizer_fertility": q_tokenizer_fertility,
     "curate_pipeline": q_curate_pipeline,
+    "dist_drift": q_dist_drift,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5405,4 +5455,5 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "curate_pipeline": SQL_CURATE_PIPELINE,
+    "dist_drift": SQL_DIST_DRIFT,
 }

@@ -308,3 +308,62 @@ def score_calibration(
             ).alias(f"p{int(p)}_bp")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One-row Jensen-Shannon divergence between two corpora's hashed
+    token-feature distributions: (n_a, n_b, js_nano) with js in
+    integer nano-nats. THE drift monitor between corpus snapshots /
+    sources / time windows — JS is symmetric, bounded by ln 2, and
+    zero iff the smoothed distributions match, so a pipeline can
+    alert on `js_nano > threshold` without eyeballing histograms.
+
+    Same feature space as dsir_weights (md5 % B buckets, Laplace +1
+    smoothing over the FULL B-bucket spine, so differing corpus sizes
+    surface as drift in the unseen mass too). Per-bucket contributions
+    are quantized to the 1e-9 grid BEFORE summing — order-free integer
+    sums, engine-exact like the dsir log-ratios. Cost: two combinable
+    B-cell aggregates + arithmetic on a B-row spine."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    bl = F.lit(int(n_buckets))
+    bucket = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % bl
+    )
+    tok = lambda df: df.select(  # noqa: E731
+        F.explode(tokens_expr(text_col)).alias("_t")
+    ).select(bucket(F.col("_t")).alias("_b"))
+    ca = tok(a).groupBy("_b").agg(F.count(F.lit(1)).alias("_ca"))
+    cb = tok(b).groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    ta = tok(a).agg(F.count(F.lit(1)).alias("_ta"))
+    tb = tok(b).agg(F.count(F.lit(1)).alias("_tb"))
+    spine = a.sparkSession.range(int(n_buckets)).select(
+        F.col("id").alias("_b")
+    )
+    j = (
+        spine.join(ca, "_b", "left")
+        .join(cb, "_b", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    p = (F.coalesce(F.col("_ca"), F.lit(0)) + F.lit(1)) / (F.col("_ta") + bl)
+    q = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(1)) / (F.col("_tb") + bl)
+    m = (p + q) / F.lit(2.0)
+    contrib = F.round(
+        (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0) * 1e9
+    ).cast("long")
+    return (
+        j.select(contrib.alias("_c"), "_ta", "_tb")
+        .groupBy("_ta", "_tb")
+        .agg(F.sum("_c").alias("js_nano"))
+        .select(
+            F.col("_ta").alias("n_a"),
+            F.col("_tb").alias("n_b"),
+            "js_nano",
+        )
+    )
