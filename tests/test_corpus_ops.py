@@ -550,3 +550,26 @@ def test_distribution_drift_js_properties(spark):
     # symmetric
     rev = distribution_drift(other, a).collect()[0]
     assert rev.js_nano == hi.js_nano
+
+
+def test_embedding_drift_detects_region_shift(spark):
+    """Identical vector sets show ~0 JS; a 90-degree-rotated set lands
+    in different LSH buckets and shows large drift; symmetric."""
+    import math
+
+    from webloghunter_spark.pipelines.select import embedding_drift
+
+    rows = [
+        (i, [math.cos(i * 0.1), math.sin(i * 0.1)] + [0.0] * 62)
+        for i in range(40)
+    ]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    same = embedding_drift(a, a, num_planes=4).collect()[0]
+    assert abs(same.js_nano) < 1_000_000
+    rot = spark.createDataFrame(
+        [(i, [-v[1], v[0]] + v[2:]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    hi = embedding_drift(a, rot, num_planes=4).collect()[0]
+    assert hi.js_nano > 10 * abs(same.js_nano) + 5_000_000
+    assert embedding_drift(rot, a, num_planes=4).collect()[0].js_nano == hi.js_nano

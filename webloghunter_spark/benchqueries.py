@@ -5206,6 +5206,60 @@ SQL_DIST_DRIFT = r"""
 """
 
 
+def q_emb_drift(spark, sf_dir):
+    """dist_drift's embedding-modality twin: JS divergence (nano-nats)
+    between the even- and odd-id vector halves' hyperplane-LSH bucket
+    distributions (4 md5-derived planes -> 16 cells, the knn_lsh
+    hash) — does a new snapshot's embedding space occupy the same
+    regions, without training anything."""
+    from webloghunter_spark.pipelines.select import embedding_drift
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        num_planes=4,
+    )
+
+
+SQL_EMB_DRIFT = r"""
+    WITH coeff AS (
+        SELECT p, list_transform(generate_series(0, 63),
+                   d -> (strpos('0123456789abcdef',
+                         substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1))
+                         - 8.5)) AS c
+        FROM (SELECT unnest(generate_series(0, 3)) AS p)
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN list_dot_product(
+                                 CAST(embedding AS DOUBLE[]), c) >= 0
+                             THEN pow(2, p) ELSE 0 END) AS BIGINT) AS b
+        FROM embeddings, coeff
+        GROUP BY vec_id
+    ),
+    ca AS (SELECT b, count(*) AS ca FROM bucketed WHERE vec_id % 2 = 0
+           GROUP BY b),
+    cb AS (SELECT b, count(*) AS cb FROM bucketed WHERE vec_id % 2 = 1
+           GROUP BY b),
+    ta AS (SELECT count(*)::BIGINT AS ta FROM bucketed WHERE vec_id % 2 = 0),
+    tb AS (SELECT count(*)::BIGINT AS tb FROM bucketed WHERE vec_id % 2 = 1),
+    spine AS (SELECT unnest(generate_series(0, 15)) AS b),
+    terms AS (
+        SELECT ta.ta, tb.tb,
+               (coalesce(ca.ca, 0) + 1) / (ta.ta + 16) AS p,
+               (coalesce(cb.cb, 0) + 1) / (tb.tb + 16) AS q
+        FROM spine
+        LEFT JOIN ca USING (b) LEFT JOIN cb USING (b), ta, tb
+    )
+    SELECT ta AS n_a, tb AS n_b,
+           sum(CAST(round((p * ln(p / ((p + q) / 2.0))
+                           + q * ln(q / ((p + q) / 2.0)))
+                          / 2.0 * 1e9) AS BIGINT))::BIGINT AS js_nano
+    FROM terms GROUP BY ta, tb
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries, so the 56 queries it has never sampled
@@ -5283,6 +5337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "curate_pipeline": q_curate_pipeline,
     "dist_drift": q_dist_drift,
+    "emb_drift": q_emb_drift,
     # --- driver-green since rounds 1-2 (HASHCHECK-covered) ---
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -5456,4 +5511,5 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "curate_pipeline": SQL_CURATE_PIPELINE,
     "dist_drift": SQL_DIST_DRIFT,
+    "emb_drift": SQL_EMB_DRIFT,
 }

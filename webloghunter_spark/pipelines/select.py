@@ -338,11 +338,20 @@ def distribution_drift(
     tok = lambda df: df.select(  # noqa: E731
         F.explode(tokens_expr(text_col)).alias("_t")
     ).select(bucket(F.col("_t")).alias("_b"))
-    ca = tok(a).groupBy("_b").agg(F.count(F.lit(1)).alias("_ca"))
-    cb = tok(b).groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
-    ta = tok(a).agg(F.count(F.lit(1)).alias("_ta"))
-    tb = tok(b).agg(F.count(F.lit(1)).alias("_tb"))
-    spine = a.sparkSession.range(int(n_buckets)).select(
+    return _js_divergence(tok(a), tok(b), n_buckets)
+
+
+def _js_divergence(fa: DataFrame, fb: DataFrame, n_cells: int) -> DataFrame:
+    """Shared JS core over two single-column `_b` feature frames:
+    Laplace-smoothed distributions on the full n_cells spine,
+    per-cell contributions quantized to 1e-9 nats, order-free
+    integer sum -> one (n_a, n_b, js_nano) row."""
+    bl = F.lit(int(n_cells))
+    ca = fa.groupBy("_b").agg(F.count(F.lit(1)).alias("_ca"))
+    cb = fb.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    ta = fa.agg(F.count(F.lit(1)).alias("_ta"))
+    tb = fb.agg(F.count(F.lit(1)).alias("_tb"))
+    spine = fa.sparkSession.range(int(n_cells)).select(
         F.col("id").alias("_b")
     )
     j = (
@@ -367,3 +376,27 @@ def distribution_drift(
             "js_nano",
         )
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """distribution_drift's EMBEDDING-modality twin: one-row JS
+    divergence (nano-nats) between two vector sets' hyperplane-LSH
+    bucket distributions — does the new snapshot's embedding space
+    occupy the same regions? Buckets are the deterministic md5-derived
+    sign-bit hash knn_lsh uses (2^num_planes cells), so the monitor
+    needs no trained model and any engine re-derives the buckets.
+    Same smoothed-spine JS core as distribution_drift."""
+    from webloghunter_spark.functions.similarity import (
+        hyperplane_bucket_expr,
+    )
+
+    feat = lambda df: df.select(  # noqa: E731
+        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_b")
+    )
+    return _js_divergence(feat(a), feat(b), 1 << num_planes)
