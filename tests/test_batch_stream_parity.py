@@ -711,6 +711,7 @@ def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
     fn = incremental_dedup_stream_writer(
         lambda rows, bid: seen.append(rows), corpus,
         threshold=0.8, num_hashes=4, band_size=2,
+        track_survivors=True,
     )
     q = (
         stream.writeStream.foreachBatch(fn)
@@ -723,6 +724,7 @@ def test_incremental_dedup_batch_stream_parity(spark, tmp_path):
         q.stop()
         fn.release()
     assert sorted(fn.survivors) == want
+    assert fn.survivor_count() == len(want)
     assert 200 not in fn.survivors  # the planted corpus near-dup died
     assert len(seen) >= 2
 
@@ -794,3 +796,40 @@ def test_oov_rate_batch_stream_parity_frozen_vocab(spark, tmp_path):
     assert sorted(seen) == want
     got = {r[0]: r for r in seen}
     assert got[100][3] == 3333 and got[102][3] == 10000 and got[103][1] == 0
+
+
+def test_mix_temperature_stream_zero_token_groups_no_crash(spark, tmp_path):
+    """A micro-batch whose docs are all empty/NULL text must neither
+    ZeroDivisionError the stream nor break row parity with the batch
+    operator (the round-6 review finding)."""
+    from webloghunter_spark.pipelines.split import mix_temperature
+    from webloghunter_spark.streaming.mix import (
+        mix_temperature_stream_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "tok tok tok", "full"), (2, "", "emptysrc"),
+         (3, None, "emptysrc")],
+        "doc_id long, text string, source string",
+    )
+    batch = sorted(
+        tuple(r) for r in mix_temperature(corpus, "source", 0.7).collect()
+    )
+    src = str(tmp_path / "mixz_src")
+    corpus.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    fn = mix_temperature_stream_writer(
+        lambda rows, bid: None, "source", "text", 0.7
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mixz"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(fn.weights()) == batch
+    z = dict((g, (rb, tb, bb)) for g, _, _, rb, tb, bb in fn.weights())
+    assert z["emptysrc"] == (0, 0, 0)

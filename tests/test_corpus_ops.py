@@ -349,9 +349,7 @@ def test_component_representatives_pick_best_quality(spark):
     )
     out = {r.doc_id: r for r in
            component_representatives(cc, scores).collect()}
-    assert [d for d, r in out.items() if r.is_rep] == sorted(
-        d for d, r in out.items() if r.is_rep
-    )
+    assert {d for d, r in out.items() if r.is_rep} == {2, 7, 8}
     # component 1: docs 2 and 3 tie at 90 -> lowest id (2) wins
     assert out[2].is_rep and not out[3].is_rep and not out[1].is_rep
     assert out[7].is_rep and out[8].is_rep  # singletons

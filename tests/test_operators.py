@@ -620,3 +620,25 @@ def test_auto_bloom_m_sizing_rule():
     # rounds UP to a whole word
     assert auto_bloom_m(100_003) == 32 * (-(-12 * 100_003 // 32))
     assert auto_bloom_m(100_003) >= 12 * 100_003
+
+
+def test_blocked_fuzzy_join_same_column_name(spark):
+    """probe_col == corpus_col (matching a column against itself) must
+    work, with the corpus side renamed <name>_corpus in the output —
+    not an ambiguous-reference error (round-6 review finding)."""
+    from webloghunter_spark.operators.fuzzy import blocked_fuzzy_join
+
+    corpus = spark.createDataFrame(
+        [(i, f"Person Record {i:04d} name") for i in range(30)],
+        "cid long, name string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "Person Record 0003 namX")], "pid long, name string"
+    )
+    got = blocked_fuzzy_join(
+        probes, corpus, "name", "name", block_len=16, max_dist=1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.cid == 3 and r.dist == 1
+    assert r.name_corpus == "Person Record 0003 name"

@@ -215,9 +215,9 @@ WEBLOG_SQL_BASE = """
 # DuckDB CTEs for document tokenization/shingling (shared).
 DOC_TOKENS_SQL = r"""
     toks AS (
-        SELECT doc_id, source, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     shingles AS (
@@ -732,9 +732,9 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = r"""
     WITH toks AS (
-        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     )
     SELECT doc_id, len(t)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
@@ -754,9 +754,9 @@ def q_quality(spark, sf_dir):
 
 SQL_QUALITY = r"""
     WITH toks AS (
-        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     stats AS (
@@ -786,9 +786,9 @@ def q_lang_id(spark, sf_dir):
 
 SQL_LANG_ID = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(string_split_regex(trim(text), '\s+'),
+               ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
                                    x -> lower(x)) END AS t
         FROM documents
     ),
@@ -1880,7 +1880,7 @@ def q_bpe_tokens(spark, sf_dir):
 
 SQL_BPE_TOKENS = r"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
+           CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
            len(regexp_extract_all(text,
                '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
@@ -2097,9 +2097,9 @@ def q_segment_dedup(spark, sf_dir):
 
 SQL_SEGMENT_DEDUP = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     base AS (
@@ -2145,9 +2145,9 @@ def q_cms_heavy_hitters(spark, sf_dir):
 SQL_CMS_HEAVY_HITTERS = r"""
     WITH toks AS (
         SELECT lower(tok) AS tok FROM (
-            SELECT unnest(CASE WHEN length(trim(text)) = 0
+            SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
                    THEN CAST([] AS VARCHAR[])
-                   ELSE string_split_regex(trim(text), '\s+') END) AS tok
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END) AS tok
             FROM documents
         )
     ),
@@ -2222,8 +2222,8 @@ SQL_BIGRAM_LOGPROB = r"""
     WITH toks AS (
         SELECT doc_id,
                list_transform(
-                   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\s+') END,
+                   CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END,
                    x -> lower(x)) AS t
         FROM documents
     ),
@@ -2269,9 +2269,9 @@ def q_quality_gate(spark, sf_dir):
 
 SQL_QUALITY_GATE = r"""
     WITH toks AS (
-        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     base AS (
@@ -2363,9 +2363,9 @@ def q_source_overlap(spark, sf_dir):
 
 SQL_SOURCE_OVERLAP = r"""
     WITH toks AS (
-        SELECT source, CASE WHEN length(trim(text)) = 0
+        SELECT source, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     sh AS (
@@ -2407,9 +2407,9 @@ def q_token_entropy(spark, sf_dir):
 
 SQL_TOKEN_ENTROPY = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(string_split_regex(trim(text), '\s+'),
+               ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
                                    x -> lower(x)) END AS t
         FROM documents
     ),
@@ -2442,7 +2442,7 @@ def q_vocab_topk(spark, sf_dir):
 
 SQL_VOCAB_TOPK = r"""
     WITH toks AS (
-        SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
                ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
         FROM documents
     ),
@@ -2478,7 +2478,7 @@ def q_tfidf_topk_salted(spark, sf_dir):
 
 SQL_TFIDF_TOPK = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
                ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
         FROM documents
     ),
@@ -2951,9 +2951,9 @@ def q_pack_chunks(spark, sf_dir):
 SQL_PACK_CHUNKS = r"""
     WITH t AS (
         SELECT doc_id, source,
-               len(CASE WHEN length(trim(text)) = 0
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
                    THEN CAST([] AS VARCHAR[])
-                   ELSE string_split_regex(trim(text), '\s+') END)::BIGINT AS ntok
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END)::BIGINT AS ntok
         FROM documents
     ),
     p AS (
@@ -3006,8 +3006,8 @@ SQL_REP_SIGNALS = r"""
     WITH s AS (
         SELECT doc_id, text,
                string_split(regexp_replace(text, ' ', chr(10), 'g'), chr(10)) AS nl,
-               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                    ELSE list_transform(string_split_regex(trim(text), '\s+'),
+               CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\s+'),
                                         x -> lower(x)) END AS lt,
                CASE WHEN doc_id % 5 = 0 THEN text || ' ##…#' ELSE text END AS sym
         FROM documents
@@ -3053,9 +3053,9 @@ def q_corpus_stats(spark, sf_dir):
 
 SQL_CORPUS_STATS = r"""
     WITH t AS (
-        SELECT source, len(CASE WHEN length(trim(text)) = 0
+        SELECT source, len(CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END)::BIGINT AS ntok
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END)::BIGINT AS ntok
         FROM documents
     )
     SELECT source, count(*) AS n_docs,
@@ -3130,9 +3130,9 @@ def q_decontaminate(spark, sf_dir):
 
 SQL_DECONTAMINATE = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     sh AS (
@@ -3308,9 +3308,9 @@ def q_decontam_bloom(spark, sf_dir):
 
 SQL_DECONTAM_BLOOM = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     sh AS (
@@ -3351,9 +3351,9 @@ def q_bloom_audit(spark, sf_dir):
 
 SQL_BLOOM_AUDIT = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     sh AS (
@@ -3731,9 +3731,9 @@ SQL_PACK_BINS = r"""
                CAST(CAST('0x' ||
                    substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)
                AS BIGINT) % ns.n AS INTEGER) AS shard_id,
-               len(CASE WHEN length(trim(text)) = 0
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
                    THEN CAST([] AS VARCHAR[])
-                   ELSE string_split_regex(trim(text), '\s+')
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
                    END)::BIGINT AS ntok
         FROM documents, ns
     ),
@@ -3846,7 +3846,7 @@ def q_hll_distinct(spark, sf_dir):
 
 SQL_HLL_DISTINCT = r"""
     WITH toks AS (
-        SELECT source, lower(unnest(string_split_regex(trim(text), '\s+')))
+        SELECT source, lower(unnest(string_split_regex(trim(coalesce(text, '')), '\s+')))
                    AS tok
         FROM documents WHERE length(trim(text)) > 0
     ),
@@ -3936,9 +3936,9 @@ SQL_SHARD_MANIFEST = r"""
         SELECT CAST(CAST('0x' ||
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                AS BIGINT) % 16 AS INTEGER) AS shard_id,
-               len(CASE WHEN length(trim(text)) = 0
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
                    THEN CAST([] AS VARCHAR[])
-                   ELSE string_split_regex(trim(text), '\s+')
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
                    END)::BIGINT AS ntok,
                CAST('0x' ||
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
@@ -4092,9 +4092,9 @@ def q_chunk_sliding(spark, sf_dir):
 SQL_CHUNK_SLIDING = r"""
     WITH t AS (
         SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
                     THEN CAST([] AS VARCHAR[])
-                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+                    ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks
         FROM documents
     ),
     n AS (
@@ -4496,9 +4496,9 @@ def q_mix_temperature(spark, sf_dir):
 
 SQL_MIX_TEMPERATURE = r"""
     WITH toks AS (
-        SELECT doc_id, source, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     per AS (
@@ -4507,18 +4507,25 @@ SQL_MIX_TEMPERATURE = r"""
         FROM toks GROUP BY source
     ),
     tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
-    z AS (SELECT sum(pow(n_tokens / tot, 0.7)) AS z FROM per, tot)
+    -- zero-token-corpus guards mirror the operator: raw pinned to 0
+    -- when tot = 0, temp pinned to 0 when z = 0
+    r AS (
+        SELECT source, n_docs, n_tokens,
+               CASE WHEN tot > 0 THEN n_tokens / tot ELSE 0.0 END AS raw
+        FROM per, tot
+    ),
+    z AS (SELECT sum(pow(raw, 0.7)) AS z FROM r)
     SELECT source, n_docs, n_tokens,
-           CAST(floor(n_tokens / tot * 10000.0 + 0.5) AS BIGINT)
-               AS raw_bp,
-           CAST(floor(pow(n_tokens / tot, 0.7) / z * 10000.0 + 0.5)
+           CAST(floor(raw * 10000.0 + 0.5) AS BIGINT) AS raw_bp,
+           CAST(floor(CASE WHEN z > 0 THEN pow(raw, 0.7) / z
+                           ELSE 0.0 END * 10000.0 + 0.5)
                AS BIGINT) AS temp_bp,
            CASE WHEN n_tokens > 0
-                THEN CAST(floor(pow(n_tokens / tot, 0.7) / z
-                                / (n_tokens / tot)
-                                * 10000.0 + 0.5) AS BIGINT)
+                THEN CAST(floor(CASE WHEN z > 0 THEN pow(raw, 0.7) / z
+                                     ELSE 0.0 END
+                                / raw * 10000.0 + 0.5) AS BIGINT)
                 ELSE 0 END AS boost_bp
-    FROM per, tot, z
+    FROM r, z
 """
 
 
@@ -4535,9 +4542,9 @@ def q_oov_rate(spark, sf_dir):
 
 SQL_OOV_RATE = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -4579,9 +4586,9 @@ def q_contam_spans(spark, sf_dir):
 
 SQL_CONTAM_SPANS = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     sh AS (
@@ -4629,9 +4636,9 @@ def q_token_budget(spark, sf_dir):
 SQL_TOKEN_BUDGET = rf"""
     WITH RECURSIVE q AS ({SQL_QUALITY}),
     toks2 AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     d AS (
@@ -4693,9 +4700,9 @@ def q_substring_dedup(spark, sf_dir):
 
 SQL_SUBSTRING_DEDUP = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     sh AS (
@@ -4748,9 +4755,9 @@ def q_dsir_weights(spark, sf_dir):
 
 SQL_DSIR_WEIGHTS = r"""
     WITH toks AS (
-        SELECT doc_id, CASE WHEN length(trim(text)) = 0
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     tk AS (
@@ -4998,9 +5005,9 @@ def q_tokenizer_fertility(spark, sf_dir):
 
 SQL_TOKENIZER_FERTILITY = r"""
     WITH toks AS (
-        SELECT lang, text, CASE WHEN length(trim(text)) = 0
+        SELECT lang, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     b AS (
@@ -5055,7 +5062,7 @@ SQL_CURATE_PIPELINE = r"""
     WITH toks AS (
         SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents WHERE doc_id % 50 != 0
     ),
     gate AS (
@@ -5132,7 +5139,7 @@ SQL_CURATE_PIPELINE = r"""
     evt AS (
         SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents WHERE doc_id % 50 = 0
     ),
     ev AS (
@@ -5177,7 +5184,7 @@ SQL_DIST_DRIFT = r"""
     WITH toks AS (
         SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
         FROM documents
     ),
     tk AS (

@@ -38,7 +38,10 @@ def blocked_fuzzy_join(
     """Join probe rows to corpus rows with
     levenshtein(probe, corpus) <= max_dist, blocked on the first
     `block_len` chars of each string. Returns probes' columns +
-    corpus' columns + `dist`.
+    corpus' columns + `dist`. When `probe_col == corpus_col` the
+    corpus side's column comes back renamed `<name>_corpus` (record
+    linkage routinely matches a column against itself, and an
+    ambiguous-reference error there would be a trap).
 
     `max_block_depth` guards the quadratic-within-block cost: if any
     corpus block holds more rows, raise with the worst offenders
@@ -48,11 +51,11 @@ def blocked_fuzzy_join(
     skip (only when the key is already audited)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    bk_p = F.substring(probe_col, 1, block_len)
-    bk_c = F.substring(corpus_col, 1, block_len)
     if max_block_depth is not None:
         deep = (
-            corpus.groupBy(bk_c.alias("_bk"))
+            corpus.groupBy(
+                F.substring(corpus_col, 1, block_len).alias("_bk")
+            )
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_block_depth)
             .orderBy(F.col("_n").desc())
@@ -69,12 +72,20 @@ def blocked_fuzzy_join(
                 f"selective block key, or raise max_block_depth "
                 f"deliberately."
             )
+    right = corpus
+    right_col = corpus_col
+    if probe_col == corpus_col:
+        right_col = f"{corpus_col}_corpus"
+        right = corpus.withColumnRenamed(corpus_col, right_col)
     left = F.broadcast(probes) if broadcast_probes else probes
     return (
         left.join(
-            corpus,
-            (bk_p == bk_c)
-            & (F.levenshtein(probe_col, corpus_col) <= max_dist),
+            right,
+            (
+                F.substring(probe_col, 1, block_len)
+                == F.substring(right_col, 1, block_len)
+            )
+            & (F.levenshtein(probe_col, right_col) <= max_dist),
         )
-        .withColumn("dist", F.levenshtein(probe_col, corpus_col))
+        .withColumn("dist", F.levenshtein(probe_col, right_col))
     )

@@ -137,8 +137,16 @@ def curate_corpus(
             sc = "_score"
         else:
             scored, sc = cur, score_col
+        from webloghunter_spark.functions.text import token_count_expr
+
         sel = token_budget_select(
-            scored, token_budget, score_col=sc, id_col=id_col
+            scored,
+            token_budget,
+            score_col=sc,
+            id_col=id_col,
+            # thread text_col through: token_budget_select's default
+            # ntok derives from a hardcoded "text" column
+            ntok_col=token_count_expr(text_col),
         )
         cur = materialize(
             sel.filter(F.col("selected")).drop("selected", "ntok", "_score")

@@ -124,10 +124,25 @@ def token_budget_select(
         if nt <= rem:
             admitted.append(r[id_col])
             rem -= nt
+    if len(admitted) <= 1000:
+        is_admitted = F.col(id_col).isin(admitted)
+    else:
+        # a large admitted set as isin() literals balloons the plan
+        # (analysis/codegen over 10^5+ literal values — the very
+        # driver pressure max_boundary_rows exists to avoid); ship it
+        # back as a broadcast-joined frame instead
+        adm = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(i,) for i in admitted], [id_col]
+            ).withColumn("_adm", F.lit(True))
+        )
+        base = base.join(adm, id_col, "left")
+        is_admitted = F.coalesce(F.col("_adm"), F.lit(False))
     in_boundary = (F.col(score_col) == F.lit(cutoff)) & (
-        (F.col("ntok") == 0) | F.col(id_col).isin(admitted)
+        (F.col("ntok") == 0) | is_admitted
     )
-    return base.withColumn("selected", above | in_boundary)
+    out = base.withColumn("selected", above | in_boundary)
+    return out.drop("_adm") if len(admitted) > 1000 else out
 
 
 def oov_rate(

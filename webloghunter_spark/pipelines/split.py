@@ -305,7 +305,13 @@ def mix_temperature(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok.cast("long")).alias("n_tokens"),
     )
-    raw = F.col("n_tokens").cast("double") / F.col("_tot")
+    # zero-token CORPUS guard: _tot = 0 would make raw = 0/0 = NaN and
+    # ANSI-error the bp casts; pin raw to 0 so every bp column is 0
+    # (matching the streaming twin's all-zero rows for the same input)
+    raw = F.when(
+        F.col("_tot") > 0,
+        F.col("n_tokens").cast("double") / F.col("_tot"),
+    ).otherwise(F.lit(0.0))
     powed = F.pow(raw, F.lit(float(alpha)))
     # both normalizers are |groups|-row aggregates (the first must land
     # before p^alpha can be formed, hence two tiny frames, not a window)
@@ -314,7 +320,10 @@ def mix_temperature(
         per.crossJoin(F.broadcast(tot))
         .agg(F.sum(powed).alias("_z"))
     )
-    temp = powed / F.col("_z")
+    # z = 0 exactly when the corpus has zero tokens (all raw = 0)
+    temp = F.when(F.col("_z") > 0, powed / F.col("_z")).otherwise(
+        F.lit(0.0)
+    )
     bp = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
     # a zero-token group has share 0 and an undefined boost; emit 0s
     # rather than tripping ANSI DIVIDE_BY_ZERO on temp/raw (the

@@ -37,6 +37,7 @@ def incremental_dedup_stream_writer(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_k: int = 3,
+    track_survivors: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function. Per micro-batch, `sink(rows,
     batch_id)` receives the batch's SURVIVING (id,) rows. The frozen
@@ -44,7 +45,13 @@ def incremental_dedup_stream_writer(
     persist()ed in the closure — NOT session.materialize(), whose
     registry is drained per-query by bench/batch callers and would
     silently unpersist a live stream's index. Exposes `.release` to
-    free it after stream stop, and `.survivors` (all ids so far)."""
+    free it after stream stop, and `.survivor_count` (running total).
+
+    `track_survivors=True` additionally accumulates every surviving
+    id into `.survivors` — O(all rows ever seen) DRIVER memory, for
+    tests/small runs only; a continuous-ingest deployment keeps it
+    off (the sink already receives each batch's survivors) so the
+    closure holds only bounded state, like the other stream twins."""
     cb = lsh_band_signatures(
         corpus, text_col, id_col, num_hashes, band_size, shingle_k
     ).persist()
@@ -57,6 +64,7 @@ def incremental_dedup_stream_writer(
     cb.count(), csh.count()  # settle the frozen index
 
     survivors: list = []
+    counts = {"n": 0}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         nb = lsh_band_signatures(
@@ -102,7 +110,9 @@ def incremental_dedup_stream_writer(
             .select(id_col)
             .collect()
         ]
-        survivors.extend(k for k, in kept)
+        counts["n"] += len(kept)
+        if track_survivors:
+            survivors.extend(k for k, in kept)
         sink(kept, batch_id)
 
     def release() -> None:
@@ -111,4 +121,5 @@ def incremental_dedup_stream_writer(
 
     process.release = release
     process.survivors = survivors
+    process.survivor_count = lambda: counts["n"]
     return process

@@ -43,9 +43,15 @@ def mix_temperature_stream_writer(
         import math
 
         tot = float(sum(v[1] for v in state.values()))
-        if tot <= 0:
-            return []
-        raws = {g: v[1] / tot for g, v in state.items()}
+        # zero-token guards MATCH the batch operator exactly (a group
+        # of all-empty docs, or a whole corpus of them, must not
+        # ZeroDivisionError the stream NOR break row parity): raw
+        # pins to 0 when tot = 0, temp pins to 0 when z = 0, boost
+        # pins to 0 when the group has no tokens.
+        raws = {
+            g: (v[1] / tot if tot > 0 else 0.0)
+            for g, v in state.items()
+        }
         # sum in sorted-group order: deterministic across runs (the
         # batch twin's |groups|-row aggregate is float-order-tolerant
         # at bp granularity; the parity test pins it)
@@ -58,10 +64,10 @@ def mix_temperature_stream_writer(
         for g in sorted(state):
             n_docs, n_tokens = state[g]
             raw = raws[g]
-            temp = raw ** alpha / z
+            temp = raw ** alpha / z if z > 0 else 0.0
+            boost = bp(temp / raw) if n_tokens > 0 else 0
             out.append(
-                (g, n_docs, n_tokens, bp(raw), bp(temp),
-                 bp(temp / raw))
+                (g, n_docs, n_tokens, bp(raw), bp(temp), boost)
             )
         return out
 
