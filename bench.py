@@ -121,7 +121,9 @@ def main() -> int:
         "runs": runs,
     }
     try:
-        runs_path = os.path.join(
+        # WLH_BENCH_RUNS_PATH: tests point the side file elsewhere so a
+        # pytest run can't clobber the committed 120-query artifact
+        runs_path = os.environ.get("WLH_BENCH_RUNS_PATH") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_runs.json"
         )
         with open(runs_path, "w") as fh:

@@ -49,7 +49,7 @@ def test_no_complex_toplevel_columns(spark):
     assert bad == {}, f"complex top-level columns break driver canon: {bad}"
 
 
-def test_bench_isolates_failing_query(spark, monkeypatch, capsys):
+def test_bench_isolates_failing_query(spark, monkeypatch, capsys, tmp_path):
     """One failing query must not kill the bench run (round 3 lost its
     whole bench gate to a single AnalysisException)."""
     import bench
@@ -62,6 +62,7 @@ def test_bench_isolates_failing_query(spark, monkeypatch, capsys):
     monkeypatch.setenv("WLH_BENCH_QUERIES", "train_split,__boom__")
     monkeypatch.setenv("WLH_BENCH_REPEATS", "1")
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("WLH_BENCH_RUNS_PATH", str(tmp_path / "runs.json"))
     rc = bench.main()
     out = capsys.readouterr().out
     import json
@@ -76,7 +77,38 @@ def test_bench_isolates_failing_query(spark, monkeypatch, capsys):
     assert line["completed"] == 1
     assert line["failed"] == ["__boom__"]
     assert "injected failure" in line["errors"]["__boom__"]
-    side_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_runs.json")
-    side = json.load(open(side_path))
+    side = json.load(open(tmp_path / "runs.json"))
     assert side["queries"]["train_split"] is not None
     assert side["queries"]["__boom__"] is None
+
+
+def test_bench_stdout_line_is_bounded_and_parseable(
+    spark, monkeypatch, capsys, tmp_path
+):
+    """THE recurring round-4/5 failure: the driver tail-captures the
+    last stdout line, and any per-query payload makes it grow with the
+    registry until it truncates unparseable. Pin the contract: the
+    line is summary-only, parseable, and small regardless of how many
+    queries ran."""
+    import json
+
+    import bench
+
+    monkeypatch.setenv("WLH_BENCH_QUERIES", "train_split,dedup_exact")
+    monkeypatch.setenv("WLH_BENCH_REPEATS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("WLH_BENCH_RUNS_PATH", str(tmp_path / "runs.json"))
+    rc = bench.main()
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    assert rc == 0
+    parsed = json.loads(line)
+    assert "queries" not in parsed and "runs" not in parsed
+    assert set(parsed) <= {
+        "metric", "value", "unit", "sf", "repeats",
+        "completed", "failed", "errors",
+    }
+    # hard ceiling: even a 1000-query registry's summary fits a tail
+    # capture (failed-name lists are the only registry-sized field,
+    # and only on systemic failure)
+    assert len(line) < 2000
