@@ -3394,8 +3394,8 @@ SQL_BLOOM_AUDIT = r"""
     exact AS (SELECT doc_id, g, 1 AS exact_hit FROM tr JOIN ev USING (g))
     SELECT gh.doc_id,
            count(*) AS n_grams,
-           sum(bloom_hit) AS n_bloom_hits,
-           coalesce(sum(exact_hit), 0) AS n_exact_hits
+           sum(bloom_hit)::BIGINT AS n_bloom_hits,
+           coalesce(sum(exact_hit), 0)::BIGINT AS n_exact_hits
     FROM gram_hits gh
     LEFT JOIN exact e ON e.doc_id = gh.doc_id AND e.g = gh.g
     GROUP BY gh.doc_id
