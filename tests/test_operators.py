@@ -536,6 +536,28 @@ def test_blocked_fuzzy_join_matches_and_depth_guard(spark):
         block_len=16, max_dist=1, max_block_depth=None,
     ).collect()
     assert len(got) == 1
+    # probe-side guard: with broadcast_probes=False a degenerate PROBE
+    # key must trip too (a large shuffled probe frame goes quadratic
+    # from its side); the corpus here has distinct block prefixes
+    ok_corpus = spark.createDataFrame(
+        [(i, f"{i:016d} record") for i in range(20)], "cid long, name string"
+    )
+    deep_probes = spark.createDataFrame(
+        [(i, f"Customer Record {i:04d}") for i in range(30)],
+        "pid long, pname string",
+    )
+    with pytest.raises(ValueError, match="probe block"):
+        blocked_fuzzy_join(
+            deep_probes, ok_corpus, "pname", "name",
+            block_len=16, max_dist=1, max_block_depth=10,
+            broadcast_probes=False,
+        )
+    # broadcast probes are exempt: small-by-declaration side
+    blocked_fuzzy_join(
+        deep_probes, ok_corpus, "pname", "name",
+        block_len=16, max_dist=1, max_block_depth=10,
+        broadcast_probes=True,
+    ).collect()
 
 
 def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):

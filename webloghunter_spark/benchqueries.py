@@ -4514,7 +4514,11 @@ SQL_MIX_TEMPERATURE = r"""
                CASE WHEN tot > 0 THEN n_tokens / tot ELSE 0.0 END AS raw
         FROM per, tot
     ),
-    z AS (SELECT sum(pow(raw, 0.7)) AS z FROM r)
+    -- nano-quantized normalizer: integer sum is aggregation-order-free
+    -- (matches pipelines/split.mix_temperature and streaming/mix.py)
+    z AS (SELECT sum(CAST(floor(pow(raw, 0.7) * 1000000000.0 + 0.5)
+                          AS BIGINT))::DOUBLE / 1000000000.0 AS z
+          FROM r)
     SELECT source, n_docs, n_tokens,
            CAST(floor(raw * 10000.0 + 0.5) AS BIGINT) AS raw_bp,
            CAST(floor(CASE WHEN z > 0 THEN pow(raw, 0.7) / z

@@ -44,18 +44,22 @@ def blocked_fuzzy_join(
     ambiguous-reference error there would be a trap).
 
     `max_block_depth` guards the quadratic-within-block cost: if any
-    corpus block holds more rows, raise with the worst offenders
-    instead of launching a join that is Σ|block|² in the degenerate
-    key. The check is one combinable aggregate + a 5-row collect on
-    the corpus side — O(corpus scan), never O(pairs). Pass None to
-    skip (only when the key is already audited)."""
+    block holds more rows, raise with the worst offenders instead of
+    launching a join that is Σ|block|² in the degenerate key. The
+    corpus side is always audited; the probe side too when
+    `broadcast_probes=False` (a broadcast probe frame is small by
+    declaration, so Σ|probe-block|x|corpus-block| is already bounded
+    by |probes| x max_block_depth — but a large shuffled probe frame
+    with a degenerate key would go quadratic from ITS side). Each
+    check is one combinable aggregate + a 5-row collect — O(scan),
+    never O(pairs). Pass None to skip (only when the keys are
+    already audited)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    if max_block_depth is not None:
+
+    def _depth_guard(df: DataFrame, col: str, side: str) -> None:
         deep = (
-            corpus.groupBy(
-                F.substring(corpus_col, 1, block_len).alias("_bk")
-            )
+            df.groupBy(F.substring(col, 1, block_len).alias("_bk"))
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_block_depth)
             .orderBy(F.col("_n").desc())
@@ -65,13 +69,18 @@ def blocked_fuzzy_join(
         if deep:
             worst = ", ".join(f"{r._bk!r}x{r._n}" for r in deep)
             raise ValueError(
-                f"blocked_fuzzy_join: corpus block(s) deeper than "
+                f"blocked_fuzzy_join: {side} block(s) deeper than "
                 f"{max_block_depth} — the block key does not "
                 f"discriminate and the within-block join would be "
                 f"quadratic (worst: {worst}). Use a longer/more "
                 f"selective block key, or raise max_block_depth "
                 f"deliberately."
             )
+
+    if max_block_depth is not None:
+        _depth_guard(corpus, corpus_col, "corpus")
+        if not broadcast_probes:
+            _depth_guard(probes, probe_col, "probe")
     right = corpus
     right_col = corpus_col
     if probe_col == corpus_col:

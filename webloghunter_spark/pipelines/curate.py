@@ -54,9 +54,12 @@ def curate_corpus(
 
     - `min_quality_bp=None` skips the gate; `near_dedup_threshold=None`
       skips both dedup tiers; `eval_df=None` skips decontamination;
-      `token_budget=None` skips selection (`score_col` names the
-      integer score column for it; required when budget is set unless
-      the gate ran, in which case quality_bp is derived on the fly).
+      `token_budget=None` skips selection. `score_col` names the
+      integer score column for selection; when None, a quality_bp
+      score is derived on the fly from `text_col` — whether or not
+      the gate ran (the gate and the fallback score share
+      quality_bp_expr, so gated-then-budgeted corpora rank on the
+      same scale the gate filtered on).
     """
     from webloghunter_spark.functions.text import (
         normalized_text_expr,

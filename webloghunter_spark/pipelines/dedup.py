@@ -787,7 +787,12 @@ def incremental_near_dedup(
     Cost: |batch| signatures + an equi-join on (band, bh) whose volume
     is Σ batch-bucket x corpus-bucket — bounded by bucket sizes, never
     |batch| x |corpus| — then exact Jaccard on candidates only and a
-    left-anti drop."""
+    left-anti drop. Only documents that actually appear in a candidate
+    pair are shingled for the exact-Jaccard pass (a left_semi prunes
+    new ∪ corpus to the candidate id set first), so the corpus is
+    never re-tokenized wholesale per ingest batch — the property the
+    streaming twin (streaming/incdedup.py) gets from its persisted
+    shingle index, delivered here by pruning instead."""
     nb = materialize(
         lsh_band_signatures(
             new, text_col, id_col, num_hashes, band_size, shingle_k
@@ -796,7 +801,9 @@ def incremental_near_dedup(
     cb = lsh_band_signatures(
         corpus, text_col, id_col, num_hashes, band_size, shingle_k
     ).alias("c")
-    cand = (
+    # cand feeds three consumers (the id-universe prune below plus both
+    # sides of the pair join) — materialize so the banded join runs once
+    cand = materialize(
         nb.join(
             cb,
             (F.col("n.band") == F.col("c.band"))
@@ -808,7 +815,16 @@ def incremental_near_dedup(
         )
         .distinct()
     )
-    u = new.select(id_col, text_col).union(corpus.select(id_col, text_col))
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    u = (
+        new.select(id_col, text_col)
+        .union(corpus.select(id_col, text_col))
+        .join(cand_ids, id_col, "left_semi")
+    )
     sims = ngram_jaccard_pairs(
         u, cand, text_col=text_col, id_col=id_col,
         shingle_k=shingle_k, threshold=threshold,

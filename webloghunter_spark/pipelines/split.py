@@ -284,7 +284,9 @@ def mix_temperature(
     token share), temp_bp (p^alpha-normalized share), boost_bp
     (temp/raw ratio in basis points, >10000 = up-sampled). Shares are
     over TOKENS (what the training loop actually consumes), not docs;
-    pass `ntok_col` for a real tokenizer's counts.
+    pass `ntok_col` for a real tokenizer's counts. The p^alpha
+    normalizer sums nano-quantized (1e-9 integer grid) contributions,
+    so it is aggregation-order-free and engine-exact.
 
     Scale: one map-side-combinable count per group, then all
     arithmetic on the |groups|-row frame — no second pass over the
@@ -316,9 +318,14 @@ def mix_temperature(
     # both normalizers are |groups|-row aggregates (the first must land
     # before p^alpha can be formed, hence two tiny frames, not a window)
     tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    # normalizer contributions are quantized to an integer nano-grid
+    # (1e-9, the dist_drift/dsir convention) BEFORE summing so z is
+    # independent of aggregation order — a share landing on a 0.5e-4
+    # boundary can no longer flip temp_bp between engines/runs
+    powed_nano = F.floor(powed * 1e9 + F.lit(0.5)).cast("long")
     z = (
         per.crossJoin(F.broadcast(tot))
-        .agg(F.sum(powed).alias("_z"))
+        .agg((F.sum(powed_nano).cast("double") / F.lit(1e9)).alias("_z"))
     )
     # z = 0 exactly when the corpus has zero tokens (all raw = 0)
     temp = F.when(F.col("_z") > 0, powed / F.col("_z")).otherwise(

@@ -52,10 +52,17 @@ def mix_temperature_stream_writer(
             g: (v[1] / tot if tot > 0 else 0.0)
             for g, v in state.items()
         }
-        # sum in sorted-group order: deterministic across runs (the
-        # batch twin's |groups|-row aggregate is float-order-tolerant
-        # at bp granularity; the parity test pins it)
-        z = sum(raws[g] ** alpha for g in sorted(raws))
+        # normalizer contributions quantized to the 1e-9 integer grid
+        # before summing (matching the batch operator and the DuckDB
+        # oracle exactly): the integer sum is order-free, so parity no
+        # longer leans on float summation order at bp boundaries
+        z = (
+            sum(
+                int(math.floor(raws[g] ** alpha * 1e9 + 0.5))
+                for g in raws
+            )
+            / 1e9
+        )
 
         def bp(x: float) -> int:
             return int(math.floor(x * 10000.0 + 0.5))
