@@ -286,6 +286,37 @@ def test_repeated_window_spans_union_no_double_count(spark):
     assert out[1].ntok == 14 and out[1].dup_bp == 7143
 
 
+def test_remove_repeated_spans_cuts_exact_union(spark):
+    """The intervention twin of the span audit: cleaned text drops
+    EXACTLY the unioned duplicated spans — surrounding unique tokens
+    survive in order, overlapping windows delete once, untouched docs
+    pass through whitespace-normalized, and a fully-duplicated doc
+    comes back empty rather than dropped."""
+    from webloghunter_spark.pipelines.dedup import remove_repeated_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3 a4"),
+            (2, f"b1 {shared} b2 b3 b4"),
+            (3, "u1  u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+            (4, shared),  # fully covered by its own repeated windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(df, window=8).collect()}
+    assert len(out) == 4  # every input doc is present
+    assert out[1].clean_text == "a1 a2 a3 a4"
+    assert (out[1].ntok, out[1].removed_tokens) == (14, 10)
+    assert out[2].clean_text == "b1 b2 b3 b4"
+    assert (out[2].ntok, out[2].removed_tokens) == (14, 10)
+    # untouched doc: whitespace-normalized passthrough, nothing removed
+    assert out[3].clean_text == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"
+    assert out[3].removed_tokens == 0
+    # fully-duplicated doc: empty text, caller decides the drop
+    assert out[4].clean_text == "" and out[4].removed_tokens == 10
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """Docs sharing the target's vocabulary score higher than docs in
     pure raw-pool vocabulary; weights are deterministic and n_grams

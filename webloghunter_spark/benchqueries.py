@@ -4742,6 +4742,66 @@ SQL_SUBSTRING_DEDUP = r"""
 """
 
 
+def q_substring_remove(spark, sf_dir):
+    """The ExactSubstr intervention substring_dedup measures: rewrite
+    each document with every token covered by a duplicated 8-token
+    window deleted (interval union — overlapping spans delete once).
+    One row per input doc: ntok, removed_tokens, and the cleaned
+    whitespace-normalized text ('' when fully duplicated)."""
+    from webloghunter_spark.pipelines.dedup import remove_repeated_spans
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return remove_repeated_spans(docs, window=8)
+
+
+SQL_SUBSTRING_REMOVE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 7),
+                                   i -> array_to_string(t[i:i+7], ' ')) END AS s
+        FROM toks
+    ),
+    base AS (SELECT doc_id, len(t)::BIGINT AS ntok FROM toks),
+    w AS (
+        SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos,
+               md5(unnest(s)) AS h
+        FROM sh
+    ),
+    repd AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    rep AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM repd)),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + i AS idx
+        FROM rep, (SELECT unnest(generate_series(0, 7)) AS i)
+    ),
+    tok AS (
+        SELECT doc_id, generate_subscripts(t, 1) - 1 AS idx,
+               unnest(t) AS tk
+        FROM toks
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.idx, tok.tk
+        FROM tok LEFT JOIN cov
+          ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx
+        WHERE cov.doc_id IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, count(*)::BIGINT AS kept_n,
+               string_agg(tk, ' ' ORDER BY idx) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.ntok,
+           (b.ntok - coalesce(r.kept_n, 0))::BIGINT AS removed_tokens,
+           coalesce(r.clean, '') AS clean_text
+    FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): every 50th doc is
     the target distribution, the rest are the raw pool; md5-hashed
@@ -5340,6 +5400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_spans": q_contam_spans,
     "token_budget": q_token_budget,
     "substring_dedup": q_substring_dedup,
+    "substring_remove": q_substring_remove,
     "dsir_weights": q_dsir_weights,
     "quality_calibration": q_quality_calibration,
     "cc_representatives": q_cc_representatives,
@@ -5514,6 +5575,7 @@ ORACLES: dict[str, str] = {
     "contam_spans": SQL_CONTAM_SPANS,
     "token_budget": SQL_TOKEN_BUDGET,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "substring_remove": SQL_SUBSTRING_REMOVE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "cc_representatives": SQL_CC_REPRESENTATIVES,

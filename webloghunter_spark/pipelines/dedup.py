@@ -720,6 +720,95 @@ def repeated_window_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ExactSubstr INTERVENTION repeated_window_spans only
+    measures (Lee et al. 2022 delete the duplicated spans from the
+    training text; reference parity: this is the cleanup step a
+    curation pipeline runs after the span audit): rewrite every
+    document with all tokens covered by a duplicated `window`-token
+    span removed. Returns one row per input document —
+    (id, ntok, removed_tokens, clean_text) — where clean_text is the
+    surviving tokens joined by single spaces (whitespace is
+    normalized by tokenization; a fully-duplicated doc comes back
+    with clean_text = '' rather than being dropped, so the caller
+    decides the drop policy).
+
+    Scale shape, beyond repeated_window_spans':
+    - covered token indices explode only REPEATED windows (x window,
+      then distinct caps at ntok per doc) — proportional to the
+      duplicated volume, not the corpus;
+    - only AFFECTED documents (>= 1 repeated window) take the
+      posexplode / anti-join / rebuild path; clean documents pass
+      through as a single array_join projection, no explode and no
+      shuffle beyond the left_anti probe;
+    - the rebuild is one groupBy(id) with array_sort(collect_list) —
+      per-doc memory O(ntok), the same bound as holding the document.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be > 0, got {window}")
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(text_col, window)).alias("_pos", "_g"),
+    ).select(id_col, "_pos", F.md5(F.col("_g")).alias("_h"))
+    wins = materialize(wins)
+    repeated = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
+    )
+    rep = wins.join(repeated, "_h", "left_semi")
+    covered = materialize(
+        rep.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(window - 1))
+            ).alias("_i"),
+        ).distinct()
+    )
+    affected = covered.select(id_col).distinct()
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    aff = materialize(base.join(affected, id_col, "left_semi"))
+    kept = aff.select(
+        F.col(id_col), F.posexplode("_toks").alias("_i", "_t")
+    ).join(covered, [id_col, "_i"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_i").alias("i"), F.col("_t").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    ntok = F.size("_toks").cast("long").alias("ntok")
+    aff_out = aff.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        ntok,
+        (F.size("_toks") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+    )
+    clean_out = base.join(affected, id_col, "left_anti").select(
+        F.col(id_col),
+        ntok,
+        F.lit(0).cast("long").alias("removed_tokens"),
+        F.array_join("_toks", " ").alias("clean_text"),
+    )
+    return aff_out.unionByName(clean_out)
+
+
 def component_representatives(
     cc: DataFrame,
     scores: DataFrame,
