@@ -866,6 +866,81 @@ def test_shard_digest_is_order_free(spark):
     assert da == db
 
 
+def test_train_order_deterministic_seeded_interleave(spark):
+    """The seeded global order: re-running reproduces the identical
+    (shard, position) for every doc; a different seed is a different
+    shuffle; positions are contiguous 0..n-1 per shard; and a
+    source-sorted input comes out source-MIXED (the interleave
+    property a training loop needs)."""
+    from webloghunter_spark.pipelines.shard import train_order
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    o1 = {r.doc_id: (r.shard_id, r.position)
+          for r in train_order(df, n_shards=4, seed="s").collect()}
+    o2 = {r.doc_id: (r.shard_id, r.position)
+          for r in train_order(df.repartition(7), n_shards=4, seed="s").collect()}
+    assert o1 == o2  # pure function of (seed, id): layout-independent
+    o3 = {r.doc_id: (r.shard_id, r.position)
+          for r in train_order(df, n_shards=4, seed="other").collect()}
+    assert o1 != o3  # new seed = new shuffle
+    # contiguous positions per shard
+    by_shard: dict = {}
+    for s, p in o1.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # interleave: the first half of every shard's order is not just
+    # source 'a' — md5 keys mix the sorted input
+    for s, ps in by_shard.items():
+        first_half_ids = [d for d, (sh, p) in o1.items()
+                          if sh == s and p < len(ps) // 2]
+        srcs = {("a" if d < 100 else "b") for d in first_half_ids}
+        if len(ps) >= 8:
+            assert srcs == {"a", "b"}
+
+
+def test_train_order_manifest_pins_exact_order(spark):
+    """The manifest digest verifies the ORDER, not just membership:
+    recomputing over the same corpus agrees; swapping two documents'
+    positions (simulated by digesting a perturbed id@position set)
+    changes the digest."""
+    from webloghunter_spark.pipelines.shard import (
+        train_order,
+        train_order_manifest,
+    )
+
+    rows = [(i, f"t{i} t{i+1}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r.shard_id: (r.n_docs, r.n_tokens, r.order_digest)
+         for r in train_order_manifest(df, n_shards=4, seed="s").collect()}
+    assert sum(n for n, _, _ in m.values()) == 120
+    m2 = {r.shard_id: (r.n_docs, r.n_tokens, r.order_digest)
+          for r in train_order_manifest(
+              df.repartition(5), n_shards=4, seed="s").collect()}
+    assert m == m2
+    # independent re-derivation from (seed, id) alone matches: digest
+    # the train_order output directly and compare per shard
+    import hashlib
+
+    o = train_order(df, n_shards=4, seed="s").collect()
+    recomputed: dict = {}
+    for r in o:
+        h = hashlib.md5(f"{r.doc_id}@{r.position}".encode()).hexdigest()
+        recomputed[r.shard_id] = recomputed.get(r.shard_id, 0) ^ int(h[:15], 16)
+    assert {s: d for s, (_, _, d) in m.items()} == recomputed
+    # swapping two positions within a shard flips the digest
+    sh = o[0].shard_id
+    pair = [r for r in o if r.shard_id == sh][:2]
+    perturbed = dict(recomputed)
+    for a, b in [(pair[0], pair[1])]:
+        for r, pos in ((a, b.position), (b, a.position)):
+            h_old = hashlib.md5(f"{r.doc_id}@{r.position}".encode()).hexdigest()
+            h_new = hashlib.md5(f"{r.doc_id}@{pos}".encode()).hexdigest()
+            perturbed[sh] ^= int(h_old[:15], 16) ^ int(h_new[:15], 16)
+    assert perturbed[sh] != recomputed[sh]
+
+
 def test_pagerank_star_graph_and_dangling(spark):
     """Star graph a,b,c -> hub: the hub accumulates damped mass, the
     leaves keep only the base term (no in-edges), and the hub's

@@ -4802,6 +4802,84 @@ SQL_SUBSTRING_REMOVE = r"""
 """
 
 
+def q_train_order(spark, sf_dir):
+    """Seeded deterministic global training order: shard + 0-based
+    within-shard position as pure functions of (seed, id) via the
+    md5 interleave key — reproducible source-mixing ahead of the data
+    loader. One shuffle (window partitioned by shard = repartition +
+    sort-within-partition on the 16-byte key), no global sort."""
+    from webloghunter_spark.pipelines.shard import train_order
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return train_order(docs, n_shards=16, seed="r7")
+
+
+SQL_TRAIN_ORDER = r"""
+    WITH s AS (
+        SELECT doc_id,
+               md5('r7|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, h,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16
+                    AS INTEGER) AS shard_id
+        FROM s
+    )
+    SELECT shard_id,
+           (row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+            - 1)::BIGINT AS position,
+           doc_id
+    FROM a
+"""
+
+
+def q_train_manifest(spark, sf_dir):
+    """Per-shard audit rows for the seeded training order: doc/token
+    totals plus an order-free-to-compute bit_xor digest over
+    md5('id@position') prefixes — position is baked into each digest,
+    so one number per shard pins the exact training order any engine
+    can re-derive from (seed, id)."""
+    from webloghunter_spark.pipelines.shard import train_order_manifest
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return train_order_manifest(docs, n_shards=16, seed="r7")
+
+
+SQL_TRAIN_MANIFEST = r"""
+    WITH s AS (
+        SELECT doc_id,
+               md5('r7|' || CAST(doc_id AS VARCHAR)) AS h,
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                   END)::BIGINT AS ntok
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, h, ntok,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16
+                    AS INTEGER) AS shard_id
+        FROM s
+    ),
+    o AS (
+        SELECT shard_id, doc_id, ntok,
+               row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+                   - 1 AS position
+        FROM a
+    )
+    SELECT shard_id,
+           count(*) AS n_docs,
+           sum(ntok)::BIGINT AS n_tokens,
+           bit_xor(CAST('0x' ||
+                   substr(md5(CAST(doc_id AS VARCHAR) || '@' ||
+                              CAST(position AS VARCHAR)), 1, 15)
+               AS BIGINT)) AS order_digest
+    FROM o
+    GROUP BY shard_id
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): every 50th doc is
     the target distribution, the rest are the raw pool; md5-hashed
@@ -5401,6 +5479,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "substring_dedup": q_substring_dedup,
     "substring_remove": q_substring_remove,
+    "train_order": q_train_order,
+    "train_manifest": q_train_manifest,
     "dsir_weights": q_dsir_weights,
     "quality_calibration": q_quality_calibration,
     "cc_representatives": q_cc_representatives,
@@ -5576,6 +5656,8 @@ ORACLES: dict[str, str] = {
     "token_budget": SQL_TOKEN_BUDGET,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "substring_remove": SQL_SUBSTRING_REMOVE,
+    "train_order": SQL_TRAIN_ORDER,
+    "train_manifest": SQL_TRAIN_MANIFEST,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "cc_representatives": SQL_CC_REPRESENTATIVES,

@@ -75,6 +75,114 @@ def shard_manifest(
     )
 
 
+def order_key_expr(id_col: Column | str, seed: str) -> Column:
+    """The seeded interleave key: md5(seed || '|' || id). A pure
+    function of (seed, id), so any engine re-derives the identical
+    global order; changing the seed reshuffles everything."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(seed), F.lit("|"), c.cast("string")))
+
+
+def train_order(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: str = "train",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global training order — the step between
+    curation and the data loader: every document gets a shard and a
+    0-based position within it, both pure functions of (seed, id).
+    The md5 key interleaves sources uniformly (a sorted-by-source
+    corpus comes out source-mixed, which is what a training loop
+    needs), re-running the job reproduces the identical order, and a
+    different seed is a fresh epoch-level shuffle. Returns
+    (shard_id, position, doc_id).
+
+    Scale: one shuffle — the row_number window partitioned by
+    shard_id IS repartition-by-shard + sort-within-partition on the
+    16-byte key; no global sort, no driver state. Shard sizes are
+    md5-uniform, so no skew salting is needed; pick n_shards so a
+    shard's (key, id) pairs sort within one executor's memory
+    (n_shards ~ corpus/shard-budget, same sizing rule as
+    write_training_shards)."""
+    from pyspark.sql import Window as W
+
+    key = order_key_expr(id_col, seed)
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = W.partitionBy("shard_id").orderBy("_k", id_col)
+    return (
+        df.select(
+            shard.alias("shard_id"), key.alias("_k"), F.col(id_col)
+        )
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .select("shard_id", "position", id_col)
+    )
+
+
+def train_order_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: str = "train",
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Per-shard audit rows for a train_order run: (shard_id, n_docs,
+    n_tokens, order_digest) where order_digest is bit_xor over per-row
+    63-bit md5 prefixes of 'id@position' — order-free to COMPUTE
+    (map-side-combinable, no per-shard sort at verification time) yet
+    it pins the exact ORDER, because position is baked into each
+    digest: any permutation of assignments changes some 'id@position'
+    string and so the xor. A consumer re-derives positions from
+    (seed, id) alone and verifies a delivered shard with one number."""
+    from pyspark.sql import Window as W
+
+    from webloghunter_spark.functions.text import token_count_expr
+
+    key = order_key_expr(id_col, seed)
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    ntok = (
+        token_count_expr(text_col) if text_col is not None else F.lit(0)
+    )
+    w = W.partitionBy("shard_id").orderBy("_k", id_col)
+    ordered = (
+        df.select(
+            shard.alias("shard_id"),
+            key.alias("_k"),
+            F.col(id_col),
+            ntok.cast("long").alias("_ntok"),
+        )
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+    )
+    dig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("@"),
+                    F.col("position").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ordered.withColumn("_dig", dig)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.bit_xor("_dig").alias("order_digest"),
+        )
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
