@@ -359,6 +359,67 @@ def test_decontaminate_batch_stream_parity(spark, tmp_path):
     assert got_ids == expected
 
 
+def test_contam_spans_batch_stream_parity(spark, tmp_path):
+    """foreachBatch contamination-span triage over a streamed train
+    corpus (forced into multiple micro-batches) equals the batch
+    operator row-for-row: the signal is row-local, so accumulating
+    per-batch outputs IS the batch result with the same frozen eval
+    gram set."""
+    from webloghunter_spark.pipelines.decontam import contamination_spans
+    from webloghunter_spark.streaming.decontam import (
+        contamination_spans_stream_writer,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    train_rows = [
+        (10, "a b the quick brown fox jumps c d"),        # one run
+        (11, "totally original content right here"),       # clean
+        (12, "x lorem ipsum dolor sit amet y the quick brown fox jumps z"),
+        (13, "another clean training document words"),     # clean
+        (14, "the quick brown fox jumps"),                 # IS the item
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    expected = sorted(
+        (r.doc_id, r.n_pos_hits, r.max_run)
+        for r in contamination_spans(train, eval_df, n=5).collect()
+    )
+    assert [d for d, _, _ in expected] == [10, 12, 14]
+
+    # two files + maxFilesPerTrigger=1 -> at least two micro-batches,
+    # so the accumulated state must merge across batches
+    src = tmp_path / "contam_src"
+    train.filter(F.col("doc_id") < 12).write.parquet(str(src / "a"))
+    train.filter(F.col("doc_id") >= 12).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+    seen = {"rows": None, "batches": 0}
+
+    def sink(rows, batch_id):
+        seen["rows"] = rows
+        seen["batches"] += 1
+
+    fn = contamination_spans_stream_writer(eval_df, sink, n=5)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_spans"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        fn.release()
+    assert seen["batches"] >= 2
+    assert seen["rows"] == expected
+
+
 def test_semantic_dedup_batch_stream_parity(spark, tmp_path):
     """Stateful streaming SemDeDup equals the batch pair scan when ids
     arrive in order (single micro-batch here)."""

@@ -72,3 +72,48 @@ def decontaminate_stream_writer(
 
     process.release = release  # free the eval-shingle set after stream stop
     return process
+
+
+def contamination_spans_stream_writer(
+    eval_df: DataFrame,
+    sink: Callable[[list[tuple], int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/decontam.contamination_spans — the
+    per-doc hit-extent triage (n_pos_hits + longest consecutive run)
+    over a streamed train corpus, against the frozen eval gram set.
+
+    Like decontaminate's twin, the signal is row-local: a document's
+    positional hits and gap-and-island runs depend only on its own
+    text and the static eval grams, so each micro-batch runs the
+    EXACT batch operator and the union of per-batch outputs equals
+    the batch result — parity by statelessness, no cross-batch merge
+    needed (a document is batch-atomic; re-keying split docs would be
+    an upstream bug). `sink(rows, batch_id)` receives the CURRENT
+    accumulated [(id, n_pos_hits, max_run)] list each batch; `.state`
+    exposes it and `.release` frees the persisted gram set."""
+    from webloghunter_spark.pipelines.decontam import contamination_spans
+
+    grams = eval_shingle_set(eval_df, text_col, n).persist()
+    grams.count()  # settle before the stream starts
+    state: dict = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = contamination_spans(
+            batch_df, id_col=id_col, text_col=text_col, n=n,
+            eval_grams=grams,
+        ).collect()
+        for r in rows:
+            state[r[id_col]] = (int(r["n_pos_hits"]), int(r["max_run"]))
+        sink(
+            [(i, h, m) for i, (h, m) in sorted(state.items())], batch_id
+        )
+
+    def release() -> None:
+        grams.unpersist()
+
+    process.state = state
+    process.release = release
+    return process
