@@ -12,6 +12,12 @@ tests skew, not scale):
   (" cN") — copies of one doc stay NEAR-duplicates of each other
   (shingle overlap ≈ 1) instead of exact duplicates, preserving the
   LSH/CC stress structure documented in SCALING.md;
+- `--no-neardup` switches documents to the NON-SATURATED control:
+  every token gets a per-copy suffix, so copies share NO shingles —
+  the corpus is N× bigger with sf0.1's NATURAL dup density (each
+  copy's internal near-dup families replicate, families don't merge
+  across copies). This separates "the machinery scales" from "the
+  dup-stress edge volume scales" for the dup-sensitive operators;
 - `embeddings.embedding` is kept bit-identical across copies: ANN
   probes measure candidate-generation volume, and identical vectors
   are the dup-saturated worst case there too.
@@ -54,8 +60,16 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--n", type=int, default=32)
     ap.add_argument("--tables", default="documents,embeddings,events")
+    ap.add_argument(
+        "--no-neardup",
+        action="store_true",
+        help="non-saturated control: per-token copy suffix — copies "
+        "share no shingles, dup density stays at the source sf's "
+        "natural level",
+    )
     args = ap.parse_args()
-    out = args.out or f"/tmp/{os.path.basename(args.sf.rstrip('/'))}_x{args.n}"
+    suffix = f"_x{args.n}" + ("_ctl" if args.no_neardup else "")
+    out = args.out or f"/tmp/{os.path.basename(args.sf.rstrip('/'))}{suffix}"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -70,7 +84,15 @@ def main() -> int:
                 if c in strides:
                     sel.append(f"({c} + {k * strides[c]}) AS {c}")
                 elif t == "documents" and c == "text" and k > 0:
-                    sel.append(f"(text || ' c{k}') AS text")
+                    if args.no_neardup:
+                        # per-token suffix: zero cross-copy shingle
+                        # overlap; within-copy dup structure intact
+                        sel.append(
+                            "regexp_replace(text, '(\\S+)', "
+                            f"'\\1~c{k}', 'g') AS text"
+                        )
+                    else:
+                        sel.append(f"(text || ' c{k}') AS text")
                 elif t == "customer" and c == "c_name" and k > 0:
                     # distinct per-copy names WITHOUT shifting string
                     # alignment: overwrite two leading zero digits

@@ -192,8 +192,17 @@ def ngram_jaccard_pairs(
     sh = materialize(df.select(
         F.col(id_col), F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh")
     ))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle_hash hint: the shingle table scales WITH THE CORPUS, so
+    # it is never broadcastable at scale — but the planner estimates
+    # the persisted projection from parquet stats, under-sizing the
+    # ~8x shingle blow-up, and happily plans a BroadcastHashJoin that
+    # dies building a multi-GB broadcast (measured: the 32x
+    # non-saturated control fixture OOM'd broadcast-exchange before
+    # this hint). Shuffle-hash joins on the id key instead: both
+    # sides partition on id, the build side is one partition's
+    # shingles, and no sort touches the wide arrays.
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
     j = (
         pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
         .join(b, pairs.id_b == F.col(f"b.{id_col}"))
