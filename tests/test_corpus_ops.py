@@ -317,6 +317,67 @@ def test_remove_repeated_spans_cuts_exact_union(spark):
     assert out[4].clean_text == "" and out[4].removed_tokens == 10
 
 
+def test_padding_waste_arithmetic_and_edges(spark):
+    """ceil-div sequence counts, per-group padding totals, zero-token
+    docs contribute zero sequences."""
+    from webloghunter_spark.pipelines.pack import padding_waste
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", " ".join(["t"] * 10)),   # 10 tok -> 3 seqs of 4, pad 2
+            (2, "a", " ".join(["t"] * 4)),    # exactly 1 seq, pad 0
+            (3, "a", ""),                      # zero tokens -> zero seqs
+            (4, "b", "t"),                     # 1 tok -> 1 seq, pad 3
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in
+           padding_waste(df, max_seq_len=4, group_col="source").collect()}
+    a = out["a"]
+    assert (a.n_docs, a.n_tokens, a.n_seqs, a.pad_tokens) == (3, 14, 4, 2)
+    assert a.waste_bp == 1250  # 2 / 16
+    b = out["b"]
+    assert (b.n_seqs, b.pad_tokens, b.waste_bp) == (1, 3, 7500)
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is monotone in V, ties break lexicographically, sizes
+    beyond the type count saturate at full coverage."""
+    from webloghunter_spark.pipelines.select import vocab_coverage
+
+    # counts: x->4, b->2, a->2, z->1 ; top-1 = x, top-2 = x,a (tie a<b)
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "b b a a z")], "doc_id long, text string"
+    )
+    out = {r.vocab_size: r for r in
+           vocab_coverage(df, sizes=[1, 2, 10]).collect()}
+    assert out[1].covered_tokens == 4 and out[1].n_types == 1
+    assert out[2].covered_tokens == 6  # x + a (not b: tie to 'a')
+    assert out[10].n_types == 4 and out[10].covered_tokens == 9
+    assert out[10].oov_bp == 0 and out[1].oov_bp == 5556  # 5/9
+    assert out[1].total_tokens == out[10].total_tokens == 9
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """CMS point estimates are >= true counts; a value absent from the
+    stream with empty buckets estimates 0."""
+    from webloghunter_spark.functions.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    items = spark.createDataFrame(
+        [(f"v{i % 5}",) for i in range(100)], "val string"
+    )
+    counters = cms_counters(items, "val")
+    queries = spark.createDataFrame(
+        [("v0", 20), ("v4", 20)], "val string, true long"
+    )
+    est = {r.val: r.est_cnt for r in
+           cms_estimate(counters, queries, "val").collect()}
+    assert est["v0"] >= 20 and est["v4"] >= 20
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """Docs sharing the target's vocabulary score higher than docs in
     pure raw-pool vocabulary; weights are deterministic and n_grams

@@ -4802,6 +4802,169 @@ SQL_SUBSTRING_REMOVE = r"""
 """
 
 
+def q_padding_waste(spark, sf_dir):
+    """Per-source padding-efficiency report for naive (unpacked)
+    sequence loading at L=128: documents chunk into ceil(ntok/L)
+    sequences, the last is padded; waste_bp prices what packing
+    would save. One combinable aggregate, no text movement."""
+    from webloghunter_spark.pipelines.pack import padding_waste
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return padding_waste(docs, max_seq_len=128, group_col="source")
+
+
+SQL_PADDING_WASTE = r"""
+    WITH per AS (
+        SELECT source,
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                   END)::BIGINT AS ntok
+        FROM documents
+    ),
+    x AS (SELECT source, ntok, (ntok + 127) // 128 AS seqs FROM per)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(ntok)::BIGINT AS n_tokens,
+           sum(seqs)::BIGINT AS n_seqs,
+           sum(seqs * 128 - ntok)::BIGINT AS pad_tokens,
+           CASE WHEN sum(seqs) > 0
+                THEN CAST(floor(sum(seqs * 128 - ntok) * 10000.0
+                                / (sum(seqs) * 128) + 0.5) AS BIGINT)
+                ELSE 0 END AS waste_bp
+    FROM x
+    GROUP BY source
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-sizing curve: corpus coverage of the top-V vocabulary
+    for V in {250, 1k, 4k, 16k}. One type-count aggregate + a bounded
+    top-max(V) (TakeOrderedAndProject, never a global type sort), a
+    cumulative sum over the <=16k-row frame, broadcast size spine."""
+    from webloghunter_spark.pipelines.select import vocab_coverage
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return vocab_coverage(docs, sizes=[250, 1000, 4000, 16000])
+
+
+SQL_VOCAB_COVERAGE = r"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY n DESC, tok) AS r,
+               sum(n) OVER (ORDER BY n DESC, tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM counts
+        QUALIFY r <= 16000
+    ),
+    tot AS (
+        SELECT coalesce(sum(n), 0)::BIGINT AS total FROM counts
+    ),
+    spine AS (SELECT unnest([250, 1000, 4000, 16000]) AS vocab_size)
+    SELECT s.vocab_size::BIGINT AS vocab_size,
+           count(r.r)::BIGINT AS n_types,
+           coalesce(max(r.cum), 0)::BIGINT AS covered_tokens,
+           t.total AS total_tokens,
+           CASE WHEN t.total > 0
+                THEN CAST(floor((t.total - coalesce(max(r.cum), 0))
+                                * 10000.0 / t.total + 0.5) AS BIGINT)
+                ELSE 0 END AS oov_bp
+    FROM spine s CROSS JOIN tot t
+    LEFT JOIN ranked r ON r.r <= s.vocab_size
+    GROUP BY s.vocab_size, t.total
+"""
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-Min sketch heavy-hitter audit: sketch the whole token
+    stream into a fixed 3x2048 counter table (map-side-combinable —
+    the 100 TB sketch state is depth*width cells regardless of corpus
+    size), then estimate the 20 true-top tokens and report the
+    overestimate the collision mass adds. est >= true always; over_bp
+    prices the width/depth trade against exact counting."""
+    from webloghunter_spark.functions.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from webloghunter_spark.functions.text import tokens_expr
+    from webloghunter_spark.session import materialize
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    toks = materialize(
+        docs.select(F.explode(tokens_expr("text")).alias("_tok"))
+    )
+    counters = cms_counters(toks)
+    top = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("_tok"))
+        .limit(20)
+        .select(F.col("_tok").alias("token"), "true_cnt")
+    )
+    est = cms_estimate(counters, top, "token")
+    return est.select(
+        "token",
+        "true_cnt",
+        "est_cnt",
+        F.floor(
+            (F.col("est_cnt") - F.col("true_cnt"))
+            * 10000.0
+            / F.col("true_cnt")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("over_bp"),
+    )
+
+
+SQL_CMS_COUNTS = r"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END) AS tok
+        FROM documents
+    ),
+    counters AS (
+        SELECT i AS row,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok),
+                                   1, 12) AS BIGINT) % 2048 AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM toks, (SELECT unnest(generate_series(0, 2)) AS i)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tok AS token, count(*)::BIGINT AS true_cnt
+        FROM toks GROUP BY tok
+        ORDER BY true_cnt DESC, token
+        LIMIT 20
+    ),
+    probes AS (
+        SELECT token, true_cnt, i AS row,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
+                                   1, 12) AS BIGINT) % 2048 AS bucket
+        FROM top, (SELECT unnest(generate_series(0, 2)) AS i)
+    ),
+    est AS (
+        SELECT p.token, p.true_cnt,
+               min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+        FROM probes p LEFT JOIN counters c USING (row, bucket)
+        GROUP BY p.token, p.true_cnt
+    )
+    SELECT token, true_cnt, est_cnt,
+           CAST(floor((est_cnt - true_cnt) * 10000.0 / true_cnt + 0.5)
+               AS BIGINT) AS over_bp
+    FROM est
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -5480,6 +5643,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "substring_remove": q_substring_remove,
     "train_order": q_train_order,
+    "padding_waste": q_padding_waste,
+    "vocab_coverage": q_vocab_coverage,
+    "cms_counts": q_cms_counts,
     "train_manifest": q_train_manifest,
     "dsir_weights": q_dsir_weights,
     "quality_calibration": q_quality_calibration,
@@ -5658,6 +5824,9 @@ ORACLES: dict[str, str] = {
     "substring_remove": SQL_SUBSTRING_REMOVE,
     "train_order": SQL_TRAIN_ORDER,
     "train_manifest": SQL_TRAIN_MANIFEST,
+    "padding_waste": SQL_PADDING_WASTE,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "cms_counts": SQL_CMS_COUNTS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "cc_representatives": SQL_CC_REPRESENTATIVES,

@@ -204,3 +204,63 @@ def pack_bins(
     return base.groupBy("shard_id").applyInPandas(
         pack, f"{id_col} long, shard_id int, ntok long, bin_id long"
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    max_seq_len: int = 128,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-efficiency report for the NAIVE (no-packing) loading
+    strategy: each document is chunked into ceil(ntok/L) sequences of
+    length L and the last chunk is padded. Per group:
+    (n_docs, n_tokens, n_seqs, pad_tokens, waste_bp) with waste_bp =
+    pad / (n_seqs * L) in basis points — the fraction of the training
+    batch that is padding. This is the number that justifies running
+    pack_bins/pack_chunks at all: compare waste_bp here against the
+    packed layout's residual waste to price the packing step.
+
+    Scale: pure per-row arithmetic on the token count feeding ONE
+    map-side-combinable aggregate — no shuffle beyond |groups| cells,
+    no text movement. Zero-token docs contribute zero sequences (they
+    would be dropped by the loader, not padded)."""
+    if max_seq_len <= 0:
+        raise ValueError(f"max_seq_len must be positive, got {max_seq_len}")
+    ntok = token_count_expr(text_col)
+    # integer ceil-div (never float ceil: both engines replay exactly)
+    n_seqs = F.floor(
+        (ntok + F.lit(max_seq_len - 1)) / F.lit(max_seq_len)
+    ).cast("long")
+    per = df.select(
+        F.col(group_col),
+        ntok.alias("_ntok"),
+        n_seqs.alias("_seqs"),
+        (n_seqs * max_seq_len - ntok).alias("_pad"),
+    )
+    denom = F.col("n_seqs") * max_seq_len
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.sum("_seqs").alias("n_seqs"),
+            F.sum("_pad").alias("pad_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "n_seqs",
+            "pad_tokens",
+            F.when(
+                F.col("n_seqs") > 0,
+                F.floor(
+                    F.col("pad_tokens") * 10000.0 / denom + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("waste_bp"),
+        )
+    )

@@ -415,3 +415,83 @@ def embedding_drift(
         hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_b")
     )
     return _js_divergence(feat(a), feat(b), 1 << num_planes)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    sizes: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-sizing curve: for each candidate vocabulary size V,
+    how much of the corpus the top-V token vocabulary covers. One row
+    per size: (vocab_size, n_types, covered_tokens, total_tokens,
+    oov_bp) — n_types = min(V, distinct types), covered_tokens = sum
+    of the top-V type counts (count DESC, token ASC ties — the
+    oov_rate rule), oov_bp = uncovered token fraction in basis
+    points. The report that picks a BPE/vocab size before training:
+    the V where the curve flattens is the money point.
+
+    Scale: one combinable type-count aggregate, then a
+    TakeOrderedAndProject top-max(sizes) — NEVER a global sort of the
+    type table; the cumulative sum runs over the max(sizes)-row
+    bounded frame (a single-partition window over <= max(sizes) rows
+    by construction), and the size spine joins against it broadcast.
+    Two scalar aggregates (total tokens, total types) complete it."""
+    if not sizes:
+        sizes = [250, 1000, 4000, 16000]
+    if any(v <= 0 for v in sizes) or len(set(sizes)) != len(sizes):
+        raise ValueError(f"sizes must be positive and distinct: {sizes}")
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = counts.orderBy(F.col("_n").desc(), F.col("_tok")).limit(max(sizes))
+    # bounded single-partition window: <= max(sizes) rows by the limit
+    w = (
+        W.orderBy(F.col("_n").desc(), F.col("_tok"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = top.select(
+        F.row_number().over(
+            W.orderBy(F.col("_n").desc(), F.col("_tok"))
+        ).alias("_rank"),
+        F.sum("_n").over(w).alias("_cum"),
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_total"),
+        F.count(F.lit(1)).alias("_types"),
+    )
+    spine = spark.createDataFrame(
+        [(int(v),) for v in sorted(sizes)], "vocab_size long"
+    )
+    per_size = (
+        F.broadcast(spine)
+        .join(ranked, ranked["_rank"] <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(
+            F.count("_rank").alias("_kept"),
+            F.coalesce(F.max("_cum"), F.lit(0)).alias("_covered"),
+        )
+    )
+    return per_size.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        F.col("_kept").cast("long").alias("n_types"),
+        F.col("_covered").cast("long").alias("covered_tokens"),
+        F.col("_total").cast("long").alias("total_tokens"),
+        F.when(
+            F.col("_total") > 0,
+            F.floor(
+                (F.col("_total") - F.col("_covered"))
+                * 10000.0
+                / F.col("_total")
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("oov_bp"),
+    )
