@@ -4882,6 +4882,119 @@ SQL_VOCAB_COVERAGE = r"""
 """
 
 
+def q_source_divergence(spark, sf_dir):
+    """Pairwise JS-divergence matrix between all sources' hashed
+    unigram distributions (dist_drift generalized to the full
+    all-pairs mixing-design view): one corpus scan into a combinable
+    (source, bucket) aggregate, then |sources|^2 x 1024 spine
+    arithmetic — never token-scale pair volume."""
+    from webloghunter_spark.pipelines.select import source_divergence
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return source_divergence(docs, group_col="source")
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+    WITH toks AS (
+        SELECT source, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT source,
+               CAST('0x' || substr(md5(unnest(t)), 1, 8) AS BIGINT)
+                   % 1024 AS b
+        FROM toks
+    ),
+    c AS (SELECT source, b, count(*) AS c FROM tk GROUP BY source, b),
+    t AS (SELECT source, count(*)::BIGINT AS t FROM tk GROUP BY source),
+    spine AS (SELECT unnest(generate_series(0, 1023)) AS b),
+    vec AS (
+        SELECT t.source, s.b, t.t,
+               (coalesce(c.c, 0) + 1) / (t.t + 1024) AS p
+        FROM spine s CROSS JOIN t
+        LEFT JOIN c ON c.source = t.source AND c.b = s.b
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.t AS n_a, b.t AS n_b, a.p AS p, b.p AS q
+        FROM vec a JOIN vec b ON a.b = b.b AND a.source < b.source
+    )
+    SELECT source_a, source_b, n_a, n_b,
+           sum(CAST(round((p * ln(p / ((p + q) / 2.0))
+                           + q * ln(q / ((p + q) / 2.0)))
+                          / 2.0 * 1e9) AS BIGINT))::BIGINT AS js_nano
+    FROM pairs
+    GROUP BY source_a, source_b, n_a, n_b
+"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Rank-frequency OLS in log-log space over the top-1000 types:
+    slope ~ -1 is natural text, flatter flags templated/synthetic
+    corpora. Bounded top-k + 1e-9-quantized regression sums —
+    engine-exact, order-free."""
+    from webloghunter_spark.pipelines.select import zipf_fit
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return zipf_fit(docs, top_k=1000)
+
+
+SQL_ZIPF_FIT = r"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY n DESC, tok) AS r, n
+        FROM counts
+        QUALIFY r <= 1000
+    ),
+    terms AS (
+        SELECT CAST(round(ln(r) * 1e9) AS BIGINT) AS xn,
+               CAST(round(ln(n) * 1e9) AS BIGINT) AS yn,
+               CAST(round(ln(r) * ln(r) * 1e9) AS BIGINT) AS xxn,
+               CAST(round(ln(r) * ln(n) * 1e9) AS BIGINT) AS xyn
+        FROM ranked
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS k,
+               coalesce(sum(xn), 0)::BIGINT AS sx,
+               coalesce(sum(yn), 0)::BIGINT AS sy,
+               coalesce(sum(xxn), 0)::BIGINT AS sxx,
+               coalesce(sum(xyn), 0)::BIGINT AS sxy
+        FROM terms
+    ),
+    d AS (
+        SELECT k,
+               CAST(k AS DOUBLE) AS kd,
+               sx / 1e9 AS sxd, sy / 1e9 AS syd,
+               sxx / 1e9 AS sxxd, sxy / 1e9 AS sxyd
+        FROM s
+    ),
+    f AS (
+        SELECT k, kd, sxd, syd,
+               kd * sxxd - sxd * sxd AS den,
+               kd * sxyd - sxd * syd AS num
+        FROM d
+    )
+    SELECT k AS n_types,
+           CASE WHEN den > 0
+                THEN CAST(floor(num / den * 1e6 + 0.5) AS BIGINT)
+                ELSE 0 END AS slope_micro,
+           CASE WHEN den > 0
+                THEN CAST(floor((syd - (num / den) * sxd) / kd * 1e6
+                                + 0.5) AS BIGINT)
+                ELSE 0 END AS intercept_micro
+    FROM f
+"""
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-Min sketch heavy-hitter audit: sketch the whole token
     stream into a fixed 3x2048 counter table (map-side-combinable —
@@ -5646,6 +5759,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "padding_waste": q_padding_waste,
     "vocab_coverage": q_vocab_coverage,
     "cms_counts": q_cms_counts,
+    "source_divergence": q_source_divergence,
+    "zipf_fit": q_zipf_fit,
     "train_manifest": q_train_manifest,
     "dsir_weights": q_dsir_weights,
     "quality_calibration": q_quality_calibration,
@@ -5827,6 +5942,8 @@ ORACLES: dict[str, str] = {
     "padding_waste": SQL_PADDING_WASTE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "cms_counts": SQL_CMS_COUNTS,
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
+    "zipf_fit": SQL_ZIPF_FIT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "quality_calibration": SQL_QUALITY_CALIBRATION,
     "cc_representatives": SQL_CC_REPRESENTATIVES,

@@ -495,3 +495,155 @@ def vocab_coverage(
         .cast("long")
         .alias("oov_bp"),
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence MATRIX between every pair of
+    groups' hashed token-feature distributions — distribution_drift
+    generalized from two snapshots to all sources at once: one row per
+    unordered pair (source_a < source_b) with (n_a, n_b, js_nano).
+    The mixing-design input: which sources are near-duplicates of each
+    other distributionally (merge them) and which are the outliers
+    (cap them).
+
+    Scale: ONE combinable (group, bucket) aggregate over the token
+    stream — the corpus is scanned once no matter how many groups —
+    then all arithmetic on the |groups| x B vector frame; the pair
+    join is B-bucket-aligned, so its volume is |groups|^2 x B rows
+    (a few hundred thousand for 20 sources x 1024 cells), never
+    token-scale. Same Laplace spine + 1e-9 quantized contributions as
+    distribution_drift — engine-exact, order-free."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    bl = F.lit(int(n_buckets))
+    tk = df.select(
+        F.col(group_col), F.explode(tokens_expr(text_col)).alias("_tok")
+    ).select(
+        group_col,
+        (
+            F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+            % bl
+        ).alias("_b"),
+    )
+    from webloghunter_spark.session import materialize
+
+    tk = materialize(tk)
+    counts = tk.groupBy(group_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = tk.groupBy(group_col).agg(F.count(F.lit(1)).alias("_t"))
+    spine = df.sparkSession.range(int(n_buckets)).select(
+        F.col("id").alias("_b")
+    )
+    vec = (
+        spine.crossJoin(F.broadcast(totals))
+        .join(counts, [group_col, "_b"], "left")
+        .select(
+            F.col(group_col),
+            "_b",
+            "_t",
+            (
+                (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
+                / (F.col("_t") + bl)
+            ).alias("_p"),
+        )
+    )
+    a = vec.select(
+        F.col(group_col).alias("source_a"),
+        F.col("_b"),
+        F.col("_t").alias("_ta"),
+        F.col("_p").alias("_pa"),
+    )
+    b = vec.select(
+        F.col(group_col).alias("source_b"),
+        F.col("_b"),
+        F.col("_t").alias("_tb"),
+        F.col("_p").alias("_pb"),
+    )
+    pairs = a.join(b, "_b").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("_pa") + F.col("_pb")) / F.lit(2.0)
+    contrib = F.round(
+        (
+            F.col("_pa") * F.log(F.col("_pa") / m)
+            + F.col("_pb") * F.log(F.col("_pb") / m)
+        )
+        / F.lit(2.0)
+        * 1e9
+    ).cast("long")
+    return (
+        pairs.select(
+            "source_a", "source_b", "_ta", "_tb", contrib.alias("_j")
+        )
+        .groupBy("source_a", "source_b", "_ta", "_tb")
+        .agg(F.sum("_j").alias("js_nano"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("_ta").alias("n_a"),
+            F.col("_tb").alias("n_b"),
+            "js_nano",
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame, top_k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """One-row OLS fit of the rank-frequency curve in log-log space
+    over the top-`top_k` types: (n_types, slope_micro,
+    intercept_micro). Natural text runs slope ~ -1 (Zipf); templated
+    or synthetic corpora run much flatter — a cheap generated-text /
+    boilerplate tripwire per source or snapshot.
+
+    Scale: the vocab_coverage shape — one combinable type count + a
+    bounded top-k (TakeOrderedAndProject); the regression terms
+    (ln rank, ln count products) are quantized to the 1e-9 grid and
+    integer-summed over the <= top_k-row frame, so both the sums and
+    the final slope are engine-exact and aggregation-order-free."""
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = counts.orderBy(F.col("_n").desc(), F.col("_tok")).limit(top_k)
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("_n").desc(), F.col("_tok")))
+        .alias("_r"),
+        F.col("_n"),
+    )
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("_n").cast("double"))
+    nano = lambda c: F.round(c * 1e9).cast("long")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum(nano(x)), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(nano(y)), F.lit(0)).alias("sy"),
+        F.coalesce(F.sum(nano(x * x)), F.lit(0)).alias("sxx"),
+        F.coalesce(F.sum(nano(x * y)), F.lit(0)).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    sx = F.col("sx") / 1e9
+    sy = F.col("sy") / 1e9
+    sxx = F.col("sxx") / 1e9
+    sxy = F.col("sxy") / 1e9
+    den = k * sxx - sx * sx
+    slope = (k * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / k
+    micro = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.select(
+        F.col("k").alias("n_types"),
+        F.when(den > 0, micro(slope)).otherwise(F.lit(0)).cast("long")
+        .alias("slope_micro"),
+        F.when(den > 0, micro(intercept)).otherwise(F.lit(0)).cast("long")
+        .alias("intercept_micro"),
+    )
