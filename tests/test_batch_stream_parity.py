@@ -359,59 +359,6 @@ def test_decontaminate_batch_stream_parity(spark, tmp_path):
     assert got_ids == expected
 
 
-def test_cms_batch_stream_parity(spark, tmp_path):
-    """Sum-merged streaming CMS counters equal the batch sketch over
-    the union of micro-batches exactly (the hll/mix free-parity
-    family), and the estimates never underestimate true counts."""
-    from webloghunter_spark.functions.sketches import cms_counters
-    from webloghunter_spark.functions.text import tokens_expr
-    from webloghunter_spark.streaming.cms import (
-        cms_bucket_py,
-        cms_token_stream_writer,
-    )
-
-    rows = [(i, f"alpha beta w{i % 7} gamma" if i % 2 else "alpha delta")
-            for i in range(40)]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    batch = {
-        (int(r.row), int(r.bucket)): int(r.cnt)
-        for r in cms_counters(
-            df.select(F.explode(tokens_expr("text")).alias("_tok"))
-        ).collect()
-    }
-    src = tmp_path / "cms_src"
-    df.filter(F.col("doc_id") < 20).write.parquet(str(src / "a"))
-    df.filter(F.col("doc_id") >= 20).write.parquet(str(src / "b"))
-    stream = (
-        spark.readStream.schema(df.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src / "*"))
-    )
-    seen = {"last": None, "batches": 0}
-
-    def sink(rows, batch_id):
-        seen["last"] = rows
-        seen["batches"] += 1
-
-    fn = cms_token_stream_writer(sink, ["alpha", "beta", "nothere"])
-    q = (
-        stream.writeStream.foreachBatch(fn)
-        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    assert seen["batches"] >= 2
-    assert fn.counters == batch  # exact sum-merge parity
-    est = dict(seen["last"])
-    assert est["alpha"] >= 40 and est["beta"] >= 20  # never under
-    # python bucket mirror agrees with the SQL expr path: the batch
-    # counter the estimate consults exists at the mirrored position
-    assert (0, cms_bucket_py("alpha", 0)) in batch
-
-
 def test_contam_spans_batch_stream_parity(spark, tmp_path):
     """foreachBatch contamination-span triage over a streamed train
     corpus (forced into multiple micro-batches) equals the batch

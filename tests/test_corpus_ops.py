@@ -358,64 +358,23 @@ def test_vocab_coverage_curve(spark):
     assert out[1].total_tokens == out[10].total_tokens == 9
 
 
-def test_cms_estimate_never_underestimates(spark):
-    """CMS point estimates are >= true counts; a value absent from the
-    stream with empty buckets estimates 0."""
-    from webloghunter_spark.functions.sketches import (
-        cms_counters,
-        cms_estimate,
+def test_cms_overestimate_audit(spark):
+    """The audit rides the shared vocab sketch: estimates never
+    underestimate the true top-k counts, over_bp >= 0, rows = k
+    capped at the vocabulary size."""
+    from webloghunter_spark.streaming.vocab import cms_overestimate_audit
+
+    df = spark.createDataFrame(
+        [(i, "Alpha beta ALPHA gamma" if i % 2 else "alpha delta")
+         for i in range(30)],
+        "doc_id long, text string",
     )
-
-    items = spark.createDataFrame(
-        [(f"v{i % 5}",) for i in range(100)], "val string"
-    )
-    counters = cms_counters(items, "val")
-    queries = spark.createDataFrame(
-        [("v0", 20), ("v4", 20)], "val string, true long"
-    )
-    est = {r.val: r.est_cnt for r in
-           cms_estimate(counters, queries, "val").collect()}
-    assert est["v0"] >= 20 and est["v4"] >= 20
-
-
-def test_source_divergence_matrix(spark):
-    """Identically-distributed sources diverge ~0; a disjoint-vocab
-    source diverges strongly from both; one row per unordered pair."""
-    from webloghunter_spark.pipelines.select import source_divergence
-
-    rows = (
-        [(i, "a", "alpha beta gamma delta") for i in range(20)]
-        + [(100 + i, "b", "alpha beta gamma delta") for i in range(20)]
-        + [(200 + i, "c", "zeta eta theta iota") for i in range(20)]
-    )
-    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    out = {(r.source_a, r.source_b): r for r in source_divergence(df).collect()}
-    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
-    assert out[("a", "b")].js_nano == 0  # identical distributions
-    assert out[("a", "c")].js_nano > 10_000_000  # disjoint vocab
-    assert out[("a", "c")].js_nano == out[("b", "c")].js_nano
-    assert out[("a", "b")].n_a == 80 and out[("a", "b")].n_b == 80
-
-
-def test_zipf_fit_slope_signs(spark):
-    """A Zipf-shaped corpus fits a clearly negative log-log slope; a
-    perfectly uniform type distribution fits slope 0."""
-    from webloghunter_spark.pipelines.select import zipf_fit
-
-    # counts ~ 1/rank: w1 x 32, w2 x 16, w3 x 8, ... w6 x 1
-    words = []
-    for i, c in enumerate([32, 16, 8, 4, 2, 1]):
-        words += [f"w{i}"] * c
-    zipfish = spark.createDataFrame(
-        [(1, " ".join(words))], "doc_id long, text string"
-    )
-    r = zipf_fit(zipfish, top_k=10).collect()[0]
-    assert r.n_types == 6 and r.slope_micro < -1_500_000  # ~ -2/ln ratio
-    uniform = spark.createDataFrame(
-        [(1, "u1 u2 u3 u4 u1 u2 u3 u4")], "doc_id long, text string"
-    )
-    r = zipf_fit(uniform, top_k=10).collect()[0]
-    assert r.slope_micro == 0 and r.n_types == 4
+    out = {r.token: r for r in
+           cms_overestimate_audit(df, "text", k=3).collect()}
+    assert set(out) == {"alpha", "beta", "delta"}  # tie: beta < delta
+    assert out["alpha"].true_cnt == 45
+    for r in out.values():
+        assert r.est_cnt >= r.true_cnt and r.over_bp >= 0
 
 
 def test_dsir_weights_prefer_target_like_docs(spark):

@@ -4996,61 +4996,34 @@ SQL_ZIPF_FIT = r"""
 
 
 def q_cms_counts(spark, sf_dir):
-    """Count-Min sketch heavy-hitter audit: sketch the whole token
-    stream into a fixed 3x2048 counter table (map-side-combinable —
-    the 100 TB sketch state is depth*width cells regardless of corpus
-    size), then estimate the 20 true-top tokens and report the
-    overestimate the collision mass adds. est >= true always; over_bp
-    prices the width/depth trade against exact counting."""
-    from webloghunter_spark.functions.sketches import (
-        cms_counters,
-        cms_estimate,
-    )
-    from webloghunter_spark.functions.text import tokens_expr
-    from webloghunter_spark.session import materialize
+    """Count-Min sketch overestimate audit on the md5 cell family the
+    streaming vocab sketch uses (4x1024 — fixed state at any corpus
+    size): estimate the 20 true-top tokens through the sketch and
+    report the collision mass (over_bp). est >= true always; this is
+    the number that tunes depth/width. Rides streaming/vocab.py's
+    existing sketch machinery — one implementation, batch + stream."""
+    from webloghunter_spark.streaming.vocab import cms_overestimate_audit
 
     docs = _fan(_t(spark, sf_dir, "documents"))
-    toks = materialize(
-        docs.select(F.explode(tokens_expr("text")).alias("_tok"))
-    )
-    counters = cms_counters(toks)
-    top = (
-        toks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), F.col("_tok"))
-        .limit(20)
-        .select(F.col("_tok").alias("token"), "true_cnt")
-    )
-    est = cms_estimate(counters, top, "token")
-    return est.select(
-        "token",
-        "true_cnt",
-        "est_cnt",
-        F.floor(
-            (F.col("est_cnt") - F.col("true_cnt"))
-            * 10000.0
-            / F.col("true_cnt")
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("over_bp"),
-    )
+    return cms_overestimate_audit(docs, "text", k=20)
 
 
 SQL_CMS_COUNTS = r"""
     WITH toks AS (
-        SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
-               THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
-               END) AS tok
-        FROM documents
+        SELECT lower(tok) AS tok FROM (
+            SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                   END) AS tok
+            FROM documents
+        )
     ),
     counters AS (
         SELECT i AS row,
                CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok),
-                                   1, 12) AS BIGINT) % 2048 AS bucket,
-               count(*)::BIGINT AS cnt
-        FROM toks, (SELECT unnest(generate_series(0, 2)) AS i)
+                                   1, 8) AS BIGINT) % 1024 AS pos,
+               count(*)::BIGINT AS n
+        FROM toks, (SELECT unnest(generate_series(0, 3)) AS i)
         GROUP BY 1, 2
     ),
     top AS (
@@ -5062,13 +5035,13 @@ SQL_CMS_COUNTS = r"""
     probes AS (
         SELECT token, true_cnt, i AS row,
                CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
-                                   1, 12) AS BIGINT) % 2048 AS bucket
-        FROM top, (SELECT unnest(generate_series(0, 2)) AS i)
+                                   1, 8) AS BIGINT) % 1024 AS pos
+        FROM top, (SELECT unnest(generate_series(0, 3)) AS i)
     ),
     est AS (
         SELECT p.token, p.true_cnt,
-               min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
-        FROM probes p LEFT JOIN counters c USING (row, bucket)
+               min(coalesce(c.n, 0))::BIGINT AS est_cnt
+        FROM probes p LEFT JOIN counters c USING (row, pos)
         GROUP BY p.token, p.true_cnt
     )
     SELECT token, true_cnt, est_cnt,

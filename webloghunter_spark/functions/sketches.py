@@ -95,101 +95,3 @@ def hll_distinct(
         *group_cols, "n_exact", "hll_est"
     )
 
-
-# --- Count-Min Sketch (md5-derived, engine-portable) -----------------
-
-CMS_WIDTH = 2048
-CMS_DEPTH = 3
-
-
-def cms_bucket_expr(value: Column, row: int, width: int = CMS_WIDTH) -> Column:
-    """Row-`row`'s counter bucket for a value: md5('row|value') first
-    12 hex digits mod width — the same seeded-hash convention as the
-    bloom filter's k positions, so any engine re-derives the sketch."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{row}|"), value.cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width
-    )
-
-
-def cms_counters(
-    items: DataFrame,
-    value_col: str = "_tok",
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
-) -> DataFrame:
-    """(row, bucket, cnt) counter table of a Count-Min sketch over the
-    rows of `items` (one sketch increment per input row — explode
-    upstream for token streams). The state is depth x width cells
-    REGARDLESS of input size — the whole point of the sketch at
-    100 TB: counters are one map-side-combinable sum per (row,
-    bucket), <= depth*width cells per partition before the exchange,
-    and two sketches (partitions, engines, days) merge by adding
-    counters. Depth/width trade error for space: overestimate is
-    bounded by e*N/width with probability 1 - (1/2)^depth (Cormode &
-    Muthukrishnan 2005)."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                cms_bucket_expr(F.col(value_col), i, width).alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
-    return (
-        items.select(F.explode(buckets).alias("_rb"))
-        .groupBy(
-            F.col("_rb.row").alias("row"),
-            F.col("_rb.bucket").alias("bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-def cms_estimate(
-    counters: DataFrame,
-    queries: DataFrame,
-    value_col: str,
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
-) -> DataFrame:
-    """Point-frequency estimates: queries' columns + `est_cnt` =
-    min over sketch rows of the value's counter (the CMS estimator —
-    never underestimates, overestimates by collision mass). The
-    counter table is depth x width rows, broadcast; the probe is
-    depth rows per query value, no shuffle of the query side beyond
-    the final per-value min."""
-    probes = queries.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        cms_bucket_expr(
-                            F.col(value_col), i, width
-                        ).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_rb"),
-    ).select("*", F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
-    joined = probes.join(F.broadcast(counters), ["row", "bucket"], "left")
-    return (
-        joined.groupBy(*queries.columns)
-        .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
-            .cast("long")
-            .alias("est_cnt")
-        )
-    )

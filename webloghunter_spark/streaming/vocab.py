@@ -165,3 +165,74 @@ def cms_heavy_hitters(
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
     return est.filter(F.col("est") >= threshold)
+
+
+def cms_overestimate_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Price the sketch against ground truth: (token, true_cnt,
+    est_cnt, over_bp) for the k TRUE-top tokens (count DESC, token
+    ASC), est through the md5-family sketch, over_bp = the collision
+    mass in basis points of the true count. est >= true always (the
+    CMS one-sided guarantee cms_heavy_hitters leans on); a fleet
+    tunes depth/width by watching this number, not by re-deriving
+    Cormode-Muthukrishnan bounds. Two combinable aggregates + a
+    bounded top-k + one broadcast probe of the (depth*width)-row
+    sketch — the token stream is scanned once (materialized: it feeds
+    both the sketch and the truth count)."""
+    from webloghunter_spark.session import materialize
+
+    toks = materialize(
+        df.select(F.explode(tokens_expr(text_col)).alias("_t")).select(
+            F.lower(F.col("_t")).alias("_tok")
+        )
+    )
+    cells = toks.select(
+        F.explode(_cms_cells_md5(F.col("_tok"), depth, width)).alias("c")
+    )
+    sketch = cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.pos").alias("pos")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("_tok"))
+        .limit(k)
+        .select(F.col("_tok").alias("token"), "true_cnt")
+    )
+    probe = top.select(
+        "token",
+        "true_cnt",
+        F.explode(_cms_cells_md5(F.col("token"), depth, width)).alias("c"),
+    ).select(
+        "token",
+        "true_cnt",
+        F.col("c.row").alias("row"),
+        F.col("c.pos").alias("pos"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), on=["row", "pos"], how="left")
+        .groupBy("token", "true_cnt")
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("est_cnt")
+        )
+    )
+    return est.select(
+        "token",
+        "true_cnt",
+        "est_cnt",
+        F.floor(
+            (F.col("est_cnt") - F.col("true_cnt"))
+            * 10000.0
+            / F.col("true_cnt")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("over_bp"),
+    )
