@@ -359,6 +359,53 @@ def test_decontaminate_batch_stream_parity(spark, tmp_path):
     assert got_ids == expected
 
 
+def test_dist_drift_batch_stream_parity(spark, tmp_path):
+    """Sum-merged streaming drift vs a frozen reference equals the
+    batch distribution_drift over the union of micro-batches exactly
+    (histograms merge by sum; the JS arithmetic is the batch formula
+    replayed on identical integers)."""
+    from webloghunter_spark.pipelines.select import distribution_drift
+    from webloghunter_spark.streaming.drift import dist_drift_stream_writer
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(30)],
+        "doc_id long, text string",
+    )
+    stream_rows = [
+        (100 + i, "alpha beta zeta eta " + ("theta" if i % 3 else "iota"))
+        for i in range(40)
+    ]
+    cur = spark.createDataFrame(stream_rows, "doc_id long, text string")
+    expected = distribution_drift(ref, cur).collect()[0]
+
+    src = tmp_path / "drift_src"
+    cur.filter(F.col("doc_id") < 120).write.parquet(str(src / "a"))
+    cur.filter(F.col("doc_id") >= 120).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(row, batch_id):
+        seen["last"] = row
+        seen["batches"] += 1
+
+    fn = dist_drift_stream_writer(ref, sink)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 2
+    assert seen["last"] == (expected.n_a, expected.n_b, expected.js_nano)
+
+
 def test_contam_spans_batch_stream_parity(spark, tmp_path):
     """foreachBatch contamination-span triage over a streamed train
     corpus (forced into multiple micro-batches) equals the batch

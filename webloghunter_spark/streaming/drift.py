@@ -1,0 +1,99 @@
+"""Streaming twin of pipelines/select.distribution_drift — a live
+token-distribution drift monitor against a FROZEN reference corpus.
+
+The batch operator compares two static snapshots. The production
+question is continuous: "is the feed drifting away from the corpus we
+trained on?" — a frozen-model twin (gate / decontam / oov family):
+the reference's B-cell bucket histogram is computed ONCE and held in
+the closure; each micro-batch contributes one map-side-combinable
+B-cell aggregate whose counts MERGE BY SUM into the running stream
+histogram (the hll/mix/cms free-parity family), and the JS divergence
+re-derives per batch from the merged totals with the batch operator's
+exact arithmetic — Laplace spine smoothing, per-cell contributions
+quantized to 1e-9 nats (half-up, matching F.round on non-negative
+terms), integer sum. After the last batch the emitted (n_a, n_b,
+js_nano) row is IDENTICAL to distribution_drift(reference,
+union-of-batches): parity is exact, not approximate, because the only
+cross-batch state is an integer histogram.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import tokens_expr
+
+DRIFT_BUCKETS = 1024
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(bucket, cnt) md5-hashed token-feature histogram — the same
+    feature space as distribution_drift/dsir_weights."""
+    return (
+        df.select(F.explode(tokens_expr(text_col)).alias("_t"))
+        .select(
+            (
+                F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+                % F.lit(int(n_buckets))
+            ).alias("_b")
+        )
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def js_nano_from_hists(
+    ref: dict[int, int],
+    cur: dict[int, int],
+    n_buckets: int = DRIFT_BUCKETS,
+) -> tuple[int, int, int]:
+    """(n_ref, n_cur, js_nano) from two bucket histograms — the exact
+    batch formula: Laplace +1 smoothing over the full spine, per-cell
+    nano-nat quantization (floor(x*1e9 + 0.5), valid because JS terms
+    are non-negative — matches Spark's HALF_UP round), integer sum."""
+    ta, tb = sum(ref.values()), sum(cur.values())
+    js = 0
+    for b in range(n_buckets):
+        p = (ref.get(b, 0) + 1) / (ta + n_buckets)
+        q = (cur.get(b, 0) + 1) / (tb + n_buckets)
+        m = (p + q) / 2.0
+        c = (p * math.log(p / m) + q * math.log(q / m)) / 2.0 * 1e9
+        js += int(math.floor(c + 0.5))
+    return ta, tb, js
+
+
+def dist_drift_stream_writer(
+    ref_df: DataFrame,
+    sink: Callable[[tuple, int], None],
+    text_col: str = "text",
+    n_buckets: int = DRIFT_BUCKETS,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function: per micro-batch,
+    `sink((n_ref, n_stream, js_nano), batch_id)` receives the CURRENT
+    divergence of everything streamed so far vs the frozen reference.
+    Exposes `.counts` (the merged stream histogram — the parity
+    surface) and `.current()`."""
+    ref = {
+        int(r["_b"]): int(r["_c"])
+        for r in _bucket_counts(ref_df, text_col, n_buckets).collect()
+    }
+    state: dict[int, int] = {}
+
+    def current() -> tuple:
+        return js_nano_from_hists(ref, state, n_buckets)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        for r in _bucket_counts(batch_df, text_col, n_buckets).collect():
+            b = int(r["_b"])
+            state[b] = state.get(b, 0) + int(r["_c"])
+        sink(current(), batch_id)
+
+    process.counts = state
+    process.current = current
+    return process
