@@ -227,16 +227,23 @@ def padding_waste(
     would be dropped by the loader, not padded)."""
     if max_seq_len <= 0:
         raise ValueError(f"max_seq_len must be positive, got {max_seq_len}")
-    ntok = token_count_expr(text_col)
-    # integer ceil-div (never float ceil: both engines replay exactly)
-    n_seqs = F.floor(
-        (ntok + F.lit(max_seq_len - 1)) / F.lit(max_seq_len)
-    ).cast("long")
-    per = df.select(
-        F.col(group_col),
-        ntok.alias("_ntok"),
-        n_seqs.alias("_seqs"),
-        (n_seqs * max_seq_len - ntok).alias("_pad"),
+    # integer ceil-div via `div` (long division end to end — the
+    # DuckDB oracle's `//` is replayed exactly, with no double
+    # quotient anywhere in the path)
+    per = (
+        df.select(
+            F.col(group_col),
+            token_count_expr(text_col).alias("_ntok"),
+        )
+        .withColumn(
+            "_seqs",
+            F.expr(
+                f"(_ntok + {int(max_seq_len) - 1}) div {int(max_seq_len)}"
+            ),
+        )
+        .withColumn(
+            "_pad", F.col("_seqs") * max_seq_len - F.col("_ntok")
+        )
     )
     denom = F.col("n_seqs") * max_seq_len
     return (

@@ -462,8 +462,7 @@ def vocab_coverage(
         F.sum("_n").over(w).alias("_cum"),
     )
     totals = counts.agg(
-        F.coalesce(F.sum("_n"), F.lit(0)).alias("_total"),
-        F.count(F.lit(1)).alias("_types"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_total")
     )
     spine = spark.createDataFrame(
         [(int(v),) for v in sorted(sizes)], "vocab_size long"
@@ -532,11 +531,15 @@ def source_divergence(
     )
     from webloghunter_spark.session import materialize
 
-    tk = materialize(tk)
-    counts = tk.groupBy(group_col, "_b").agg(
-        F.count(F.lit(1)).alias("_c")
+    # ONE corpus scan: the (group, bucket) aggregate is the only
+    # token-scale pass; totals roll up from the |groups|x B frame —
+    # never persist the exploded token frame itself (corpus-sized)
+    counts = materialize(
+        tk.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
     )
-    totals = tk.groupBy(group_col).agg(F.count(F.lit(1)).alias("_t"))
+    totals = counts.groupBy(group_col).agg(
+        F.sum("_c").alias("_t")
+    )
     spine = df.sparkSession.range(int(n_buckets)).select(
         F.col("id").alias("_b")
     )

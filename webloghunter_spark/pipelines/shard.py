@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 def shard_expr(id_col: Column | str, n_shards: int, salt: str = "") -> Column:
     """Stable shard in [0, n_shards) from md5 of the id (+ salt)."""
+    if n_shards <= 0:
+        # non-ANSI `% 0` yields NULL silently — every row would land
+        # in one NULL-shard partition instead of failing loudly
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
     return (
@@ -105,6 +109,8 @@ def train_order(
     shard's (key, id) pairs sort within one executor's memory
     (n_shards ~ corpus/shard-budget, same sizing rule as
     write_training_shards)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
     from pyspark.sql import Window as W
 
     key = order_key_expr(id_col, seed)
@@ -136,6 +142,8 @@ def train_order_manifest(
     digest: any permutation of assignments changes some 'id@position'
     string and so the xor. A consumer re-derives positions from
     (seed, id) alone and verifies a delivered shard with one number."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
     from pyspark.sql import Window as W
 
     from webloghunter_spark.functions.text import token_count_expr

@@ -84,14 +84,20 @@ def dist_drift_stream_writer(
         for r in _bucket_counts(ref_df, text_col, n_buckets).collect()
     }
     state: dict[int, int] = {}
+    seen_batches: set[int] = set()
 
     def current() -> tuple:
         return js_nano_from_hists(ref, state, n_buckets)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        for r in _bucket_counts(batch_df, text_col, n_buckets).collect():
-            b = int(r["_b"])
-            state[b] = state.get(b, 0) + int(r["_c"])
+        # foreachBatch is at-least-once: a replayed micro-batch arrives
+        # with the SAME batch_id — adding its counts twice would break
+        # the exact-parity claim permanently, so replays only re-emit
+        if batch_id not in seen_batches:
+            seen_batches.add(batch_id)
+            for r in _bucket_counts(batch_df, text_col, n_buckets).collect():
+                b = int(r["_b"])
+                state[b] = state.get(b, 0) + int(r["_c"])
         sink(current(), batch_id)
 
     process.counts = state

@@ -180,27 +180,29 @@ def cms_overestimate_audit(
     mass in basis points of the true count. est >= true always (the
     CMS one-sided guarantee cms_heavy_hitters leans on); a fleet
     tunes depth/width by watching this number, not by re-deriving
-    Cormode-Muthukrishnan bounds. Two combinable aggregates + a
-    bounded top-k + one broadcast probe of the (depth*width)-row
-    sketch — the token stream is scanned once (materialized: it feeds
-    both the sketch and the truth count)."""
+    Cormode-Muthukrishnan bounds. The token stream is scanned ONCE
+    into a vocabulary-scale (token, count) aggregate — the only
+    persisted intermediate; the sketch rebuilds from it as a
+    count-weighted cell sum (identical totals: the sketch counts
+    occurrences), and the true top-k reads it directly. Never a
+    corpus-scale persist."""
     from webloghunter_spark.session import materialize
 
-    toks = materialize(
-        df.select(F.explode(tokens_expr(text_col)).alias("_t")).select(
-            F.lower(F.col("_t")).alias("_tok")
-        )
+    counts = materialize(
+        df.select(F.explode(tokens_expr(text_col)).alias("_t"))
+        .select(F.lower(F.col("_t")).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
     )
-    cells = toks.select(
-        F.explode(_cms_cells_md5(F.col("_tok"), depth, width)).alias("c")
+    cells = counts.select(
+        "true_cnt",
+        F.explode(_cms_cells_md5(F.col("_tok"), depth, width)).alias("c"),
     )
     sketch = cells.groupBy(
         F.col("c.row").alias("row"), F.col("c.pos").alias("pos")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.sum("true_cnt").alias("n"))
     top = (
-        toks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), F.col("_tok"))
+        counts.orderBy(F.col("true_cnt").desc(), F.col("_tok"))
         .limit(k)
         .select(F.col("_tok").alias("token"), "true_cnt")
     )
