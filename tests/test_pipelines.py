@@ -941,6 +941,36 @@ def test_train_order_manifest_pins_exact_order(spark):
     assert perturbed[sh] != recomputed[sh]
 
 
+def test_write_training_order_round_trip(spark, tmp_path):
+    """The writer lands shard_id partitions whose row order IS the
+    seeded training order; a read-back agrees with train_order
+    row-for-row."""
+    from webloghunter_spark.pipelines.shard import train_order, write_training_order
+
+    rows = [(i, f"doc {i} text") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "ordered")
+    write_training_order(df, out, n_shards=4, seed="s")
+    expected = {r.doc_id: (r.shard_id, r.position)
+                for r in train_order(df, n_shards=4, seed="s").collect()}
+    back = spark.read.parquet(out)
+    assert back.count() == 120 and "text" in back.columns
+    got = {r.doc_id: (r.shard_id, r.position) for r in back.collect()}
+    assert got == expected
+    # physical row order within each shard's files is position order
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for d in glob.glob(f"{out}/shard_id=*"):
+        positions = []
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            positions += pq.read_table(f, columns=["position"])[
+                "position"
+            ].to_pylist()
+        assert positions == sorted(positions)
+
+
 def test_pagerank_star_graph_and_dangling(spark):
     """Star graph a,b,c -> hub: the hub accumulates damped mass, the
     leaves keep only the base term (no in-edges), and the hub's

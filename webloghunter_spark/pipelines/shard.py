@@ -191,6 +191,33 @@ def train_order_manifest(
     )
 
 
+def write_training_order(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    seed: str = "train",
+    id_col: str = "doc_id",
+) -> None:
+    """Land the corpus as shard_id=K/ parquet partitions whose ROW
+    ORDER is the seeded training order (train_order's position) — the
+    layout a data loader streams without any sort of its own. One
+    shuffle: repartition on shard_id + sort-within-partition on
+    position (exactly the exchange train_order already pays; the
+    writer preserves the sorted task order into the files). Pair with
+    `train_order_manifest` (same seed/n_shards) to verify delivery —
+    the consumer re-derives positions from (seed, id) and checks one
+    xor per shard."""
+    ordered = train_order(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    out = ordered.join(df, id_col)
+    (
+        out.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("position")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
