@@ -375,6 +375,14 @@ def simhash_hamming_pairs(
     # pandas UDF) would be evaluated twice (same barrier as
     # lsh_candidate_pairs).
     banded = materialize(banded)
+    # deliberately UNHINTED: the banded table is NARROW (id + band +
+    # bv — no explode blow-up), so its static size estimate scales
+    # with row count and cannot be under-estimated into an OOM
+    # broadcast at scale (contrast ngram_jaccard_pairs' wide shingle
+    # table, which is pinned); at fixture scale the planner's
+    # broadcast is also skew-immune, where a forced shuffle join
+    # measured 36x at the 32x dup-stress (saturated 2^band_bits
+    # buckets land in single tasks).
     left, right = banded.alias("l"), banded.alias("r")
     cand = left.join(
         right,

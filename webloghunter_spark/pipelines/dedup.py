@@ -164,6 +164,11 @@ def lsh_candidate_pairs(
             df, text_col, id_col, num_hashes, band_size, shingle_k
         )
     )
+    # deliberately UNHINTED (cf. ngram_jaccard_pairs, which IS
+    # pinned): the banded frame is narrow — its static estimate
+    # scales with row count, so a broadcast is only chosen when the
+    # side genuinely fits, and a forced shuffle join loses AQE's
+    # skew handling on dup-saturated band buckets
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(
@@ -780,6 +785,11 @@ def remove_repeated_spans(
             ).alias("_i"),
         ).distinct()
     )
+    # covered/affected/rebuilt scale with duplicated volume but all
+    # sit DOWNSTREAM OF SHUFFLES (distinct/groupBy), so AQE sizes
+    # them from runtime stats — a broadcast here is only chosen when
+    # the side genuinely fits (contrast the statically-estimated wide
+    # shingle table in ngram_jaccard_pairs, which is pinned)
     affected = covered.select(id_col).distinct()
     base = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
     aff = materialize(base.join(affected, id_col, "left_semi"))
