@@ -210,8 +210,13 @@ def write_training_order(
     ordered = train_order(df, n_shards=n_shards, seed=seed, id_col=id_col)
     out = ordered.join(df, id_col)
     (
+        # sort by (shard_id, position): the dynamic-partition writer
+        # re-sorts any input NOT already clustered by the partition
+        # column (non-stable — it scrambled a position-only sort), but
+        # detects this prefix-sorted input and writes it through
+        # unchanged, so file row order IS the training order
         out.repartition(n_shards, "shard_id")
-        .sortWithinPartitions("position")
+        .sortWithinPartitions("shard_id", "position")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)
