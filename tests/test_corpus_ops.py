@@ -377,6 +377,79 @@ def test_cms_overestimate_audit(spark):
         assert r.est_cnt >= r.true_cnt and r.over_bp >= 0
 
 
+def test_source_divergence_matrix(spark):
+    """Identically-distributed sources diverge ~0; a disjoint-vocab
+    source diverges strongly from both; one row per unordered pair."""
+    from webloghunter_spark.pipelines.select import source_divergence
+
+    rows = (
+        [(i, "a", "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "b", "alpha beta gamma delta") for i in range(20)]
+        + [(200 + i, "c", "zeta eta theta iota") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source_a, r.source_b): r for r in source_divergence(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")].js_nano == 0  # identical distributions
+    assert out[("a", "c")].js_nano > 10_000_000  # disjoint vocab
+    assert out[("a", "c")].js_nano == out[("b", "c")].js_nano
+    assert out[("a", "b")].n_a == 80 and out[("a", "b")].n_b == 80
+
+
+def test_zipf_fit_slope_signs(spark):
+    """A Zipf-shaped corpus fits a clearly negative log-log slope; a
+    perfectly uniform type distribution fits slope 0."""
+    from webloghunter_spark.pipelines.select import zipf_fit
+
+    # counts ~ 1/rank: w1 x 32, w2 x 16, w3 x 8, ... w6 x 1
+    words = []
+    for i, c in enumerate([32, 16, 8, 4, 2, 1]):
+        words += [f"w{i}"] * c
+    zipfish = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_fit(zipfish, top_k=10).collect()[0]
+    assert r.n_types == 6 and r.slope_micro < -1_500_000  # ~ -2/ln ratio
+    uniform = spark.createDataFrame(
+        [(1, "u1 u2 u3 u4 u1 u2 u3 u4")], "doc_id long, text string"
+    )
+    r = zipf_fit(uniform, top_k=10).collect()[0]
+    assert r.slope_micro == 0 and r.n_types == 4
+
+
+def test_quality_classifier_learns_separation(spark):
+    """3 GD rounds separate disjoint-vocabulary corpora: target-like
+    docs score above 5000 bp, raw-like below; weights are
+    deterministic ints; an empty doc sits at the 5000 bp prior."""
+    from webloghunter_spark.pipelines.classify import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "science physics quantum energy theory") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, "buy cheap pills casino winner click") for i in range(20)]
+        + [(200, "")],
+        "doc_id long, text string",
+    )
+    w1 = train_quality_classifier(target, raw)
+    w2 = train_quality_classifier(target, raw)
+    assert w1 == w2 and len(w1) == 128  # deterministic int weights
+    assert any(wm != 0 for _, wm in w1)
+    scores = {
+        r.doc_id: r.prob_bp
+        for r in quality_classifier_scores(
+            target.unionByName(raw), w1
+        ).collect()
+    }
+    assert scores[0] > 5000 > scores[100]  # separation
+    assert scores[200] == 5000  # empty doc = prior
+    assert all(scores[i] == scores[0] for i in range(20))  # same text
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """Docs sharing the target's vocabulary score higher than docs in
     pure raw-pool vocabulary; weights are deterministic and n_grams

@@ -5051,6 +5051,134 @@ SQL_CMS_COUNTS = r"""
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality filter (CCNet/RedPajama shape): full-batch
+    logistic regression over 128 hashed-bucket features, labels
+    lang='en' vs rest, 3 GD rounds with integer-micro quantized
+    weights (the kmeans quantized-state discipline) — then score
+    every document. The oracle replays training as 3 unrolled CTE
+    iterations and must land the identical weight vector."""
+    from webloghunter_spark.pipelines.classify import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    is_en = F.coalesce(F.col("lang"), F.lit("")) == "en"
+    w = train_quality_classifier(
+        docs.filter(is_en), docs.filter(~is_en)
+    )
+    return quality_classifier_scores(docs, w)
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(unnest(t)), 1, 8) AS BIGINT)
+                   % 128 AS b
+        FROM toks
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM tk GROUP BY doc_id, b),
+    tot AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+    feat AS (
+        SELECT cnt.doc_id, cnt.b, cnt.c::DOUBLE / tot.n AS x
+        FROM cnt JOIN tot USING (doc_id)
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(lang, '') = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM lab),
+    spine AS (SELECT unnest(generate_series(0, 127)) AS b),
+    r1 AS (
+        SELECT doc_id,
+               CAST(floor((y - 0.5) * 1e9 + 0.5) AS BIGINT) AS rn
+        FROM lab
+    ),
+    g1 AS (
+        SELECT b, sum(CAST(floor((rn / 1e9) * x * 1e9 + 0.5)
+                           AS BIGINT))::BIGINT AS gn
+        FROM feat JOIN r1 USING (doc_id) GROUP BY b
+    ),
+    w1 AS (
+        SELECT s.b,
+               CAST(floor(100.0 * (coalesce(g1.gn, 0) / (1e9 * nn.n))
+                          * 1e6 + 0.5) AS BIGINT) AS w
+        FROM spine s CROSS JOIN nn LEFT JOIN g1 USING (b)
+    ),
+    z2 AS (
+        SELECT doc_id,
+               sum(CAST(floor(x * (w / 1e6) * 1e9 + 0.5)
+                        AS BIGINT))::DOUBLE / 1e9 AS z
+        FROM feat JOIN w1 USING (b) GROUP BY doc_id
+    ),
+    r2 AS (
+        SELECT lab.doc_id,
+               CAST(floor((y - 1.0 / (1.0 + exp(-coalesce(z, 0.0))))
+                          * 1e9 + 0.5) AS BIGINT) AS rn
+        FROM lab LEFT JOIN z2 USING (doc_id)
+    ),
+    g2 AS (
+        SELECT b, sum(CAST(floor((rn / 1e9) * x * 1e9 + 0.5)
+                           AS BIGINT))::BIGINT AS gn
+        FROM feat JOIN r2 USING (doc_id) GROUP BY b
+    ),
+    w2 AS (
+        SELECT w1.b,
+               w1.w + CAST(floor(100.0 * (coalesce(g2.gn, 0)
+                                          / (1e9 * nn.n))
+                                 * 1e6 + 0.5) AS BIGINT) AS w
+        FROM w1 CROSS JOIN nn LEFT JOIN g2 USING (b)
+    ),
+    z3 AS (
+        SELECT doc_id,
+               sum(CAST(floor(x * (w / 1e6) * 1e9 + 0.5)
+                        AS BIGINT))::DOUBLE / 1e9 AS z
+        FROM feat JOIN w2 USING (b) GROUP BY doc_id
+    ),
+    r3 AS (
+        SELECT lab.doc_id,
+               CAST(floor((y - 1.0 / (1.0 + exp(-coalesce(z, 0.0))))
+                          * 1e9 + 0.5) AS BIGINT) AS rn
+        FROM lab LEFT JOIN z3 USING (doc_id)
+    ),
+    g3 AS (
+        SELECT b, sum(CAST(floor((rn / 1e9) * x * 1e9 + 0.5)
+                           AS BIGINT))::BIGINT AS gn
+        FROM feat JOIN r3 USING (doc_id) GROUP BY b
+    ),
+    w3 AS (
+        SELECT w2.b,
+               w2.w + CAST(floor(100.0 * (coalesce(g3.gn, 0)
+                                          / (1e9 * nn.n))
+                                 * 1e6 + 0.5) AS BIGINT) AS w
+        FROM w2 CROSS JOIN nn LEFT JOIN g3 USING (b)
+    ),
+    zf AS (
+        SELECT doc_id,
+               sum(CAST(floor(x * (w / 1e6) * 1e9 + 0.5)
+                        AS BIGINT))::DOUBLE / 1e9 AS z
+        FROM feat JOIN w3 USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(t.t)::BIGINT AS ntok,
+           CAST(floor(coalesce(zf.z, 0.0) * 1e6 + 0.5) AS BIGINT)
+               AS logit_micro,
+           CAST(floor(10000.0 / (1.0 + exp(-coalesce(zf.z, 0.0))) + 0.5)
+               AS BIGINT) AS prob_bp
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN zf USING (doc_id)
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -5694,6 +5822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_counts": q_cms_counts,
     "source_divergence": q_source_divergence,
     "zipf_fit": q_zipf_fit,
+    "quality_classifier": q_quality_classifier,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -5825,6 +5954,7 @@ ORACLES: dict[str, str] = {
     "cms_counts": SQL_CMS_COUNTS,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "zipf_fit": SQL_ZIPF_FIT,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

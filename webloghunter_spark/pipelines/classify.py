@@ -1,0 +1,189 @@
+"""Trained quality classifier — the discriminative sibling of DSIR.
+
+Real curation pipelines (CCNet, LLaMA/RedPajama-style) train a small
+linear classifier on "looks like the target corpus" vs "random crawl"
+labels and keep the high-probability documents. This module trains a
+logistic regression over hashed token-bucket features with FULL-BATCH
+gradient descent, engineered so an external SQL engine can replay
+training bit-for-bit (the kmeans discipline — quantized per-round
+state):
+
+- features: x_b = (tokens of the doc hashing to bucket b) / ntok over
+  a B-cell md5 bucket space (the dsir/dist_drift feature family) —
+  one combinable aggregate, |docs| x <=B sparse rows;
+- each GD round is two bounded shuffles: join features with the
+  broadcast B-row weight table, per-doc logit (per-(doc,b) products
+  quantized to the 1e-9 grid before the integer sum — aggregation-
+  order-free), sigmoid residual (quantized to 1e-9), then the
+  per-bucket MEAN-gradient aggregate (products quantized again);
+- weights live in integer MICRO units and update as
+  w += floor(lr * g * 1e6 + 0.5) — identical double arithmetic in
+  Spark, Python (driver loop) and the DuckDB oracle, so 3 unrolled
+  CTE iterations reproduce the exact weight vector.
+
+Scale: per round the corpus is touched twice (logit pass + gradient
+pass) over the MATERIALIZED feature table; driver state is B weights.
+B and iters are constants — at 100 TB this is a handful of combinable
+aggregates, no single-machine stage anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import tokens_expr
+
+CLS_BUCKETS = 128
+CLS_LR = 100.0
+CLS_ITERS = 3
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = CLS_BUCKETS,
+) -> DataFrame:
+    """(id, b, x) sparse normalized bucket frequencies; empty docs
+    contribute no rows (their logit is the bias-free 0 -> prob 0.5)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_t")
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
+            % F.lit(int(n_buckets))
+        ).alias("b"),
+    )
+    cnt = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("_c"))
+    tot = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    return cnt.join(tot, id_col).select(
+        id_col,
+        "b",
+        (F.col("_c").cast("double") / F.col("_n")).alias("x"),
+    )
+
+
+def _logits(feat: DataFrame, wdf: DataFrame, id_col: str) -> DataFrame:
+    """(id, z) with z from nano-quantized per-(doc,b) products —
+    integer sum, so aggregation order can't move a boundary."""
+    term = F.floor(
+        F.col("x") * (F.col("w_micro") / F.lit(1e6)) * 1e9 + F.lit(0.5)
+    ).cast("long")
+    return (
+        feat.join(F.broadcast(wdf), "b")
+        .select(F.col(id_col), term.alias("_t"))
+        .groupBy(id_col)
+        .agg((F.sum("_t").cast("double") / F.lit(1e9)).alias("z"))
+    )
+
+
+def train_quality_classifier(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = CLS_BUCKETS,
+    iters: int = CLS_ITERS,
+    lr: float = CLS_LR,
+) -> list[tuple[int, int]]:
+    """Full-batch logistic regression, returns [(bucket, w_micro)].
+
+    Ids must be unique across target ∪ raw. Weights start at 0 and
+    every round's update is quantized to integer micro units, so the
+    returned vector is a pure function of the corpora — any engine
+    replaying the same arithmetic gets the identical ints."""
+    from webloghunter_spark.session import materialize
+
+    if iters <= 0 or n_buckets <= 0:
+        raise ValueError(f"need iters > 0 and n_buckets > 0")
+    spark = target.sparkSession
+    lab = target.select(
+        F.col(id_col), F.lit(1.0).alias("y")
+    ).unionByName(raw.select(F.col(id_col), F.lit(0.0).alias("y")))
+    docs = target.select(id_col, text_col).unionByName(
+        raw.select(id_col, text_col)
+    )
+    feat = materialize(
+        doc_features(docs, text_col, id_col, n_buckets)
+    )
+    n_total = lab.count()
+    w = {b: 0 for b in range(n_buckets)}
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, wm) for b, wm in sorted(w.items())], "b long, w_micro long"
+        )
+        z = _logits(feat, wdf, id_col)
+        # residual r = y - sigmoid(z), quantized to nano before the
+        # gradient products so the bucket sums are order-free ints
+        r = (
+            lab.join(z, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.floor(
+                    (
+                        F.col("y")
+                        - F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(-F.coalesce(F.col("z"), F.lit(0.0)))
+                        )
+                    )
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("long").alias("rn"),
+            )
+        )
+        g = (
+            feat.join(r, id_col)
+            .select(
+                "b",
+                F.floor(
+                    (F.col("rn") / F.lit(1e9)) * F.col("x") * 1e9
+                    + F.lit(0.5)
+                ).cast("long").alias("gn"),
+            )
+            .groupBy("b")
+            .agg(F.sum("gn").alias("gn"))
+            .collect()
+        )
+        gr = {int(row["b"]): int(row["gn"]) for row in g}
+        for b in range(n_buckets):
+            gmean = gr.get(b, 0) / (1e9 * n_total)
+            w[b] = w[b] + int(math.floor(lr * gmean * 1e6 + 0.5))
+    return sorted(w.items())
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = CLS_BUCKETS,
+) -> DataFrame:
+    """(id, ntok, logit_micro, prob_bp) for every document under a
+    trained weight vector — one feature aggregate + one broadcast
+    join; docs with no tokens score logit 0 / prob 5000 bp."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(b), int(wm)) for b, wm in weights], "b long, w_micro long"
+    )
+    feat = doc_features(df, text_col, id_col, n_buckets)
+    z = _logits(feat, wdf, id_col)
+    ntok = F.size(tokens_expr(text_col)).cast("long")
+    zc = F.coalesce(F.col("z"), F.lit(0.0))
+    return (
+        df.select(F.col(id_col), ntok.alias("ntok"))
+        .join(z, id_col, "left")
+        .select(
+            id_col,
+            "ntok",
+            F.floor(zc * 1e6 + F.lit(0.5)).cast("long").alias("logit_micro"),
+            F.floor(
+                F.lit(10000.0) / (F.lit(1.0) + F.exp(-zc)) + F.lit(0.5)
+            ).cast("long").alias("prob_bp"),
+        )
+    )
