@@ -406,6 +406,65 @@ def test_dist_drift_batch_stream_parity(spark, tmp_path):
     assert seen["last"] == (expected.n_a, expected.n_b, expected.js_nano)
 
 
+def test_quality_scores_batch_stream_parity(spark, tmp_path):
+    """Frozen-weights streaming scorer equals the batch scorer
+    row-for-row over multiple micro-batches (row-local scoring,
+    frozen-model family)."""
+    from webloghunter_spark.pipelines.classify import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+    from webloghunter_spark.streaming.classify import (
+        quality_scores_stream_writer,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(50 + i, "zeta eta theta iota") for i in range(10)],
+        "doc_id long, text string",
+    )
+    w = train_quality_classifier(target, raw)
+    feed = spark.createDataFrame(
+        [(100 + i, ["alpha beta kappa", "zeta eta mu", ""][i % 3])
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    expected = sorted(
+        (r.doc_id, r.ntok, r.logit_micro, r.prob_bp)
+        for r in quality_classifier_scores(feed, w).collect()
+    )
+
+    src = tmp_path / "cls_src"
+    feed.filter(F.col("doc_id") < 106).write.parquet(str(src / "a"))
+    feed.filter(F.col("doc_id") >= 106).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(rows, batch_id):
+        seen["last"] = rows
+        seen["batches"] += 1
+
+    fn = quality_scores_stream_writer(w, sink)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cls"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 2
+    assert seen["last"] == expected
+
+
 def test_contam_spans_batch_stream_parity(spark, tmp_path):
     """foreachBatch contamination-span triage over a streamed train
     corpus (forced into multiple micro-batches) equals the batch
