@@ -377,3 +377,63 @@ def test_dedup_normalized_partition_invariants(spark, docs):
     kv = {r.doc_id: r.k for r in keyed.collect()}
     for i, _ in enumerate(docs):
         assert kv[i] == kv[100 + i]
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(doc_text_st, min_size=1, max_size=10), w=st.integers(2, 4))
+def test_remove_repeated_spans_token_conservation(spark, docs, w):
+    """For every doc: removed + kept tokens == ntok, removed matches
+    the span audit's union length exactly, and a doc with no repeated
+    window passes through whitespace-normalized."""
+    from webloghunter_spark.pipelines.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    # id-shifted copy: every >=w-token doc becomes fully duplicated
+    rows += [(1000 + i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    audit = {r.doc_id: r.dup_tokens
+             for r in repeated_window_spans(df, window=w).collect()}
+    out = {r.doc_id: r for r in remove_repeated_spans(df, window=w).collect()}
+    assert set(out) == {i for i, _ in rows}
+    for i, t in rows:
+        r = out[i]
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept + r.removed_tokens == r.ntok
+        assert r.removed_tokens == audit.get(i, 0)
+        if i not in audit:
+            assert r.clean_text == " ".join(t.split())
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(1, 60),
+    shards=st.integers(1, 8),
+    seed=st.sampled_from(["a", "b", "xyz"]),
+)
+def test_train_order_is_bijective_and_stable(spark, n, shards, seed):
+    """(shard, position) is a bijection onto contiguous per-shard
+    ranges; adding MORE docs never changes an existing doc's shard
+    (positions may shift — membership may not)."""
+    from webloghunter_spark.pipelines.shard import train_order
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    o = {r.doc_id: (r.shard_id, r.position)
+         for r in train_order(df, n_shards=shards, seed=seed).collect()}
+    assert len(o) == n
+    by_shard: dict = {}
+    for s, p in o.values():
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    bigger = spark.createDataFrame(
+        [(i,) for i in range(n + 13)], "doc_id long"
+    )
+    o2 = {r.doc_id: r.shard_id
+          for r in train_order(bigger, n_shards=shards, seed=seed).collect()}
+    for d, (s, _) in o.items():
+        assert o2[d] == s
