@@ -417,6 +417,27 @@ def test_zipf_fit_slope_signs(spark):
     assert r.slope_micro == 0 and r.n_types == 4
 
 
+def test_mix_solver_upweights_target_like_source(spark):
+    """Exponentiated-gradient rounds shift mass toward the source whose
+    distribution matches the target; weights are deterministic ints
+    near the simplex (sum ~ 1e6)."""
+    from webloghunter_spark.pipelines.split import mix_match_weights
+
+    rows = (
+        [(i, "a", "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "b", "zeta eta theta iota") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = df.filter(F.col("source") == "a").drop("source")
+    w1 = {r.source: r.weight_micro
+          for r in mix_match_weights(df, target).collect()}
+    w2 = {r.source: r.weight_micro
+          for r in mix_match_weights(df, target).collect()}
+    assert w1 == w2
+    assert w1["a"] > 500_000 > w1["b"]  # mass moved toward 'a'
+    assert abs(sum(w1.values()) - 1_000_000) <= 2  # simplex, quantized
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

@@ -5179,6 +5179,127 @@ SQL_QUALITY_CLASSIFIER = r"""
 """
 
 
+def q_mix_solver(spark, sf_dir):
+    """DoReMi-lite mixture solver: exponentiated-gradient weights per
+    source so the blended hashed-token distribution matches the
+    lang='en' target slice; 3 quantized rounds, oracle replays them as
+    unrolled CTEs to the identical integer weights."""
+    from webloghunter_spark.pipelines.split import mix_match_weights
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    target = docs.filter(F.coalesce(F.col("lang"), F.lit("")) == "en")
+    return mix_match_weights(docs, target, group_col="source")
+
+
+SQL_MIX_SOLVER = r"""
+    WITH toks AS (
+        SELECT source, lang, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    tk AS (
+        SELECT source,
+               CAST('0x' || substr(md5(unnest(t)), 1, 8) AS BIGINT)
+                   % 128 AS b
+        FROM toks
+    ),
+    c AS (SELECT source, b, count(*) AS c FROM tk GROUP BY source, b),
+    tt AS (SELECT source, count(*)::BIGINT AS n FROM tk GROUP BY source),
+    spine AS (SELECT unnest(generate_series(0, 127)) AS b),
+    p AS (
+        SELECT tt.source, s.b, tt.n,
+               (coalesce(c.c, 0) + 1) / (tt.n + 128) AS p
+        FROM spine s CROSS JOIN tt
+        LEFT JOIN c ON c.source = tt.source AND c.b = s.b
+    ),
+    ttk AS (
+        SELECT CAST('0x' || substr(md5(unnest(t)), 1, 8) AS BIGINT)
+                   % 128 AS b
+        FROM toks WHERE coalesce(lang, '') = 'en'
+    ),
+    tcnt AS (SELECT b, count(*) AS ct FROM ttk GROUP BY b),
+    ttot AS (SELECT count(*)::BIGINT AS tn FROM ttk),
+    td AS (
+        SELECT s.b, (coalesce(tcnt.ct, 0) + 1) / (ttot.tn + 128) AS t
+        FROM spine s CROSS JOIN ttot LEFT JOIN tcnt USING (b)
+    ),
+    sn AS (SELECT count(*)::BIGINT AS s FROM tt),
+    a0 AS (
+        SELECT source, CAST(floor(1e6 / sn.s + 0.5) AS BIGINT) AS am
+        FROM tt CROSS JOIN sn
+    ),
+    m1 AS (
+        SELECT b, sum(CAST(floor((am / 1e6) * p * 1e9 + 0.5)
+                           AS BIGINT))::DOUBLE / 1e9 AS m
+        FROM p JOIN a0 USING (source) GROUP BY b
+    ),
+    g1 AS (
+        SELECT source, sum(CAST(floor(2.0 * p * (m - t) * 1e9 + 0.5)
+                               AS BIGINT))::BIGINT AS gn
+        FROM p JOIN m1 USING (b) JOIN td USING (b) GROUP BY source
+    ),
+    r1 AS (
+        SELECT a0.source,
+               CAST(floor((am / 1e6) * exp(-1000.0 * (gn / 1e9)) * 1e9
+                          + 0.5) AS BIGINT) AS rn
+        FROM a0 JOIN g1 USING (source)
+    ),
+    z1 AS (SELECT sum(rn)::DOUBLE / 1e9 AS z FROM r1),
+    a1 AS (
+        SELECT source, CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
+                   AS am
+        FROM r1 CROSS JOIN z1
+    ),
+    m2 AS (
+        SELECT b, sum(CAST(floor((am / 1e6) * p * 1e9 + 0.5)
+                           AS BIGINT))::DOUBLE / 1e9 AS m
+        FROM p JOIN a1 USING (source) GROUP BY b
+    ),
+    g2 AS (
+        SELECT source, sum(CAST(floor(2.0 * p * (m - t) * 1e9 + 0.5)
+                               AS BIGINT))::BIGINT AS gn
+        FROM p JOIN m2 USING (b) JOIN td USING (b) GROUP BY source
+    ),
+    r2 AS (
+        SELECT a1.source,
+               CAST(floor((am / 1e6) * exp(-1000.0 * (gn / 1e9)) * 1e9
+                          + 0.5) AS BIGINT) AS rn
+        FROM a1 JOIN g2 USING (source)
+    ),
+    z2 AS (SELECT sum(rn)::DOUBLE / 1e9 AS z FROM r2),
+    a2 AS (
+        SELECT source, CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
+                   AS am
+        FROM r2 CROSS JOIN z2
+    ),
+    m3 AS (
+        SELECT b, sum(CAST(floor((am / 1e6) * p * 1e9 + 0.5)
+                           AS BIGINT))::DOUBLE / 1e9 AS m
+        FROM p JOIN a2 USING (source) GROUP BY b
+    ),
+    g3 AS (
+        SELECT source, sum(CAST(floor(2.0 * p * (m - t) * 1e9 + 0.5)
+                               AS BIGINT))::BIGINT AS gn
+        FROM p JOIN m3 USING (b) JOIN td USING (b) GROUP BY source
+    ),
+    r3 AS (
+        SELECT a2.source,
+               CAST(floor((am / 1e6) * exp(-1000.0 * (gn / 1e9)) * 1e9
+                          + 0.5) AS BIGINT) AS rn
+        FROM a2 JOIN g3 USING (source)
+    ),
+    z3 AS (SELECT sum(rn)::DOUBLE / 1e9 AS z FROM r3),
+    a3 AS (
+        SELECT source, CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
+                   AS am
+        FROM r3 CROSS JOIN z3
+    )
+    SELECT tt.source, tt.n AS n_tokens, a3.am AS weight_micro
+    FROM tt JOIN a3 USING (source)
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -5823,6 +5944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_divergence": q_source_divergence,
     "zipf_fit": q_zipf_fit,
     "quality_classifier": q_quality_classifier,
+    "mix_solver": q_mix_solver,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -5955,6 +6077,7 @@ ORACLES: dict[str, str] = {
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "zipf_fit": SQL_ZIPF_FIT,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "mix_solver": SQL_MIX_SOLVER,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

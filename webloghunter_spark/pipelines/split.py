@@ -422,3 +422,156 @@ def with_group_split(
         cond = bucket < cut
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr.otherwise(F.lit(None)))
+
+
+MIXFIT_BUCKETS = 128
+MIXFIT_LR = 1000.0
+MIXFIT_ITERS = 3
+
+
+def mix_match_weights(
+    df: DataFrame,
+    target: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = MIXFIT_BUCKETS,
+    iters: int = MIXFIT_ITERS,
+    lr: float = MIXFIT_LR,
+) -> DataFrame:
+    """DoReMi-lite mixture solver: find per-group sampling weights so
+    the weighted blend of the groups' hashed token-bucket
+    distributions matches a TARGET corpus's distribution — the
+    "what mix of my sources looks most like the data I actually want"
+    optimization, solved with exponentiated-gradient descent on the
+    simplex (multiplicative update + renormalize: no projection step,
+    so an external SQL engine replays it exactly).
+
+    Returns one row per group: (group, n_tokens, weight_micro) with
+    weight_micro ~ the final simplex weight in integer micro units
+    (quantized EVERY round, the kmeans/classifier discipline — both
+    engines iterate identical ints).
+
+    Objective: min_a || sum_s a_s P_s - T ||^2, a on the simplex.
+    Round: m = sum_s a_s P_s (per-term nano-quantized, order-free
+    integer sums); g_s = sum_b 2 P_sb (m_b - T_b) (same quantization);
+    raw_s = a_s * exp(-lr g_s); a'_s = quant(raw_s / Z). All
+    distributions are Laplace-smoothed over the full B-cell spine
+    (the dsir/dist_drift feature family).
+
+    Scale: the corpora are scanned ONCE into two combinable bucket
+    aggregates (|groups| x B and B cells); every round thereafter is
+    arithmetic on those tiny frames with |groups| driver state. B,
+    iters, |groups| are dimension constants — nothing scales with
+    the corpus but the two initial aggregates."""
+    import math
+
+    from webloghunter_spark.functions.text import tokens_expr
+    from webloghunter_spark.session import materialize
+
+    if iters <= 0 or n_buckets <= 0:
+        raise ValueError("need iters > 0 and n_buckets > 0")
+    spark = df.sparkSession
+    bl = F.lit(int(n_buckets))
+    bucket = (
+        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long") % bl
+    )
+    tk = df.select(
+        F.col(group_col), F.explode(tokens_expr(text_col)).alias("_t")
+    ).select(group_col, bucket.alias("b"))
+    counts = materialize(
+        tk.groupBy(group_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("c").alias("n"))
+    spine = spark.range(int(n_buckets)).select(F.col("id").alias("b"))
+    p = materialize(
+        spine.crossJoin(F.broadcast(totals))
+        .join(counts, [group_col, "b"], "left")
+        .select(
+            group_col,
+            "b",
+            "n",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+                / (F.col("n") + bl)
+            ).alias("p"),
+        )
+    )
+    ttk = target.select(F.explode(tokens_expr(text_col)).alias("_t")).select(
+        bucket.alias("b")
+    )
+    tc = ttk.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tn = ttk.count()
+    tdist = {
+        int(r["b"]): (int(r["ct"]) + 1) / (tn + n_buckets)
+        for r in tc.collect()
+    }
+    t_rows = [
+        (b, tdist.get(b, 1.0 / (tn + n_buckets))) for b in range(n_buckets)
+    ]
+    tdf = spark.createDataFrame(t_rows, "b long, t double")
+
+    groups = sorted(r[group_col] for r in totals.select(group_col).collect())
+    s_count = len(groups)
+    if s_count == 0:
+        return spark.createDataFrame(
+            [], f"{group_col} string, n_tokens long, weight_micro long"
+        )
+    a = {g: int(math.floor(1e6 / s_count + 0.5)) for g in groups}
+    for _ in range(iters):
+        adf = spark.createDataFrame(
+            [(g, wm) for g, wm in sorted(a.items())],
+            f"{group_col} string, a_micro long",
+        )
+        m = (
+            p.join(F.broadcast(adf), group_col)
+            .select(
+                "b",
+                F.floor(
+                    (F.col("a_micro") / F.lit(1e6)) * F.col("p") * 1e9
+                    + F.lit(0.5)
+                ).cast("long").alias("mn"),
+            )
+            .groupBy("b")
+            .agg((F.sum("mn").cast("double") / F.lit(1e9)).alias("m"))
+        )
+        g_rows = (
+            p.join(m, "b")
+            .join(F.broadcast(tdf), "b")
+            .select(
+                group_col,
+                F.floor(
+                    F.lit(2.0)
+                    * F.col("p")
+                    * (F.col("m") - F.col("t"))
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("long").alias("gn"),
+            )
+            .groupBy(group_col)
+            .agg(F.sum("gn").alias("gn"))
+            .collect()
+        )
+        grad = {r[group_col]: int(r["gn"]) / 1e9 for r in g_rows}
+        raw_nano = {
+            g: int(
+                math.floor(
+                    (a[g] / 1e6) * math.exp(-lr * grad.get(g, 0.0)) * 1e9
+                    + 0.5
+                )
+            )
+            for g in groups
+        }
+        z = sum(raw_nano.values()) / 1e9
+        a = {
+            g: int(math.floor((raw_nano[g] / 1e9) / z * 1e6 + 0.5))
+            for g in groups
+        }
+    adf = spark.createDataFrame(
+        [(g, wm) for g, wm in sorted(a.items())],
+        f"{group_col} string, weight_micro long",
+    )
+    return totals.join(adf, group_col).select(
+        group_col,
+        F.col("n").cast("long").alias("n_tokens"),
+        "weight_micro",
+    )
