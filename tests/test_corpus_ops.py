@@ -438,6 +438,39 @@ def test_mix_solver_upweights_target_like_source(spark):
     assert abs(sum(w1.values()) - 1_000_000) <= 2  # simplex, quantized
 
 
+def test_mix_solver_extreme_mixtures_stay_finite(spark):
+    """The clamp/z-guard crash modes from review: (A) a strongly
+    divergent mixture (one matching source among many concentrated
+    disjoint ones) must not overflow exp(); (B) all sources disjoint
+    from the target (all positive gradients) must not divide by a
+    zero normalizer — weights stay on the simplex in both cases."""
+    from webloghunter_spark.pipelines.split import mix_match_weights
+
+    rows = [(i, "s0", "tgt") for i in range(20)]
+    for s in range(1, 10):
+        rows += [(100 * s + i, f"s{s}", "junk") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [(9000 + i, "tgt") for i in range(20)], "doc_id long, text string"
+    )
+    w = {r.source: r.weight_micro for r in mix_match_weights(df, target).collect()}
+    assert w["s0"] > max(w[f"s{s}"] for s in range(1, 10))
+    assert abs(sum(w.values()) - 1_000_000) <= len(w)
+    # (B) nothing matches: solver converges to SOME simplex point
+    far = spark.createDataFrame(
+        [(9100 + i, "zzz qqq") for i in range(20)], "doc_id long, text string"
+    )
+    w2 = {r.source: r.weight_micro for r in mix_match_weights(df, far).collect()}
+    assert abs(sum(w2.values()) - 1_000_000) <= len(w2)
+    # NULL group rows are excluded, not a TypeError
+    with_null = df.union(
+        spark.createDataFrame([(9999, None, "x")], df.schema)
+    )
+    w3 = {r.source: r.weight_micro
+          for r in mix_match_weights(with_null, target).collect()}
+    assert None not in w3 and set(w3) == set(w)
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

@@ -5240,15 +5240,19 @@ SQL_MIX_SOLVER = r"""
         FROM p JOIN m1 USING (b) JOIN td USING (b) GROUP BY source
     ),
     r1 AS (
-        SELECT a0.source,
-               CAST(floor((am / 1e6) * exp(-1000.0 * (gn / 1e9)) * 1e9
-                          + 0.5) AS BIGINT) AS rn
+        SELECT a0.source, a0.am AS prev_am,
+               CAST(floor((am / 1e6)
+                          * exp(-greatest(-20.0,
+                                          least(20.0, 1000.0 * (gn / 1e9))))
+                          * 1e9 + 0.5) AS BIGINT) AS rn
         FROM a0 JOIN g1 USING (source)
     ),
     z1 AS (SELECT sum(rn)::DOUBLE / 1e9 AS z FROM r1),
     a1 AS (
-        SELECT source, CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
-                   AS am
+        SELECT source,
+               CASE WHEN z > 0
+                    THEN CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
+                    ELSE prev_am END AS am
         FROM r1 CROSS JOIN z1
     ),
     m2 AS (
@@ -5262,15 +5266,19 @@ SQL_MIX_SOLVER = r"""
         FROM p JOIN m2 USING (b) JOIN td USING (b) GROUP BY source
     ),
     r2 AS (
-        SELECT a1.source,
-               CAST(floor((am / 1e6) * exp(-1000.0 * (gn / 1e9)) * 1e9
-                          + 0.5) AS BIGINT) AS rn
+        SELECT a1.source, a1.am AS prev_am,
+               CAST(floor((am / 1e6)
+                          * exp(-greatest(-20.0,
+                                          least(20.0, 1000.0 * (gn / 1e9))))
+                          * 1e9 + 0.5) AS BIGINT) AS rn
         FROM a1 JOIN g2 USING (source)
     ),
     z2 AS (SELECT sum(rn)::DOUBLE / 1e9 AS z FROM r2),
     a2 AS (
-        SELECT source, CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
-                   AS am
+        SELECT source,
+               CASE WHEN z > 0
+                    THEN CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
+                    ELSE prev_am END AS am
         FROM r2 CROSS JOIN z2
     ),
     m3 AS (
@@ -5284,15 +5292,19 @@ SQL_MIX_SOLVER = r"""
         FROM p JOIN m3 USING (b) JOIN td USING (b) GROUP BY source
     ),
     r3 AS (
-        SELECT a2.source,
-               CAST(floor((am / 1e6) * exp(-1000.0 * (gn / 1e9)) * 1e9
-                          + 0.5) AS BIGINT) AS rn
+        SELECT a2.source, a2.am AS prev_am,
+               CAST(floor((am / 1e6)
+                          * exp(-greatest(-20.0,
+                                          least(20.0, 1000.0 * (gn / 1e9))))
+                          * 1e9 + 0.5) AS BIGINT) AS rn
         FROM a2 JOIN g3 USING (source)
     ),
     z3 AS (SELECT sum(rn)::DOUBLE / 1e9 AS z FROM r3),
     a3 AS (
-        SELECT source, CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
-                   AS am
+        SELECT source,
+               CASE WHEN z > 0
+                    THEN CAST(floor((rn / 1e9) / z * 1e6 + 0.5) AS BIGINT)
+                    ELSE prev_am END AS am
         FROM r3 CROSS JOIN z3
     )
     SELECT tt.source, tt.n AS n_tokens, a3.am AS weight_micro

@@ -27,6 +27,19 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def hash_bucket_expr(col: Column | str, n_buckets: int) -> Column:
+    """Stable bucket in [0, n_buckets) from md5 of the value — THE
+    cross-engine feature-hash (dsir/drift/divergence/classifier/mix
+    family). This expression is a parity surface: every SQL oracle
+    mirrors it as CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % B,
+    so any change here must change every oracle in lockstep."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    )
+
+
 def tokens_expr(col: Column | str) -> Column:
     """Whitespace tokenization; empty/blank/NULL text -> empty array
     (NULL used to propagate, leaking NULL ntok/size(-1) into every

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webloghunter_spark.functions.text import tokens_expr
+from webloghunter_spark.functions.text import hash_bucket_expr, tokens_expr
 
 CLS_BUCKETS = 128
 CLS_LR = 100.0
@@ -51,13 +51,7 @@ def doc_features(
     contribute no rows (their logit is the bias-free 0 -> prob 0.5)."""
     tok = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_t")
-    ).select(
-        id_col,
-        (
-            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
-            % F.lit(int(n_buckets))
-        ).alias("b"),
-    )
+    ).select(id_col, hash_bucket_expr("_t", n_buckets).alias("b"))
     cnt = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("_c"))
     tot = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     return cnt.join(tot, id_col).select(
@@ -99,7 +93,10 @@ def train_quality_classifier(
     from webloghunter_spark.session import materialize
 
     if iters <= 0 or n_buckets <= 0:
-        raise ValueError(f"need iters > 0 and n_buckets > 0")
+        raise ValueError(
+            f"need iters > 0 and n_buckets > 0, got iters={iters}, "
+            f"n_buckets={n_buckets}"
+        )
     spark = target.sparkSession
     lab = target.select(
         F.col(id_col), F.lit(1.0).alias("y")
@@ -110,6 +107,9 @@ def train_quality_classifier(
     feat = materialize(
         doc_features(docs, text_col, id_col, n_buckets)
     )
+    # lab is re-probed every GD round — materialize the tiny (id, y)
+    # frame so rounds never rescan the input corpora's lineage
+    lab = materialize(lab)
     n_total = lab.count()
     w = {b: 0 for b in range(n_buckets)}
     for _ in range(iters):

@@ -39,7 +39,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from webloghunter_spark.functions.text import token_count_expr, tokens_expr
+from webloghunter_spark.functions.text import (
+    hash_bucket_expr,
+    token_count_expr,
+    tokens_expr,
+)
 
 
 def token_budget_select(
@@ -232,13 +236,10 @@ def dsir_weights(
     log-ratio table is the whole "model"."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
-    b = F.lit(int(n_buckets))
-    bucket = lambda c: (  # noqa: E731
-        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % b
-    )
+    b = F.lit(int(n_buckets))  # smoothing denominator below
     tok = lambda df: df.select(  # noqa: E731
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_t")
-    ).select(id_col, bucket(F.col("_t")).alias("_b"))
+    ).select(id_col, hash_bucket_expr("_t", n_buckets).alias("_b"))
     rt = tok(raw)
     tt = tok(target)
     rc = rt.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
@@ -346,13 +347,9 @@ def distribution_drift(
     B-cell aggregates + arithmetic on a B-row spine."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
-    bl = F.lit(int(n_buckets))
-    bucket = lambda c: (  # noqa: E731
-        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % bl
-    )
     tok = lambda df: df.select(  # noqa: E731
         F.explode(tokens_expr(text_col)).alias("_t")
-    ).select(bucket(F.col("_t")).alias("_b"))
+    ).select(hash_bucket_expr("_t", n_buckets).alias("_b"))
     return _js_divergence(tok(a), tok(b), n_buckets)
 
 
@@ -523,11 +520,7 @@ def source_divergence(
     tk = df.select(
         F.col(group_col), F.explode(tokens_expr(text_col)).alias("_tok")
     ).select(
-        group_col,
-        (
-            F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
-            % bl
-        ).alias("_b"),
+        group_col, hash_bucket_expr("_tok", n_buckets).alias("_b")
     )
     from webloghunter_spark.session import materialize
 

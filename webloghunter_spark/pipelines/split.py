@@ -462,22 +462,32 @@ def mix_match_weights(
     aggregates (|groups| x B and B cells); every round thereafter is
     arithmetic on those tiny frames with |groups| driver state. B,
     iters, |groups| are dimension constants — nothing scales with
-    the corpus but the two initial aggregates."""
+    the corpus but the two initial aggregates.
+
+    Numerics: the update exponent -lr*g is CLAMPED to [-20, 20]
+    before exp() — unclamped, a strongly divergent mixture overflows
+    exp() (Python raises at ~710; the oracle's BIGINT cast at ~43)
+    while the clamp keeps every raw term inside BIGINT nano range and
+    preserves the argmax direction; and a round whose raw terms ALL
+    underflow to zero (every source far from the target) keeps the
+    previous weights instead of dividing by z = 0 — both rules are
+    replayed identically by the SQL oracle. Rows with a NULL group
+    are EXCLUDED from the solve (NULL never joins in the oracle)."""
     import math
 
-    from webloghunter_spark.functions.text import tokens_expr
+    from webloghunter_spark.functions.text import (
+        hash_bucket_expr,
+        tokens_expr,
+    )
     from webloghunter_spark.session import materialize
 
     if iters <= 0 or n_buckets <= 0:
         raise ValueError("need iters > 0 and n_buckets > 0")
     spark = df.sparkSession
     bl = F.lit(int(n_buckets))
-    bucket = (
-        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long") % bl
-    )
-    tk = df.select(
+    tk = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col), F.explode(tokens_expr(text_col)).alias("_t")
-    ).select(group_col, bucket.alias("b"))
+    ).select(group_col, hash_bucket_expr("_t", n_buckets).alias("b"))
     counts = materialize(
         tk.groupBy(group_col, "b").agg(F.count(F.lit(1)).alias("c"))
     )
@@ -497,14 +507,14 @@ def mix_match_weights(
         )
     )
     ttk = target.select(F.explode(tokens_expr(text_col)).alias("_t")).select(
-        bucket.alias("b")
+        hash_bucket_expr("_t", n_buckets).alias("b")
     )
-    tc = ttk.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    tn = ttk.count()
-    tdist = {
-        int(r["b"]): (int(r["ct"]) + 1) / (tn + n_buckets)
-        for r in tc.collect()
+    tc = {
+        int(r["b"]): int(r["ct"])
+        for r in ttk.groupBy("b").agg(F.count(F.lit(1)).alias("ct")).collect()
     }
+    tn = sum(tc.values())  # every token lands in a bucket: no 2nd scan
+    tdist = {b: (c + 1) / (tn + n_buckets) for b, c in tc.items()}
     t_rows = [
         (b, tdist.get(b, 1.0 / (tn + n_buckets))) for b in range(n_buckets)
     ]
@@ -552,16 +562,24 @@ def mix_match_weights(
             .collect()
         )
         grad = {r[group_col]: int(r["gn"]) / 1e9 for r in g_rows}
+        # clamp the exponent (see docstring Numerics): keeps exp()
+        # finite in both engines and every raw term in BIGINT range
         raw_nano = {
             g: int(
                 math.floor(
-                    (a[g] / 1e6) * math.exp(-lr * grad.get(g, 0.0)) * 1e9
+                    (a[g] / 1e6)
+                    * math.exp(
+                        -max(-20.0, min(20.0, lr * grad.get(g, 0.0)))
+                    )
+                    * 1e9
                     + 0.5
                 )
             )
             for g in groups
         }
         z = sum(raw_nano.values()) / 1e9
+        if z <= 0:  # every term underflowed: keep previous weights
+            continue
         a = {
             g: int(math.floor((raw_nano[g] / 1e9) / z * 1e6 + 0.5))
             for g in groups

@@ -25,7 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webloghunter_spark.functions.text import tokens_expr
+from webloghunter_spark.functions.text import hash_bucket_expr, tokens_expr
 
 DRIFT_BUCKETS = 1024
 
@@ -37,12 +37,7 @@ def _bucket_counts(
     feature space as distribution_drift/dsir_weights."""
     return (
         df.select(F.explode(tokens_expr(text_col)).alias("_t"))
-        .select(
-            (
-                F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long")
-                % F.lit(int(n_buckets))
-            ).alias("_b")
-        )
+        .select(hash_bucket_expr("_t", n_buckets).alias("_b"))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
