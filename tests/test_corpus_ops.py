@@ -471,6 +471,33 @@ def test_mix_solver_extreme_mixtures_stay_finite(spark):
     assert None not in w3 and set(w3) == set(w)
 
 
+def test_bpe_merge_learn_hierarchy_and_greedy(spark):
+    """Merge training: argmax pair per round with (cnt desc, a, b)
+    ties, 3-pass delimiter merge reaches the greedy fixpoint on
+    back-to-back occurrences, merged symbols merge again, and a
+    corpus with no repeating pair stops early."""
+    from webloghunter_spark.pipelines.bpe import bpe_merge_learn
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "the cat sat on a hat"),
+         (3, "a a a a a")],
+        "doc_id long, text string",
+    )
+    out = [(r.step, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_merge_learn(df, steps=4).collect()]
+    assert out == [
+        (1, "a", "a", 4),              # 5 a's -> 4 adjacent pairs
+        (2, "the", "cat", 3),
+        (3, "sat", "on", 2),
+        (4, "the\x01cat", "sat\x01on", 2),  # merged symbols merge again
+    ]
+    singleton = spark.createDataFrame(
+        [(1, "x y z"), (2, "p q r")], "doc_id long, text string"
+    )
+    assert bpe_merge_learn(singleton, steps=4).count() == 0  # early stop
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

@@ -5312,6 +5312,111 @@ SQL_MIX_SOLVER = r"""
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE-style merge training, phrase-level: 4 rounds of
+    count-adjacent-pairs -> merge-the-argmax over the whitespace-token
+    symbol stream (3-pass delimiter merge — deterministic,
+    engine-portable; merged symbols merge again, building the BPE
+    hierarchy). The oracle replays all 4 rounds with nothing but
+    string replace() and must land identical merges and counts."""
+    from webloghunter_spark.pipelines.bpe import bpe_merge_learn
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return bpe_merge_learn(docs, steps=4)
+
+
+SQL_BPE_MERGES = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    s0 AS (
+        SELECT ' ' || array_to_string(t, ' ') || ' ' AS s FROM toks
+    ),
+    p1 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s0 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m1 AS (
+        SELECT a, b, cnt FROM p1 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s1 AS (
+        SELECT replace(replace(replace(s,
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m1), (SELECT ' ' || a || chr(1) || b || ' ' FROM m1)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m1), (SELECT ' ' || a || chr(1) || b || ' ' FROM m1)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m1), (SELECT ' ' || a || chr(1) || b || ' ' FROM m1)) AS s
+        FROM s0
+    ),
+    p2 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s1 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m2 AS (
+        SELECT a, b, cnt FROM p2 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s2 AS (
+        SELECT replace(replace(replace(s,
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m2), (SELECT ' ' || a || chr(1) || b || ' ' FROM m2)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m2), (SELECT ' ' || a || chr(1) || b || ' ' FROM m2)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m2), (SELECT ' ' || a || chr(1) || b || ' ' FROM m2)) AS s
+        FROM s1
+    ),
+    p3 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s2 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m3 AS (
+        SELECT a, b, cnt FROM p3 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s3 AS (
+        SELECT replace(replace(replace(s,
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m3), (SELECT ' ' || a || chr(1) || b || ' ' FROM m3)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m3), (SELECT ' ' || a || chr(1) || b || ' ' FROM m3)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m3), (SELECT ' ' || a || chr(1) || b || ' ' FROM m3)) AS s
+        FROM s2
+    ),
+    p4 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s3 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m4 AS (
+        SELECT a, b, cnt FROM p4 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s4 AS (
+        SELECT replace(replace(replace(s,
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m4), (SELECT ' ' || a || chr(1) || b || ' ' FROM m4)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m4), (SELECT ' ' || a || chr(1) || b || ' ' FROM m4)),
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m4), (SELECT ' ' || a || chr(1) || b || ' ' FROM m4)) AS s
+        FROM s3
+    )
+    SELECT 1 AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m1
+    UNION ALL
+    SELECT 2 AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m2
+    UNION ALL
+    SELECT 3 AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m3
+    UNION ALL
+    SELECT 4 AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m4
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -5957,6 +6062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "quality_classifier": q_quality_classifier,
     "mix_solver": q_mix_solver,
+    "bpe_merges": q_bpe_merges,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6090,6 +6196,7 @@ ORACLES: dict[str, str] = {
     "zipf_fit": SQL_ZIPF_FIT,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "mix_solver": SQL_MIX_SOLVER,
+    "bpe_merges": SQL_BPE_MERGES,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

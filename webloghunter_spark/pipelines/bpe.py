@@ -1,0 +1,104 @@
+"""Iterative merge learning — the BPE training loop, phrase-level.
+
+BPE training is THE iterative algorithm of tokenizer construction:
+count adjacent symbol pairs, merge the most frequent pair everywhere,
+repeat. This module learns merges over WHITESPACE TOKENS as the
+initial symbols (phrase/word-level merges — "of the" becomes one
+symbol), which keeps the corpus representation a plain
+space-delimited string and makes every step replayable by an external
+SQL engine with nothing but replace():
+
+- the corpus state is one string column: ' ' || tokens joined by
+  single spaces || ' ';
+- pair counting splits the state on spaces and counts adjacent
+  (a, b) symbol pairs — one combinable aggregate per round;
+- the winning pair (count DESC, a ASC, b ASC ties) is merged by
+  replacing ' a b ' with ' a<SEP>b ' where <SEP> is chr(1), applied
+  THREE passes — literal left-to-right scan-after-replacement
+  semantics are identical in Spark's replace() and DuckDB's, and
+  three passes reach the greedy fixpoint for back-to-back
+  occurrences sharing delimiter spaces (documented semantics: this
+  fixed-pass delimiter merge, not byte-exact textbook BPE, is the
+  operator's contract — deterministic and engine-portable).
+
+Scale: each of the `steps` rounds is one explode+count aggregate and
+one narrow string projection over the corpus (materialized per round,
+flat lineage); driver state is the single winning pair per round.
+steps is a constant — at 100 TB this is steps x 2 combinable passes,
+the same shape as the kmeans/classifier/mix-solver iterative family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webloghunter_spark.functions.text import tokens_expr
+
+BPE_SEP = "\x01"
+
+
+def _pair_counts(s: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts of the delimited corpus state."""
+    toks = F.split(F.trim(F.col("s")), " ")
+    n = F.size(toks)
+    a = F.slice(toks, 1, n - 1)
+    b = F.slice(toks, 2, n - 1)
+    return (
+        s.filter(F.length(F.trim(F.col("s"))) > 0)
+        .select(F.explode(F.arrays_zip(a.alias("a"), b.alias("b"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_merge_learn(
+    df: DataFrame,
+    steps: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the top-`steps` merges; returns one row per completed
+    step: (step, sym_a, sym_b, pair_count). Merged symbols carry the
+    chr(1) connector, so later steps can (and do) merge merged
+    symbols — the hierarchy textbook BPE builds. Stops early if no
+    pair occurs twice."""
+    if steps <= 0:
+        raise ValueError(f"steps must be > 0, got {steps}")
+    from webloghunter_spark.session import materialize
+
+    spark = df.sparkSession
+    s = materialize(
+        df.select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(tokens_expr(text_col), " "),
+                F.lit(" "),
+            ).alias("s")
+        )
+    )
+    out = []
+    for step in range(1, steps + 1):
+        top = (
+            _pair_counts(s)
+            .filter(F.col("cnt") >= 2)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        out.append((step, a, b, cnt))
+        pat = f" {a} {b} "
+        rep = f" {a}{BPE_SEP}{b} "
+        col = F.col("s")
+        for _ in range(3):
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        new_s = materialize(s.select(col.alias("s")))
+        new_s.count()  # settle the new state while the old is cached
+        s.unpersist()  # registry keeps a stale ref; re-unpersist is a no-op
+        s = new_s
+    return spark.createDataFrame(
+        out, "step long, sym_a string, sym_b string, pair_count long"
+    )
