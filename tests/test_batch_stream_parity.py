@@ -465,6 +465,29 @@ def test_quality_scores_batch_stream_parity(spark, tmp_path):
     assert seen["last"] == expected
 
 
+def test_dist_drift_stream_replay_idempotent(spark):
+    """foreachBatch is at-least-once: re-delivering a micro-batch with
+    the same batch_id must re-emit but NOT re-add its counts (the
+    sum-merge twins' replay guard)."""
+    from webloghunter_spark.streaming.drift import dist_drift_stream_writer
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "alpha zeta eta")], "doc_id long, text string"
+    )
+    emitted = []
+    fn = dist_drift_stream_writer(ref, lambda row, bid: emitted.append(row))
+    fn(batch, 0)
+    first = dict(fn.counts)
+    fn(batch, 0)  # replay: same batch_id
+    assert fn.counts == first  # no double count
+    assert emitted[0] == emitted[1]  # but the sink still saw a row
+    fn(batch, 1)  # a genuinely new batch does merge
+    assert sum(fn.counts.values()) == 2 * sum(first.values())
+
+
 def test_contam_spans_batch_stream_parity(spark, tmp_path):
     """foreachBatch contamination-span triage over a streamed train
     corpus (forced into multiple micro-batches) equals the batch
