@@ -498,6 +498,41 @@ def test_bpe_merge_learn_hierarchy_and_greedy(spark):
     assert bpe_merge_learn(singleton, steps=4).count() == 0  # early stop
 
 
+def test_bpe_encode_compression_report(spark):
+    """bpe_encode applies the learned merges back per document:
+    n_symbols reflects the doc's own share of the corpus merges,
+    saved_bp is the rounded token reduction, empty docs report 0/0/0,
+    and an early-stopped corpus (no repeating pair) leaves every doc
+    unmerged (saved_bp = 0)."""
+    from webloghunter_spark.pipelines.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "the cat sat on a hat"),
+         (3, "a a a a a"),
+         (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.ntok, r.n_symbols, r.saved_bp)
+            for r in bpe_encode(df, steps=4).collect()}
+    # merges (from the learn test): (a,a), (the,cat), (sat,on),
+    # (the^cat, sat^on).  Doc 1: 9 toks -> "the^cat^sat^on the mat
+    # the^cat ran" = 5 symbols; doc 2: 6 -> "the^cat^sat^on a hat" =
+    # 3; doc 3: "a a a a a" under 3-pass (a,a) merge -> a^a a^a a =
+    # 3 symbols; doc 4 empty.
+    assert rows[1] == (9, 5, 4444)
+    assert rows[2] == (6, 3, 5000)
+    assert rows[3] == (5, 3, 4000)
+    assert rows[4] == (0, 0, 0)
+    # early stop: no pair repeats -> identity encoding
+    singleton = spark.createDataFrame(
+        [(1, "x y z"), (2, "p q r")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.ntok, r.n_symbols, r.saved_bp)
+           for r in bpe_encode(singleton, steps=4).collect()}
+    assert out == {1: (3, 3, 0), 2: (3, 3, 0)}
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

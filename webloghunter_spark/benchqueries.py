@@ -5417,6 +5417,115 @@ SQL_BPE_MERGES = r"""
 """
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Apply the 4 learned merges back to the corpus: per-doc symbol
+    counts and compression (saved_bp) under the trained merge table —
+    the report that prices a merge vocabulary before committing to a
+    real tokenizer. The oracle re-learns the merges and re-applies
+    them with the id carried through every round's state."""
+    from webloghunter_spark.pipelines.bpe import bpe_encode
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return bpe_encode(docs, steps=4)
+
+
+SQL_BPE_ENCODE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS s FROM toks
+    ),
+    p1 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s0 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m1 AS (
+        SELECT a, b, cnt FROM p1 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s1 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))) AS s
+        FROM s0
+    ),
+    p2 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s1 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m2 AS (
+        SELECT a, b, cnt FROM p2 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s2 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))) AS s
+        FROM s1
+    ),
+    p3 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s2 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m3 AS (
+        SELECT a, b, cnt FROM p3 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s3 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))) AS s
+        FROM s2
+    ),
+    p4 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM s3 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m4 AS (
+        SELECT a, b, cnt FROM p4 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s4 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))) AS s
+        FROM s3
+    )
+    SELECT t.doc_id,
+           len(t.t)::BIGINT AS ntok,
+           CASE WHEN length(trim(f.s)) = 0 THEN 0
+                ELSE len(string_split(trim(f.s), ' ')) END::BIGINT
+               AS n_symbols,
+           CASE WHEN len(t.t) > 0
+                THEN CAST(floor((len(t.t)
+                                 - CASE WHEN length(trim(f.s)) = 0 THEN 0
+                                        ELSE len(string_split(trim(f.s), ' '))
+                                   END) * 10000.0 / len(t.t) + 0.5) AS BIGINT)
+                ELSE 0 END AS saved_bp
+    FROM toks t JOIN s4 f USING (doc_id)
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -6063,6 +6172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "mix_solver": q_mix_solver,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6197,6 +6307,7 @@ ORACLES: dict[str, str] = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "mix_solver": SQL_MIX_SOLVER,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_encode": SQL_BPE_ENCODE,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -63,21 +63,35 @@ def bpe_merge_learn(
     chr(1) connector, so later steps can (and do) merge merged
     symbols — the hierarchy textbook BPE builds. Stops early if no
     pair occurs twice."""
+    merges, _ = _learn(df, steps, text_col, id_col=None)
+    return df.sparkSession.createDataFrame(
+        merges, "step long, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def _learn(
+    df: DataFrame, steps: int, text_col: str, id_col: str | None
+) -> tuple[list[tuple], DataFrame]:
+    """Shared training loop: returns (merges, final corpus state).
+    With `id_col` the state keeps one row per document (id, s) so the
+    caller can read back per-doc segmentations; without, rows are
+    anonymous (learning only)."""
     if steps <= 0:
         raise ValueError(f"steps must be > 0, got {steps}")
     from webloghunter_spark.session import materialize
 
-    spark = df.sparkSession
+    keep = [F.col(id_col)] if id_col else []
     s = materialize(
         df.select(
+            *keep,
             F.concat(
                 F.lit(" "),
                 F.array_join(tokens_expr(text_col), " "),
                 F.lit(" "),
-            ).alias("s")
+            ).alias("s"),
         )
     )
-    out = []
+    out: list[tuple] = []
     for step in range(1, steps + 1):
         top = (
             _pair_counts(s)
@@ -95,10 +109,50 @@ def bpe_merge_learn(
         col = F.col("s")
         for _ in range(3):
             col = F.replace(col, F.lit(pat), F.lit(rep))
-        new_s = materialize(s.select(col.alias("s")))
+        new_s = materialize(s.select(*keep, col.alias("s")))
         new_s.count()  # settle the new state while the old is cached
         s.unpersist()  # registry keeps a stale ref; re-unpersist is a no-op
         s = new_s
-    return spark.createDataFrame(
-        out, "step long, sym_a string, sym_b string, pair_count long"
+    return out, s
+
+
+def bpe_encode(
+    df: DataFrame,
+    steps: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn `steps` merges on the corpus and APPLY them: one row per
+    document with (id, ntok, n_symbols, saved_bp) — the compression
+    report that prices a merge table before training a real
+    tokenizer. n_symbols is the post-merge symbol count; saved_bp =
+    (ntok - n_symbols) / ntok in basis points (0 for empty docs).
+    The segmentation is the training loop's own final state, so the
+    oracle needs nothing beyond the learn CTEs with the id carried
+    through."""
+    _, s = _learn(df, steps, text_col, id_col=id_col)
+    nsym = F.when(
+        F.length(F.trim(F.col("s"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("s")), " "))).cast("long")
+    base = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("ntok")
+    )
+    return base.join(
+        s.select(F.col(id_col), nsym.alias("n_symbols")), id_col
+    ).select(
+        id_col,
+        "ntok",
+        "n_symbols",
+        F.when(
+            F.col("ntok") > 0,
+            F.floor(
+                (F.col("ntok") - F.col("n_symbols"))
+                * 10000.0
+                / F.col("ntok")
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_bp"),
     )
