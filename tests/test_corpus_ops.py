@@ -533,6 +533,34 @@ def test_bpe_encode_compression_report(spark):
     assert out == {1: (3, 3, 0), 2: (3, 3, 0)}
 
 
+def test_mmr_select_diversity_beats_redundancy(spark):
+    """MMR: pick 1 is the most query-relevant vector; with a low
+    lambda the next pick skips a near-duplicate of pick 1 in favor of
+    a less-relevant but diverse vector; with lambda = 1 the picks are
+    pure relevance order. Early stop caps output at the pool size."""
+    from webloghunter_spark.pipelines.select import mmr_select
+
+    # query = (1, 0); id 2 is most relevant (rel ~.98) and id 1 is a
+    # near-copy of it; id 3 is less relevant but near-orthogonal.
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]),
+         (1, [0.96, 0.28]),
+         (2, [0.98, 0.199]),   # rel ~.98, sim to id1 ~.9965
+         (3, [0.28, 0.96])],   # rel .28,  sim to id1 ~.5376
+        "vec_id long, embedding array<float>",
+    )
+    lo = mmr_select(df, k=3, lam_bp=3000, query_id=0).collect()
+    assert [r.vec_id for r in lo] == [2, 3, 1]
+    assert [r.sel_rank for r in lo] == [1, 2, 3]
+    assert lo[0].penalty_bp == 0
+    # lambda = 1: pure relevance order (2 outranks 1 outranks 3)
+    hi = mmr_select(df, k=3, lam_bp=10000, query_id=0).collect()
+    assert [r.vec_id for r in hi] == [2, 1, 3]
+    assert all(r.score_micro == 10000 * r.rel_bp for r in hi)
+    # pool of 3 candidates, k=5 -> early stop at 3 rows
+    assert mmr_select(df, k=5, lam_bp=5000, query_id=0).count() == 3
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

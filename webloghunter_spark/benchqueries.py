@@ -5526,6 +5526,79 @@ SQL_BPE_ENCODE = r"""
 """
 
 
+def q_mmr_select(spark, sf_dir):
+    """Greedy maximal-marginal-relevance pick of 4 vectors balancing
+    relevance to vec_id 0 against redundancy with prior picks
+    (lambda = 0.5, integer-bp scoring): the diverse-subset primitive
+    for eval-set and few-shot example selection. The oracle unrolls
+    the 4 greedy rounds with the true max-sim state carried through."""
+    from webloghunter_spark.pipelines.select import mmr_select
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    return mmr_select(emb, k=4, lam_bp=5000, query_id=0)
+
+
+SQL_MMR_SELECT = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, e,
+               CAST(floor(list_dot_product(e, qv)
+                    / (sqrt(list_dot_product(e, e))
+                       * sqrt(list_dot_product(qv, qv)))
+                    * 10000 + 0.5) AS BIGINT) AS rel
+        FROM v CROSS JOIN q WHERE vec_id <> 0
+    ),
+    p1 AS (SELECT vec_id, e, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    c1 AS (
+        SELECT c.vec_id, c.e, c.rel,
+               CAST(floor(list_dot_product(c.e, p.e)
+                    / (sqrt(list_dot_product(c.e, c.e))
+                       * sqrt(list_dot_product(p.e, p.e)))
+                    * 10000 + 0.5) AS BIGINT) AS ms
+        FROM cand c CROSS JOIN p1 p WHERE c.vec_id <> p.vec_id
+    ),
+    p2 AS (SELECT vec_id, e, rel, ms FROM c1
+           ORDER BY (5000 * rel - 5000 * ms) DESC, vec_id LIMIT 1),
+    c2 AS (
+        SELECT c.vec_id, c.e, c.rel,
+               greatest(c.ms,
+                   CAST(floor(list_dot_product(c.e, p.e)
+                        / (sqrt(list_dot_product(c.e, c.e))
+                           * sqrt(list_dot_product(p.e, p.e)))
+                        * 10000 + 0.5) AS BIGINT)) AS ms
+        FROM c1 c CROSS JOIN p2 p WHERE c.vec_id <> p.vec_id
+    ),
+    p3 AS (SELECT vec_id, e, rel, ms FROM c2
+           ORDER BY (5000 * rel - 5000 * ms) DESC, vec_id LIMIT 1),
+    c3 AS (
+        SELECT c.vec_id, c.e, c.rel,
+               greatest(c.ms,
+                   CAST(floor(list_dot_product(c.e, p.e)
+                        / (sqrt(list_dot_product(c.e, c.e))
+                           * sqrt(list_dot_product(p.e, p.e)))
+                        * 10000 + 0.5) AS BIGINT)) AS ms
+        FROM c2 c CROSS JOIN p3 p WHERE c.vec_id <> p.vec_id
+    ),
+    p4 AS (SELECT vec_id, e, rel, ms FROM c3
+           ORDER BY (5000 * rel - 5000 * ms) DESC, vec_id LIMIT 1)
+    SELECT 1::BIGINT AS sel_rank, vec_id, rel AS rel_bp,
+           0::BIGINT AS penalty_bp, (5000 * rel)::BIGINT AS score_micro
+    FROM p1
+    UNION ALL
+    SELECT 2::BIGINT, vec_id, rel, ms,
+           (5000 * rel - 5000 * ms)::BIGINT FROM p2
+    UNION ALL
+    SELECT 3::BIGINT, vec_id, rel, ms,
+           (5000 * rel - 5000 * ms)::BIGINT FROM p3
+    UNION ALL
+    SELECT 4::BIGINT, vec_id, rel, ms,
+           (5000 * rel - 5000 * ms)::BIGINT FROM p4
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -6173,6 +6246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_solver": q_mix_solver,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "mmr_select": q_mmr_select,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6308,6 +6382,7 @@ ORACLES: dict[str, str] = {
     "mix_solver": SQL_MIX_SOLVER,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
+    "mmr_select": SQL_MMR_SELECT,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

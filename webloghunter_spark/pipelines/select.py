@@ -643,3 +643,104 @@ def zipf_fit(
         F.when(den > 0, micro(intercept)).otherwise(F.lit(0)).cast("long")
         .alias("intercept_micro"),
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int = 4,
+    lam_bp: int = 5000,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein '98) over an embedding column: pick `k` vectors that
+    balance relevance to the query vector (the row whose `id_col` =
+    `query_id`) against redundancy with what's already picked —
+    the diverse-subset primitive behind eval-set construction and
+    few-shot example selection.
+
+    Round r picks argmax of
+        score_micro = lam_bp * rel_bp - (10000 - lam_bp) * maxsim_bp
+    where rel_bp / maxsim_bp are basis-point-quantized cosines
+    (floor(c*1e4 + 0.5), the repo convention) and maxsim_bp is the
+    TRUE max cosine to the already-picked set (round 1 has no picks:
+    penalty 0, score = lam_bp * rel_bp). Ties break to the lowest id.
+    Output: one row per pick (sel_rank, id, rel_bp, penalty_bp,
+    score_micro); stops early when the pool runs dry.
+
+    Scale: relevance is computed ONCE against the broadcast query
+    vector; each of the k rounds is one narrow projection (cosine to
+    the single newest pick, a literal array) plus a
+    TakeOrderedAndProject(1) — k bounded scans of the pool, no
+    shuffle, per-round state materialized with flat lineage. Driver
+    holds k rows. For pools where even k scans are too hot, feed this
+    an ANN-prefiltered top-m (knn_ivf_trained) instead of the full
+    store — greedy MMR is the exact baseline, by design.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if not (0 <= lam_bp <= 10000):
+        raise ValueError(f"lam_bp must be in [0, 10000], got {lam_bp}")
+    from webloghunter_spark.functions.similarity import cosine_expr
+    from webloghunter_spark.session import materialize
+
+    spark = df.sparkSession
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    bp = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+
+    def _lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    cand = materialize(
+        df.filter(F.col(id_col) != query_id).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_e"),
+            bp(cosine_expr(F.col(vec_col), _lit_vec(qrow[0]))).alias("_rel"),
+        )
+    )
+    picks: list[tuple] = []
+    for rank in range(1, k + 1):
+        if rank == 1:
+            scored = cand.select(
+                "_id", "_e", "_rel",
+                F.lit(0).cast("long").alias("_ms"),
+                (F.col("_rel") * lam_bp).cast("long").alias("_score"),
+            )
+        else:
+            scored = cand.select(
+                "_id", "_e", "_rel", "_ms",
+                (F.col("_rel") * lam_bp
+                 - F.col("_ms") * (10000 - lam_bp)).cast("long")
+                .alias("_score"),
+            )
+        top = (
+            scored.orderBy(F.col("_score").desc(), F.col("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        picks.append(
+            (rank, t["_id"], t["_rel"], int(t["_ms"]), int(t["_score"]))
+        )
+        sim = bp(cosine_expr(F.col("_e"), _lit_vec(t["_e"])))
+        prev = F.col("_ms") if rank > 1 else F.lit(None).cast("long")
+        new_cand = materialize(
+            cand.filter(F.col("_id") != t["_id"]).select(
+                "_id", "_e", "_rel",
+                F.greatest(F.coalesce(prev, F.lit(-10001)), sim).alias("_ms"),
+            )
+        )
+        new_cand.count()
+        cand.unpersist()
+        cand = new_cand
+    cand.unpersist()
+    return spark.createDataFrame(
+        picks,
+        f"sel_rank long, {id_col} long, rel_bp long, "
+        "penalty_bp long, score_micro long",
+    )
