@@ -561,6 +561,35 @@ def test_mmr_select_diversity_beats_redundancy(spark):
     assert mmr_select(df, k=5, lam_bp=5000, query_id=0).count() == 3
 
 
+def test_hard_negatives_label_prune_and_topk(spark):
+    """Hard negatives: same-label store rows never appear, NULL labels
+    match nothing, per-query output is top-k by (cosine desc, id)."""
+    from webloghunter_spark.functions.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7),
+         (10, [0.99, 0.141], 7),    # same label: excluded
+         (11, [0.96, 0.28], 3),     # neg, cos .96
+         (12, [0.6, 0.8], 3),       # neg, cos .6
+         (13, [0.0, 1.0], 5),       # neg, cos 0
+         (14, [0.9, 0.436], None)], # NULL label: excluded
+        "vec_id long, embedding array<float>, label long",
+    )
+    qs = emb.filter(F.col("vec_id") == 0)
+    store = emb.filter(F.col("vec_id") >= 10)
+    rows = hard_negatives(qs, store, k=2).collect()
+    assert [(r.qid, r.vec_id, r.label) for r in rows] == [
+        (0, 11, 3), (0, 12, 3)
+    ]
+    assert rows[0].cosine == 0.96
+    # NULL-labeled query matches nothing
+    qnull = spark.createDataFrame(
+        [(1, [1.0, 0.0], None)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    assert hard_negatives(qnull, store, k=2).count() == 0
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

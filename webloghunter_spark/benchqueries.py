@@ -5599,6 +5599,42 @@ SQL_MMR_SELECT = """
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training data prep: for query vectors 0-4, the 10
+    most-similar store vectors with a DIFFERENT label (near-miss
+    negatives). One broadcast store scan + bounded per-query window —
+    the knn_batch shape with the label-inequality prune."""
+    from webloghunter_spark.functions.similarity import hard_negatives
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qs = raw.filter(F.col("vec_id") < 5)
+    store = _fan(raw.filter(F.col("vec_id") >= 5))
+    return hard_negatives(qs, store, k=10)
+
+
+SQL_HARD_NEGATIVES = """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlab, e AS qv
+          FROM v WHERE vec_id < 5),
+    s AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 5),
+    scored AS (
+        SELECT qid, s.vec_id, s.label,
+               round(list_dot_product(e, qv)
+                     / (sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        FROM s CROSS JOIN q WHERE s.label <> q.qlab
+    )
+    SELECT qid, vec_id, label, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -6247,6 +6283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "mmr_select": q_mmr_select,
+    "hard_negatives": q_hard_negatives,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6383,6 +6420,7 @@ ORACLES: dict[str, str] = {
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
     "mmr_select": SQL_MMR_SELECT,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

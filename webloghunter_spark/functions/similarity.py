@@ -584,3 +584,55 @@ def jl_project(
     return df.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col} long, dim int, val double"
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    store: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    row, the k store vectors MOST similar by cosine yet carrying a
+    DIFFERENT label — the near-miss negatives that make embedding
+    models learn boundaries instead of memorizing easy contrasts.
+    Output: (qid, id, label, cosine), top-k per query by
+    (cosine desc, id asc); NULL-labeled rows never match (either side).
+
+    Scale: one store scan regardless of batch size — the query batch
+    (ids + labels + vectors) is broadcast into a crossJoin, the label
+    inequality prunes before scoring, and per-query top-k is a bounded
+    window (rank <= k) — no per-query rescans, no store self-join.
+    The query batch must be small (100s, not millions); mine bigger
+    batches in chunks.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(label_col).alias("_qlab"),
+            F.col(vec_col).alias("_qv"),
+        )
+    )
+    scored = (
+        store.crossJoin(q)
+        .filter(F.col(label_col) != F.col("_qlab"))
+        .select(
+            "qid",
+            id_col,
+            label_col,
+            F.round(
+                cosine_expr(F.col(vec_col), F.col("_qv")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", id_col, label_col, "cosine")
+    )
