@@ -590,6 +590,37 @@ def test_hard_negatives_label_prune_and_topk(spark):
     assert hard_negatives(qnull, store, k=2).count() == 0
 
 
+def test_cluster_label_purity_contingency(spark):
+    """Purity audit: majority label per cluster with smallest-label
+    tie-break, NULL labels excluded, purity_bp round-half-up."""
+    from webloghunter_spark.pipelines.kmeans import cluster_label_purity
+
+    assigned = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1), (7, 1)],
+        "vec_id long, cent_id long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 3),          # cluster 0: 7x2, 3x1
+         (4, 5), (5, 2), (6, None), (7, 5)],  # cluster 1: 5x2, 2x1
+        "vec_id long, label int",
+    )
+    rows = {r.cent_id: r for r in
+            cluster_label_purity(assigned, labels).collect()}
+    c0, c1 = rows[0], rows[1]
+    assert (c0.n_total, c0.n_labels, c0.top_label, c0.top_n) == (3, 2, 7, 2)
+    assert c0.purity_bp == 6667  # 2/3 -> 6666.67 -> round-half-up
+    assert (c1.n_total, c1.n_labels, c1.top_label, c1.top_n) == (3, 2, 5, 2)
+    # tie-break: equal counts pick the SMALLEST label
+    tied = spark.createDataFrame(
+        [(1, 9), (2, 4)], "vec_id long, label int"
+    )
+    t = cluster_label_purity(
+        spark.createDataFrame([(1, 0), (2, 0)], "vec_id long, cent_id long"),
+        tied,
+    ).collect()[0]
+    assert (t.top_label, t.top_n, t.purity_bp) == (4, 1, 5000)
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

@@ -4252,6 +4252,50 @@ SQL_KMEANS_SIZES = f"""
 """
 
 
+def q_cluster_purity(spark, sf_dir):
+    """Did unsupervised structure recover the labels? Majority-label
+    share per trained k-means cluster (ties to the smallest label),
+    with member/distinct-label counts. Rides the kmeans_train
+    assignment; the contingency is two group-scale aggregates."""
+    from webloghunter_spark.pipelines.kmeans import (
+        cluster_label_purity,
+        kmeans_lloyd,
+    )
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return cluster_label_purity(kmeans_lloyd(emb, k=8, iters=2), labels)
+
+
+SQL_CLUSTER_PURITY = f"""
+    WITH assigned AS ({SQL_KMEANS_TRAIN}),
+    j AS (
+        SELECT a.cent_id, l.label::BIGINT AS lab
+        FROM assigned a JOIN embeddings l USING (vec_id)
+        WHERE l.label IS NOT NULL
+    ),
+    counts AS (
+        SELECT cent_id, lab, count(*)::BIGINT AS n FROM j GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT cent_id, sum(n)::BIGINT AS n_total,
+               count(*)::BIGINT AS n_labels
+        FROM counts GROUP BY 1
+    ),
+    top AS (
+        SELECT cent_id, lab AS top_label, n AS top_n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cent_id ORDER BY n DESC, lab) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT t.cent_id, t.n_total, t.n_labels, p.top_label, p.top_n,
+           CAST(floor(p.top_n * 10000.0 / t.n_total + 0.5) AS BIGINT)
+               AS purity_bp
+    FROM tot t JOIN top p USING (cent_id)
+"""
+
+
 SQL_EMB_OUTLIERS = f"""
     WITH assigned AS ({SQL_KMEANS_TRAIN}),
     med AS (
@@ -6284,6 +6328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "mmr_select": q_mmr_select,
     "hard_negatives": q_hard_negatives,
+    "cluster_purity": q_cluster_purity,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6421,6 +6466,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode": SQL_BPE_ENCODE,
     "mmr_select": SQL_MMR_SELECT,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "cluster_purity": SQL_CLUSTER_PURITY,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from webloghunter_spark.functions.numeric import round_half_up
 
@@ -264,4 +265,51 @@ def kmeans_cluster_sizes(
                 "mean_dist"
             ),
         )
+    )
+
+
+def cluster_label_purity(
+    assigned: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-vs-label contingency audit of a kmeans_lloyd output:
+    per cluster, the member count, distinct-label count, majority
+    label (ties to the smallest label) and its share in basis points
+    — the "did unsupervised structure recover the annotation" check
+    that prices centroid-based curation (SemDeDup buckets, IVF lists)
+    against known labels. NULL-labeled rows are excluded.
+
+    One hash join of the assignment against the label column and two
+    group-scale aggregates (per (cluster, label), then per cluster) —
+    k x |labels| rows after the first; nothing vector-scale moves."""
+    lab = labels.filter(F.col(label_col).isNotNull()).select(
+        id_col, F.col(label_col).cast("long").alias("_lab")
+    )
+    counts = (
+        assigned.select(id_col, "cent_id")
+        .join(lab, id_col)
+        .groupBy("cent_id", "_lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    tot = counts.groupBy("cent_id").agg(
+        F.sum("_n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    w = W.partitionBy("cent_id").orderBy(F.col("_n").desc(), F.col("_lab"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cent_id",
+            F.col("_lab").alias("top_label"),
+            F.col("_n").alias("top_n"),
+        )
+    )
+    return tot.join(top, "cent_id").select(
+        "cent_id", "n_total", "n_labels", "top_label", "top_n",
+        F.floor(F.col("top_n") * 10000.0 / F.col("n_total") + F.lit(0.5))
+        .cast("long")
+        .alias("purity_bp"),
     )
