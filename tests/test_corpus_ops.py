@@ -621,6 +621,33 @@ def test_cluster_label_purity_contingency(spark):
     assert (t.top_label, t.top_n, t.purity_bp) == (4, 1, 5000)
 
 
+def test_dataset_card_composition_and_hygiene(spark):
+    """Dataset card: token totals, lang mix with NULL langs excluded
+    from the mix but counted in totals, exact-dup share counts BOTH
+    copies, empty docs flagged, lang tie breaks lexicographically."""
+    from webloghunter_spark.pipelines.select import dataset_card
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "web"),
+         (2, "a b c", "en", "web"),     # exact dup of 1
+         (3, "x y", "fr", "web"),
+         (4, "", None, "web"),          # empty + NULL lang
+         (5, "p q r s", "de", "books"),
+         (6, "t u", "en", "books")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in dataset_card(df).collect()}
+    web, books = rows["web"], rows["books"]
+    assert (web.n_docs, web.n_tokens) == (4, 8)
+    assert (web.n_langs, web.top_lang, web.top_lang_bp) == (2, "en", 5000)
+    assert web.dup_doc_bp == 5000   # 2 of 4 docs are in a dup group
+    assert web.empty_bp == 2500
+    assert (books.n_docs, books.n_tokens, books.n_langs) == (2, 6, 2)
+    # tie: de and en both 1 doc -> lexicographically smaller wins
+    assert (books.top_lang, books.top_lang_bp) == ("de", 5000)
+    assert (books.dup_doc_bp, books.empty_bp) == (0, 0)
+
+
 def test_quality_classifier_learns_separation(spark):
     """3 GD rounds separate disjoint-vocabulary corpora: target-like
     docs score above 5000 bp, raw-like below; weights are

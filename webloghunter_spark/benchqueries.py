@@ -5643,6 +5643,69 @@ SQL_MMR_SELECT = """
 """
 
 
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card: doc/token counts, language mix
+    (distinct langs, majority lang + share), exact-dup share and
+    empty share — the composition/hygiene one-screener next to
+    corpus_stats' length profile. Three group-scale aggregates."""
+    from webloghunter_spark.pipelines.select import dataset_card
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return dataset_card(docs)
+
+
+SQL_DATASET_CARD = r"""
+    WITH base AS (
+        SELECT source, lang, md5(coalesce(text, '')) AS h,
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                   END)::BIGINT AS ntok,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+                    THEN 1 ELSE 0 END AS emp
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(ntok)::BIGINT AS n_tokens,
+               sum(emp)::BIGINT AS n_empty
+        FROM base GROUP BY source
+    ),
+    lc AS (
+        SELECT source, lang, count(*)::BIGINT AS n
+        FROM base WHERE lang IS NOT NULL GROUP BY 1, 2
+    ),
+    langs AS (SELECT source, count(*)::BIGINT AS n_langs FROM lc GROUP BY 1),
+    top AS (
+        SELECT source, lang AS top_lang, n AS top_n FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY n DESC, lang) AS rn
+            FROM lc
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT source,
+               coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)::BIGINT AS n_dup
+        FROM (SELECT source, h, count(*)::BIGINT AS c
+              FROM base GROUP BY 1, 2)
+        GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.n_tokens,
+           coalesce(l.n_langs, 0)::BIGINT AS n_langs,
+           p.top_lang,
+           CAST(floor(coalesce(p.top_n, 0) * 10000.0 / t.n_docs + 0.5)
+                AS BIGINT) AS top_lang_bp,
+           CAST(floor(coalesce(d.n_dup, 0) * 10000.0 / t.n_docs + 0.5)
+                AS BIGINT) AS dup_doc_bp,
+           CAST(floor(t.n_empty * 10000.0 / t.n_docs + 0.5)
+                AS BIGINT) AS empty_bp
+    FROM tot t
+    LEFT JOIN langs l USING (source)
+    LEFT JOIN top p USING (source)
+    LEFT JOIN dup d USING (source)
+"""
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive-training data prep: for query vectors 0-4, the 10
     most-similar store vectors with a DIFFERENT label (near-miss
@@ -6329,6 +6392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_select": q_mmr_select,
     "hard_negatives": q_hard_negatives,
     "cluster_purity": q_cluster_purity,
+    "dataset_card": q_dataset_card,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6467,6 +6531,7 @@ ORACLES: dict[str, str] = {
     "mmr_select": SQL_MMR_SELECT,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "cluster_purity": SQL_CLUSTER_PURITY,
+    "dataset_card": SQL_DATASET_CARD,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

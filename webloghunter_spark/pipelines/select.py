@@ -744,3 +744,90 @@ def mmr_select(
         f"sel_rank long, {id_col} long, rel_bp long, "
         "penalty_bp long, score_micro long",
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source dataset card — the one-screen summary a curator
+    reads before touching sampling weights: doc/token counts, the
+    language mix (distinct languages, majority language and its share
+    in basis points, ties to the lexicographically smaller code),
+    exact-duplicate share (docs whose raw text repeats within the
+    source, md5-keyed) and empty-doc share. Length percentiles live in
+    corpus_stats; this card covers composition and hygiene.
+
+    NULL-language rows count toward totals but not the language mix.
+    Three combinable aggregates over one base projection (lang mix and
+    dup detection group on (source, lang) / (source, md5) — group-
+    scale, never doc-scale state) joined on the |sources|-row spine.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(lang_col).alias("_lang"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
+        token_count_expr(text_col).cast("long").alias("_ntok"),
+        (F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0)
+        .cast("long")
+        .alias("_empty"),
+    )
+    tot = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum("_empty").cast("long").alias("_n_empty"),
+    )
+    lc = (
+        base.filter(F.col("_lang").isNotNull())
+        .groupBy("_g", "_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    langs = lc.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs")
+    )
+    wl = W.partitionBy("_g").orderBy(F.col("_n").desc(), F.col("_lang"))
+    top = (
+        lc.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") == 1)
+        .select("_g", F.col("_lang").alias("top_lang"),
+                F.col("_n").alias("_top_n"))
+    )
+    dup = (
+        base.groupBy("_g", "_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .groupBy("_g")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_c") >= 2, F.col("_c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("_n_dup")
+        )
+    )
+    bp = lambda n, d: (  # noqa: E731
+        F.when(d > 0, F.floor(n * 10000.0 / d + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        tot.join(langs, "_g", "left")
+        .join(top, "_g", "left")
+        .join(dup, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_langs"), F.lit(0)).cast("long")
+            .alias("n_langs"),
+            "top_lang",
+            bp(F.coalesce(F.col("_top_n"), F.lit(0)), F.col("n_docs"))
+            .alias("top_lang_bp"),
+            bp(F.coalesce(F.col("_n_dup"), F.lit(0)), F.col("n_docs"))
+            .alias("dup_doc_bp"),
+            bp(F.col("_n_empty"), F.col("n_docs")).alias("empty_bp"),
+        )
+    )
