@@ -73,20 +73,27 @@ def _learn(
     df: DataFrame, steps: int, text_col: str, id_col: str | None
 ) -> tuple[list[tuple], DataFrame]:
     """Shared training loop: returns (merges, final corpus state).
-    With `id_col` the state keeps one row per document (id, s) so the
-    caller can read back per-doc segmentations; without, rows are
-    anonymous (learning only)."""
+    With `id_col` the state keeps one row per document
+    (id, _ntok, s) — the pre-merge token count rides along so callers
+    reading back per-doc segmentations need no second corpus scan;
+    without, rows are anonymous (learning only)."""
     if steps <= 0:
         raise ValueError(f"steps must be > 0, got {steps}")
-    from webloghunter_spark.session import materialize
+    from webloghunter_spark.session import drop_materialized, materialize
 
-    keep = [F.col(id_col)] if id_col else []
+    toks = tokens_expr(text_col)
+    keep_exprs = (
+        [F.col(id_col), F.size(toks).cast("long").alias("_ntok")]
+        if id_col
+        else []
+    )
+    keep = [id_col, "_ntok"] if id_col else []
     s = materialize(
         df.select(
-            *keep,
+            *keep_exprs,
             F.concat(
                 F.lit(" "),
-                F.array_join(tokens_expr(text_col), " "),
+                F.array_join(toks, " "),
                 F.lit(" "),
             ).alias("s"),
         )
@@ -111,7 +118,7 @@ def _learn(
             col = F.replace(col, F.lit(pat), F.lit(rep))
         new_s = materialize(s.select(*keep, col.alias("s")))
         new_s.count()  # settle the new state while the old is cached
-        s.unpersist()  # registry keeps a stale ref; re-unpersist is a no-op
+        drop_materialized(s)
         s = new_s
     return out, s
 
@@ -127,18 +134,19 @@ def bpe_encode(
     report that prices a merge table before training a real
     tokenizer. n_symbols is the post-merge symbol count; saved_bp =
     (ntok - n_symbols) / ntok in basis points (0 for empty docs).
-    The segmentation is the training loop's own final state, so the
+    The segmentation is the training loop's own final state (which
+    carries the pre-merge token count), so this is one projection
+    over that state — no second corpus scan, no join — and the
     oracle needs nothing beyond the learn CTEs with the id carried
     through."""
     _, s = _learn(df, steps, text_col, id_col=id_col)
     nsym = F.when(
         F.length(F.trim(F.col("s"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("s")), " "))).cast("long")
-    base = df.select(
-        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("ntok")
-    )
-    return base.join(
-        s.select(F.col(id_col), nsym.alias("n_symbols")), id_col
+    return s.select(
+        F.col(id_col),
+        F.col("_ntok").alias("ntok"),
+        nsym.alias("n_symbols"),
     ).select(
         id_col,
         "ntok",

@@ -664,8 +664,11 @@ def mmr_select(
         score_micro = lam_bp * rel_bp - (10000 - lam_bp) * maxsim_bp
     where rel_bp / maxsim_bp are basis-point-quantized cosines
     (floor(c*1e4 + 0.5), the repo convention) and maxsim_bp is the
-    TRUE max cosine to the already-picked set (round 1 has no picks:
-    penalty 0, score = lam_bp * rel_bp). Ties break to the lowest id.
+    TRUE max cosine to the already-picked set. Round 1 has no picks
+    and seeds with the MOST RELEVANT candidate (argmax rel_bp —
+    lambda-independent, the standard MMR seed; its reported penalty
+    is 0 and score_micro = lam_bp * rel_bp). Ties break to the
+    lowest id.
     Output: one row per pick (sel_rank, id, rel_bp, penalty_bp,
     score_micro); stops early when the pool runs dry.
 
@@ -683,7 +686,7 @@ def mmr_select(
     if not (0 <= lam_bp <= 10000):
         raise ValueError(f"lam_bp must be in [0, 10000], got {lam_bp}")
     from webloghunter_spark.functions.similarity import cosine_expr
-    from webloghunter_spark.session import materialize
+    from webloghunter_spark.session import drop_materialized, materialize
 
     spark = df.sparkSession
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
@@ -704,11 +707,13 @@ def mmr_select(
     picks: list[tuple] = []
     for rank in range(1, k + 1):
         if rank == 1:
+            # lambda-independent relevance seed (standard MMR)
             scored = cand.select(
                 "_id", "_e", "_rel",
                 F.lit(0).cast("long").alias("_ms"),
                 (F.col("_rel") * lam_bp).cast("long").alias("_score"),
             )
+            order_key = F.col("_rel")
         else:
             scored = cand.select(
                 "_id", "_e", "_rel", "_ms",
@@ -716,8 +721,9 @@ def mmr_select(
                  - F.col("_ms") * (10000 - lam_bp)).cast("long")
                 .alias("_score"),
             )
+            order_key = F.col("_score")
         top = (
-            scored.orderBy(F.col("_score").desc(), F.col("_id"))
+            scored.orderBy(order_key.desc(), F.col("_id"))
             .limit(1)
             .collect()
         )
@@ -727,6 +733,8 @@ def mmr_select(
         picks.append(
             (rank, t["_id"], t["_rel"], int(t["_ms"]), int(t["_score"]))
         )
+        if rank == k:
+            break  # the state update would feed nothing
         sim = bp(cosine_expr(F.col("_e"), _lit_vec(t["_e"])))
         prev = F.col("_ms") if rank > 1 else F.lit(None).cast("long")
         new_cand = materialize(
@@ -736,9 +744,9 @@ def mmr_select(
             )
         )
         new_cand.count()
-        cand.unpersist()
+        drop_materialized(cand)
         cand = new_cand
-    cand.unpersist()
+    drop_materialized(cand)
     return spark.createDataFrame(
         picks,
         f"sel_rank long, {id_col} long, rel_bp long, "

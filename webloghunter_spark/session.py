@@ -57,6 +57,18 @@ def swap_materialized(old: DataFrame, new: DataFrame) -> None:
     _MATERIALIZED.append(new)
 
 
+def drop_materialized(df: DataFrame) -> None:
+    """Unpersist `df` and deregister it — for iterative operators
+    replacing a per-round persisted state whose NEW frame was already
+    registered by its own materialize() call (swap_materialized would
+    double-register it). Keeps the registry holding live frames only."""
+    try:
+        _MATERIALIZED.remove(df)
+    except ValueError:
+        pass
+    _unpersist_any(df)
+
+
 def _unpersist_any(df: DataFrame) -> None:
     """Unpersist a frame whether it was persist()ed or
     localCheckpoint()ed: Dataset.unpersist() only clears cache-manager
