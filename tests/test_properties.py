@@ -437,3 +437,77 @@ def test_train_order_is_bijective_and_stable(spark, n, shards, seed):
           for r in train_order(bigger, n_shards=shards, seed=seed).collect()}
     for d, (s, _) in o.items():
         assert o2[d] == s
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.sampled_from([-1.0, -0.5, -0.25, 0.125, 0.25, 0.5, 1.0]),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=9,
+    ),
+    lam_bp=st.sampled_from([0, 3000, 5000, 10000]),
+    k=st.integers(1, 5),
+)
+def test_mmr_select_matches_reference_greedy(spark, vecs, lam_bp, k):
+    """mmr_select reproduces an independent pure-Python greedy MMR:
+    same picks, same ranks, same quantized scores — for any lambda
+    (including the 0 and 10000 ends), any k, and any pool, with
+    exact-binary-fraction coordinates so float32/double round-trips
+    are exact."""
+    import math
+
+    from webloghunter_spark.pipelines.select import mmr_select
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+    def cos_bp(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return math.floor(
+            dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5
+        )
+
+    q = vecs[0]
+    pool = {i: v for i, v in rows[1:]}
+    rel = {i: cos_bp(v, q) for i, v in pool.items()}
+    ms: dict = {}
+    expect = []
+    for rank in range(1, k + 1):
+        if not pool:
+            break
+        if rank == 1:
+            pick = min(pool, key=lambda i: (-rel[i], i))
+            pen = 0
+        else:
+            pick = min(
+                pool,
+                key=lambda i: (
+                    -(lam_bp * rel[i] - (10000 - lam_bp) * ms[i]), i
+                ),
+            )
+            pen = ms[pick]
+        expect.append(
+            (rank, pick, rel[pick],
+             pen, lam_bp * rel[pick] - (10000 - lam_bp) * pen)
+        )
+        pv = pool.pop(pick)
+        for i, v in pool.items():
+            s = cos_bp(v, pv)
+            ms[i] = max(ms[i], s) if i in ms else s
+    got = [
+        (r.sel_rank, r.vec_id, r.rel_bp, r.penalty_bp, r.score_micro)
+        for r in mmr_select(df, k=k, lam_bp=lam_bp, query_id=0).collect()
+    ]
+    assert got == expect

@@ -769,13 +769,18 @@ def dataset_card(
     corpus_stats; this card covers composition and hygiene.
 
     NULL-language rows count toward totals but not the language mix.
-    Three combinable aggregates over one base projection (lang mix and
-    dup detection group on (source, lang) / (source, md5) — group-
-    scale, never doc-scale state) joined on the |sources|-row spine.
+    Three combinable aggregates over ONE materialized base projection
+    (narrow: group, lang, md5, two longs — the text itself never
+    persists), so the corpus is scanned once however many aggregates
+    read it; lang mix and dup detection group on (source, lang) /
+    (source, md5) — group-scale, never doc-scale state — joined on
+    the |sources|-row spine.
     """
     from pyspark.sql import Window as W
 
-    base = df.select(
+    from webloghunter_spark.session import materialize
+
+    base = materialize(df.select(
         F.col(group_col).alias("_g"),
         F.col(lang_col).alias("_lang"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"),
@@ -783,7 +788,7 @@ def dataset_card(
         (F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0)
         .cast("long")
         .alias("_empty"),
-    )
+    ))
     tot = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_ntok").cast("long").alias("n_tokens"),
