@@ -212,6 +212,68 @@ def test_bigram_logprob_ranks_gibberish_below_fluent(spark):
     assert out[1].avg_ll == expected
 
 
+def test_perplexity_bands_matches_ntile_and_flags_empty(spark):
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.lm import bigram_logprob, perplexity_bands
+
+    # 7 scoreable en docs (ntile sizes 3/2/2), 2 de docs (sizes 1/1/0),
+    # plus an unscoreable doc per lang
+    rows = [
+        (1, "en", "the cat sat"), (2, "en", "the cat sat"),
+        (3, "en", "the cat sat"), (4, "en", "the cat ran"),
+        (5, "en", "a dog ran"), (6, "en", "zq xv jk"),
+        (7, "en", "qq ww ee"), (8, "en", "one"),
+        (9, "de", "der hund lief"), (10, "de", "zz yy xx"),
+        (11, "de", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in perplexity_bands(df).collect()}
+    assert len(out) == 11
+    # empties band as 'empty' and are never kept
+    assert out[8].band == "empty" and not out[8].kept
+    assert out[11].band == "empty" and not out[11].kept
+    # reference banding: plain per-lang ntile(3) over (llq desc, id)
+    sc = (
+        df.join(bigram_logprob(df), "doc_id")
+        .filter(F.col("n_bigrams") > 0)
+        .select("doc_id", "lang",
+                F.floor(F.col("avg_ll") * 10000 + F.lit(0.5)).alias("llq"))
+        .collect()
+    )
+    by_lang = {}
+    for r in sc:
+        by_lang.setdefault(r.lang, []).append((-r.llq, r.doc_id))
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n = len(docs)
+        sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        want, i = {}, 0
+        for b, s in zip(["head", "middle", "tail"], sizes):
+            for _, d in docs[i:i + s]:
+                want[d] = b
+            i += s
+        for d, b in want.items():
+            assert out[d].band == b, (lang, d, b, out[d].band)
+            assert out[d].kept == (b != "tail")
+    # every lang's scoreable set splits 3/2/2 (en) and 1/1/0 (de)
+    en_bands = [out[d].band for d in range(1, 8)]
+    assert sorted(en_bands).count("head") == 3
+    assert en_bands.count("middle") == 2 and en_bands.count("tail") == 2
+
+
+def test_perplexity_bands_boundary_guard(spark):
+    import pytest
+
+    from webloghunter_spark.functions.lm import perplexity_bands
+
+    rows = [(i, "en", "the cat sat") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # all six docs share one score cell -> boundary depth 6 > 2
+    with pytest.raises(ValueError, match="boundary cells hold"):
+        perplexity_bands(df, max_boundary_rows=2).collect()
+
+
 # --- quality_gate ------------------------------------------------------------
 
 def test_quality_gate_reasons_fire_in_order(spark):

@@ -2253,6 +2253,71 @@ SQL_BIGRAM_LOGPROB = r"""
 """
 
 
+def q_perplexity_filter(spark, sf_dir):
+    """CCNet head/middle/tail perplexity banding over the self-trained
+    bigram LM: per-language equal-height terciles of avg_ll (ntile
+    semantics), keep = head|middle. Spark side runs the bounded
+    (lang, score-cell) histogram + driver cut walk — never a per-lang
+    window sort; the oracle states the same result as plain ntile."""
+    from webloghunter_spark.functions.lm import perplexity_bands
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return perplexity_bands(docs, "text", "doc_id", "lang", alpha=0.5)
+
+
+SQL_PERPLEXITY_FILTER = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END,
+                   x -> lower(x)) AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    scored AS (
+        SELECT bi.doc_id,
+               ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS lp
+        FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_ll
+        FROM scored GROUP BY doc_id
+    ),
+    sc AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(a.avg_ll, 0.0) AS avg_ll,
+               floor(coalesce(a.avg_ll, 0.0) * 10000 + 0.5)::BIGINT AS llq
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ),
+    nt AS (
+        SELECT doc_id,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY llq DESC, doc_id) AS b
+        FROM sc WHERE n_bigrams > 0
+    )
+    SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.avg_ll,
+           CASE WHEN sc.n_bigrams = 0 THEN 'empty'
+                WHEN nt.b = 1 THEN 'head'
+                WHEN nt.b = 2 THEN 'middle'
+                ELSE 'tail' END AS band,
+           CASE WHEN sc.n_bigrams = 0 THEN FALSE
+                ELSE nt.b <= 2 END AS kept
+    FROM sc LEFT JOIN nt ON sc.doc_id = nt.doc_id
+"""
+
+
 def q_quality_gate(spark, sf_dir):
     """Composed intake gate (C4/Gopher-style rule stack): length bounds,
     encoding damage, heuristic quality, corpus-LM likelihood — first
@@ -6393,6 +6458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "cluster_purity": q_cluster_purity,
     "dataset_card": q_dataset_card,
+    "perplexity_filter": q_perplexity_filter,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6532,6 +6598,7 @@ ORACLES: dict[str, str] = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "cluster_purity": SQL_CLUSTER_PURITY,
     "dataset_card": SQL_DATASET_CARD,
+    "perplexity_filter": SQL_PERPLEXITY_FILTER,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

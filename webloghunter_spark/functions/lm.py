@@ -102,3 +102,138 @@ def bigram_logprob(
             F.col("avg_ll"),
         )
     )
+
+
+def perplexity_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+    max_boundary_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity banding: per language,
+    split the scoreable corpus into equal-height terciles of the
+    bigram-LM likelihood (`bigram_logprob`) — best-modeled third is
+    'head', worst is 'tail'; the keep policy (`kept` = head|middle,
+    CCNet keeps head+middle for LM pretraining) drops the
+    highest-perplexity third. Documents with < 2 tokens can't be
+    scored: band 'empty', kept=false, excluded from the terciles.
+
+    Semantics are EXACTLY ntile(3) OVER (PARTITION BY lang ORDER BY
+    ll_q DESC, id) — but the implementation never runs that window:
+    at 100 TB a per-lang ntile puts an entire language's corpus in
+    ONE window partition (a single-task sort for 'en'). Instead, the
+    token_budget_select discipline:
+      1. one combinable (lang, ll_q) histogram — ll_q is avg_ll on
+         the 1e-4 integer grid (avg_ll is already 4-digit-rounded,
+         so ll_q is exact), bounded by the score grid x #langs, not
+         the corpus;
+      2. a driver walk over the tiny histogram finds each lang's two
+         boundary cells and how many of each cell's docs fall above
+         the cut;
+      3. non-boundary docs band by two integer compares (codegen'd
+         scan); ONLY the <= 2*#langs boundary cells take a
+         row_number window, partitioned by their own cell — the
+         ordered scan covers single cells, never the corpus. The
+         collect guard (`max_boundary_rows`) is the fuzzy-join
+         depth-guard discipline: a cell so deep the tie-split frame
+         would dominate a task should fail loudly.
+    """
+    scores = bigram_logprob(df, text_col, id_col, alpha=alpha)
+    base = (
+        df.select(id_col, F.col(lang_col).alias("lang"))
+        .join(scores, id_col)
+        .select(
+            id_col,
+            "lang",
+            "n_bigrams",
+            F.coalesce("avg_ll", F.lit(0.0)).alias("avg_ll"),
+            F.floor(F.coalesce("avg_ll", F.lit(0.0)) * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("_llq"),
+        )
+    )
+    from webloghunter_spark.session import materialize
+
+    # three consumers (histogram, boundary cells, final band scan) —
+    # and upstream sits the whole LM scoring join; re-running that per
+    # consumer is the superlinear trap bigram_logprob documents
+    base = materialize(base)
+    hist = (
+        base.filter(F.col("n_bigrams") > 0)
+        .groupBy("lang", "_llq")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append((int(r["_llq"]), int(r["_n"])))
+    # per lang: descending-score walk to the ntile(3) boundaries.
+    # head_n/mid_n replicate ntile's allocation (first buckets take
+    # the remainder), so the oracle can be the plain window form.
+    cuts = {}  # lang -> (cut1, take1, cut2, take2)
+    for lang, cells in by_lang.items():
+        cells.sort(key=lambda c: -c[0])
+        n = sum(c[1] for c in cells)
+        head_n = n // 3 + (1 if n % 3 >= 1 else 0)
+        mid_n = head_n + n // 3 + (1 if n % 3 >= 2 else 0)
+        cum = 0
+        cut1 = take1 = cut2 = take2 = None
+        for q, cn in cells:
+            if cut1 is None and cum + cn >= head_n:
+                cut1, take1 = q, head_n - cum
+            if cut2 is None and cum + cn >= mid_n:
+                cut2, take2 = q, mid_n - cum
+                break
+            cum += cn
+        cuts[lang] = (cut1, take1, cut2, take2)
+    # tie-split ranks for the boundary cells only (<= 2 cells/lang)
+    bnd_pred = F.lit(False)
+    for lang, (cut1, _t1, cut2, _t2) in cuts.items():
+        cells = {cut1, cut2}
+        bnd_pred = bnd_pred | (
+            (F.col("lang") == F.lit(lang)) & F.col("_llq").isin(list(cells))
+        )
+    bnd = base.filter(bnd_pred & (F.col("n_bigrams") > 0)).select(
+        id_col, "lang", "_llq"
+    )
+    if max_boundary_rows is not None:
+        depth = bnd.count()
+        if depth > max_boundary_rows:
+            raise ValueError(
+                f"perplexity_bands: boundary cells hold {depth} rows"
+                f" (> {max_boundary_rows}) — the 1e-4 score grid is too"
+                f" coarse for this corpus; raise max_boundary_rows"
+                f" deliberately or band on a finer score."
+            )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "_llq").orderBy(F.col(id_col).asc())
+    rn = bnd.select(
+        id_col, "lang", "_llq", F.row_number().over(w).alias("_rn")
+    )
+    joined = base.join(rn.select(id_col, "_rn"), id_col, "left")
+    # per-lang banding expression from the driver-side cuts: a chain
+    # over #langs branches of integer compares — pure codegen
+    band = F.lit("tail")
+    for lang, (cut1, take1, cut2, take2) in cuts.items():
+        is_lang = F.col("lang") == F.lit(lang)
+        head = (F.col("_llq") > F.lit(cut1)) | (
+            (F.col("_llq") == F.lit(cut1)) & (F.col("_rn") <= F.lit(take1))
+        )
+        middle = (F.col("_llq") > F.lit(cut2)) | (
+            (F.col("_llq") == F.lit(cut2)) & (F.col("_rn") <= F.lit(take2))
+        )
+        band = F.when(
+            is_lang, F.when(head, F.lit("head")).when(middle, F.lit("middle")).otherwise(F.lit("tail"))
+        ).otherwise(band)
+    band = F.when(F.col("n_bigrams") == 0, F.lit("empty")).otherwise(band)
+    return joined.select(
+        id_col,
+        "lang",
+        "n_bigrams",
+        "avg_ll",
+        band.alias("band"),
+        band.isin(["head", "middle"]).alias("kept"),
+    )
