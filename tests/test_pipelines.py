@@ -900,6 +900,43 @@ def test_train_order_deterministic_seeded_interleave(spark):
             assert srcs == {"a", "b"}
 
 
+def test_curriculum_order_stages_then_interleaves(spark):
+    """Stage 0 holds the highest scores (easy-first monotonicity);
+    every (stage, shard) gets contiguous 0..n-1 positions; stage
+    assignment is pure integer binning (verified against a Python
+    replay); out-of-domain scores clamp instead of escaping the
+    stage range; and the whole output is layout-independent."""
+    from webloghunter_spark.pipelines.shard import curriculum_order
+
+    rows = [(i, (i * 37) % 10001) for i in range(300)]
+    rows += [(300, -50), (301, 12000)]  # out-of-domain clamps
+    df = spark.createDataFrame(rows, "doc_id long, quality_bp long")
+    out = curriculum_order(df, stages=4, n_shards=4, seed="s").collect()
+    got = {r.doc_id: (r.stage, r.shard_id, r.position, r.score) for r in out}
+    # pure-Python stage replay
+    for d, sc in rows:
+        want = min(3, max(0, ((10000 - sc) * 4) // 10001))
+        assert got[d][0] == want, (d, sc, got[d][0], want)
+    assert got[300][0] == 3 and got[301][0] == 0
+    # easy-first: every stage-0 score >= every stage-3 score
+    s0 = min(r.score for r in out if r.stage == 0)
+    s3 = max(r.score for r in out if r.stage == 3)
+    assert s0 >= s3
+    # contiguous positions per (stage, shard)
+    cell: dict = {}
+    for r in out:
+        cell.setdefault((r.stage, r.shard_id), []).append(r.position)
+    for ps in cell.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # layout-independent
+    out2 = curriculum_order(
+        df.repartition(7), stages=4, n_shards=4, seed="s"
+    ).collect()
+    assert got == {
+        r.doc_id: (r.stage, r.shard_id, r.position, r.score) for r in out2
+    }
+
+
 def test_train_order_manifest_pins_exact_order(spark):
     """The manifest digest verifies the ORDER, not just membership:
     recomputing over the same corpus agrees; swapping two documents'

@@ -5819,6 +5819,70 @@ def q_train_order(spark, sf_dir):
     return train_order(docs, n_shards=16, seed="r7")
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Easy-first staged training order: difficulty stages from the
+    quality score (fixed-width integer bins, stage 0 = easiest), then
+    train_order's seeded md5 interleave within (stage, shard). One
+    shuffle — the same exchange train_order pays."""
+    from webloghunter_spark.functions.text import quality_bp_expr
+    from webloghunter_spark.pipelines.shard import curriculum_order
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", quality_bp_expr("text").alias("quality_bp")
+    )
+    return curriculum_order(
+        scored, "quality_bp", stages=4, n_shards=8, seed="r7c"
+    )
+
+
+SQL_CURRICULUM_ORDER = r"""
+    WITH toks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               len(t)::DOUBLE AS ntok,
+               greatest(length(text)::DOUBLE, 1.0) AS nchar,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE AS npunct,
+               len(list_filter(t, x -> list_contains(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   lower(x))))::DOUBLE AS nstop
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(floor((least(ntok / 100.0, 1.0) * 0.5
+                     + (1.0 - npunct / nchar) * 0.3
+                     + least((nstop / greatest(ntok, 1.0)) * 5.0, 1.0) * 0.2)
+                     * 10000.0 + 0.5) AS BIGINT) AS score
+        FROM stats
+    ),
+    keyed AS (
+        SELECT doc_id, score,
+               md5('r7c|' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(least(3, greatest(0, ((10000 - score) * 4) // 10001))
+                    AS INTEGER) AS stage
+        FROM scored
+    ),
+    a AS (
+        SELECT doc_id, score, h, stage,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8
+                    AS INTEGER) AS shard_id
+        FROM keyed
+    )
+    SELECT stage, shard_id,
+           (row_number() OVER (PARTITION BY stage, shard_id
+                               ORDER BY h, doc_id) - 1)::BIGINT AS position,
+           doc_id, score
+    FROM a
+"""
+
+
 SQL_TRAIN_ORDER = r"""
     WITH s AS (
         SELECT doc_id,
@@ -6459,6 +6523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_purity": q_cluster_purity,
     "dataset_card": q_dataset_card,
     "perplexity_filter": q_perplexity_filter,
+    "curriculum_order": q_curriculum_order,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6599,6 +6664,7 @@ ORACLES: dict[str, str] = {
     "cluster_purity": SQL_CLUSTER_PURITY,
     "dataset_card": SQL_DATASET_CARD,
     "perplexity_filter": SQL_PERPLEXITY_FILTER,
+    "curriculum_order": SQL_CURRICULUM_ORDER,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

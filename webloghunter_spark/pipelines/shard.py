@@ -191,6 +191,68 @@ def train_order_manifest(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: Column | str = "quality_bp",
+    stages: int = 4,
+    n_shards: int = 16,
+    seed: str = "curr",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009 easy-first
+    scheduling, the staged variant production LM pipelines use):
+    documents bin into difficulty STAGES by a 0-10000 integer score
+    (stage 0 = easiest = highest score, fixed-width bins on the bp
+    grid — pure integer arithmetic, so any engine re-derives the
+    stage), and WITHIN each stage the order is train_order's seeded
+    md5 interleave (score-sorted batches are degenerate; the shuffle
+    restores iid-ness inside a stage). A loader consumes stage 0's
+    shards, then stage 1's, ... Returns
+    (stage, shard_id, position, id, score) — position is 0-based
+    within (stage, shard).
+
+    Scale: identical exchange shape to train_order — ONE shuffle, the
+    row_number window partitioned by (stage, shard_id) IS
+    repartition + sort-within-partition on the 16-byte key; stages
+    multiply the partition count, never a partition's size, and the
+    md5 key keeps per-(stage, shard) volumes uniform (stage sizes
+    follow the score distribution; shards within a stage are even).
+    """
+    if stages <= 0:
+        raise ValueError(f"stages must be > 0, got {stages}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    key = order_key_expr(id_col, seed)
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = W.partitionBy("stage", "shard_id").orderBy("_k", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            score.cast("long").alias("score"),
+            key.alias("_k"),
+            shard.alias("shard_id"),
+        )
+        # fixed-width bins over the inclusive 0-10000 grid: 10001
+        # distinct scores over `stages` bins, integer `div` end to
+        # end; out-of-domain scores clamp to the edge stages rather
+        # than indexing outside [0, stages)
+        .withColumn(
+            "stage",
+            F.expr(
+                f"least({int(stages) - 1}, greatest(0,"
+                f" ((10000 - score) * {int(stages)}) div 10001))"
+            ).cast("int"),
+        )
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .select("stage", "shard_id", "position", id_col, "score")
+    )
+
+
 def write_training_order(
     df: DataFrame,
     path: str,
