@@ -900,6 +900,37 @@ def test_train_order_deterministic_seeded_interleave(spark):
             assert srcs == {"a", "b"}
 
 
+def test_upsample_epochs_repeats_boosted_sources(spark):
+    """A dominant source stays at 1 epoch, a tail source's epochs =
+    clamp(ceil(boost), 1, max_epochs); every doc appears exactly
+    n_epochs times with epoch indices 0..n_epochs-1."""
+    from webloghunter_spark.pipelines.split import (
+        mix_temperature,
+        upsample_epochs,
+    )
+
+    # 90/10 token split at alpha=0.7 boosts the tail source
+    rows = [(i, "big", "w " * 90) for i in range(20)]
+    rows += [(100 + i, "small", "w " * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    boosts = {
+        r.source: r.boost_bp for r in mix_temperature(df, "source", 0.7).collect()
+    }
+    out = upsample_epochs(df, "source", alpha=0.7, max_epochs=4).collect()
+    per_doc: dict = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.epoch, r.n_epochs, r.source))
+    assert len(per_doc) == 40
+    for doc, rows_ in per_doc.items():
+        n = rows_[0][1]
+        src = rows_[0][2]
+        want = min(4, max(1, (boosts[src] + 9999) // 10000))
+        assert n == want, (doc, src, n, want)
+        assert sorted(e for e, _, _ in rows_) == list(range(n))
+    assert per_doc[0][0][1] == 1          # head source: no repetition
+    assert per_doc[100][0][1] > 1         # tail source: upsampled
+
+
 def test_curriculum_order_stages_then_interleaves(spark):
     """Stage 0 holds the highest scores (easy-first monotonicity);
     every (stage, shard) gets contiguous 0..n-1 positions; stage

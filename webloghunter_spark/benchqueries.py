@@ -4642,6 +4642,57 @@ SQL_MIX_TEMPERATURE = r"""
 """
 
 
+def q_upsample_epochs(spark, sf_dir):
+    """Materialized repetition plan for the temperature mix on a
+    data-constrained corpus: per-source epochs = clamp(ceil(boost), 1,
+    4); one row per (doc, epoch). Broadcast plan join + bounded
+    explode — the output is the repeated-corpus listing itself."""
+    from webloghunter_spark.pipelines.split import upsample_epochs
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return upsample_epochs(docs, "source", alpha=0.7, max_epochs=4)
+
+
+SQL_UPSAMPLE_EPOCHS = r"""
+    WITH toks AS (
+        SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(t))::BIGINT AS n_tokens
+        FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+    r AS (
+        SELECT source, n_tokens,
+               CASE WHEN tot > 0 THEN n_tokens / tot ELSE 0.0 END AS raw
+        FROM per, tot
+    ),
+    z AS (SELECT sum(CAST(floor(pow(raw, 0.7) * 1000000000.0 + 0.5)
+                          AS BIGINT))::DOUBLE / 1000000000.0 AS z
+          FROM r),
+    plan AS (
+        SELECT source,
+               CAST(least(4, greatest(1,
+                    (CASE WHEN n_tokens > 0
+                          THEN CAST(floor(CASE WHEN z > 0
+                                               THEN pow(raw, 0.7) / z
+                                               ELSE 0.0 END
+                                          / raw * 10000.0 + 0.5) AS BIGINT)
+                          ELSE 0 END + 9999) // 10000))
+                    AS INTEGER) AS n_epochs
+        FROM r, z
+    )
+    SELECT d.doc_id, d.source, u.epoch::INTEGER AS epoch, p.n_epochs
+    FROM documents d
+    JOIN plan p ON d.source = p.source,
+    UNNEST(generate_series(0, p.n_epochs - 1)) AS u(epoch)
+"""
+
+
 def q_oov_rate(spark, sf_dir):
     """Tokenizer-coverage audit: per-doc fraction of tokens outside
     the corpus's own top-1000 vocabulary (count DESC, token ASC ties).
@@ -6524,6 +6575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_card": q_dataset_card,
     "perplexity_filter": q_perplexity_filter,
     "curriculum_order": q_curriculum_order,
+    "upsample_epochs": q_upsample_epochs,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6665,6 +6717,7 @@ ORACLES: dict[str, str] = {
     "dataset_card": SQL_DATASET_CARD,
     "perplexity_filter": SQL_PERPLEXITY_FILTER,
     "curriculum_order": SQL_CURRICULUM_ORDER,
+    "upsample_epochs": SQL_UPSAMPLE_EPOCHS,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

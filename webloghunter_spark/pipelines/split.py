@@ -356,6 +356,53 @@ def mix_temperature(
     )
 
 
+def upsample_epochs(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    max_epochs: int = 4,
+    ntok_col: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The repetition plan that realizes a temperature mix on a
+    data-constrained corpus (Muennighoff et al. 2023: repeating up to
+    ~4 epochs is nearly as good as fresh data; past that, returns
+    decay): a group whose temperature target exceeds its natural
+    share (boost_bp > 10000) repeats its documents for
+    ceil(boost_bp/10000) epochs, capped at `max_epochs`; everyone
+    else trains one epoch. Returns one row per (document, epoch) —
+    (id, group, epoch 0-based, n_epochs) — i.e. the materialized
+    repetition plan a loader or write_training_order consumes.
+
+    Scale: mix_temperature's one combinable aggregate builds the
+    |groups|-row plan; the plan broadcast-joins onto the corpus (no
+    shuffle of the big side) and the explode multiplies rows by at
+    most `max_epochs` — the output IS the repeated corpus listing,
+    there is no way to emit it smaller. Epoch counts are integer
+    ceil-`div` on boost_bp, so any engine re-derives the same plan.
+    """
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    mix = mix_temperature(df, group_col, alpha, ntok_col)
+    plan = mix.select(
+        group_col,
+        F.expr(
+            f"least({int(max_epochs)},"
+            f" greatest(1, (boost_bp + 9999) div 10000))"
+        )
+        .cast("int")
+        .alias("n_epochs"),
+    )
+    return df.join(F.broadcast(plan), group_col).select(
+        id_col,
+        group_col,
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_epochs") - 1)
+        ).alias("epoch"),
+        "n_epochs",
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
