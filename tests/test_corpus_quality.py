@@ -262,6 +262,35 @@ def test_perplexity_bands_matches_ntile_and_flags_empty(spark):
     assert en_bands.count("middle") == 2 and en_bands.count("tail") == 2
 
 
+def test_pmi_collocations_hand_computed(spark):
+    """PMI against a hand-computed corpus: 'strong coffee' always
+    co-occurs (high PMI), 'the dog'/'the cat' split 'the''s mass
+    (lower PMI); min_count drops singletons; micro-nat values match
+    a pure-Python replay of the same formula."""
+    from math import floor, log
+
+    from webloghunter_spark.functions.lm import pmi_collocations
+
+    rows = [(i, "strong coffee") for i in range(3)]
+    rows += [(10 + i, "the dog") for i in range(3)]
+    rows += [(20 + i, "the cat") for i in range(3)]
+    rows += [(30, "rare pair")]  # n_pair=1 < min_count -> dropped
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.w1, r.w2): (r.n_pair, r.pmi_micro)
+           for r in pmi_collocations(df, min_count=3, k=10).collect()}
+    assert ("rare", "pair") not in out
+    n = 10.0  # total bigrams
+    expect = {
+        ("strong", "coffee"): (3, 3.0 * n / (3.0 * 3.0)),
+        ("the", "dog"): (3, 3.0 * n / (6.0 * 3.0)),
+        ("the", "cat"): (3, 3.0 * n / (6.0 * 3.0)),
+    }
+    assert set(out) == set(expect)
+    for pair, (np_, ratio) in expect.items():
+        assert out[pair] == (np_, floor(log(ratio) * 1e6 + 0.5)), pair
+    assert out[("strong", "coffee")][1] > out[("the", "dog")][1]
+
+
 def test_perplexity_bands_boundary_guard(spark):
     import pytest
 

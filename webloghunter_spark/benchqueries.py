@@ -2318,6 +2318,48 @@ SQL_PERPLEXITY_FILTER = r"""
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-100 collocations by PMI (Church & Hanks) with a min-count
+    floor against PMI's low-frequency bias: vocabulary-bounded count
+    aggregates, margin joins, TakeOrderedAndProject top-k. PMI in
+    micro-nats (ln over identical IEEE doubles, 1e-6 grid)."""
+    from webloghunter_spark.functions.lm import pmi_collocations
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return pmi_collocations(docs, "text", "doc_id", min_count=5, k=100)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END,
+                   x -> lower(x)) AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cb AS (
+        SELECT w1, w2, count(*)::BIGINT AS n_pair
+        FROM bi GROUP BY w1, w2 HAVING count(*) >= 5
+    ),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+    c2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM bi GROUP BY w2),
+    n AS (SELECT count(*)::DOUBLE AS n FROM bi)
+    SELECT cb.w1, cb.w2, cb.n_pair,
+           CAST(floor(ln((cb.n_pair::DOUBLE * n.n)
+                         / (c1.c1::DOUBLE * c2.c2::DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+    FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2), n
+    ORDER BY pmi_micro DESC, cb.w1, cb.w2
+    LIMIT 100
+"""
+
+
 def q_quality_gate(spark, sf_dir):
     """Composed intake gate (C4/Gopher-style rule stack): length bounds,
     encoding damage, heuristic quality, corpus-LM likelihood — first
@@ -6576,6 +6618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_filter": q_perplexity_filter,
     "curriculum_order": q_curriculum_order,
     "upsample_epochs": q_upsample_epochs,
+    "pmi_collocations": q_pmi_collocations,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6718,6 +6761,7 @@ ORACLES: dict[str, str] = {
     "perplexity_filter": SQL_PERPLEXITY_FILTER,
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "upsample_epochs": SQL_UPSAMPLE_EPOCHS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -237,3 +237,61 @@ def perplexity_bands(
         band.alias("band"),
         band.isin(["head", "middle"]).alias("kept"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    phrase-mining primitive (Church & Hanks 1990) a tokenizer/vocab
+    pipeline runs to find multi-word units worth merging: for each
+    corpus bigram, PMI = ln(C(w1,w2) * N / (C_left(w1) * C_right(w2)))
+    with N the total bigram count; pairs below `min_count` are noise
+    (PMI's low-frequency bias) and are dropped before ranking.
+    Returns (w1, w2, n_pair, pmi_micro) — PMI in micro-nats on the
+    1e-6 integer grid (ln over identical IEEE doubles is
+    engine-portable; the grid makes the rank order explicit) — the
+    global top `k` by (pmi_micro DESC, w1, w2).
+
+    Scale: the three count tables are map-side-combinable aggregates
+    bounded by OBSERVED vocabulary; the min_count filter shrinks the
+    pair table before any join; the two margin joins shuffle on
+    single-token keys (stopword skew — same AQE/salting note as
+    bigram_logprob); the top-k is orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    bi = materialize(_bigram_rows(df, text_col, id_col))
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
+    n = bi.agg(F.count(F.lit(1)).alias("_n"))
+    ratio = (
+        F.col("n_pair").cast("double") * F.col("_n").cast("double")
+    ) / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+    return (
+        cb.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.floor(F.log(ratio) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(k)
+    )
