@@ -1023,3 +1023,69 @@ def test_mix_temperature_stream_zero_token_groups_no_crash(spark, tmp_path):
     assert sorted(fn.weights()) == batch
     z = dict((g, (rb, tb, bb)) for g, _, _, rb, tb, bb in fn.weights())
     assert z["emptysrc"] == (0, 0, 0)
+
+
+def test_bigram_ll_batch_stream_parity(spark, tmp_path):
+    """Frozen-LM streaming scorer: the LM trains once on a reference
+    corpus; the stream scores a feed in micro-batches. Scoring the
+    TRAINING corpus reproduces batch bigram_logprob exactly (every
+    bigram is in-model, so the frozen left joins reduce to the batch
+    inner joins); unseen-bigram feeds take the smoothed floor."""
+    from math import log
+
+    from webloghunter_spark.functions.lm import (
+        bigram_lm_model,
+        bigram_logprob,
+    )
+    from webloghunter_spark.streaming.lm import bigram_ll_stream_writer
+
+    corpus = spark.createDataFrame(
+        [(i, ["the cat sat", "a dog ran fast", "the dog sat", ""][i % 4])
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    model = bigram_lm_model(corpus)
+    expected = sorted(
+        (r.doc_id, r.n_bigrams, r.avg_ll)
+        for r in bigram_logprob(corpus).collect()
+    )
+
+    src = tmp_path / "lm_src"
+    corpus.filter(F.col("doc_id") < 4).write.parquet(str(src / "a"))
+    corpus.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 8)).write.parquet(str(src / "b"))
+    corpus.filter(F.col("doc_id") >= 8).write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(rows, batch_id):
+        seen["last"] = rows
+        seen["batches"] += 1
+
+    fn = bigram_ll_stream_writer(model, sink)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 3
+    assert seen["last"] == expected
+    # out-of-model feed: an unseen left token scores the smoothed
+    # floor ln(1/V) per bigram
+    from webloghunter_spark.functions.lm import bigram_logprob_frozen
+
+    feed = spark.createDataFrame(
+        [(100, "zz yy")], "doc_id long, text string"
+    )
+    r = bigram_logprob_frozen(feed, model).collect()[0]
+    assert r.n_bigrams == 1
+    assert r.avg_ll == round(log(1.0 / model["v"]), 4)
+    for frame in (model["cb"], model["cu"]):
+        frame.unpersist()

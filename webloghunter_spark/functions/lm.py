@@ -295,3 +295,75 @@ def pmi_collocations(
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def bigram_lm_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """Train-once artifact for frozen-LM scoring: the two count
+    frames and the vocabulary size, persisted (stream-lifetime state,
+    so plain persist — NOT session.materialize, whose registry is for
+    query-scoped intermediates). The dict is the model: pass it to
+    `bigram_logprob_frozen` / the streaming scorer."""
+    bi = _bigram_rows(df, text_col, id_col)
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb")).persist()
+    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu")).persist()
+    v = int(
+        df.select(
+            F.explode(
+                F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+            ).alias("_tok")
+        )
+        .agg(F.count_distinct("_tok").alias("_v"))
+        .collect()[0]["_v"]
+    )
+    cb.count(), cu.count()  # pin state before the source frame moves on
+    return {"cb": cb, "cu": cu, "v": v}
+
+
+def bigram_logprob_frozen(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Score documents under a FROZEN bigram LM (CCNet's deployment
+    shape: the LM is trained on a reference corpus once, then scores
+    the crawl). Unseen bigrams take the smoothed floor the add-alpha
+    model assigns them ((0+a)/(0+a*V) = 1/V for an unseen left
+    token). Scoring a corpus under its own model reproduces
+    `bigram_logprob` exactly — the parity surface the streaming twin
+    tests. Same output schema as bigram_logprob.
+
+    Scale: two left joins against vocabulary-bounded count frames —
+    the same exchange shape as batch scoring; the model frames are
+    reused across calls/batches without recomputation."""
+    bi = _bigram_rows(df, text_col, id_col)
+    a = F.lit(float(alpha))
+    v = F.lit(int(model["v"]))
+    scored = (
+        bi.join(model["cb"], ["w1", "w2"], "left")
+        .join(model["cu"], "w1", "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce("_cb", F.lit(0)) + a)
+                / (F.coalesce("_cu", F.lit(0)) + a * v)
+            ).alias("_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), round_digits).alias("avg_ll"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_ll"),
+        )
+    )
