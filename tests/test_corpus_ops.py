@@ -966,3 +966,42 @@ def test_embedding_drift_detects_region_shift(spark):
     hi = embedding_drift(a, rot, num_planes=4).collect()[0]
     assert hi.js_nano > 10 * abs(same.js_nano) + 5_000_000
     assert embedding_drift(rot, a, num_planes=4).collect()[0].js_nano == hi.js_nano
+
+
+def test_label_propagation_majority_and_ties(spark):
+    """kNN vote on hand-built 2D vectors: a vector between two
+    clusters takes the majority of its k nearest seeds; an exact vote
+    tie breaks to the smaller label; NULL-labeled seeds never vote."""
+    from webloghunter_spark.functions.similarity import label_propagation
+
+    seeds = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1), (2, [0.8, 0.2], 1),
+            (3, [0.0, 1.0], 2), (4, [0.1, 0.9], 2),
+            (5, [0.5, 0.5], None),  # unlabeled seed: excluded
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    unl = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05]),   # deep in cluster 1
+            (11, [0.05, 1.0]),   # deep in cluster 2
+            (12, [1.0, 1.0]),    # equidistant-ish; k=4 -> 2 votes each,
+                                 # tie breaks to label 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: (r.pred_label, r.votes)
+           for r in label_propagation(unl, seeds, k=3).collect()}
+    assert out[10] == (1, 3)   # all three nearest are cluster-1 seeds
+    assert out[11] == (2, 2)   # both cluster-2 seeds + one stray 1
+    assert out[12] == (1, 2)   # nearest 3 split 2-1 for label 1
+    # k=4 pulls a second label-1 seed into vec 11's neighborhood:
+    # exact 2-2 vote tie breaks to the smaller label
+    out4 = {r.vec_id: (r.pred_label, r.votes)
+            for r in label_propagation(unl, seeds, k=4).collect()}
+    assert out4[11] == (1, 2)
+    # NULL seed never contributes: with only the NULL seed available
+    # there are no votes at all
+    only_null = seeds.filter("vec_id = 5")
+    assert label_propagation(unl, only_null, k=3).count() == 0

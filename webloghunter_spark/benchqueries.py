@@ -5900,6 +5900,52 @@ SQL_HARD_NEGATIVES = """
 """
 
 
+def q_label_propagation(spark, sf_dir):
+    """Semi-supervised labeling: every 5th vector keeps its label
+    (the hand-labeled seed set), the rest take the majority label of
+    their 10 nearest seeds by cosine. Broadcast seed scan + bounded
+    per-id window + combinable vote/argmax aggregates."""
+    from webloghunter_spark.functions.similarity import label_propagation
+
+    raw = _t(spark, sf_dir, "embeddings")
+    seeds = raw.filter(F.col("vec_id") % 5 == 0)
+    unlabeled = _fan(raw.filter(F.col("vec_id") % 5 != 0))
+    return label_propagation(unlabeled, seeds, k=10)
+
+
+SQL_LABEL_PROPAGATION = """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    s AS (SELECT vec_id AS sid, label AS slab, e AS sv
+          FROM v WHERE vec_id % 5 = 0 AND label IS NOT NULL),
+    u AS (SELECT vec_id, e FROM v WHERE vec_id % 5 <> 0),
+    scored AS (
+        SELECT u.vec_id, s.sid, s.slab,
+               round(list_dot_product(u.e, s.sv)
+                     / (sqrt(list_dot_product(u.e, u.e))
+                        * sqrt(list_dot_product(s.sv, s.sv))), 4) AS c
+        FROM u CROSS JOIN s
+    ),
+    topk AS (
+        SELECT vec_id, slab FROM (
+            SELECT vec_id, slab, row_number() OVER (
+                PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT vec_id, slab, count(*)::BIGINT AS votes
+        FROM topk GROUP BY vec_id, slab
+    )
+    SELECT vec_id, slab AS pred_label, votes
+    FROM votes
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY votes DESC, slab) = 1
+"""
+
+
 def q_train_order(spark, sf_dir):
     """Seeded deterministic global training order: shard + 0-based
     within-shard position as pure functions of (seed, id) via the
@@ -6619,6 +6665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order": q_curriculum_order,
     "upsample_epochs": q_upsample_epochs,
     "pmi_collocations": q_pmi_collocations,
+    "label_propagation": q_label_propagation,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6762,6 +6809,7 @@ ORACLES: dict[str, str] = {
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "upsample_epochs": SQL_UPSAMPLE_EPOCHS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "label_propagation": SQL_LABEL_PROPAGATION,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -636,3 +636,74 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .select("qid", id_col, label_col, "cosine")
     )
+
+
+def label_propagation(
+    unlabeled: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One round of kNN label propagation — the semi-supervised step
+    that turns a small hand-labeled seed set into corpus-scale labels
+    (quality/domain classifiers for data curation are routinely
+    bootstrapped this way): each unlabeled vector takes the majority
+    label of its k nearest seeds by cosine; vote ties break to the
+    smaller label, neighbor ties at the cosine boundary to the
+    smaller seed id. Output: (id, pred_label, votes) per unlabeled
+    row; NULL-labeled seeds are ignored.
+
+    Scale: the SEED side is the broadcast (labeled data is the small
+    side in SSL — thousands against a corpus of billions); the big
+    side streams through one scan, per-row scoring against the
+    broadcast array, and the per-id top-k window runs over rows that
+    are already co-located by the broadcast crossJoin. The vote and
+    the argmax are combinable aggregates. For seed sets too big to
+    broadcast, prune candidates with the IVF/LSH bucket path
+    (cosine_topk_ivf / cosine_topk_lsh) before voting — the vote
+    machinery is unchanged.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    s = F.broadcast(
+        seeds.filter(F.col(label_col).isNotNull()).select(
+            F.col(id_col).alias("_sid"),
+            F.col(label_col).alias("_slab"),
+            F.col(vec_col).alias("_sv"),
+        )
+    )
+    scored = unlabeled.crossJoin(s).select(
+        id_col,
+        "_sid",
+        "_slab",
+        F.round(
+            cosine_expr(F.col(vec_col), F.col("_sv")), round_digits
+        ).alias("_cos"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_sid"))
+    topk = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    votes = topk.groupBy(id_col, "_slab").agg(
+        F.count(F.lit(1)).alias("_votes")
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_votes"), (-F.col("_slab")).alias("_nl")
+                )
+            ).alias("_w")
+        )
+        .select(
+            id_col,
+            (-F.col("_w._nl")).alias("pred_label"),
+            F.col("_w._votes").alias("votes"),
+        )
+    )
