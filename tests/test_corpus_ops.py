@@ -1005,3 +1005,31 @@ def test_label_propagation_majority_and_ties(spark):
     # there are no votes at all
     only_null = seeds.filter("vec_id = 5")
     assert label_propagation(unl, only_null, k=3).count() == 0
+
+
+def test_semantic_contam_flags_same_bucket_neighbors(spark):
+    """A train vector colinear with an eval vector is contaminated
+    (cosine 1.0, same LSH bucket by construction); an anti-parallel
+    one is not; every train row comes back exactly once with a
+    zero-filled miss row."""
+    from webloghunter_spark.pipelines.decontam import semantic_contam
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    anti = [-1.0] + [0.0] * (dim - 1)
+    train = spark.createDataFrame(
+        [(1, base), (2, anti), (3, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [2.0] + [0.0] * (dim - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: (r.n_contam, r.max_cos_bp, r.contaminated)
+           for r in semantic_contam(
+               train, ev, threshold=0.9, num_planes=2, dim=dim
+           ).collect()}
+    assert len(out) == 3
+    assert out[1] == (1, 10000, True)      # cosine 1.0 -> 10000 bp
+    assert out[2] == (0, 0, False)         # anti-parallel: cosine -1
+    assert out[3] == (0, 0, False)         # orthogonal: cosine 0

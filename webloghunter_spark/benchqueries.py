@@ -5900,6 +5900,56 @@ SQL_HARD_NEGATIVES = """
 """
 
 
+def q_semantic_contam(spark, sf_dir):
+    """Embedding-space decontamination: train vectors (vec_id % 10
+    != 0) flagged when a same-LSH-bucket eval vector (vec_id % 10 ==
+    0) reaches cosine 0.3. Bucket equijoin bounded by the LSH split,
+    combinable per-id aggregate, left join-back."""
+    from webloghunter_spark.pipelines.decontam import semantic_contam
+
+    raw = _t(spark, sf_dir, "embeddings")
+    ev = raw.filter(F.col("vec_id") % 10 == 0)
+    tr = _fan(raw.filter(F.col("vec_id") % 10 != 0))
+    return semantic_contam(tr, ev, threshold=0.3, num_planes=4, dim=64)
+
+
+SQL_SEMANTIC_CONTAM = """
+    WITH coeff AS (
+        SELECT p, list_transform(generate_series(0, 63),
+                   d -> (strpos('0123456789abcdef',
+                         substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1))
+                         - 8.5)) AS c
+        FROM (SELECT unnest(generate_series(0, 3)) AS p)
+    ),
+    bucketed AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(sum(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), c) >= 0
+                             THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings, coeff
+        GROUP BY vec_id, CAST(embedding AS DOUBLE[])
+    ),
+    tr AS (SELECT vec_id, v, bucket FROM bucketed WHERE vec_id % 10 <> 0),
+    ev AS (SELECT v AS evv, bucket FROM bucketed WHERE vec_id % 10 = 0),
+    hits AS (
+        SELECT tr.vec_id,
+               round(list_dot_product(tr.v, ev.evv)
+                     / (sqrt(list_dot_product(tr.v, tr.v))
+                        * sqrt(list_dot_product(ev.evv, ev.evv))), 4) AS c
+        FROM tr JOIN ev USING (bucket)
+    ),
+    agg AS (
+        SELECT vec_id, count(*)::BIGINT AS n_contam,
+               CAST(floor(max(c) * 10000 + 0.5) AS BIGINT) AS max_cos_bp
+        FROM hits WHERE c >= 0.3 GROUP BY vec_id
+    )
+    SELECT tr.vec_id,
+           coalesce(a.n_contam, 0) AS n_contam,
+           coalesce(a.max_cos_bp, 0) AS max_cos_bp,
+           coalesce(a.n_contam, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN agg a ON tr.vec_id = a.vec_id
+"""
+
+
 def q_label_propagation(spark, sf_dir):
     """Semi-supervised labeling: every 5th vector keeps its label
     (the hand-labeled seed set), the rest take the majority label of
@@ -6666,6 +6716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsample_epochs": q_upsample_epochs,
     "pmi_collocations": q_pmi_collocations,
     "label_propagation": q_label_propagation,
+    "semantic_contam": q_semantic_contam,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6810,6 +6861,7 @@ ORACLES: dict[str, str] = {
     "upsample_epochs": SQL_UPSAMPLE_EPOCHS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "label_propagation": SQL_LABEL_PROPAGATION,
+    "semantic_contam": SQL_SEMANTIC_CONTAM,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -363,3 +363,71 @@ def decontaminate_bloom(
         .distinct()
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def semantic_contam(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.3,
+    num_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of the
+    n-gram `decontaminate`: paraphrased or re-worded benchmark leaks
+    share no 8-gram but sit next to the eval item in embedding space.
+    Flags every TRAIN vector whose cosine to some eval vector within
+    the same hyperplane-LSH bucket reaches `threshold`. Output: one
+    row per train vector — (id, n_contam, max_cos_bp, contaminated).
+    max_cos_bp is the best matching cosine in basis points (0 when no
+    candidate crossed the threshold).
+
+    Scale: buckets are pure projections on both sides (no shuffle to
+    derive), the candidate join is a bucket-equijoin whose volume is
+    Σ per-bucket |train_b| x |eval_b| — bounded by the LSH split,
+    never |train| x |eval|; the per-id aggregate is map-side
+    combinable and the join-back is a left join against an
+    output bounded by contamination volume. Recall is the LSH
+    trade-off: audit it with the ann_recall machinery and raise
+    num_planes (more, smaller buckets) or multi-probe as needed.
+    """
+    from webloghunter_spark.functions.similarity import (
+        dot_expr,
+        hyperplane_bucket_expr,
+        norm_expr,
+    )
+
+    tb = train.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_tv"),
+        norm_expr(F.col(vec_col)).alias("_tn"),
+        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
+    )
+    eb = eval_df.select(
+        F.col(vec_col).alias("_ev"),
+        norm_expr(F.col(vec_col)).alias("_en"),
+        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
+    )
+    cos = F.round(
+        dot_expr(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),
+        round_digits,
+    )
+    hits = (
+        tb.join(eb, "_bucket")
+        .select(id_col, cos.alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contam"),
+        F.floor(F.max("_cos") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("max_cos_bp"),
+    )
+    return train.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_contam", F.lit(0)).cast("long").alias("n_contam"),
+        F.coalesce("max_cos_bp", F.lit(0)).cast("long").alias("max_cos_bp"),
+        (F.coalesce("n_contam", F.lit(0)) > 0).alias("contaminated"),
+    )
