@@ -291,6 +291,21 @@ def test_pmi_collocations_hand_computed(spark):
     assert out[("strong", "coffee")][1] > out[("the", "dog")][1]
 
 
+def test_perplexity_bands_null_lang_is_own_partition(spark):
+    """NULL lang forms its own tercile partition (the oracle's ntile
+    semantics) instead of three-value-logic'ing every row to 'tail'."""
+    from webloghunter_spark.functions.lm import perplexity_bands
+
+    rows = [
+        (1, None, "the cat sat"), (2, None, "the cat sat"),
+        (3, None, "zq xv jk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r.band for r in perplexity_bands(df).collect()}
+    assert sorted(out.values()) == ["head", "middle", "tail"]
+    assert out[3] == "tail"  # the gibberish doc is the worst-modeled
+
+
 def test_perplexity_bands_boundary_guard(spark):
     import pytest
 

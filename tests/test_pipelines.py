@@ -929,6 +929,16 @@ def test_upsample_epochs_repeats_boosted_sources(spark):
         assert sorted(e for e, _, _ in rows_) == list(range(n))
     assert per_doc[0][0][1] == 1          # head source: no repetition
     assert per_doc[100][0][1] > 1         # tail source: upsampled
+    # NULL-source docs keep their plan row (null-safe join): they
+    # appear in at least epoch 0 instead of silently vanishing
+    with_null = df.union(
+        spark.createDataFrame(
+            [(900, None, "x y z")], "doc_id long, source string, text string"
+        )
+    )
+    out_n = upsample_epochs(with_null, "source", alpha=0.7, max_epochs=4)
+    null_rows = [r for r in out_n.collect() if r.doc_id == 900]
+    assert len(null_rows) >= 1 and null_rows[0].epoch == 0
 
 
 def test_curriculum_order_stages_then_interleaves(spark):

@@ -4730,7 +4730,7 @@ SQL_UPSAMPLE_EPOCHS = r"""
     )
     SELECT d.doc_id, d.source, u.epoch::INTEGER AS epoch, p.n_epochs
     FROM documents d
-    JOIN plan p ON d.source = p.source,
+    JOIN plan p ON d.source IS NOT DISTINCT FROM p.source,
     UNNEST(generate_series(0, p.n_epochs - 1)) AS u(epoch)
 """
 

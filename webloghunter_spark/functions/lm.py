@@ -154,8 +154,6 @@ def perplexity_bands(
             .alias("_llq"),
         )
     )
-    from webloghunter_spark.session import materialize
-
     # three consumers (histogram, boundary cells, final band scan) —
     # and upstream sits the whole LM scoring join; re-running that per
     # consumer is the superlinear trap bigram_logprob documents
@@ -188,12 +186,18 @@ def perplexity_bands(
                 break
             cum += cn
         cuts[lang] = (cut1, take1, cut2, take2)
+    # NULL lang is its own partition (the oracle's ntile does the
+    # same); a plain == would three-value every NULL-lang row into
+    # the default band
+    def _is_lang(lang):
+        return F.col("lang").eqNullSafe(F.lit(lang).cast("string"))
+
     # tie-split ranks for the boundary cells only (<= 2 cells/lang)
     bnd_pred = F.lit(False)
     for lang, (cut1, _t1, cut2, _t2) in cuts.items():
         cells = {cut1, cut2}
         bnd_pred = bnd_pred | (
-            (F.col("lang") == F.lit(lang)) & F.col("_llq").isin(list(cells))
+            _is_lang(lang) & F.col("_llq").isin(list(cells))
         )
     bnd = base.filter(bnd_pred & (F.col("n_bigrams") > 0)).select(
         id_col, "lang", "_llq"
@@ -218,7 +222,7 @@ def perplexity_bands(
     # over #langs branches of integer compares — pure codegen
     band = F.lit("tail")
     for lang, (cut1, take1, cut2, take2) in cuts.items():
-        is_lang = F.col("lang") == F.lit(lang)
+        is_lang = _is_lang(lang)
         head = (F.col("_llq") > F.lit(cut1)) | (
             (F.col("_llq") == F.lit(cut1)) & (F.col("_rn") <= F.lit(take1))
         )

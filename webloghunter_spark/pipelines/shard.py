@@ -87,6 +87,16 @@ def order_key_expr(id_col: Column | str, seed: str) -> Column:
     return F.md5(F.concat(F.lit(seed), F.lit("|"), c.cast("string")))
 
 
+def shard_from_key_expr(key: Column, n_shards: int) -> Column:
+    """Shard id from an order key's leading 8 hex chars — the ONE
+    md5-prefix derivation train_order / train_order_manifest /
+    curriculum_order share (change the hash family here, nowhere
+    else, or shard assignments silently de-synchronize)."""
+    return (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
 def train_order(
     df: DataFrame,
     n_shards: int = 16,
@@ -114,9 +124,7 @@ def train_order(
     from pyspark.sql import Window as W
 
     key = order_key_expr(id_col, seed)
-    shard = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
-    ).cast("int")
+    shard = shard_from_key_expr(key, n_shards)
     w = W.partitionBy("shard_id").orderBy("_k", id_col)
     return (
         df.select(
@@ -149,9 +157,7 @@ def train_order_manifest(
     from webloghunter_spark.functions.text import token_count_expr
 
     key = order_key_expr(id_col, seed)
-    shard = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
-    ).cast("int")
+    shard = shard_from_key_expr(key, n_shards)
     ntok = (
         token_count_expr(text_col) if text_col is not None else F.lit(0)
     )
@@ -226,9 +232,7 @@ def curriculum_order(
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     key = order_key_expr(id_col, seed)
-    shard = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
-    ).cast("int")
+    shard = shard_from_key_expr(key, n_shards)
     w = W.partitionBy("stage", "shard_id").orderBy("_k", id_col)
     return (
         df.select(

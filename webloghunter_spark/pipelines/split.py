@@ -385,7 +385,7 @@ def upsample_epochs(
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
     mix = mix_temperature(df, group_col, alpha, ntok_col)
     plan = mix.select(
-        group_col,
+        F.col(group_col).alias("_g"),
         F.expr(
             f"least({int(max_epochs)},"
             f" greatest(1, (boost_bp + 9999) div 10000))"
@@ -393,7 +393,12 @@ def upsample_epochs(
         .cast("int")
         .alias("n_epochs"),
     )
-    return df.join(F.broadcast(plan), group_col).select(
+    # null-safe join: mix_temperature emits a plan row for the NULL
+    # group (bad-record rows do occur) — a plain equi-join would
+    # silently drop those documents from every epoch
+    return df.join(
+        F.broadcast(plan), F.col(group_col).eqNullSafe(F.col("_g"))
+    ).select(
         id_col,
         group_col,
         F.explode(
