@@ -1089,3 +1089,59 @@ def test_bigram_ll_batch_stream_parity(spark, tmp_path):
     assert r.avg_ll == round(log(1.0 / model["v"]), 4)
     for frame in (model["cb"], model["cu"]):
         frame.unpersist()
+
+
+def test_semantic_contam_batch_stream_parity(spark, tmp_path):
+    """Frozen-eval-side streaming decontamination equals the batch
+    probe row-for-row across micro-batches (row-local verdicts
+    against a persisted bucketed eval frame)."""
+    from webloghunter_spark.pipelines.decontam import semantic_contam
+    from webloghunter_spark.streaming.decontam import (
+        semantic_contam_stream_writer,
+    )
+
+    dim = 8
+    ev = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * (dim - 1)), (101, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]
+          + [0.0] * (dim - 3)) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    expected = sorted(
+        (r.vec_id, r.n_contam, r.max_cos_bp, r.contaminated)
+        for r in semantic_contam(
+            train, ev, threshold=0.9, num_planes=2, dim=dim
+        ).collect()
+    )
+    src = tmp_path / "sc_src"
+    train.filter(F.col("vec_id") < 6).write.parquet(str(src / "a"))
+    train.filter(F.col("vec_id") >= 6).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(rows, batch_id):
+        seen["last"] = rows
+        seen["batches"] += 1
+
+    fn = semantic_contam_stream_writer(
+        ev, sink, threshold=0.9, num_planes=2, dim=dim
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 2
+    assert seen["last"] == expected
+    fn.eval_prepared.unpersist()

@@ -365,15 +365,38 @@ def decontaminate_bloom(
     return train.join(bad, id_col, "left_anti")
 
 
+def eval_bucket_frame(
+    eval_df: DataFrame,
+    num_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The prepared eval side of `semantic_contam` — (vector, norm,
+    LSH bucket) per eval row. Compute once, `.persist()`, and pass as
+    `eval_prepared` when probing many train batches against a static
+    benchmark set (the streaming twin's shape)."""
+    from webloghunter_spark.functions.similarity import (
+        hyperplane_bucket_expr,
+        norm_expr,
+    )
+
+    return eval_df.select(
+        F.col(vec_col).alias("_ev"),
+        norm_expr(F.col(vec_col)).alias("_en"),
+        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
+    )
+
+
 def semantic_contam(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None = None,
     threshold: float = 0.3,
     num_planes: int = 4,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
+    eval_prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination — the semantic sibling of the
     n-gram `decontaminate`: paraphrased or re-worded benchmark leaks
@@ -399,16 +422,20 @@ def semantic_contam(
         norm_expr,
     )
 
+    if (eval_df is None) == (eval_prepared is None):
+        raise ValueError(
+            "pass exactly one of eval_df / eval_prepared"
+        )
     tb = train.select(
         F.col(id_col),
         F.col(vec_col).alias("_tv"),
         norm_expr(F.col(vec_col)).alias("_tn"),
         hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
     )
-    eb = eval_df.select(
-        F.col(vec_col).alias("_ev"),
-        norm_expr(F.col(vec_col)).alias("_en"),
-        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("_bucket"),
+    eb = (
+        eval_prepared
+        if eval_prepared is not None
+        else eval_bucket_frame(eval_df, num_planes, dim, vec_col)
     )
     cos = F.round(
         dot_expr(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),

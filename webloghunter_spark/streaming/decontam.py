@@ -117,3 +117,52 @@ def contamination_spans_stream_writer(
     process.state = state
     process.release = release
     return process
+
+
+def semantic_contam_stream_writer(
+    eval_df: DataFrame,
+    sink: Callable[[list[tuple], int], None],
+    threshold: float = 0.3,
+    num_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/decontam.semantic_contam: the eval
+    side (vectors, norms, LSH buckets) is prepared ONCE and persisted
+    (the benchmark set is pinned for a crawl snapshot); each
+    micro-batch of train vectors runs the exact batch probe against
+    it. The verdict is row-local given the static eval side, so the
+    union of per-batch outputs equals the batch result: parity by
+    statelessness, replay-idempotent by keyed overwrite. `sink(rows,
+    batch_id)` receives the CURRENT accumulated
+    [(id, n_contam, max_cos_bp, contaminated)], sorted by id; exposes
+    `.state` and `.eval_prepared` (unpersist when done)."""
+    from webloghunter_spark.pipelines.decontam import (
+        eval_bucket_frame,
+        semantic_contam,
+    )
+
+    prepared = eval_bucket_frame(eval_df, num_planes, dim, vec_col).persist()
+    prepared.count()  # pin before the source frame moves on
+    state: dict = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = semantic_contam(
+            batch_df,
+            threshold=threshold,
+            num_planes=num_planes,
+            dim=dim,
+            vec_col=vec_col,
+            id_col=id_col,
+            eval_prepared=prepared,
+        ).collect()
+        for r in rows:
+            state[r[id_col]] = (
+                int(r["n_contam"]), int(r["max_cos_bp"]), bool(r["contaminated"])
+            )
+        sink([(i, *v) for i, v in sorted(state.items())], batch_id)
+
+    process.state = state
+    process.eval_prepared = prepared
+    return process
