@@ -6671,9 +6671,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
     # tail (incl. bloom_audit, red in r6 on the now-fixed oracle
-    # cast) + the 8 round-7 additions + 21 oldest-green (rounds 1-2)
-    # recheck slots; everything else is covered by the committed
-    # HASHCHECK artifact. Rotate again when coverage shifts.
+    # cast) + all 22 round-7 additions (substring_remove ..
+    # semantic_contam) + 7 oldest-green recheck slots; everything
+    # else is covered by the committed HASHCHECK artifact. Rotate
+    # again when coverage shifts.
     "bloom_audit": q_bloom_audit,
     "cc_representatives": q_cc_representatives,
     "contam_spans": q_contam_spans,

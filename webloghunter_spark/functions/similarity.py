@@ -668,19 +668,31 @@ def label_propagation(
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    # norms are per-vector: hoist them to per-side projections —
+    # inside the pair scoring they would be re-evaluated per
+    # candidate (HOF folds are interpreted, not codegen'd; the
+    # neardup_pairs_lsh 3x lesson)
     s = F.broadcast(
         seeds.filter(F.col(label_col).isNotNull()).select(
             F.col(id_col).alias("_sid"),
             F.col(label_col).alias("_slab"),
             F.col(vec_col).alias("_sv"),
+            norm_expr(F.col(vec_col)).alias("_sn"),
         )
     )
-    scored = unlabeled.crossJoin(s).select(
+    u = unlabeled.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_uv"),
+        norm_expr(F.col(vec_col)).alias("_un"),
+    )
+    scored = u.crossJoin(s).select(
         id_col,
         "_sid",
         "_slab",
         F.round(
-            cosine_expr(F.col(vec_col), F.col("_sv")), round_digits
+            dot_expr(F.col("_uv"), F.col("_sv"))
+            / (F.col("_un") * F.col("_sn")),
+            round_digits,
         ).alias("_cos"),
     )
     from pyspark.sql import Window as _W
