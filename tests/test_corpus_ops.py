@@ -1033,3 +1033,36 @@ def test_semantic_contam_flags_same_bucket_neighbors(spark):
     assert out[1] == (1, 10000, True)      # cosine 1.0 -> 10000 bp
     assert out[2] == (0, 0, False)         # anti-parallel: cosine -1
     assert out[3] == (0, 0, False)         # orthogonal: cosine 0
+
+
+def test_label_propagation_fast_matches_expr(spark):
+    """The Arrow kernel reproduces the expr path row-for-row,
+    including cosine-boundary and vote ties, on md5-derived
+    deterministic vectors."""
+    import hashlib
+
+    from webloghunter_spark.functions.similarity import (
+        label_propagation,
+        label_propagation_fast,
+    )
+
+    def vec(i, d=8):
+        return [
+            (int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:2], 16) - 128)
+            / 128.0
+            for j in range(d)
+        ]
+
+    seeds = spark.createDataFrame(
+        [(i, vec(i), i % 3) for i in range(30)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    unl = spark.createDataFrame(
+        [(100 + i, vec(1000 + i)) for i in range(40)]
+        # exact copies of seed vectors: cosine 1.0 ties across seeds
+        + [(200 + i, vec(i)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, label_propagation(unl, seeds, k=7).collect()))
+    b = sorted(map(tuple, label_propagation_fast(unl, seeds, k=7).collect()))
+    assert a == b and len(a) == 45

@@ -719,3 +719,70 @@ def label_propagation(
             F.col("_w._votes").alias("votes"),
         )
     )
+
+
+def label_propagation_fast(
+    unlabeled: DataFrame,
+    seeds: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Arrow twin of `label_propagation` — identical output after
+    rounding: the seed matrix (small by the SSL contract) is collected
+    once and shipped in the task closure; each Arrow batch scores ALL
+    seeds with one (batch x dim)@(dim x m) matmul — BLAS throughput
+    instead of m interpreted HOF dot-folds per row (the expr path
+    measured 177x wall at the 32x probe; this kernel ~9x).
+
+    Tie parity with the expr path: cosines round half-away-from-zero
+    (round_half_up), seed columns are pre-sorted by sid ascending and
+    the stable argsort on -S reproduces the window's (cos desc, sid
+    asc) order; np.unique + argmax picks the smallest label among
+    tied vote counts, matching max(struct(votes, -label))."""
+    import numpy as np
+    import pandas as pd
+
+    from webloghunter_spark.functions.numeric import round_half_up
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    rows = (
+        seeds.filter(F.col(label_col).isNotNull())
+        .select(id_col, label_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    if not rows:
+        return unlabeled.sparkSession.createDataFrame(
+            [], f"{id_col} long, pred_label long, votes long"
+        )
+    c = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
+    cn = np.sqrt((c * c).sum(axis=1))
+    sl = np.array([r[1] for r in rows], dtype=np.int64)
+    kk = min(k, len(rows))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = (v @ c.T) / np.outer(np.sqrt((v * v).sum(axis=1)), cn)
+            s = round_half_up(s, round_digits)
+            order = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            top_lab = sl[order]
+            pred = np.empty(len(pdf), dtype=np.int64)
+            votes = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                labs, cnts = np.unique(top_lab[i], return_counts=True)
+                j = int(cnts.argmax())  # first max = smallest label
+                pred[i], votes[i] = labs[j], cnts[j]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pred_label": pred, "votes": votes}
+            )
+
+    return unlabeled.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, pred_label long, votes long"
+    )
