@@ -427,3 +427,62 @@ def test_token_entropy_repetition_signal(spark):
     assert out[3].entropy == round(log(2), 4)
     assert out[4].ntok == 0 and out[4].entropy is None
     assert out[5].ntok == 0 and out[5].entropy is None
+
+
+def test_flesch_readability_hand_computed(spark):
+    """Flesch ingredients and score against a hand count; fragment
+    floors sentences at 1; empty doc scores the 0 sentinel."""
+    from math import floor
+
+    from webloghunter_spark.functions.text import flesch_exprs
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),  # 6 words, 2 sents, 6 syll
+        (2, "no terminal punctuation here"),  # 4 words, 1 sent (floor)
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    e = flesch_exprs("text")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", e["ntok"].alias("ntok"), e["n_sent"].alias("n_sent"),
+        e["n_syll"].alias("n_syll"), e["flesch_centi"].alias("fc"),
+    ).collect()}
+    assert (out[1].ntok, out[1].n_sent, out[1].n_syll) == (6, 2, 6)
+    want = floor((206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)) * 100 + 0.5)
+    assert out[1].fc == want
+    assert out[2].n_sent == 1 and out[2].ntok == 4
+    assert out[3].fc == 0 and out[3].ntok == 0
+    assert out[4].fc == 0 and out[4].ntok == 0
+
+
+def test_fim_splits_partition_and_digest(spark):
+    """Span lengths always sum to n_chars; the digest equals a
+    hashlib replay of the 0x1f-separated reconstruction; a new seed
+    re-cuts; empty docs emit zero spans."""
+    import hashlib
+
+    from webloghunter_spark.pipelines.pack import fim_splits
+
+    rows = [(i, "abcdefghij" * (1 + i % 3)) for i in range(20)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fim_splits(df, seed="s").collect()}
+    texts = dict(rows)
+    for d, r in out.items():
+        assert r.n_prefix + r.n_middle + r.n_suffix == r.n_chars
+        t = texts[d]
+        # replay the cuts from (seed, id) alone
+        n = len(t)
+        if n:
+            h1 = int(hashlib.md5(f"s|1|{d}".encode()).hexdigest()[:8], 16) % n
+            h2 = int(hashlib.md5(f"s|2|{d}".encode()).hexdigest()[:8], 16) % n
+            lo, hi = min(h1, h2), max(h1, h2)
+        else:
+            lo = hi = 0
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == (lo, hi - lo, n - hi)
+        want = hashlib.md5(
+            (t[:lo] + "\x1f" + t[lo:hi] + "\x1f" + t[hi:]).encode()
+        ).hexdigest()
+        assert r.fim_digest == want, d
+    out2 = {r.doc_id: r for r in fim_splits(df, seed="other").collect()}
+    assert any(out[d].n_prefix != out2[d].n_prefix for d in out if texts[d])

@@ -2318,6 +2318,92 @@ SQL_PERPLEXITY_FILTER = r"""
 """
 
 
+def q_fim_split(spark, sf_dir):
+    """Deterministic fill-in-the-middle cut points: two md5-derived
+    char positions per doc, span lengths + a digest over the
+    0x1f-separated prefix|middle|suffix reconstruction. One narrow
+    projection, no shuffle."""
+    from webloghunter_spark.pipelines.pack import fim_splits
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return fim_splits(docs, "text", "doc_id", seed="r7f")
+
+
+SQL_FIM_SPLIT = r"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS s,
+               length(coalesce(text, ''))::BIGINT AS n
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, s, n,
+               CASE WHEN n > 0 THEN
+                    CAST('0x' || substr(md5('r7f|1|'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % n
+                    ELSE 0 END AS h1,
+               CASE WHEN n > 0 THEN
+                    CAST('0x' || substr(md5('r7f|2|'
+                         || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % n
+                    ELSE 0 END AS h2
+        FROM base
+    ),
+    spans AS (
+        SELECT doc_id, s, n,
+               least(h1, h2) AS lo, greatest(h1, h2) AS hi
+        FROM cuts
+    )
+    SELECT doc_id, n AS n_chars,
+           lo AS n_prefix, (hi - lo) AS n_middle, (n - hi) AS n_suffix,
+           md5(substr(s, 1, lo::INTEGER) || chr(31)
+               || substr(s, (lo + 1)::INTEGER, (hi - lo)::INTEGER) || chr(31)
+               || substr(s, (hi + 1)::INTEGER, (n - hi)::INTEGER))
+               AS fim_digest
+    FROM spans
+"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document (corpus-scale approximations:
+    whitespace words, [.!?]+ sentences floored at 1, vowel-group
+    syllables) on the 1e-2 integer grid. Pure regexp codegen — one
+    projection, scan-speed."""
+    from webloghunter_spark.functions.text import flesch_exprs
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    e = flesch_exprs("text")
+    return docs.select(
+        "doc_id",
+        e["ntok"].alias("ntok"),
+        e["n_sent"].alias("n_sent"),
+        e["n_syll"].alias("n_syll"),
+        e["flesch_centi"].alias("flesch_centi"),
+    )
+
+
+SQL_READABILITY = r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                   END)::BIGINT AS ntok,
+               greatest(len(regexp_extract_all(coalesce(text, ''),
+                                               '[.!?]+')), 1)::BIGINT AS n_sent,
+               len(regexp_extract_all(lower(coalesce(text, '')),
+                                      '[aeiouy]+'))::BIGINT AS n_syll
+        FROM documents
+    )
+    SELECT doc_id, ntok, n_sent, n_syll,
+           CASE WHEN ntok > 0
+                THEN CAST(floor((206.835
+                                 - 1.015 * (ntok::DOUBLE / n_sent::DOUBLE)
+                                 - 84.6 * (n_syll::DOUBLE / ntok::DOUBLE))
+                                * 100 + 0.5) AS BIGINT)
+                ELSE 0 END AS flesch_centi
+    FROM s
+"""
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-100 collocations by PMI (Church & Hanks) with a min-count
     floor against PMI's low-frequency bias: vocabulary-bounded count
@@ -6726,6 +6812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "label_propagation": q_label_propagation,
     "semantic_contam": q_semantic_contam,
+    "readability": q_readability,
+    "fim_split": q_fim_split,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6871,6 +6959,8 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "label_propagation": SQL_LABEL_PROPAGATION,
     "semantic_contam": SQL_SEMANTIC_CONTAM,
+    "readability": SQL_READABILITY,
+    "fim_split": SQL_FIM_SPLIT,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

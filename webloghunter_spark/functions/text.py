@@ -715,3 +715,38 @@ def normalized_text_expr(col: Column | str) -> Column:
     low = F.lower(c)
     nopunct = F.regexp_replace(low, r"[.,;:!?'\"()\[\]{}-]", "")
     return F.trim(F.regexp_replace(nopunct, r"\s+", " "))
+
+
+def flesch_exprs(col: Column | str) -> dict[str, Column]:
+    """Flesch reading-ease ingredients — the classic readability
+    quality feature (Flesch 1948; C4-era filters band on it):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/word), with
+    the standard corpus-scale approximations — words = whitespace
+    tokens, sentences = [.!?]+ runs (floored at 1 so a fragment
+    still scores), syllables = [aeiouy]+ vowel groups in the
+    lowercased text. Returns {ntok, n_sent, n_syll, flesch_centi}
+    exprs; flesch_centi is the score on the 1e-2 integer grid
+    (floor(x*100+0.5) — portable), 0 for empty docs. All pure
+    regexp/codegen — scan-speed at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    ntok = token_count_expr(c)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+    )
+    w = ntok.cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / w)
+    )
+    return {
+        "ntok": ntok.cast("long"),
+        "n_sent": n_sent.cast("long"),
+        "n_syll": n_syll.cast("long"),
+        "flesch_centi": F.when(ntok > 0, F.floor(score * 100 + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    }

@@ -271,3 +271,64 @@ def padding_waste(
             .alias("waste_bp"),
         )
     )
+
+
+def fim_splits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle split points (Bavarian et al. 2022: FIM
+    training cuts each document into prefix/middle/suffix and
+    reorders to PSM/SPM): two md5-derived character positions per
+    document — pure functions of (seed, id), so the split is
+    reproducible across engines/runs and a different seed re-cuts
+    the corpus. Returns (id, n_chars, n_prefix, n_middle, n_suffix,
+    fim_digest): the three span lengths plus md5 over the
+    0x1f-separated prefix|middle|suffix reconstruction — one string
+    that pins the exact byte split (any off-by-one shifts a
+    character across a separator and changes the digest).
+
+    Scale: one narrow projection — two md5s, two substrs, one md5
+    digest per row; no shuffle, no state. Empty docs emit zero spans
+    and the empty-split digest."""
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
+    n = F.length(c)
+
+    def cut(tag: str):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.lit(f"|{tag}|"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        # ANSI: % 0 throws — guard the empty doc inside the branch
+        return F.when(n > 0, h % n).otherwise(F.lit(0))
+
+    lo = F.least(cut("1"), cut("2"))
+    hi = F.greatest(cut("1"), cut("2"))
+    prefix = F.substring(c, 1, lo)
+    middle = F.substring(c, (lo + 1).cast("int"), (hi - lo).cast("int"))
+    suffix = F.substring(c, (hi + 1).cast("int"), (n - hi).cast("int"))
+    sep = F.lit("\x1f")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        lo.cast("long").alias("n_prefix"),
+        (hi - lo).cast("long").alias("n_middle"),
+        (n - hi).cast("long").alias("n_suffix"),
+        F.md5(F.concat(prefix, sep, middle, sep, suffix)).alias("fim_digest"),
+    )
