@@ -1066,3 +1066,38 @@ def test_label_propagation_fast_matches_expr(spark):
     a = sorted(map(tuple, label_propagation(unl, seeds, k=7).collect()))
     b = sorted(map(tuple, label_propagation_fast(unl, seeds, k=7).collect()))
     assert a == b and len(a) == 45
+
+
+def test_token_budget_by_group_independent_budgets(spark):
+    """Each group spends only its own budget: a generous group admits
+    everything, a tight one cuts; greedy-skip and zero-token
+    admission apply per group; a data group missing from the plan
+    raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.pipelines.select import token_budget_by_group
+
+    rows = [
+        # group a: 3 docs x 5 tokens, scores 100/90/90
+        (1, "a", 100, "w w w w w"), (2, "a", 90, "w w w w w"),
+        (3, "a", 90, "w w w w w"),
+        # group b: same shape
+        (11, "b", 100, "w w w w w"), (12, "b", 90, "w w w w w"),
+        (13, "b", 90, "w w w w w"),
+        # zero-token doc at b's boundary score: always admitted
+        (14, "b", 90, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, score int, text string"
+    )
+    # a gets room for everything; b for the top doc + one boundary doc
+    out = {r.doc_id: r.selected for r in token_budget_by_group(
+        df, {"a": 100, "b": 10}, group_col="grp", score_col="score"
+    ).collect()}
+    assert all(out[i] for i in (1, 2, 3))        # a: all fit
+    assert out[11] and out[12] and not out[13]   # b: greedy id order
+    assert out[14]                               # zero-token: free
+    with pytest.raises(ValueError, match="have no budget"):
+        token_budget_by_group(df, {"a": 100}, group_col="grp",
+                              score_col="score").collect()

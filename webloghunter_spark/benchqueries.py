@@ -2362,6 +2362,129 @@ SQL_FIM_SPLIT = r"""
 """
 
 
+def q_budget_by_source(spark, sf_dir):
+    """Realize the temperature mix in tokens: each source's share of
+    a 20k-token budget comes from mix_temperature's temp_bp
+    (driver-side integer arithmetic on the |sources|-row mix), then
+    every source independently admits its highest-quality documents
+    until its own budget is spent (token_budget_by_group — the
+    per-group histogram-cutoff walk)."""
+    from webloghunter_spark.functions.text import quality_bp_expr
+    from webloghunter_spark.pipelines.select import token_budget_by_group
+    from webloghunter_spark.pipelines.split import mix_temperature
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    mix = mix_temperature(docs, "source", alpha=0.7).collect()
+    total = 20_000
+    budgets = {
+        r["source"]: (total * int(r["temp_bp"])) // 10000 for r in mix
+    }
+    scored = docs.select(
+        "doc_id", "source", "text",
+        quality_bp_expr("text").alias("quality_bp"),
+    )
+    out = token_budget_by_group(
+        scored, budgets, group_col="source", score_col="quality_bp"
+    )
+    return out.select("doc_id", "source", "quality_bp", "ntok", "selected")
+
+
+SQL_BUDGET_BY_SOURCE = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, text,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, source,
+               len(t)::BIGINT AS ntok,
+               len(t)::DOUBLE AS ntokd,
+               greatest(length(text)::DOUBLE, 1.0) AS nchar,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE AS npunct,
+               len(list_filter(t, x -> list_contains(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   lower(x))))::DOUBLE AS nstop
+        FROM toks
+    ),
+    d AS (
+        SELECT doc_id, source, ntok,
+               CAST(floor((least(ntokd / 100.0, 1.0) * 0.5
+                     + (1.0 - npunct / nchar) * 0.3
+                     + least((nstop / greatest(ntokd, 1.0)) * 5.0, 1.0) * 0.2)
+                     * 10000.0 + 0.5) AS BIGINT) AS quality_bp
+        FROM stats
+    ),
+    per AS (SELECT source, sum(ntok)::BIGINT AS n_tokens FROM d GROUP BY source),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+    r AS (
+        SELECT source, n_tokens,
+               CASE WHEN tot > 0 THEN n_tokens / tot ELSE 0.0 END AS raw
+        FROM per, tot
+    ),
+    z AS (SELECT sum(CAST(floor(pow(raw, 0.7) * 1000000000.0 + 0.5)
+                          AS BIGINT))::DOUBLE / 1000000000.0 AS z
+          FROM r),
+    bud AS (
+        SELECT source,
+               (20000 * CAST(floor(CASE WHEN z > 0 THEN pow(raw, 0.7) / z
+                                        ELSE 0.0 END * 10000.0 + 0.5)
+                             AS BIGINT)) // 10000 AS budget
+        FROM r, z
+    ),
+    hist AS (
+        SELECT source, quality_bp, sum(ntok) AS btok
+        FROM d GROUP BY source, quality_bp
+    ),
+    csum AS (
+        SELECT source, quality_bp, btok,
+               sum(btok) OVER (PARTITION BY source
+                               ORDER BY quality_bp DESC) AS cum
+        FROM hist
+    ),
+    cut AS (
+        SELECT source, quality_bp AS cutoff,
+               b.budget - (cum - btok) AS remaining
+        FROM csum JOIN bud b USING (source)
+        WHERE cum > b.budget
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY quality_bp DESC) = 1
+    ),
+    bnd AS (
+        SELECT d.source, d.doc_id, d.ntok,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY d.doc_id) AS rn
+        FROM d JOIN cut c ON d.source = c.source
+                          AND d.quality_bp = c.cutoff
+        WHERE d.ntok > 0
+    ),
+    rec AS (
+        SELECT b.source, b.rn, b.doc_id, b.ntok,
+               b.ntok <= c.remaining AS admit,
+               CASE WHEN b.ntok <= c.remaining THEN c.remaining - b.ntok
+                    ELSE c.remaining END AS rem
+        FROM bnd b JOIN cut c USING (source) WHERE b.rn = 1
+        UNION ALL
+        SELECT b.source, b.rn, b.doc_id, b.ntok,
+               b.ntok <= r.rem,
+               CASE WHEN b.ntok <= r.rem THEN r.rem - b.ntok ELSE r.rem END
+        FROM rec r JOIN bnd b ON b.source = r.source AND b.rn = r.rn + 1
+    )
+    SELECT d.doc_id, d.source, d.quality_bp, d.ntok,
+           CASE WHEN c.cutoff IS NULL THEN TRUE
+                WHEN d.quality_bp > c.cutoff THEN TRUE
+                WHEN d.quality_bp = c.cutoff
+                     AND (d.ntok = 0 OR EXISTS (
+                         SELECT 1 FROM rec
+                         WHERE rec.doc_id = d.doc_id AND rec.admit))
+                     THEN TRUE
+                ELSE FALSE END AS selected
+    FROM d LEFT JOIN cut c ON d.source = c.source
+"""
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading-ease per document (corpus-scale approximations:
     whitespace words, [.!?]+ sentences floored at 1, vowel-group
@@ -6814,6 +6937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_contam": q_semantic_contam,
     "readability": q_readability,
     "fim_split": q_fim_split,
+    "budget_by_source": q_budget_by_source,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -6961,6 +7085,7 @@ ORACLES: dict[str, str] = {
     "semantic_contam": SQL_SEMANTIC_CONTAM,
     "readability": SQL_READABILITY,
     "fim_split": SQL_FIM_SPLIT,
+    "budget_by_source": SQL_BUDGET_BY_SOURCE,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

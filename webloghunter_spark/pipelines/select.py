@@ -62,9 +62,55 @@ def token_budget_select(
 
     `score_col` must be integer-bucketed (basis points); the histogram
     is one cell per distinct score, collected to the driver — bounded
-    by the score grid, not the corpus."""
+    by the score grid, not the corpus. The single-budget special case
+    of `token_budget_by_group` (one synthetic group)."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    out = token_budget_by_group(
+        df.withColumn("_grp", F.lit(0)),
+        {0: int(budget)},
+        group_col="_grp",
+        score_col=score_col,
+        id_col=id_col,
+        ntok_col=ntok_col,
+        max_boundary_rows=max_boundary_rows,
+    )
+    return out.drop("_grp")
+
+
+def token_budget_by_group(
+    df: DataFrame,
+    budgets: dict,
+    group_col: str = "source",
+    score_col: str = "quality_bp",
+    id_col: str = "doc_id",
+    ntok_col: Column | str | None = None,
+    max_boundary_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """Per-group token budgets — the step that REALIZES a mixture
+    plan in tokens: after mix_solver/mix_temperature fixes each
+    source's share of the training budget, every source
+    independently admits its highest-scoring documents until its own
+    budget is spent (highest `score_col` first, lowest `id_col` on
+    ties, greedy-skip at the boundary — exactly token_budget_select's
+    rule, per group). `budgets` maps group value (None allowed) to
+    its token budget; a group present in the data but absent from
+    `budgets` is a plan hole and raises.
+
+    Scale (the token_budget_select discipline, group-extended):
+    - ONE combinable (group, score) histogram, collected — bounded by
+      |groups| x score grid, not the corpus;
+    - the per-group cutoff walk is driver arithmetic on that grid;
+    - only the <= |groups| boundary cells' nonzero-token rows are
+      collected (id order) for the sequential greedy walk, guarded by
+      `max_boundary_rows` in total;
+    - the final pass is a codegen'd per-group compare chain (groups
+      are bounded categoricals); the admitted boundary set ships as
+      isin literals when small, a broadcast frame when not.
+    """
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for group {g!r} must be >= 0, got {b}")
     ntok = (
         F.col(ntok_col) if isinstance(ntok_col, str)
         else ntok_col if ntok_col is not None
@@ -72,62 +118,75 @@ def token_budget_select(
     )
     from webloghunter_spark.session import materialize
 
-    # three actions touch base (histogram, boundary bucket, final
+    # three actions touch base (histogram, boundary cells, final
     # filter); without materialize each re-runs the upstream scan —
     # with a regex-heavy score expr that tripled the wall (32x probe:
     # 5.9x -> ~2x after)
     base = materialize(df.withColumn("ntok", ntok.cast("long")))
     hist = (
-        base.groupBy(score_col)
+        base.groupBy(group_col, score_col)
         .agg(F.sum("ntok").alias("_btok"))
-        .orderBy(F.col(score_col).desc())
         .collect()
     )
-    # driver walk over the <=10001-cell histogram: find the boundary
-    # score and the budget remaining when we reach it
-    remaining = int(budget)
-    cutoff = None  # boundary score; None = every bucket fit
+    by_group: dict = {}
     for r in hist:
-        btok = int(r["_btok"])
-        if btok > remaining:
-            cutoff = r[score_col]
-            break
-        remaining -= btok
-    if cutoff is None:
+        by_group.setdefault(r[group_col], []).append(
+            (r[score_col], int(r["_btok"]))
+        )
+    missing = [g for g in by_group if g not in budgets]
+    if missing:
+        raise ValueError(
+            f"token_budget_by_group: groups {missing!r} present in the"
+            f" data have no budget — the mixture plan must cover every"
+            f" group (pass an explicit 0 to drop one)."
+        )
+    # driver walk per group over its <=10001-cell histogram slice
+    cuts: dict = {}  # group -> (cutoff | None, remaining)
+    for g, cells in by_group.items():
+        cells.sort(key=lambda c: -c[0])
+        remaining = int(budgets[g])
+        cutoff = None  # None = every bucket fit
+        for score, btok in cells:
+            if btok > remaining:
+                cutoff = score
+                break
+            remaining -= btok
+        cuts[g] = (cutoff, remaining)
+    def _is_group(g):
+        return F.col(group_col).eqNullSafe(F.lit(g))
+
+    bounded = {g: c for g, c in cuts.items() if c[0] is not None}
+    if not bounded:
         return base.withColumn("selected", F.lit(True))
-    above = F.col(score_col) > F.lit(cutoff)
-    # boundary bucket: greedy admission in id order against the
-    # remaining budget — the ordered scan covers ONE bucket's rows.
-    # Greedy-skip semantics need the running sum of ADMITTED tokens,
-    # which is sequential, so the bucket's (id, ntok) pairs — never
-    # the corpus — come to the driver. Hardened (round 6):
-    # - zero-token docs are ALWAYS admitted (they consume nothing) and
-    #   never collected, so a bucket bloated with empty docs costs 0;
-    # - `max_boundary_rows` guards the collect itself: a score grid so
-    #   coarse that one bucket holds millions of rows should be
-    #   re-bucketed (finer score), not silently driver-OOM'd — the
-    #   fuzzy-join depth-guard discipline. The count is one job on the
-    #   already-materialized base.
-    bnd_df = base.filter(
-        (F.col(score_col) == F.lit(cutoff)) & (F.col("ntok") > 0)
-    ).select(id_col, "ntok")
+    # boundary cells: greedy admission in id order against each
+    # group's remaining budget. Zero-token docs are ALWAYS admitted
+    # (they consume nothing) and never collected; `max_boundary_rows`
+    # guards the total collect (fuzzy-join depth-guard discipline).
+    bnd_pred = F.lit(False)
+    for g, (cutoff, _rem) in bounded.items():
+        bnd_pred = bnd_pred | (
+            _is_group(g) & (F.col(score_col) == F.lit(cutoff))
+        )
+    bnd_df = base.filter(bnd_pred & (F.col("ntok") > 0)).select(
+        group_col, id_col, "ntok"
+    )
     if max_boundary_rows is not None:
         depth = bnd_df.count()
         if depth > max_boundary_rows:
             raise ValueError(
-                f"token_budget_select: boundary score bucket {cutoff!r}"
-                f" holds {depth} rows (> {max_boundary_rows}) — the"
-                f" score grid is too coarse for a driver-side boundary"
-                f" walk. Use a finer-grained score, or raise"
+                f"token_budget_by_group: boundary score bucket(s) hold"
+                f" {depth} rows (> {max_boundary_rows}) — the score"
+                f" grid is too coarse for a driver-side boundary walk."
+                f" Use a finer-grained score, or raise"
                 f" max_boundary_rows deliberately."
             )
-    bnd = bnd_df.orderBy(id_col).collect()
-    admitted, rem = [], remaining
-    for r in bnd:
-        nt = int(r["ntok"])
-        if nt <= rem:
+    admitted: list = []
+    rem_by_group = {g: rem for g, (_c, rem) in bounded.items()}
+    for r in bnd_df.orderBy(group_col, id_col).collect():
+        g, nt = r[group_col], int(r["ntok"])
+        if nt <= rem_by_group[g]:
             admitted.append(r[id_col])
-            rem -= nt
+            rem_by_group[g] -= nt
     if len(admitted) <= 1000:
         is_admitted = F.col(id_col).isin(admitted)
     else:
@@ -142,10 +201,16 @@ def token_budget_select(
         )
         base = base.join(adm, id_col, "left")
         is_admitted = F.coalesce(F.col("_adm"), F.lit(False))
-    in_boundary = (F.col(score_col) == F.lit(cutoff)) & (
-        (F.col("ntok") == 0) | is_admitted
-    )
-    out = base.withColumn("selected", above | in_boundary)
+    selected = F.lit(True)  # fully-fitting groups fall through to True
+    for g, (cutoff, _rem) in bounded.items():
+        above = F.col(score_col) > F.lit(cutoff)
+        in_boundary = (F.col(score_col) == F.lit(cutoff)) & (
+            (F.col("ntok") == 0) | is_admitted
+        )
+        selected = F.when(_is_group(g), above | in_boundary).otherwise(
+            selected
+        )
+    out = base.withColumn("selected", selected)
     return out.drop("_adm") if len(admitted) > 1000 else out
 
 
