@@ -454,6 +454,8 @@ def test_flesch_readability_hand_computed(spark):
     assert out[2].n_sent == 1 and out[2].ntok == 4
     assert out[3].fc == 0 and out[3].ntok == 0
     assert out[4].fc == 0 and out[4].ntok == 0
+    # NULL text must zero the counts, not NULL them (oracle parity)
+    assert out[4].n_syll == 0 and out[4].n_sent == 1
 
 
 def test_fim_splits_partition_and_digest(spark):

@@ -2381,7 +2381,7 @@ def q_budget_by_source(spark, sf_dir):
     }
     scored = docs.select(
         "doc_id", "source", "text",
-        quality_bp_expr("text").alias("quality_bp"),
+        F.coalesce(quality_bp_expr("text"), F.lit(0)).alias("quality_bp"),
     )
     out = token_budget_by_group(
         scored, budgets, group_col="source", score_col="quality_bp"
@@ -2411,10 +2411,10 @@ SQL_BUDGET_BY_SOURCE = r"""
     ),
     d AS (
         SELECT doc_id, source, ntok,
-               CAST(floor((least(ntokd / 100.0, 1.0) * 0.5
+               coalesce(CAST(floor((least(ntokd / 100.0, 1.0) * 0.5
                      + (1.0 - npunct / nchar) * 0.3
                      + least((nstop / greatest(ntokd, 1.0)) * 5.0, 1.0) * 0.2)
-                     * 10000.0 + 0.5) AS BIGINT) AS quality_bp
+                     * 10000.0 + 0.5) AS BIGINT), 0) AS quality_bp
         FROM stats
     ),
     per AS (SELECT source, sum(ntok)::BIGINT AS n_tokens FROM d GROUP BY source),
@@ -2445,18 +2445,19 @@ SQL_BUDGET_BY_SOURCE = r"""
         FROM hist
     ),
     cut AS (
-        SELECT source, quality_bp AS cutoff,
+        SELECT csum.source, quality_bp AS cutoff,
                b.budget - (cum - btok) AS remaining
-        FROM csum JOIN bud b USING (source)
+        FROM csum JOIN bud b
+          ON csum.source IS NOT DISTINCT FROM b.source
         WHERE cum > b.budget
-        QUALIFY row_number() OVER (PARTITION BY source
+        QUALIFY row_number() OVER (PARTITION BY csum.source
                                    ORDER BY quality_bp DESC) = 1
     ),
     bnd AS (
         SELECT d.source, d.doc_id, d.ntok,
                row_number() OVER (PARTITION BY d.source
                                   ORDER BY d.doc_id) AS rn
-        FROM d JOIN cut c ON d.source = c.source
+        FROM d JOIN cut c ON d.source IS NOT DISTINCT FROM c.source
                           AND d.quality_bp = c.cutoff
         WHERE d.ntok > 0
     ),
@@ -2465,12 +2466,15 @@ SQL_BUDGET_BY_SOURCE = r"""
                b.ntok <= c.remaining AS admit,
                CASE WHEN b.ntok <= c.remaining THEN c.remaining - b.ntok
                     ELSE c.remaining END AS rem
-        FROM bnd b JOIN cut c USING (source) WHERE b.rn = 1
+        FROM bnd b JOIN cut c
+          ON b.source IS NOT DISTINCT FROM c.source
+        WHERE b.rn = 1
         UNION ALL
         SELECT b.source, b.rn, b.doc_id, b.ntok,
                b.ntok <= r.rem,
                CASE WHEN b.ntok <= r.rem THEN r.rem - b.ntok ELSE r.rem END
-        FROM rec r JOIN bnd b ON b.source = r.source AND b.rn = r.rn + 1
+        FROM rec r JOIN bnd b
+          ON b.source IS NOT DISTINCT FROM r.source AND b.rn = r.rn + 1
     )
     SELECT d.doc_id, d.source, d.quality_bp, d.ntok,
            CASE WHEN c.cutoff IS NULL THEN TRUE
@@ -2481,7 +2485,7 @@ SQL_BUDGET_BY_SOURCE = r"""
                          WHERE rec.doc_id = d.doc_id AND rec.admit))
                      THEN TRUE
                 ELSE FALSE END AS selected
-    FROM d LEFT JOIN cut c ON d.source = c.source
+    FROM d LEFT JOIN cut c ON d.source IS NOT DISTINCT FROM c.source
 """
 
 
@@ -6888,10 +6892,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
     # tail (incl. bloom_audit, red in r6 on the now-fixed oracle
-    # cast) + all 22 round-7 additions (substring_remove ..
-    # semantic_contam) + 7 oldest-green recheck slots; everything
-    # else is covered by the committed HASHCHECK artifact. Rotate
-    # again when coverage shifts.
+    # cast) + all 25 round-7 additions (substring_remove ..
+    # budget_by_source) + 4 oldest-green recheck slots
+    # (pricing_summary .. session_stats); everything else is covered
+    # by the committed HASHCHECK artifact. Rotate again when coverage
+    # shifts.
     "bloom_audit": q_bloom_audit,
     "cc_representatives": q_cc_representatives,
     "contam_spans": q_contam_spans,

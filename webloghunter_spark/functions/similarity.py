@@ -685,15 +685,22 @@ def label_propagation(
         F.col(vec_col).alias("_uv"),
         norm_expr(F.col(vec_col)).alias("_un"),
     )
+    raw = dot_expr(F.col("_uv"), F.col("_sv")) / (
+        F.col("_un") * F.col("_sn")
+    )
+    grid = F.lit(float(10 ** round_digits))
+    # explicit half-away-from-zero grid (floor(|x|*1e4+0.5)) instead
+    # of F.round: F.round is BigDecimal HALF_UP on the double's
+    # SHORTEST DECIMAL REPR (0.08725 -> 0.0873 even when the stored
+    # double sits below the midpoint), while DuckDB's round() and the
+    # Arrow kernel's round_half_up act on the stored value — the grid
+    # makes all three agree bit-for-bit
     scored = u.crossJoin(s).select(
         id_col,
         "_sid",
         "_slab",
-        F.round(
-            dot_expr(F.col("_uv"), F.col("_sv"))
-            / (F.col("_un") * F.col("_sn")),
-            round_digits,
-        ).alias("_cos"),
+        (F.signum(raw) * F.floor(F.abs(raw) * grid + F.lit(0.5)) / grid)
+        .alias("_cos"),
     )
     from pyspark.sql import Window as _W
 
@@ -737,8 +744,11 @@ def label_propagation_fast(
     instead of m interpreted HOF dot-folds per row (the expr path
     measured 177x wall at the 32x probe; this kernel ~9x).
 
-    Tie parity with the expr path: cosines round half-away-from-zero
-    (round_half_up), seed columns are pre-sorted by sid ascending and
+    Tie parity with the expr path: both paths round cosines
+    half-away-from-zero on the stored double (the expr path's
+    explicit floor grid == round_half_up == DuckDB round(); F.round's
+    shortest-repr HALF_UP would diverge on grid-line doubles), seed
+    columns are pre-sorted by sid ascending and
     the stable argsort on -S reproduces the window's (cos desc, sid
     asc) order; np.unique + argmax picks the smallest label among
     tied vote counts, matching max(struct(votes, -label))."""

@@ -727,8 +727,10 @@ def flesch_exprs(col: Column | str) -> dict[str, Column]:
     lowercased text. Returns {ntok, n_sent, n_syll, flesch_centi}
     exprs; flesch_centi is the score on the 1e-2 integer grid
     (floor(x*100+0.5) — portable), 0 for empty docs. All pure
-    regexp/codegen — scan-speed at 100 TB."""
-    c = F.col(col) if isinstance(col, str) else col
+    regexp/codegen — scan-speed at 100 TB. NULL text counts as empty
+    (regexp_extract_all over NULL would NULL n_syll/n_sent while
+    ntok is 0 — the oracle computes over coalesce(text, ''))."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     ntok = token_count_expr(c)
     n_sent = F.greatest(
         F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)

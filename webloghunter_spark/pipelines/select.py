@@ -140,6 +140,18 @@ def token_budget_by_group(
             f" data have no budget — the mixture plan must cover every"
             f" group (pass an explicit 0 to drop one)."
         )
+    # a NULL score can't rank, and NULL orders differently across
+    # engines (Spark desc = NULLS LAST, DuckDB = NULLS FIRST) — fail
+    # loudly instead of silently picking one; coalesce upstream (the
+    # gate.py convention: coalesce(quality_bp_expr(c), 0))
+    null_groups = [g for g, cells in by_group.items()
+                   if any(sc is None for sc, _ in cells)]
+    if null_groups:
+        raise ValueError(
+            f"token_budget_by_group: NULL {score_col!r} values in"
+            f" groups {null_groups!r} — coalesce the score to a"
+            f" sentinel before selection."
+        )
     # driver walk per group over its <=10001-cell histogram slice
     cuts: dict = {}  # group -> (cutoff | None, remaining)
     for g, cells in by_group.items():
