@@ -1101,3 +1101,68 @@ def test_token_budget_by_group_independent_budgets(spark):
     with pytest.raises(ValueError, match="have no budget"):
         token_budget_by_group(df, {"a": 100}, group_col="grp",
                               score_col="score").collect()
+
+
+def test_span_corruption_plan_replay_and_digest(spark):
+    """The mask replays from (seed, id, pos) in pure Python: flags,
+    span count (adjacent runs collapse), corrupt rate, and the
+    masked-text digest all match; empty docs emit zeroed rows."""
+    import hashlib
+
+    from webloghunter_spark.pipelines.pack import span_corruption_plan
+
+    rows = [(i, " ".join(f"w{j}" for j in range(30))) for i in range(10)]
+    rows += [(99, ""), (100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption_plan(
+        df, seed="s", rate_bp=3000).collect()}
+    texts = dict(rows)
+    for d, r in out.items():
+        toks = (texts[d] or "").split()
+        flags = [
+            int(hashlib.md5(f"s|{d}|{i}".encode()).hexdigest()[:8], 16)
+            % 10000 < 3000
+            for i in range(1, len(toks) + 1)
+        ]
+        n_spans = sum(
+            1 for i, f in enumerate(flags) if f and (i == 0 or not flags[i - 1])
+        )
+        assert r.ntok == len(toks)
+        assert r.n_corrupted == sum(flags)
+        assert r.n_spans == n_spans, d
+        masked = " ".join("<X>" if f else t for t, f in zip(toks, flags))
+        assert r.masked_digest == hashlib.md5(masked.encode()).hexdigest()
+    assert out[99].ntok == 0 and out[99].n_spans == 0
+    assert out[100].n_corrupted == 0 and out[100].corrupt_bp == 0
+    # at 30% some doc has adjacent corrupted tokens: spans < corrupted
+    assert any(0 < out[d].n_spans < out[d].n_corrupted for d in range(10))
+
+
+def test_triplet_mining_hardest_pos_and_neg(spark):
+    """Each anchor pairs with its most-similar same-label and
+    different-label store vectors; an anchor whose label has no
+    store twin gets a NULL pos side; NULL-label rows never appear."""
+    from webloghunter_spark.functions.similarity import triplet_mining
+
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.0, 1.0], 2), (2, [0.5, 0.5], 3),
+         (3, [1.0, 1.0], None)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    store = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1], 1), (11, [0.8, 0.2], 1),
+            (12, [0.1, 0.9], 2),
+            (13, [0.7, 0.7], 2),    # near anchor 0 but wrong label
+            (14, [0.0, 0.5], None),  # unlabeled: excluded
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {r.qid: r for r in triplet_mining(qs, store).collect()}
+    assert set(out) == {0, 1, 2}  # NULL-label anchor dropped
+    assert out[0].pos_id == 10 and out[0].neg_id == 13
+    assert out[0].margin_bp == out[0].pos_bp - out[0].neg_bp
+    assert out[1].pos_id == 12 and out[1].neg_id in (13, 11, 10)
+    # label 3 has no same-label store vector: NULL pos, 0 bp
+    assert out[2].pos_id is None and out[2].pos_bp == 0
+    assert out[2].neg_id is not None

@@ -2489,6 +2489,103 @@ SQL_BUDGET_BY_SOURCE = r"""
 """
 
 
+def q_triplet_mining(spark, sf_dir):
+    """Hardest positive + hardest negative per anchor (vec_id < 10)
+    against the labeled store: one broadcast scan, combinable
+    max(struct) argmax per (anchor, same/diff) — no window, no
+    rescans. Cosines on the stored-value 1e-4 grid."""
+    from webloghunter_spark.functions.similarity import triplet_mining
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qs = raw.filter(F.col("vec_id") < 10)
+    store = _fan(raw.filter(F.col("vec_id") >= 10))
+    return triplet_mining(qs, store)
+
+
+SQL_TRIPLET_MINING = """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE label IS NOT NULL
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlab, e AS qv
+          FROM v WHERE vec_id < 10),
+    s AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 10),
+    raw AS (
+        SELECT qid, s.label = q.qlab AS same, s.vec_id AS sid,
+               list_dot_product(s.e, q.qv)
+               / (sqrt(list_dot_product(s.e, s.e))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS c
+        FROM s CROSS JOIN q
+    ),
+    scored AS (
+        SELECT qid, same, sid,
+               CAST(CASE WHEN c >= 0 THEN floor(abs(c) * 10000 + 0.5)
+                         ELSE -floor(abs(c) * 10000 + 0.5) END
+                    AS BIGINT) AS bp
+        FROM raw
+    ),
+    best AS (
+        SELECT qid, same, bp, sid
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY qid, same
+                                   ORDER BY bp DESC, sid) = 1
+    )
+    SELECT q.qid,
+           p.sid AS pos_id, coalesce(p.bp, 0) AS pos_bp,
+           n.sid AS neg_id, coalesce(n.bp, 0) AS neg_bp,
+           coalesce(p.bp, 0) - coalesce(n.bp, 0) AS margin_bp
+    FROM (SELECT DISTINCT qid FROM scored) q
+    LEFT JOIN best p ON p.qid = q.qid AND p.same
+    LEFT JOIN best n ON n.qid = q.qid AND NOT n.same
+"""
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption plan at 15%: per-position md5 coin on the
+    10000-grid, adjacent hits form one span, masked_digest pins the
+    exact mask. One narrow HOF projection, no shuffle."""
+    from webloghunter_spark.pipelines.pack import span_corruption_plan
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return span_corruption_plan(docs, "text", "doc_id", seed="r7t5",
+                                rate_bp=1500)
+
+
+SQL_SPAN_CORRUPTION = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks),
+    f AS (
+        SELECT doc_id, t, n,
+               list_transform(generate_series(1, n::INTEGER), i ->
+                   CAST('0x' || substr(md5('r7t5|'
+                        || CAST(doc_id AS VARCHAR) || '|'
+                        || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 10000 < 1500) AS flags
+        FROM base
+    )
+    SELECT doc_id, n AS ntok,
+           coalesce(len(list_filter(flags, x -> x)), 0)::BIGINT
+               AS n_corrupted,
+           coalesce(len(list_filter(generate_series(1, n::INTEGER),
+               i -> flags[i] AND (i = 1 OR NOT flags[i - 1]))),
+               0)::BIGINT AS n_spans,
+           CASE WHEN n > 0
+                THEN CAST(floor(len(list_filter(flags, x -> x))::DOUBLE
+                                * 10000.0 / n::DOUBLE + 0.5) AS BIGINT)
+                ELSE 0 END AS corrupt_bp,
+           md5(array_to_string(list_transform(
+               generate_series(1, n::INTEGER),
+               i -> CASE WHEN flags[i] THEN '<X>' ELSE t[i] END), ' '))
+               AS masked_digest
+    FROM f
+"""
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading-ease per document (corpus-scale approximations:
     whitespace words, [.!?]+ sentences floored at 1, vowel-group
@@ -6943,6 +7040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "fim_split": q_fim_split,
     "budget_by_source": q_budget_by_source,
+    "span_corruption": q_span_corruption,
+    "triplet_mining": q_triplet_mining,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -7091,6 +7190,8 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "fim_split": SQL_FIM_SPLIT,
     "budget_by_source": SQL_BUDGET_BY_SOURCE,
+    "span_corruption": SQL_SPAN_CORRUPTION,
+    "triplet_mining": SQL_TRIPLET_MINING,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -796,3 +796,80 @@ def label_propagation_fast(
     return unlabeled.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col} long, pred_label long, votes long"
     )
+
+
+def triplet_mining(
+    queries: DataFrame,
+    store: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Triplet mining for contrastive training (anchor, hardest
+    positive, hardest negative): for each labeled anchor, the MOST
+    similar same-label store vector (the positive the model should
+    pull closer) and the most similar different-label one (the
+    near-miss negative to push away). Output one row per anchor:
+    (qid, pos_id, pos_bp, neg_id, neg_bp, margin_bp) — cosines on
+    the half-away-from-zero 1e-4 integer grid (the stored-value grid
+    DuckDB round() and the Arrow kernels agree on; F.round's
+    shortest-repr HALF_UP would not), margin = pos - neg in bp
+    (negative margin = the triplet is currently inverted — the
+    highest-value training signal). Anchors or store rows with NULL
+    labels are excluded (no side of a triplet can be unlabeled);
+    anchors lacking a same-label or different-label candidate emit
+    NULL ids with 0 bp for that side.
+
+    Scale: one store scan — the anchor batch broadcasts into a
+    crossJoin, per-(anchor, same/diff) argmax is a combinable
+    max(struct) aggregate (no window, no per-anchor rescans). Anchor
+    batches must be small (100s); mine big sets in chunks."""
+    q = F.broadcast(
+        queries.filter(F.col(label_col).isNotNull()).select(
+            F.col(id_col).alias("qid"),
+            F.col(label_col).alias("_qlab"),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    st = store.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).alias("_sv"),
+        norm_expr(F.col(vec_col)).alias("_sn"),
+    )
+    raw = dot_expr(F.col("_sv"), F.col("_qv")) / (
+        F.col("_sn") * F.col("_qn")
+    )
+    # stored-value grid in INTEGER bp: one representation for the
+    # argmax key, the output, and the oracle
+    cos_bp = (
+        F.signum(raw) * F.floor(F.abs(raw) * 10000.0 + F.lit(0.5))
+    ).cast("long")
+    scored = st.crossJoin(q).select(
+        "qid",
+        (F.col(label_col) == F.col("_qlab")).alias("_same"),
+        cos_bp.alias("_bp"),
+        F.col(id_col).alias("_sid"),
+    )
+    # argmax by (bp desc, id asc) == max of struct(bp, -id)
+    best = scored.groupBy("qid", "_same").agg(
+        F.max(F.struct(F.col("_bp"), (-F.col("_sid")).alias("_ni"))).alias(
+            "_w"
+        )
+    )
+    pivoted = best.groupBy("qid").agg(
+        F.max(F.when(F.col("_same"), F.col("_w"))).alias("_p"),
+        F.max(F.when(~F.col("_same"), F.col("_w"))).alias("_n"),
+    )
+    pos_bp = F.coalesce(F.col("_p._bp"), F.lit(0))
+    neg_bp = F.coalesce(F.col("_n._bp"), F.lit(0))
+    return pivoted.select(
+        "qid",
+        (-F.col("_p._ni")).alias("pos_id"),
+        pos_bp.cast("long").alias("pos_bp"),
+        (-F.col("_n._ni")).alias("neg_id"),
+        neg_bp.cast("long").alias("neg_bp"),
+        (pos_bp - neg_bp).cast("long").alias("margin_bp"),
+    )

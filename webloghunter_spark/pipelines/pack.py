@@ -332,3 +332,104 @@ def fim_splits(
         (n - hi).cast("long").alias("n_suffix"),
         F.md5(F.concat(prefix, sep, middle, sep, suffix)).alias("fim_digest"),
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "t5",
+    rate_bp: int = 1500,
+) -> DataFrame:
+    """T5-style span-corruption plan (Raffel et al. 2020: mask ~15%
+    of tokens as contiguous spans and train to reconstruct): each
+    token position flips corrupted when md5(seed|id|pos) lands below
+    `rate_bp` on the 10000-grid — a pure function of (seed, id, pos),
+    so any engine re-derives the identical mask and a new seed
+    re-masks. Adjacent corrupted positions form one span (T5 replaces
+    a RUN with a single sentinel). Returns (id, ntok, n_corrupted,
+    n_spans, corrupt_bp, masked_digest) — masked_digest is md5 of the
+    text with corrupted tokens replaced by '<X>', pinning the exact
+    mask, not just its size.
+
+    Scale: one narrow projection, no shuffle — the flags array, span
+    count and masked rebuild are per-row HOFs over the token array
+    (interpreted, not codegen'd: budget ~2-3x a plain projection on
+    token-heavy rows; still embarrassingly parallel and state-free).
+    """
+    if not 0 <= rate_bp <= 10000:
+        raise ValueError(f"rate_bp must be in [0, 10000], got {rate_bp}")
+    from webloghunter_spark.functions.text import tokens_expr
+
+    t = tokens_expr(text_col)
+    n = F.size(t)
+
+    def flag(i):
+        # i is a 1-based position Column
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.lit("|"),
+                            F.col(id_col).cast("string"),
+                            F.lit("|"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+            < rate_bp
+        )
+
+    # sequence(1, 0) DESCENDS to [1, 0] — pin the empty-doc case to
+    # an empty index array instead
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    flags = F.transform(idx, flag)
+    n_corrupted = F.size(F.filter(flags, lambda f: f))
+    # a span starts at every corrupted position whose predecessor is
+    # clean (or absent)
+    n_spans = F.size(
+        F.filter(
+            idx,
+            lambda i: F.element_at(flags, i.cast("int"))
+            & (
+                (i == 1)
+                | ~F.element_at(flags, (i - 1).cast("int"))
+            ),
+        )
+    )
+    masked = F.array_join(
+        F.zip_with(t, flags, lambda tok, f: F.when(f, "<X>").otherwise(tok)),
+        " ",
+    )
+    empty = n == 0
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("ntok"),
+        F.when(empty, F.lit(0)).otherwise(n_corrupted)
+        .cast("long")
+        .alias("n_corrupted"),
+        F.when(empty, F.lit(0)).otherwise(n_spans)
+        .cast("long")
+        .alias("n_spans"),
+        F.when(
+            ~empty,
+            F.floor(
+                n_corrupted.cast("double") * 10000.0 / n.cast("double")
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("corrupt_bp"),
+        F.md5(masked).alias("masked_digest"),
+    )
