@@ -1145,3 +1145,60 @@ def test_semantic_contam_batch_stream_parity(spark, tmp_path):
     assert seen["batches"] >= 2
     assert seen["last"] == expected
     fn.eval_prepared.unpersist()
+
+
+def test_upsample_epochs_batch_stream_parity(spark, tmp_path):
+    """Frozen-plan streaming repetition equals batch upsample_epochs
+    over the same corpus: the plan (boost_bp per source) freezes from
+    a batch mix over the full corpus, the stream replays documents in
+    micro-batches, and the accumulated (id, group, epoch, n_epochs)
+    rows match row-for-row."""
+    from webloghunter_spark.pipelines.split import (
+        mix_temperature,
+        upsample_epochs,
+    )
+    from webloghunter_spark.streaming.mix import (
+        upsample_epochs_stream_writer,
+    )
+
+    rows = [(i, "big", "w " * 90) for i in range(16)]
+    rows += [(100 + i, "small", "w " * 10) for i in range(16)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    plan = {
+        r.source: r.boost_bp
+        for r in mix_temperature(corpus, "source", 0.7).collect()
+    }
+    expected = sorted(
+        (r.doc_id, r.source, r.epoch, r.n_epochs)
+        for r in upsample_epochs(corpus, "source", alpha=0.7,
+                                 max_epochs=4).collect()
+    )
+    src = tmp_path / "ups_src"
+    corpus.filter(F.col("doc_id") < 8).write.parquet(str(src / "a"))
+    corpus.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 104)).write.parquet(str(src / "b"))
+    corpus.filter(F.col("doc_id") >= 104).write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(rows_, batch_id):
+        seen["last"] = rows_
+        seen["batches"] += 1
+
+    fn = upsample_epochs_stream_writer(plan, sink)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ups"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 3
+    assert seen["last"] == expected

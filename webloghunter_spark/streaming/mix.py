@@ -96,3 +96,50 @@ def mix_temperature_stream_writer(
     process.totals = state
     process.weights = weights
     return process
+
+
+def upsample_epochs_stream_writer(
+    plan: dict,
+    sink: Callable[[list[tuple], int], None],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    max_epochs: int = 4,
+) -> Callable[["DataFrame"], None]:
+    """Streaming twin of pipelines/split.upsample_epochs under a
+    FROZEN repetition plan: `plan` maps group -> boost_bp (take it
+    from a batch mix_temperature over the reference corpus, or from
+    this module's mix_temperature_stream_writer.weights()); each
+    arriving document expands row-locally to its group's
+    clamp(ceil(boost/10000), 1, max_epochs) epochs — the same
+    integer-`div` arithmetic as the batch operator, so the union of
+    per-batch outputs equals the batch result over the same rows
+    (parity by statelessness; the frozen-model discipline: a
+    repetition plan is pinned per training run, not re-fit per
+    micro-batch). `sink(rows, batch_id)` receives the CURRENT
+    accumulated [(id, group, epoch, n_epochs)] sorted; exposes
+    `.state` (id -> (group, n_epochs))."""
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    epochs = {
+        g: min(max_epochs, max(1, (int(b) + 9999) // 10000))
+        for g, b in plan.items()
+    }
+    state: dict = {}
+
+    def process(batch_df, batch_id: int) -> None:
+        for r in batch_df.select(id_col, group_col).collect():
+            g = r[group_col]
+            if g not in epochs:
+                raise ValueError(
+                    f"upsample_epochs_stream_writer: group {g!r} not in"
+                    f" the frozen plan — re-fit the plan batch-side."
+                )
+            state[r[id_col]] = (g, epochs[g])
+        rows = []
+        for i in sorted(state):
+            g, n = state[i]
+            rows.extend((i, g, e, n) for e in range(n))
+        sink(rows, batch_id)
+
+    process.state = state
+    return process
