@@ -1296,3 +1296,55 @@ def test_group_split_keeps_groups_together(spark):
     out2 = with_group_split(df2, "source", {"train": 0.7, "eval": 0.3}).collect()
     for r in out2:
         assert r.split == assignment[r.source]
+
+
+def test_epoch_order_epoch_major_fresh_interleave(spark):
+    """Every (doc, epoch) instance appears exactly once; positions
+    are contiguous per (epoch, shard); a doc appears in ALL its
+    plan's epochs; and epoch 1's within-shard order is not a replay
+    of epoch 0's (fresh per-epoch seed)."""
+    from webloghunter_spark.pipelines.shard import epoch_order
+    from webloghunter_spark.pipelines.split import upsample_epochs
+
+    rows = [(i, "big", "w " * 90) for i in range(30)]
+    rows += [(100 + i, "small", "w " * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = epoch_order(df, "source", alpha=0.7, max_epochs=4,
+                      n_shards=4, seed="s").collect()
+    plan = {(r.doc_id, r.epoch) for r in upsample_epochs(
+        df, "source", alpha=0.7, max_epochs=4).collect()}
+    assert {(r.doc_id, r.epoch) for r in out} == plan
+    assert len(out) == len(plan)
+    cell: dict = {}
+    for r in out:
+        cell.setdefault((r.epoch, r.shard_id), []).append(r.position)
+    for ps in cell.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # fresh interleave: the small source spans >= 2 epochs; its docs'
+    # (shard, position) assignments differ between epochs 0 and 1
+    e0 = {r.doc_id: (r.shard_id, r.position) for r in out if r.epoch == 0
+          and r.doc_id >= 100}
+    e1 = {r.doc_id: (r.shard_id, r.position) for r in out if r.epoch == 1}
+    assert e1 and any(e0[d] != e1[d] for d in e1)
+
+
+def test_snapshot_diff_classifies_every_id_once(spark):
+    """added/removed/changed/unchanged against hand-built snapshots;
+    whitespace-trivial rewrites count as unchanged (fingerprint
+    normalization); every id appears exactly once."""
+    from webloghunter_spark.pipelines.curate import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  intact"),
+         (4, "to be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma REVISED"), (3, "kept intact"),
+         (5, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed",
+                   3: "unchanged",  # whitespace-only: same fingerprint
+                   4: "removed", 5: "added"}

@@ -2540,6 +2540,135 @@ SQL_TRIPLET_MINING = """
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot delta audit on a deterministically perturbed copy of
+    the corpus (every 13th doc removed, every 7th rewritten, a new
+    doc per 11th id): added/removed/changed/unchanged per id from
+    fingerprint compare — two narrow projections + one full-outer
+    join on 16-byte digests, no text movement."""
+    from webloghunter_spark.pipelines.curate import snapshot_diff
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    survivors = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", changed.alias("text")
+    )
+    fresh = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+            .alias("text"),
+        )
+    )
+    return snapshot_diff(docs, survivors.unionByName(fresh))
+
+
+SQL_SNAPSHOT_DIFF = r"""
+    WITH old AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS old_md5
+        FROM documents
+    ),
+    newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    n AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS new_md5
+        FROM newsnap
+    )
+    SELECT coalesce(old.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN old_md5 = new_md5 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_md5, new_md5
+    FROM old FULL OUTER JOIN n ON old.doc_id = n.doc_id
+"""
+
+
+def q_epoch_order(spark, sf_dir):
+    """Multi-epoch loader-ready training order: upsample_epochs'
+    plan expanded, fresh md5(seed|epoch|id) interleave per epoch,
+    position within (epoch, shard). One exchange (the train_order
+    window, partition count x epochs)."""
+    from webloghunter_spark.pipelines.shard import epoch_order
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return epoch_order(docs, "source", alpha=0.7, max_epochs=4,
+                       n_shards=8, seed="r7e")
+
+
+SQL_EPOCH_ORDER = r"""
+    WITH toks AS (
+        SELECT doc_id, source, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    per AS (
+        SELECT source, sum(len(t))::BIGINT AS n_tokens
+        FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+    r AS (
+        SELECT source, n_tokens,
+               CASE WHEN tot > 0 THEN n_tokens / tot ELSE 0.0 END AS raw
+        FROM per, tot
+    ),
+    z AS (SELECT sum(CAST(floor(pow(raw, 0.7) * 1000000000.0 + 0.5)
+                          AS BIGINT))::DOUBLE / 1000000000.0 AS z
+          FROM r),
+    plan AS (
+        SELECT source,
+               CAST(least(4, greatest(1,
+                    (CASE WHEN n_tokens > 0
+                          THEN CAST(floor(CASE WHEN z > 0
+                                               THEN pow(raw, 0.7) / z
+                                               ELSE 0.0 END
+                                          / raw * 10000.0 + 0.5) AS BIGINT)
+                          ELSE 0 END + 9999) // 10000))
+                    AS INTEGER) AS n_epochs
+        FROM r, z
+    ),
+    up AS (
+        SELECT d.doc_id, d.source, u.epoch::INTEGER AS epoch
+        FROM documents d
+        JOIN plan p ON d.source IS NOT DISTINCT FROM p.source,
+        UNNEST(generate_series(0, p.n_epochs - 1)) AS u(epoch)
+    ),
+    keyed AS (
+        SELECT epoch, doc_id, source,
+               md5('r7e|' || CAST(epoch AS VARCHAR) || '|'
+                   || CAST(doc_id AS VARCHAR)) AS h
+        FROM up
+    ),
+    a AS (
+        SELECT epoch, doc_id, source, h,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8
+                    AS INTEGER) AS shard_id
+        FROM keyed
+    )
+    SELECT epoch, shard_id,
+           (row_number() OVER (PARTITION BY epoch, shard_id
+                               ORDER BY h, doc_id) - 1)::BIGINT AS position,
+           doc_id, source
+    FROM a
+"""
+
+
 def q_span_corruption(spark, sf_dir):
     """T5 span-corruption plan at 15%: per-position md5 coin on the
     10000-grid, adjacent hits form one span, masked_digest pins the
@@ -7042,6 +7171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_by_source": q_budget_by_source,
     "span_corruption": q_span_corruption,
     "triplet_mining": q_triplet_mining,
+    "epoch_order": q_epoch_order,
+    "snapshot_diff": q_snapshot_diff,
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -7192,6 +7323,8 @@ ORACLES: dict[str, str] = {
     "budget_by_source": SQL_BUDGET_BY_SOURCE,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "triplet_mining": SQL_TRIPLET_MINING,
+    "epoch_order": SQL_EPOCH_ORDER,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "pricing_summary": SQL_PRICING,
     "top_revenue": SQL_TOP_REVENUE,
     "sessionize": SQL_SESSIONIZE,

@@ -159,3 +159,42 @@ def curate_corpus(
         n = m
 
     return cur, funnel
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta — the audit a recurring crawl/curation
+    job runs before promoting a new snapshot: every id present in
+    either snapshot is classified added / removed / changed /
+    unchanged by comparing content fingerprints
+    (functions/text.fingerprint_expr — the exact-dedup key, so
+    whitespace-trivial rewrites count as unchanged). Returns
+    (id, status, old_md5, new_md5) with NULL on the absent side.
+
+    Scale: two narrow fingerprint projections + ONE full-outer hash
+    join on the id — no text moves (16-byte digests only), the join
+    is the delta computation, and the status column is a codegen'd
+    CASE. Pair with a groupBy(status) count for the one-screen
+    summary."""
+    from webloghunter_spark.functions.text import fingerprint_expr
+
+    o = old.select(
+        F.col(id_col), fingerprint_expr(text_col).alias("old_md5")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint_expr(text_col).alias("new_md5")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        id_col, status.alias("status"), "old_md5", "new_md5"
+    )

@@ -306,3 +306,66 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    max_epochs: int = 4,
+    n_shards: int = 8,
+    seed: str = "train",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The COMPLETE multi-epoch training order — upsample_epochs'
+    repetition plan realized as loader-ready positions: every
+    (document, epoch) instance gets a shard and 0-based position
+    within (epoch, shard), epoch-major (a loader finishes epoch e
+    before e+1 — repeating a doc within one epoch would be the
+    repetition plan done wrong) and with a FRESH seeded interleave
+    per epoch (key = md5(seed|epoch|id): epoch 1 is not a replay of
+    epoch 0's order, which is what SGD wants from re-shuffled
+    epochs). Returns (epoch, shard_id, position, id, group).
+
+    Scale: upsample_epochs' broadcast plan join + bounded explode,
+    then ONE shuffle — the row_number window partitioned by (epoch,
+    shard) IS repartition + sort-within-partition on the 16-byte key
+    (train_order's exchange, partition count x epochs, partition
+    SIZE unchanged)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    from webloghunter_spark.pipelines.split import upsample_epochs
+
+    up = upsample_epochs(
+        df, group_col=group_col, alpha=alpha, max_epochs=max_epochs,
+        id_col=id_col,
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(seed),
+            F.lit("|"),
+            F.col("epoch").cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = W.partitionBy("epoch", "shard_id").orderBy("_k", id_col)
+    return (
+        up.select(
+            "epoch",
+            F.col(id_col),
+            F.col(group_col).alias("grp"),
+            key.alias("_k"),
+            shard_from_key_expr(key, n_shards).alias("shard_id"),
+        )
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "epoch",
+            "shard_id",
+            "position",
+            id_col,
+            F.col("grp").alias(group_col),
+        )
+    )
