@@ -1184,10 +1184,10 @@ def test_upsample_epochs_batch_stream_parity(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src / "*"))
     )
-    seen = {"last": None, "batches": 0}
+    seen = {"union": [], "batches": 0}
 
     def sink(rows_, batch_id):
-        seen["last"] = rows_
+        seen["union"].extend(rows_)
         seen["batches"] += 1
 
     fn = upsample_epochs_stream_writer(plan, sink)
@@ -1201,4 +1201,6 @@ def test_upsample_epochs_batch_stream_parity(spark, tmp_path):
     finally:
         q.stop()
     assert seen["batches"] >= 3
-    assert seen["last"] == expected
+    # stateless twin: the UNION of per-batch deltas equals the batch
+    # result (each sink call carries only its own batch's rows)
+    assert sorted(seen["union"]) == expected

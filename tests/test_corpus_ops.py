@@ -1166,3 +1166,41 @@ def test_triplet_mining_hardest_pos_and_neg(spark):
     # label 3 has no same-label store vector: NULL pos, 0 bp
     assert out[2].pos_id is None and out[2].pos_bp == 0
     assert out[2].neg_id is not None
+
+
+def test_triplet_mining_contract_edges(spark):
+    """Zero-norm vectors are excluded on both sides; an anchor facing
+    a store with no labeled rows still gets its row (NULL ids, 0 bp)."""
+    from webloghunter_spark.functions.similarity import triplet_mining
+
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.0, 0.0], 2)],  # anchor 1: zero norm
+        "vec_id long, embedding array<double>, label long",
+    )
+    empty_store = spark.createDataFrame(
+        [(10, [0.5, 0.5], None), (11, [0.0, 0.0], 1)],  # no usable rows
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {r.qid: r for r in triplet_mining(qs, empty_store).collect()}
+    assert set(out) == {0}  # zero-norm anchor excluded
+    r = out[0]
+    assert r.pos_id is None and r.neg_id is None
+    assert (r.pos_bp, r.neg_bp, r.margin_bp) == (0, 0, 0)
+
+
+def test_snapshot_diff_null_text_classifies_by_presence(spark):
+    """A NULL-text row is a present (empty) document — changed when
+    the other side differs, removed/unchanged by presence, never
+    misread as 'added'."""
+    from webloghunter_spark.pipelines.curate import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "changed", 2: "unchanged", 3: "removed"}

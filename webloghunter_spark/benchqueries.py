@@ -2508,8 +2508,10 @@ SQL_TRIPLET_MINING = """
         FROM embeddings WHERE label IS NOT NULL
     ),
     q AS (SELECT vec_id AS qid, label AS qlab, e AS qv
-          FROM v WHERE vec_id < 10),
-    s AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 10),
+          FROM v WHERE vec_id < 10
+            AND list_dot_product(e, e) > 0),
+    s AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 10
+            AND list_dot_product(e, e) > 0),
     raw AS (
         SELECT qid, s.label = q.qlab AS same, s.vec_id AS sid,
                list_dot_product(s.e, q.qv)
@@ -2534,7 +2536,7 @@ SQL_TRIPLET_MINING = """
            p.sid AS pos_id, coalesce(p.bp, 0) AS pos_bp,
            n.sid AS neg_id, coalesce(n.bp, 0) AS neg_bp,
            coalesce(p.bp, 0) - coalesce(n.bp, 0) AS margin_bp
-    FROM (SELECT DISTINCT qid FROM scored) q
+    FROM (SELECT qid FROM q) q
     LEFT JOIN best p ON p.qid = q.qid AND p.same
     LEFT JOIN best n ON n.qid = q.qid AND NOT n.same
 """
@@ -2569,8 +2571,8 @@ def q_snapshot_diff(spark, sf_dir):
 SQL_SNAPSHOT_DIFF = r"""
     WITH old AS (
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                   AS old_md5
+               md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                  '\s+', ' ', 'g')) AS old_md5
         FROM documents
     ),
     newsnap AS (
@@ -2585,8 +2587,8 @@ SQL_SNAPSHOT_DIFF = r"""
     ),
     n AS (
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                   AS new_md5
+               md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                  '\s+', ' ', 'g')) AS new_md5
         FROM newsnap
     )
     SELECT coalesce(old.doc_id, n.doc_id) AS doc_id,

@@ -825,27 +825,31 @@ def triplet_mining(
     crossJoin, per-(anchor, same/diff) argmax is a combinable
     max(struct) aggregate (no window, no per-anchor rescans). Anchor
     batches must be small (100s); mine big sets in chunks."""
+    # zero vectors have no direction: cosine would be NaN/Inf (an
+    # ANSI cast error, or a Long.MAX argmax winner without ANSI) —
+    # exclude them on both sides, like NULL labels
     q = F.broadcast(
         queries.filter(F.col(label_col).isNotNull()).select(
             F.col(id_col).alias("qid"),
             F.col(label_col).alias("_qlab"),
             F.col(vec_col).alias("_qv"),
             norm_expr(F.col(vec_col)).alias("_qn"),
-        )
+        ).filter(F.col("_qn") > 0)
     )
     st = store.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col),
         F.col(label_col),
         F.col(vec_col).alias("_sv"),
         norm_expr(F.col(vec_col)).alias("_sn"),
-    )
+    ).filter(F.col("_sn") > 0)
     raw = dot_expr(F.col("_sv"), F.col("_qv")) / (
         F.col("_sn") * F.col("_qn")
     )
-    # stored-value grid in INTEGER bp: one representation for the
-    # argmax key, the output, and the oracle
+    # stored-value grid in INTEGER units of 10^-round_digits: one
+    # representation for the argmax key, the output, and the oracle
+    grid = F.lit(float(10 ** round_digits))
     cos_bp = (
-        F.signum(raw) * F.floor(F.abs(raw) * 10000.0 + F.lit(0.5))
+        F.signum(raw) * F.floor(F.abs(raw) * grid + F.lit(0.5))
     ).cast("long")
     scored = st.crossJoin(q).select(
         "qid",
@@ -863,6 +867,11 @@ def triplet_mining(
         F.max(F.when(F.col("_same"), F.col("_w"))).alias("_p"),
         F.max(F.when(~F.col("_same"), F.col("_w"))).alias("_n"),
     )
+    # anchor universe = the eligible query batch, NOT the scored rows:
+    # an anchor facing an empty/unlabeled store still gets its row
+    # (NULL ids, 0 bp) instead of silently vanishing
+    anchors = q.select("qid")
+    pivoted = anchors.join(pivoted, "qid", "left")
     pos_bp = F.coalesce(F.col("_p._bp"), F.lit(0))
     neg_bp = F.coalesce(F.col("_n._bp"), F.lit(0))
     return pivoted.select(

@@ -182,11 +182,28 @@ def snapshot_diff(
     summary."""
     from webloghunter_spark.functions.text import fingerprint_expr
 
+    # NULL text fingerprints as the empty document (md5('')), NOT as
+    # NULL: presence below is inferred from digest nullability, so a
+    # NULL-text row must still carry a digest or it reads as absent
+    # ('added'/'removed' misclassification — the recurring NULL-text
+    # catch)
     o = old.select(
-        F.col(id_col), fingerprint_expr(text_col).alias("old_md5")
+        F.col(id_col),
+        fingerprint_expr(
+            F.coalesce(
+                F.col(text_col) if isinstance(text_col, str) else text_col,
+                F.lit(""),
+            )
+        ).alias("old_md5"),
     )
     n = new.select(
-        F.col(id_col), fingerprint_expr(text_col).alias("new_md5")
+        F.col(id_col),
+        fingerprint_expr(
+            F.coalesce(
+                F.col(text_col) if isinstance(text_col, str) else text_col,
+                F.lit(""),
+            )
+        ).alias("new_md5"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (

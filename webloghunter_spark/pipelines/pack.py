@@ -366,29 +366,26 @@ def span_corruption_plan(
         raise ValueError(f"rate_bp must be in [0, 10000], got {rate_bp}")
     from webloghunter_spark.functions.text import tokens_expr
 
+    from webloghunter_spark.functions.text import hash_bucket_expr
+
     t = tokens_expr(text_col)
     pos = df.select(
         F.col(id_col), F.posexplode(t).alias("_p", "_tok")
     )
+    # the coin is the shared md5 feature-hash (hash_bucket_expr — the
+    # single parity surface every oracle mirrors), keyed on
+    # seed|id|1-based-pos
     flag = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(seed),
-                        F.lit("|"),
-                        F.col(id_col).cast("string"),
-                        F.lit("|"),
-                        (F.col("_p") + 1).cast("string"),
-                    )
-                ),
-                1,
-                8,
+        hash_bucket_expr(
+            F.concat(
+                F.lit(seed),
+                F.lit("|"),
+                F.col(id_col).cast("string"),
+                F.lit("|"),
+                (F.col("_p") + 1).cast("string"),
             ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
+            10000,
+        )
         < rate_bp
     )
     agg = (

@@ -316,6 +316,7 @@ def epoch_order(
     n_shards: int = 8,
     seed: str = "train",
     id_col: str = "doc_id",
+    ntok_col: Column | str | None = None,
 ) -> DataFrame:
     """The COMPLETE multi-epoch training order — upsample_epochs'
     repetition plan realized as loader-ready positions: every
@@ -338,9 +339,12 @@ def epoch_order(
 
     from webloghunter_spark.pipelines.split import upsample_epochs
 
+    # ntok_col passes through so a plan fit on a real tokenizer's
+    # counts is realized by the SAME plan here (a whitespace-count
+    # default would silently re-derive a different mix)
     up = upsample_epochs(
         df, group_col=group_col, alpha=alpha, max_epochs=max_epochs,
-        id_col=id_col,
+        ntok_col=ntok_col, id_col=id_col,
     )
     key = F.md5(
         F.concat(

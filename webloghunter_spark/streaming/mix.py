@@ -104,29 +104,31 @@ def upsample_epochs_stream_writer(
     group_col: str = "source",
     id_col: str = "doc_id",
     max_epochs: int = 4,
-) -> Callable[["DataFrame"], None]:
+) -> Callable[[DataFrame, int], None]:
     """Streaming twin of pipelines/split.upsample_epochs under a
     FROZEN repetition plan: `plan` maps group -> boost_bp (take it
     from a batch mix_temperature over the reference corpus, or from
     this module's mix_temperature_stream_writer.weights()); each
     arriving document expands row-locally to its group's
     clamp(ceil(boost/10000), 1, max_epochs) epochs — the same
-    integer-`div` arithmetic as the batch operator, so the union of
-    per-batch outputs equals the batch result over the same rows
-    (parity by statelessness; the frozen-model discipline: a
-    repetition plan is pinned per training run, not re-fit per
-    micro-batch). `sink(rows, batch_id)` receives the CURRENT
-    accumulated [(id, group, epoch, n_epochs)] sorted; exposes
-    `.state` (id -> (group, n_epochs))."""
+    integer-`div` arithmetic as the batch operator. STATELESS: each
+    `sink(rows, batch_id)` call carries only THAT micro-batch's
+    (id, group, epoch, n_epochs) rows (sorted), and the union of all
+    calls equals the batch result over the same documents — parity
+    by statelessness, replay-idempotent when the sink keys on
+    (batch_id) or (id, epoch). No driver-side accumulation: a
+    10M-doc stream costs O(batch) per trigger, never O(stream)
+    (the frozen-model discipline: a repetition plan is pinned per
+    training run, not re-fit per micro-batch)."""
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
     epochs = {
         g: min(max_epochs, max(1, (int(b) + 9999) // 10000))
         for g, b in plan.items()
     }
-    state: dict = {}
 
-    def process(batch_df, batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = []
         for r in batch_df.select(id_col, group_col).collect():
             g = r[group_col]
             if g not in epochs:
@@ -134,12 +136,9 @@ def upsample_epochs_stream_writer(
                     f"upsample_epochs_stream_writer: group {g!r} not in"
                     f" the frozen plan — re-fit the plan batch-side."
                 )
-            state[r[id_col]] = (g, epochs[g])
-        rows = []
-        for i in sorted(state):
-            g, n = state[i]
-            rows.extend((i, g, e, n) for e in range(n))
+            n = epochs[g]
+            rows.extend((r[id_col], g, e, n) for e in range(n))
+        rows.sort()
         sink(rows, batch_id)
 
-    process.state = state
     return process
