@@ -7120,11 +7120,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
     # tail (incl. bloom_audit, red in r6 on the now-fixed oracle
-    # cast) + all 25 round-7 additions (substring_remove ..
-    # budget_by_source) + 4 oldest-green recheck slots
-    # (pricing_summary .. session_stats); everything else is covered
-    # by the committed HASHCHECK artifact. Rotate again when coverage
-    # shifts.
+    # cast) + all 29 round-7 additions (substring_remove ..
+    # snapshot_diff, exactly filling slots 22-50); no recheck slots
+    # remain this round — everything else is covered by the committed
+    # HASHCHECK artifact. Round-8 rotation: front = the r7 queries the
+    # driver never sampled + round-8 additions + oldest-green
+    # rechecks.
     "bloom_audit": q_bloom_audit,
     "cc_representatives": q_cc_representatives,
     "contam_spans": q_contam_spans,
