@@ -511,3 +511,74 @@ def test_mmr_select_matches_reference_greedy(spark, vecs, lam_bp, k):
         for r in mmr_select(df, k=k, lam_bp=lam_bp, query_id=0).collect()
     ]
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),     # group
+            st.integers(0, 40),                   # score (coarse grid
+                                                  #  -> boundary ties)
+            st.integers(0, 12),                   # ntok
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budgets=st.tuples(
+        st.integers(0, 60), st.integers(0, 60), st.integers(0, 60)
+    ),
+)
+@settings(**SETTINGS)
+def test_token_budget_by_group_matches_python_replay(spark, rows, budgets):
+    """The per-group histogram-cutoff + greedy-boundary selection
+    equals a direct pure-Python replay of the spec: per group, whole
+    score buckets admit highest-first until one no longer fits (the
+    cutoff); boundary-bucket docs admit zero-token free + greedy by
+    id against the remainder; everything below the cutoff is out
+    (a below-cutoff zero-token doc is NOT selected — rank order, not
+    token cost, decides below the boundary)."""
+    from webloghunter_spark.pipelines.select import token_budget_by_group
+
+    data = [(i, g, sc, " ".join(["w"] * nt)) for i, (g, sc, nt) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, grp string, score long, text string"
+    )
+    plan = dict(zip("abc", budgets))
+    got = {
+        r.doc_id: r.selected
+        for r in token_budget_by_group(
+            df, plan, group_col="grp", score_col="score"
+        ).collect()
+    }
+    # pure-Python spec replay (bucket-level cutoff walk, then the
+    # boundary bucket's zero-free + greedy-by-id admission)
+    want = {}
+    by_group: dict = {}
+    for i, (g, sc, nt) in enumerate(rows):
+        by_group.setdefault(g, []).append((i, sc, nt))
+    for g, docs in by_group.items():
+        rem = plan[g]
+        cutoff = None
+        for sc in sorted({d[1] for d in docs}, reverse=True):
+            btok = sum(nt for _, s2, nt in docs if s2 == sc)
+            if btok > rem:
+                cutoff = sc
+                break
+            rem -= btok
+        for i, sc, nt in docs:
+            if cutoff is None or sc > cutoff:
+                want[i] = True
+            elif sc < cutoff:
+                want[i] = False
+        if cutoff is not None:
+            for i, sc, nt in sorted(
+                (d for d in docs if d[1] == cutoff), key=lambda d: d[0]
+            ):
+                if nt == 0:
+                    want[i] = True
+                elif nt <= rem:
+                    want[i] = True
+                    rem -= nt
+                else:
+                    want[i] = False
+    assert got == want

@@ -171,9 +171,13 @@ def token_budget_by_group(
     if not bounded:
         return base.withColumn("selected", F.lit(True))
     # boundary cells: greedy admission in id order against each
-    # group's remaining budget. Zero-token docs are ALWAYS admitted
-    # (they consume nothing) and never collected; `max_boundary_rows`
-    # guards the total collect (fuzzy-join depth-guard discipline).
+    # group's remaining budget. Zero-token docs AT THE BOUNDARY are
+    # admitted free (they consume nothing) and never collected —
+    # below the cutoff, rank order decides and nothing is selected,
+    # zero-token or not (property-pinned in
+    # test_token_budget_by_group_matches_python_replay);
+    # `max_boundary_rows` guards the total collect (fuzzy-join
+    # depth-guard discipline).
     bnd_pred = F.lit(False)
     for g, (cutoff, _rem) in bounded.items():
         bnd_pred = bnd_pred | (
