@@ -582,3 +582,56 @@ def test_token_budget_by_group_matches_python_replay(spark, rows, budgets):
                 else:
                     want[i] = False
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", None]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_perplexity_bands_matches_ntile_replay(spark, rows):
+    """The histogram cut-walk + boundary tie-split equals a direct
+    per-lang ntile(3) replay over (score desc, id) — including NULL
+    langs as their own partition, heavy score ties (tiny vocab), and
+    unscoreable docs banding 'empty'."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.lm import bigram_logprob, perplexity_bands
+
+    data = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.band for r in perplexity_bands(df).collect()}
+    scores = {
+        r.doc_id: (r.n_bigrams, r.avg_ll)
+        for r in bigram_logprob(df).collect()
+    }
+    # python ntile replay
+    want = {}
+    by_lang: dict = {}
+    for i, (lang, _toks) in enumerate(rows):
+        nb, ll = scores[i]
+        if nb == 0:
+            want[i] = "empty"
+        else:
+            import math
+
+            llq = math.floor(ll * 10000 + 0.5)  # ll is 4-digit-rounded
+            by_lang.setdefault(lang, []).append((-llq, i))
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n = len(docs)
+        sizes = [n // 3 + (1 if j < n % 3 else 0) for j in range(3)]
+        k = 0
+        for band, sz in zip(["head", "middle", "tail"], sizes):
+            for _, d in docs[k:k + sz]:
+                want[d] = band
+            k += sz
+    assert got == want
