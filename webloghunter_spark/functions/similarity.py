@@ -42,6 +42,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def grid_round_expr(col: Column, digits: int = 4) -> Column:
+    """Half-away-from-zero rounding of the STORED double — the grid
+    every oracle and Arrow kernel already uses (DuckDB round(),
+    numeric.round_half_up). F.round is BigDecimal HALF_UP on the
+    double's SHORTEST DECIMAL REPR: a stored value just below a grid
+    midpoint whose shortest repr sits ON the midpoint (0.08725)
+    rounds UP under F.round but DOWN everywhere else — a latent
+    oracle divergence the fixtures happen not to hit. The cosine
+    family rounds through this helper so the exposure is gone."""
+    g = F.lit(float(10 ** digits))
+    return F.signum(col) * F.floor(F.abs(col) * g + F.lit(0.5)) / g
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -58,7 +71,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+        grid_round_expr(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -123,7 +136,7 @@ def neardup_pairs_lsh(
     bucketed = materialize(bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cos = F.round(
+    cos = grid_round_expr(
         dot_expr(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
         round_digits,
     )
@@ -293,7 +306,7 @@ def cosine_topk_ivf(
     )
     scored = candidates.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+        grid_round_expr(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -468,7 +481,7 @@ def cosine_topk_ivf_index(
     )
     scored = vecs.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+        grid_round_expr(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -510,7 +523,7 @@ def cosine_topk_lsh(
     ).filter(F.col("_bucket") == qbucket)
     scored = bucketed.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
+        grid_round_expr(cosine_expr(F.col(vec_col), q), round_digits).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -623,7 +636,7 @@ def hard_negatives(
             "qid",
             id_col,
             label_col,
-            F.round(
+            grid_round_expr(
                 cosine_expr(F.col(vec_col), F.col("_qv")), round_digits
             ).alias("cosine"),
         )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.numeric import round_half_up
 from webloghunter_spark.functions.similarity import (
+    grid_round_expr,
     dot_expr,
     ivf_assign,
     ivf_assign_fast,
@@ -86,7 +87,10 @@ def semantic_dup_flags(
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
         .select(
             F.col("_idb").alias(id_col),
-            F.round(
+            # stored-value grid (grid_round_expr), not F.round —
+            # keeps the expr path, the Arrow twin (round_half_up) and
+            # the DuckDB oracle on ONE rounding for grid-line doubles
+            grid_round_expr(
                 dot_expr(F.col("_va"), F.col("_vb"))
                 / (F.col("_na") * F.col("_nb")),
                 round_digits,
