@@ -885,7 +885,10 @@ def q_knn_batch(spark, sf_dir):
     small query batch (ids 0-4) broadcast against one scan of the
     store, per-query top-10 via a bounded window. One store pass
     regardless of batch size; no per-query rescans."""
-    from webloghunter_spark.functions.similarity import cosine_expr
+    from webloghunter_spark.functions.similarity import (
+        cosine_expr,
+        grid_round_expr,
+    )
 
     raw = _t(spark, sf_dir, "embeddings")
     qs = raw.filter(F.col("vec_id") < 5).select(
@@ -894,7 +897,9 @@ def q_knn_batch(spark, sf_dir):
     store = _fan(raw.filter(F.col("vec_id") >= 5))
     scored = store.crossJoin(F.broadcast(qs)).select(
         "qid", "vec_id",
-        F.round(cosine_expr(F.col("embedding"), F.col("_qv")), 4).alias("cosine"),
+        grid_round_expr(
+            cosine_expr(F.col("embedding"), F.col("_qv")), 4
+        ).alias("cosine"),
     )
     from pyspark.sql import Window as _W
 
@@ -3204,6 +3209,7 @@ def q_knn_quantized(spark, sf_dir):
     quantization at this scale (ties broken by id as everywhere)."""
     from webloghunter_spark.functions.similarity import (
         cosine_expr,
+        grid_round_expr,
         quantize_embedding_exprs,
     )
 
@@ -3216,7 +3222,7 @@ def q_knn_quantized(spark, sf_dir):
     deq = F.transform(F.col("_c"), lambda c: c.cast("double") * F.col("_s"))
     q = F.array(*[F.lit(float(x)) for x in qvec])
     scored = store.select(
-        "vec_id", F.round(cosine_expr(deq, q), 4).alias("cosine")
+        "vec_id", grid_round_expr(cosine_expr(deq, q), 4).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
 

@@ -437,7 +437,9 @@ def semantic_contam(
         if eval_prepared is not None
         else eval_bucket_frame(eval_df, num_planes, dim, vec_col)
     )
-    cos = F.round(
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    cos = grid_round_expr(
         dot_expr(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),
         round_digits,
     )
