@@ -1204,3 +1204,62 @@ def test_snapshot_diff_null_text_classifies_by_presence(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {1: "changed", 2: "unchanged", 3: "removed"}
+
+
+# ------------------------------------------------- topic / interleave (r7c)
+
+
+def test_topic_classify_argmax_ties_and_none(spark):
+    from webloghunter_spark.pipelines.classify import topic_classify
+
+    rows = [
+        (0, "query join scan table row"),        # query 3, storage 2
+        (1, "table query"),                      # 1-1 tie -> declaration order
+        (2, "zzz yyy xxx"),                      # no hits -> none
+        (3, None),                               # NULL text -> none
+        (4, "fast slow merge stream"),           # perf 3, streaming 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in topic_classify(df).collect()}
+    assert out[0].topic == "query" and out[0].topic_hits == 3
+    assert out[0].total_hits == 5 and out[0].confidence_bp == 6000
+    assert out[1].topic == "query"  # tie -> first-declared lexicon wins
+    assert out[2].topic == "none" and out[2].confidence_bp == 0
+    assert out[3].topic == "none" and out[3].total_hits == 0
+    assert out[4].topic == "perf" and out[4].confidence_bp == 7500
+
+
+def test_interleave_audit_runs_same_rate_and_expectation(spark):
+    from webloghunter_spark.pipelines.shard import interleave_audit
+
+    rows = [
+        (0, 0, "a"), (0, 1, "a"), (0, 2, "b"),   # runs: aa|b
+        (1, 0, "b"),                               # single-row shard
+    ]
+    df = spark.createDataFrame(
+        rows, "shard_id int, position long, source string"
+    )
+    out = {r.shard_id: r for r in interleave_audit(df).collect()}
+    s0 = out[0]
+    assert (s0.n_rows, s0.n_runs, s0.n_adj_same, s0.max_run) == (3, 2, 1, 2)
+    assert s0.same_bp == 5000  # 1 same-pair / 2 adjacent pairs
+    s1 = out[1]
+    assert s1.n_rows == 1 and s1.same_bp is None
+    # global: a=2, b=2, N=4 -> sum c(c-1)=4, N(N-1)=12 -> 3333 bp
+    assert s0.expected_same_bp == 3333 == s1.expected_same_bp
+
+
+def test_train_order_carry_cols_matches_bare_order(spark):
+    from webloghunter_spark.pipelines.shard import train_order
+
+    rows = [(i, f"s{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    bare = {
+        r.doc_id: (r.shard_id, r.position)
+        for r in train_order(df, n_shards=4, seed="t").collect()
+    }
+    carried = train_order(
+        df, n_shards=4, seed="t", carry_cols=("source",)
+    ).collect()
+    assert {r.doc_id: (r.shard_id, r.position) for r in carried} == bare
+    assert all(r.source == f"s{r.doc_id % 3}" for r in carried)

@@ -7122,6 +7122,149 @@ SQL_EMB_DRIFT = r"""
 """
 
 
+def q_topic_classify(spark, sf_dir):
+    """Lexicon domain tagging ahead of the mix operators
+    (WebOrganizer-style taxonomy bootstrap): per-topic marker-token
+    hits + declaration-order-tie argmax, one pure-codegen projection
+    — no shuffle, no UDF, scan speed at 100 TB."""
+    from webloghunter_spark.pipelines.classify import topic_classify
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return topic_classify(docs)
+
+
+def _topic_classify_sql() -> str:
+    """Oracle generated FROM the library lexicon dict so the SQL CASE
+    chain can never drift from DEFAULT_TOPICS' declaration order."""
+    from webloghunter_spark.pipelines.classify import DEFAULT_TOPICS
+
+    topics = list(DEFAULT_TOPICS)
+    cols = {t: f"c{i}" for i, t in enumerate(topics)}
+    count_lines = ",\n               ".join(
+        "len(list_filter(t, x -> list_contains("
+        f"{list(DEFAULT_TOPICS[t])!r}, x)))::BIGINT AS {cols[t]}"
+        for t in topics
+    )
+    arms = []
+    for i, t in enumerate(topics):
+        conds = [f"{cols[t]} > 0"]
+        conds += [f"{cols[t]} > {cols[o]}" for o in topics[:i]]
+        conds += [f"{cols[t]} >= {cols[o]}" for o in topics[i + 1:]]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{t}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'none' END"
+    best = "greatest(" + ", ".join(cols.values()) + ")"
+    total = "(" + " + ".join(cols.values()) + ")"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                   x -> lower(x)) END AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               {count_lines}
+        FROM toks
+    )
+    SELECT doc_id,
+           {case} AS topic,
+           {best} AS topic_hits,
+           {total} AS total_hits,
+           CASE WHEN {total} > 0
+                THEN ({best} * 20000 + {total}) // (2 * {total})
+                ELSE 0 END::BIGINT AS confidence_bp
+    FROM c
+"""
+
+
+SQL_TOPIC_CLASSIFY = _topic_classify_sql()
+
+
+def q_interleave_audit(spark, sf_dir):
+    """Mixing-quality audit of the seeded training order: per-shard
+    adjacent-same-source rate + run-length stats vs the random-order
+    expectation. Source rides through train_order via carry_cols —
+    no corpus self-join; one shard exchange feeds both window
+    passes."""
+    from webloghunter_spark.pipelines.shard import (
+        interleave_audit,
+        train_order,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ordered = train_order(
+        docs, n_shards=16, seed="r7", carry_cols=("source",)
+    )
+    return interleave_audit(ordered)
+
+
+SQL_INTERLEAVE_AUDIT = r"""
+    WITH s AS (
+        SELECT doc_id, source,
+               md5('r7|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, source, h,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16
+                    AS INTEGER) AS shard_id
+        FROM s
+    ),
+    o AS (
+        SELECT shard_id, source,
+               row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+               - 1 AS position
+        FROM a
+    ),
+    f AS (
+        SELECT shard_id, position, source,
+               CASE WHEN lag(position) OVER w IS NULL THEN 1
+                    WHEN source IS DISTINCT FROM lag(source) OVER w THEN 1
+                    ELSE 0 END AS nr
+        FROM o
+        WINDOW w AS (PARTITION BY shard_id ORDER BY position)
+    ),
+    r AS (
+        SELECT shard_id, position,
+               sum(nr) OVER (PARTITION BY shard_id ORDER BY position
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS run_id
+        FROM f
+    ),
+    rl AS (
+        SELECT shard_id, run_id, count(*)::BIGINT AS run_len
+        FROM r GROUP BY shard_id, run_id
+    ),
+    ps AS (
+        SELECT shard_id,
+               sum(run_len)::BIGINT AS n_rows,
+               count(*)::BIGINT AS n_runs,
+               max(run_len)::BIGINT AS max_run
+        FROM rl GROUP BY shard_id
+    ),
+    gc AS (SELECT source, count(*)::BIGINT AS c
+           FROM documents GROUP BY source),
+    ex AS (
+        SELECT CASE WHEN sum(c) > 1
+                    THEN CAST((sum(c * (c - 1)) * 20000
+                               + sum(c) * (sum(c) - 1))
+                              // (2 * sum(c) * (sum(c) - 1)) AS BIGINT)
+                    ELSE NULL END AS expected_same_bp
+        FROM gc
+    )
+    SELECT shard_id, n_rows, n_runs,
+           (n_rows - n_runs)::BIGINT AS n_adj_same,
+           max_run,
+           CAST(CASE WHEN n_rows > 1
+                THEN ((n_rows - n_runs) * 20000 + (n_rows - 1))
+                     // (2 * (n_rows - 1))
+                ELSE NULL END AS BIGINT) AS same_bp,
+           expected_same_bp
+    FROM ps, ex
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7281,6 +7424,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "charset_stats": q_charset_stats,
     "bigram_logprob": q_bigram_logprob,
+    "topic_classify": q_topic_classify,
+    "interleave_audit": q_interleave_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7433,4 +7578,6 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "charset_stats": SQL_CHARSET_STATS,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "topic_classify": SQL_TOPIC_CLASSIFY,
+    "interleave_audit": SQL_INTERLEAVE_AUDIT,
 }

@@ -187,3 +187,86 @@ def quality_classifier_scores(
             ).cast("long").alias("prob_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon topic classifier — the zero-training sibling of the trained
+# quality classifier above. Real pipelines bucket the crawl into
+# domains (news / code / forums / reference ...) with keyword lexicons
+# before any learned router exists (WebOrganizer-style taxonomies boot
+# from exactly this), and the resulting topic column feeds the mix
+# operators (domain_mix / mix_temperature) as the grouping key.
+#
+# Scale: the whole classification is ONE pure-codegen projection —
+# per-topic marker counts via array intersection on the token array,
+# argmax by CASE chain. No shuffle, no UDF, no state: at 100 TB this
+# runs at scan speed inside whatever stage already reads the text.
+
+#: Default topic lexicons over the synthetic corpus vocabulary.
+#: Ties resolve in declaration order (the lang_id_expr discipline);
+#: every SQL oracle mirrors the declaration order in its CASE chain.
+DEFAULT_TOPICS: dict[str, tuple[str, ...]] = {
+    "query": ("query", "join", "filter", "scan", "agg", "group"),
+    "storage": ("table", "row", "column", "part", "batch", "hash"),
+    "streaming": ("stream", "window", "order", "sort", "line"),
+    "perf": ("fast", "slow", "big", "small", "merge"),
+}
+
+
+def topic_classify(
+    df: DataFrame,
+    lexicons: dict[str, tuple[str, ...]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tag every document with its dominant lexicon topic.
+
+    Returns (id, topic, topic_hits, total_hits, confidence_bp):
+    topic = the lexicon with the most marker-token hits ('none' when
+    no lexicon hits at all), ties resolving in declaration order;
+    confidence_bp = topic_hits / total_hits in basis points
+    (round-half-up, exact integer arithmetic — no float division).
+
+    Counterpart of the reference's rule-tagging surface (risk.py /
+    triage rules assign categories from token evidence) re-expressed
+    for corpus curation. Pure whole-stage-codegen expressions.
+    """
+    lex = DEFAULT_TOPICS if lexicons is None else lexicons
+    if not lex:
+        raise ValueError("lexicons must be non-empty")
+    toks = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    counts: dict[str, F.Column] = {}
+    for topic, markers in lex.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[topic] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        ).cast("long")
+    topics = list(lex)
+    pick = None
+    for i, topic in enumerate(topics):
+        cond = counts[topic] > 0
+        for other in topics[:i]:
+            cond = cond & (counts[topic] > counts[other])
+        for other in topics[i + 1:]:
+            cond = cond & (counts[topic] >= counts[other])
+        pick = F.when(cond, topic) if pick is None else pick.when(cond, topic)
+    pick = pick.otherwise(F.lit("none"))
+    best = F.greatest(*counts.values()) if len(counts) > 1 else next(
+        iter(counts.values())
+    )
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        pick.alias("topic"),
+        best.alias("topic_hits"),
+        total.alias("total_hits"),
+        F.when(
+            total > 0,
+            (best * 20000 + total) / (total * 2),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("confidence_bp"),
+    )

@@ -102,6 +102,7 @@ def train_order(
     n_shards: int = 16,
     seed: str = "train",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Seeded deterministic global training order — the step between
     curation and the data loader: every document gets a shard and a
@@ -118,7 +119,12 @@ def train_order(
     md5-uniform, so no skew salting is needed; pick n_shards so a
     shard's (key, id) pairs sort within one executor's memory
     (n_shards ~ corpus/shard-budget, same sizing rule as
-    write_training_shards)."""
+    write_training_shards).
+
+    `carry_cols` rides extra attributes (source, token counts ...)
+    through the order so downstream consumers — interleave_audit,
+    shard writers — don't pay a corpus-scale self-join to get them
+    back."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
     from pyspark.sql import Window as W
@@ -128,10 +134,13 @@ def train_order(
     w = W.partitionBy("shard_id").orderBy("_k", id_col)
     return (
         df.select(
-            shard.alias("shard_id"), key.alias("_k"), F.col(id_col)
+            shard.alias("shard_id"),
+            key.alias("_k"),
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
         )
         .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
-        .select("shard_id", "position", id_col)
+        .select("shard_id", "position", id_col, *carry_cols)
     )
 
 
@@ -372,4 +381,81 @@ def epoch_order(
             id_col,
             F.col("grp").alias(group_col),
         )
+    )
+
+
+def interleave_audit(
+    ordered: DataFrame,
+    group_col: str = "source",
+    shard_col: str = "shard_id",
+    pos_col: str = "position",
+) -> DataFrame:
+    """Mixing-quality audit of a training order — did the interleave
+    actually mix the sources? A sorted-by-source corpus fed straight
+    to a loader trains on megatokens of one distribution at a time;
+    this measures the damage instead of assuming the shuffle worked.
+
+    Per shard: n_rows, n_runs (maximal same-group runs), n_adj_same
+    (adjacent positions with the same group = n_rows - n_runs),
+    max_run, same_bp (adjacent-same rate in basis points, NULL for
+    1-row shards) — plus the corpus-wide expected_same_bp under a
+    perfectly random order without replacement, sum c_g(c_g-1)/N(N-1)
+    in basis points, so same_bp >> expected_same_bp flags a broken
+    interleave. All basis points are exact integer round-half-up
+    ((x*20000 + den) div (2*den)); the expectation runs in
+    decimal(38,0) so N(N-1) cannot overflow a 64-bit long at
+    100 TB-scale row counts.
+
+    Scale: one exchange on shard_id feeds both window passes (lag
+    flag, then the running sum sharing the same partitioning); run
+    lengths and the per-shard rollup are combinable aggregates over
+    |runs| <= |rows| intermediate rows; the expectation is a
+    |groups|-row aggregate broadcast back as a single row. No UDF,
+    no driver state beyond the one expectation row."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    w = W.partitionBy(shard_col).orderBy(pos_col)
+    new_run = F.when(F.lag(pos_col).over(w).isNull(), F.lit(1)).otherwise(
+        (~g.eqNullSafe(F.lag(g).over(w))).cast("int")
+    )
+    flagged = ordered.select(
+        F.col(shard_col), F.col(pos_col), new_run.alias("_nr")
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = (
+        flagged.withColumn("_run", F.sum("_nr").over(wrun))
+        .groupBy(shard_col, "_run")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    per_shard = runs.groupBy(shard_col).agg(
+        F.sum("_len").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("_len").cast("long").alias("max_run"),
+    )
+    grp = ordered.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    dec = F.col("_c").cast("decimal(38,0)")
+    expected = grp.agg(
+        F.sum(dec * (dec - 1)).alias("_num"), F.sum(dec).alias("_n")
+    ).select(
+        F.expr(
+            "CASE WHEN _n > 1 THEN (_num * 20000 + _n * (_n - 1))"
+            " div (2 * _n * (_n - 1)) ELSE NULL END"
+        )
+        .cast("long")
+        .alias("expected_same_bp")
+    )
+    return per_shard.crossJoin(F.broadcast(expected)).select(
+        shard_col,
+        "n_rows",
+        "n_runs",
+        (F.col("n_rows") - F.col("n_runs")).cast("long").alias("n_adj_same"),
+        "max_run",
+        F.expr(
+            "CASE WHEN n_rows > 1 THEN ((n_rows - n_runs) * 20000"
+            " + (n_rows - 1)) div (2 * (n_rows - 1)) ELSE NULL END"
+        )
+        .cast("long")
+        .alias("same_bp"),
+        "expected_same_bp",
     )
