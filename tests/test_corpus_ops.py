@@ -1263,3 +1263,27 @@ def test_train_order_carry_cols_matches_bare_order(spark):
     ).collect()
     assert {r.doc_id: (r.shard_id, r.position) for r in carried} == bare
     assert all(r.source == f"s{r.doc_id % 3}" for r in carried)
+
+
+def test_lang_consistency_code_switch_and_empty(spark):
+    from webloghunter_spark.functions.text import lang_consistency
+
+    en = "the and of to is alpha beta gamma delta epsilon"   # 10 toks, en
+    de = "der die das und ist eins zwei drei vier funf"      # 10 toks, de
+    rows = [
+        (0, en + " " + de),       # 2 segments, en|de -> tie -> en
+        (1, "   "),               # blank -> 0 segments
+        (2, "xx yy zz"),          # 1 segment, no markers -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lang_consistency(df, seg_tokens=10).collect()}
+    d0 = out[0]
+    assert (d0.n_segments, d0.n_langs, d0.code_switch) == (2, 2, True)
+    assert d0.majority_lang == "en" and d0.agreement_bp == 5000
+    d1 = out[1]
+    assert d1.n_segments == 0 and d1.majority_lang == "und"
+    assert d1.agreement_bp is None and d1.code_switch is False
+    d2 = out[2]
+    assert (d2.majority_lang, d2.agreement_bp, d2.code_switch) == (
+        "und", 10000, False,
+    )

@@ -7265,6 +7265,101 @@ SQL_INTERLEAVE_AUDIT = r"""
 """
 
 
+def q_lang_consistency(spark, sf_dir):
+    """Segment-level language agreement / code-switch detection:
+    10-token segments lang-ID'd independently, majority + agreement
+    per doc. Explode + two combinable aggs + one window, all
+    hash-partitioned on doc_id."""
+    from webloghunter_spark.functions.text import lang_consistency
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return lang_consistency(docs, seg_tokens=10)
+
+
+def _lang_consistency_sql() -> str:
+    """Oracle generated FROM LANG_MARKERS so the per-segment CASE
+    chain and the tie-break index can never drift from the library."""
+    from webloghunter_spark.functions.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    counts = ",\n               ".join(
+        "len(list_filter(ts, x -> list_contains("
+        f"{list(LANG_MARKERS[lang])!r}, x)))::BIGINT AS {lang}"
+        for lang in langs
+    )
+    arms = []
+    for i, lang in enumerate(langs):
+        conds = [f"{lang} > 0"]
+        conds += [f"{lang} > {o}" for o in langs[:i]]
+        conds += [f"{lang} >= {o}" for o in langs[i + 1:]]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    idx_case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{lang}' THEN {i}" for i, lang in enumerate(langs))
+        + f" ELSE {len(langs)} END"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+               END AS t
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        generate_series(0,
+                            CAST(ceil(len(t) / 10.0) AS INTEGER) - 1),
+                        i -> array_to_string(t[i*10+1:i*10+10], ' '))
+                    END AS segs
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(segs) AS s FROM seg),
+    st AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(s), '\\s+'),
+                              x -> lower(x)) AS ts
+        FROM ex
+    ),
+    lc AS (
+        SELECT doc_id,
+               {counts}
+        FROM st
+    ),
+    sl AS (SELECT doc_id, {lang_case} AS lang FROM lc),
+    cnt AS (SELECT doc_id, lang, count(*)::BIGINT AS c
+            FROM sl GROUP BY doc_id, lang),
+    per AS (SELECT doc_id, sum(c)::BIGINT AS n_segments,
+                   count(DISTINCT lang)::BIGINT AS n_langs
+            FROM cnt GROUP BY doc_id),
+    win AS (
+        SELECT doc_id, lang AS majority_lang, c AS n_majority,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, {idx_case}) AS rn
+        FROM cnt
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(win.majority_lang, 'und') AS majority_lang,
+           coalesce(win.n_majority, 0)::BIGINT AS n_majority,
+           coalesce(per.n_langs, 0)::BIGINT AS n_langs,
+           CAST(CASE WHEN per.n_segments > 0
+                THEN (win.n_majority * 20000 + per.n_segments)
+                     // (2 * per.n_segments)
+                ELSE NULL END AS BIGINT) AS agreement_bp,
+           (coalesce(per.n_langs, 0) > 1) AS code_switch
+    FROM documents d
+    LEFT JOIN per ON per.doc_id = d.doc_id
+    LEFT JOIN win ON win.doc_id = d.doc_id AND win.rn = 1
+"""
+
+
+SQL_LANG_CONSISTENCY = _lang_consistency_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7426,6 +7521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "topic_classify": q_topic_classify,
     "interleave_audit": q_interleave_audit,
+    "lang_consistency": q_lang_consistency,
 }
 
 ORACLES: dict[str, str] = {
@@ -7580,4 +7676,5 @@ ORACLES: dict[str, str] = {
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "topic_classify": SQL_TOPIC_CLASSIFY,
     "interleave_audit": SQL_INTERLEAVE_AUDIT,
+    "lang_consistency": SQL_LANG_CONSISTENCY,
 }

@@ -752,3 +752,105 @@ def flesch_exprs(col: Column | str) -> dict[str, Column]:
         .otherwise(F.lit(0))
         .cast("long"),
     }
+
+
+def lang_consistency(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+):
+    """Segment-level language agreement — the code-switch detector.
+
+    Doc-level language ID (lang_id_expr) hides mixed-language
+    documents: a half-English half-German page tags 'en' and poisons
+    a monolingual training mix. This splits each document into
+    `seg_tokens`-token segments, language-IDs each segment with the
+    same marker heuristic, and reports per doc: n_segments,
+    majority_lang ('und' for empty docs), n_majority, n_langs
+    (distinct segment guesses incl. 'und'), agreement_bp (majority
+    share in basis points, exact integer round-half-up; NULL for
+    empty docs) and code_switch (n_langs > 1).
+
+    Ties for majority resolve by segment count DESC then
+    LANG_MARKERS declaration order ('und' last) — deterministic and
+    mirrored by the SQL oracle's CASE index.
+
+    Scale: explode to ~ntok/seg_tokens segment rows (same volume
+    class as shingling), then two combinable aggregates and one
+    row_number window all hash-partitioned on the doc id; no UDF, no
+    driver state. Empty docs survive via the left join from the id
+    spine."""
+    from pyspark.sql import Window as W
+
+    if seg_tokens <= 0:
+        raise ValueError(f"seg_tokens must be > 0, got {seg_tokens}")
+    toks = tokens_expr(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(segs).alias("_seg")
+    )
+    langs = (
+        exploded.filter(F.col("_seg").isNotNull())
+        .select(F.col(id_col), lang_id_expr("_seg").alias("_lang"))
+        .groupBy(id_col, "_lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    idx = None
+    for i, lang in enumerate(LANG_MARKERS):
+        idx = (
+            F.when(F.col("_lang") == lang, i)
+            if idx is None
+            else idx.when(F.col("_lang") == lang, i)
+        )
+    idx = idx.otherwise(F.lit(len(LANG_MARKERS)))
+    per = langs.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_segments"),
+        F.countDistinct("_lang").cast("long").alias("n_langs"),
+    )
+    win = (
+        langs.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(
+                    F.col("_c").desc(), idx.asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_lang").alias("majority_lang"),
+            F.col("_c").cast("long").alias("n_majority"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .join(win, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("majority_lang", F.lit("und")).alias(
+                "majority_lang"
+            ),
+            F.coalesce("n_majority", F.lit(0)).alias("n_majority"),
+            F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
+            F.expr(
+                "CASE WHEN n_segments > 0 THEN (n_majority * 20000"
+                " + n_segments) div (2 * n_segments) ELSE NULL END"
+            )
+            .cast("long")
+            .alias("agreement_bp"),
+            (F.coalesce("n_langs", F.lit(0)) > 1).alias("code_switch"),
+        )
+    )
