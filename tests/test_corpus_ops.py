@@ -1287,3 +1287,30 @@ def test_lang_consistency_code_switch_and_empty(spark):
     assert (d2.majority_lang, d2.agreement_bp, d2.code_switch) == (
         "und", 10000, False,
     )
+
+
+def test_contamination_matrix_per_set_counts_and_zero_overlap(spark):
+    from webloghunter_spark.pipelines.decontam import contamination_matrix
+
+    train = _df(spark, [
+        (0, "alpha beta gamma delta epsilon"),   # hits setA's gram
+        (1, "one two three four five"),          # clean
+    ])
+    evals = {
+        "setA": _df(spark, [(100, "alpha beta gamma delta")]),   # 1 gram
+        "setB": _df(spark, [(200, "zz yy xx ww vv")]),           # 2 grams, 0 hits
+        "setC": _df(spark, [(300, "too short")]),                # 0 grams
+    }
+    out = {r.eval_set: r for r in
+           contamination_matrix(train, evals, n=4).collect()}
+    a = out["setA"]
+    assert (a.n_eval_grams, a.n_hit_grams, a.n_docs_hit) == (1, 1, 1)
+    assert a.coverage_bp == 10000
+    b = out["setB"]
+    assert (b.n_eval_grams, b.n_hit_grams, b.n_docs_hit) == (2, 0, 0)
+    assert b.coverage_bp == 0
+    c = out["setC"]
+    assert c.n_eval_grams == 0 and c.coverage_bp is None
+
+    with pytest.raises(ValueError):
+        contamination_matrix(train, {})

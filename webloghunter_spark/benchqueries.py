@@ -7360,6 +7360,64 @@ def _lang_consistency_sql() -> str:
 SQL_LANG_CONSISTENCY = _lang_consistency_sql()
 
 
+def q_contam_matrix(spark, sf_dir):
+    """Multi-benchmark contamination matrix: 4 eval sets
+    (doc_id % 50 = 0..3) audited against the train remainder in ONE
+    train scan — tagged gram broadcast, hit-bounded aggregate."""
+    from webloghunter_spark.pipelines.decontam import contamination_matrix
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    evals = {
+        f"eval{k}": docs.filter(F.col("doc_id") % 50 == k)
+        for k in range(4)
+    }
+    train = docs.filter(F.col("doc_id") % 50 >= 4)
+    return contamination_matrix(train, evals, n=4)
+
+
+SQL_CONTAM_MATRIX = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(t) < 4 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                                   i -> array_to_string(t[i:i+3], ' '))
+               END AS s
+        FROM toks
+    ),
+    evd AS (
+        SELECT DISTINCT 'eval' || CAST(doc_id % 50 AS VARCHAR) AS eval_set,
+               unnest(s) AS g
+        FROM sh WHERE doc_id % 50 < 4
+    ),
+    tot AS (SELECT eval_set, count(*)::BIGINT AS n_eval_grams
+            FROM evd GROUP BY eval_set),
+    tr AS (SELECT DISTINCT doc_id, unnest(s) AS g
+           FROM sh WHERE doc_id % 50 >= 4),
+    agg AS (
+        SELECT evd.eval_set,
+               count(DISTINCT tr.g)::BIGINT AS n_hit_grams,
+               count(DISTINCT tr.doc_id)::BIGINT AS n_docs_hit
+        FROM evd JOIN tr ON evd.g = tr.g
+        GROUP BY evd.eval_set
+    )
+    SELECT tot.eval_set,
+           tot.n_eval_grams,
+           coalesce(agg.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+           coalesce(agg.n_docs_hit, 0)::BIGINT AS n_docs_hit,
+           CAST(CASE WHEN tot.n_eval_grams > 0
+                THEN (coalesce(agg.n_hit_grams, 0) * 20000
+                      + tot.n_eval_grams) // (2 * tot.n_eval_grams)
+                ELSE NULL END AS BIGINT) AS coverage_bp
+    FROM tot LEFT JOIN agg ON agg.eval_set = tot.eval_set
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7522,6 +7580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topic_classify": q_topic_classify,
     "interleave_audit": q_interleave_audit,
     "lang_consistency": q_lang_consistency,
+    "contam_matrix": q_contam_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -7677,4 +7736,5 @@ ORACLES: dict[str, str] = {
     "topic_classify": SQL_TOPIC_CLASSIFY,
     "interleave_audit": SQL_INTERLEAVE_AUDIT,
     "lang_consistency": SQL_LANG_CONSISTENCY,
+    "contam_matrix": SQL_CONTAM_MATRIX,
 }

@@ -460,3 +460,83 @@ def semantic_contam(
         F.coalesce("max_cos_bp", F.lit(0)).cast("long").alias("max_cos_bp"),
         (F.coalesce("n_contam", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def contamination_matrix(
+    train: DataFrame,
+    eval_sets: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-benchmark contamination report — the release-notes table a
+    model card needs: for EVERY eval set at once, how many of its
+    n-grams appear in the training corpus and how many train docs are
+    implicated. One row per eval set: (eval_set, n_eval_grams,
+    n_hit_grams, n_docs_hit, coverage_bp) where coverage_bp =
+    n_hit_grams / n_eval_grams in basis points (exact integer
+    round-half-up; NULL if the set yields no grams). Sets with zero
+    overlap still appear (zeros) via the left join from the totals.
+
+    Scale: all K eval sets ride ONE tagged gram frame (distinct per
+    set) that broadcasts once; the 100 TB train side is shingled in a
+    single projection and probed map-side — the train corpus is
+    scanned once for the whole matrix, not once per benchmark. The
+    post-join aggregate is bounded by contamination volume; the two
+    count-distincts expand it 2x, still hit-bounded.
+    """
+    if not eval_sets:
+        raise ValueError("eval_sets must be non-empty")
+    tagged = None
+    for name, edf in eval_sets.items():
+        g = eval_shingle_set(edf, text_col, n).select(
+            F.lit(name).alias("eval_set"), F.col("_gram")
+        )
+        tagged = g if tagged is None else tagged.unionByName(g)
+    # K-row spine from the dict keys so a benchmark whose docs yield
+    # zero grams still reports (n_eval_grams=0, coverage NULL) instead
+    # of silently vanishing from the matrix.
+    spine = train.sparkSession.createDataFrame(
+        [(k,) for k in eval_sets], "eval_set string"
+    )
+    totals = spine.join(
+        tagged.groupBy("eval_set").agg(
+            F.count(F.lit(1)).alias("n_eval_grams")
+        ),
+        "eval_set",
+        "left",
+    ).select(
+        "eval_set",
+        F.coalesce("n_eval_grams", F.lit(0)).alias("n_eval_grams"),
+    )
+    probe = F.broadcast(tagged) if broadcast_eval else tagged
+    hits = (
+        _doc_shingles(train, id_col, text_col, n)
+        .join(probe, "_gram", "inner")
+        .groupBy("eval_set")
+        .agg(
+            F.countDistinct("_gram").alias("n_hit_grams"),
+            F.countDistinct(id_col).alias("n_docs_hit"),
+        )
+    )
+    return (
+        totals.join(hits, "eval_set", "left")
+        .select(
+            "eval_set",
+            F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
+            F.coalesce("n_hit_grams", F.lit(0))
+            .cast("long")
+            .alias("n_hit_grams"),
+            F.coalesce("n_docs_hit", F.lit(0))
+            .cast("long")
+            .alias("n_docs_hit"),
+            F.expr(
+                "CASE WHEN n_eval_grams > 0 THEN"
+                " (coalesce(n_hit_grams, 0) * 20000 + n_eval_grams)"
+                " div (2 * n_eval_grams) ELSE NULL END"
+            )
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )
