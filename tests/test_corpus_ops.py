@@ -1314,3 +1314,38 @@ def test_contamination_matrix_per_set_counts_and_zero_overlap(spark):
 
     with pytest.raises(ValueError):
         contamination_matrix(train, {})
+
+
+def test_text_normalize_nfc_controls_whitespace_and_duckdb_parity(spark):
+    import duckdb
+
+    from webloghunter_spark.functions.text import text_normalize
+
+    decomposed = "cafe\u0301 du  parc"   # e + combining acute, double space
+    composed = "caf\u00e9 du parc"
+    rows = [
+        (0, decomposed),
+        (1, "a\x00b\x07c\ttabbed\nline "),   # controls + ws collapse
+        (2, None),
+        (3, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_normalize(df).collect()}
+    assert out[0].text == composed and out[0].changed
+    assert out[0].n_chars_raw == len(decomposed)
+    assert out[0].n_chars_norm == len(composed)
+    assert out[1].text == "abc tabbed line" and out[1].changed
+    assert out[2].text == "" and out[2].changed is False
+    assert out[3].changed is False
+
+    # cross-engine: DuckDB's nfc_normalize + the oracle regexes agree
+    con = duckdb.connect()
+    for i, raw in rows:
+        got = con.execute(
+            "SELECT trim(regexp_replace(regexp_replace("
+            "nfc_normalize(coalesce(?, '')),"
+            " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+            " '\\s+', ' ', 'g'))",
+            [raw],
+        ).fetchone()[0]
+        assert got == out[i].text, (i, got, out[i].text)

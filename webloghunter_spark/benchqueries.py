@@ -7418,6 +7418,35 @@ SQL_CONTAM_MATRIX = r"""
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode-aware corpus canonicalization: NFC (Arrow-batched UDF
+    with C-speed ASCII fast path — Spark has no builtin) + control
+    strip + whitespace collapse, all in one projection, no shuffle."""
+    from webloghunter_spark.functions.text import text_normalize
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return text_normalize(docs)
+
+
+SQL_TEXT_NORMALIZE = r"""
+    WITH n AS (
+        SELECT doc_id,
+               coalesce(text, '') AS raw,
+               trim(regexp_replace(
+                   regexp_replace(nfc_normalize(coalesce(text, '')),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           norm AS text,
+           (norm <> raw) AS changed,
+           length(raw)::BIGINT AS n_chars_raw,
+           length(norm)::BIGINT AS n_chars_norm
+    FROM n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7581,6 +7610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interleave_audit": q_interleave_audit,
     "lang_consistency": q_lang_consistency,
     "contam_matrix": q_contam_matrix,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -7737,4 +7767,5 @@ ORACLES: dict[str, str] = {
     "interleave_audit": SQL_INTERLEAVE_AUDIT,
     "lang_consistency": SQL_LANG_CONSISTENCY,
     "contam_matrix": SQL_CONTAM_MATRIX,
+    "text_normalize": SQL_TEXT_NORMALIZE,
 }

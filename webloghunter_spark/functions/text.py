@@ -854,3 +854,63 @@ def lang_consistency(
             (F.coalesce("n_langs", F.lit(0)) > 1).alias("code_switch"),
         )
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalizer. Spark SQL has no builtin
+    unicode normalization, so this is one of the few sanctioned
+    pandas-UDF hot paths (the multimodal/compression discipline:
+    Arrow batches, never row-at-a-time Python UDFs). Per-value ASCII
+    fast path: real web corpora are majority-ASCII and `str.isascii`
+    is a C-speed check, so the expensive normalize only runs on the
+    minority of rows that can actually change."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            return x if x.isascii() else unicodedata.normalize("NFC", x)
+
+        return s.map(one)
+
+    return _udf
+
+
+def text_normalize(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus text canonicalization — the rewrite every multi-source
+    ingest needs before hashing/dedup/tokenization sees the bytes:
+    Unicode NFC (composed accents, so 'e\\u0301' and '\\u00e9' stop
+    being distinct tokens), C0/DEL control-character strip (keeps the
+    text printable; \\t \\n \\r die here but whitespace collapse would
+    eat them anyway), whitespace-run collapse to single spaces, trim.
+    Unlike normalized_text_expr (a lossy lowercase/punct-strip dedup
+    KEY), this emits the cleaned text itself, casing and punctuation
+    intact.
+
+    Returns (id, text=normalized, changed, n_chars_raw, n_chars_norm);
+    NULL input normalizes to '' (changed=false for both NULL and '').
+
+    Scale: NFC is the one Arrow-batched UDF step (no Spark builtin),
+    with a C-speed ASCII fast path per value; everything else is
+    codegen regexp in the same projection — no shuffle anywhere."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    nfc = nfc_normalize_udf()(raw)
+    noctl = F.regexp_replace(
+        nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""
+    )
+    norm = F.trim(F.regexp_replace(noctl, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        norm.alias("text"),
+        (norm != raw).alias("changed"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
