@@ -1204,3 +1204,67 @@ def test_upsample_epochs_batch_stream_parity(spark, tmp_path):
     # stateless twin: the UNION of per-batch deltas equals the batch
     # result (each sink call carries only its own batch's rows)
     assert sorted(seen["union"]) == expected
+
+
+def test_contam_matrix_batch_stream_parity(spark, tmp_path):
+    """Cumulative streaming contamination matrix equals the batch
+    matrix over the docs streamed so far: doc counts sum across
+    disjoint batches, hit-grams dedup against the bounded driver-held
+    seen set (⊆ eval gram index)."""
+    from webloghunter_spark.pipelines.decontam import contamination_matrix
+    from webloghunter_spark.streaming.decontam import (
+        contamination_matrix_stream_writer,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta one"),
+            (1, "alpha beta gamma delta two"),     # same A-gram again
+            (2, "p q r s t"),
+            (3, "zz yy xx ww vv"),                 # hits setB
+            (4, "alpha beta gamma delta three"),   # A-gram, 3rd batch
+            (5, "clean text with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = {
+        "setA": spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        ),
+        "setB": spark.createDataFrame(
+            [(200, "zz yy xx ww vv")], "doc_id long, text string"
+        ),
+    }
+    expected = sorted(
+        tuple(r) for r in contamination_matrix(train, evals, n=4).collect()
+    )
+    src = tmp_path / "cm_src"
+    train.filter(F.col("doc_id") < 2).write.parquet(str(src / "a"))
+    train.filter(
+        (F.col("doc_id") >= 2) & (F.col("doc_id") < 4)
+    ).write.parquet(str(src / "b"))
+    train.filter(F.col("doc_id") >= 4).write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(rows, batch_id):
+        seen["last"] = rows
+        seen["batches"] += 1
+
+    fn = contamination_matrix_stream_writer(evals, sink, n=4)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 3
+    assert sorted(seen["last"]) == expected
+    fn.release()

@@ -462,6 +462,24 @@ def semantic_contam(
     )
 
 
+def tagged_eval_grams(
+    eval_sets: dict[str, DataFrame],
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(eval_set, _gram) — per-set distinct n-gram index over all
+    benchmarks at once, the ONE small frame contamination_matrix
+    broadcasts (and its streaming twin persists for the stream's
+    life)."""
+    tagged = None
+    for name, edf in eval_sets.items():
+        g = eval_shingle_set(edf, text_col, n).select(
+            F.lit(name).alias("eval_set"), F.col("_gram")
+        )
+        tagged = g if tagged is None else tagged.unionByName(g)
+    return tagged
+
+
 def contamination_matrix(
     train: DataFrame,
     eval_sets: dict[str, DataFrame],
@@ -469,6 +487,7 @@ def contamination_matrix(
     text_col: str = "text",
     n: int = 8,
     broadcast_eval: bool = True,
+    eval_grams_tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Per-benchmark contamination report — the release-notes table a
     model card needs: for EVERY eval set at once, how many of its
@@ -488,12 +507,9 @@ def contamination_matrix(
     """
     if not eval_sets:
         raise ValueError("eval_sets must be non-empty")
-    tagged = None
-    for name, edf in eval_sets.items():
-        g = eval_shingle_set(edf, text_col, n).select(
-            F.lit(name).alias("eval_set"), F.col("_gram")
-        )
-        tagged = g if tagged is None else tagged.unionByName(g)
+    if eval_grams_tagged is None:
+        eval_grams_tagged = tagged_eval_grams(eval_sets, text_col, n)
+    tagged = eval_grams_tagged
     # K-row spine from the dict keys so a benchmark whose docs yield
     # zero grams still reports (n_eval_grams=0, coverage NULL) instead
     # of silently vanishing from the matrix.

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from webloghunter_spark.pipelines.decontam import (
     contaminated_docs,
@@ -165,4 +166,85 @@ def semantic_contam_stream_writer(
 
     process.state = state
     process.eval_prepared = prepared
+    return process
+
+
+def contamination_matrix_stream_writer(
+    eval_sets: dict[str, DataFrame],
+    sink: Callable[[list[tuple], int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/decontam.contamination_matrix —
+    the cumulative per-benchmark contamination report over a streamed
+    train corpus against FROZEN eval sets.
+
+    Unlike the row-local twins above, the matrix is a cross-batch
+    aggregate — but its state is bounded by the SMALL side: the set
+    of distinct eval grams already hit (⊆ the eval gram index) plus
+    one doc counter per benchmark. Docs are batch-disjoint (a doc
+    arrives once), so per-batch distinct-doc counts SUM exactly;
+    hit-grams dedup against the driver-held seen set, whose size can
+    never exceed the eval index the batch operator broadcasts anyway.
+    After every batch `sink(rows, batch_id)` receives the CURRENT
+    matrix [(eval_set, n_eval_grams, n_hit_grams, n_docs_hit,
+    coverage_bp)] sorted by set — equal, at every prefix, to the
+    batch operator run over the docs streamed so far (the parity
+    test's invariant). Exposes `.state` and `.release`."""
+    from webloghunter_spark.pipelines.decontam import (
+        _doc_shingles,
+        tagged_eval_grams,
+    )
+
+    if not eval_sets:
+        raise ValueError("eval_sets must be non-empty")
+    tagged = tagged_eval_grams(eval_sets, text_col, n).persist()
+    totals = {
+        r["eval_set"]: int(r["n"])
+        for r in tagged.groupBy("eval_set")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    state: dict = {
+        name: {"grams": set(), "docs": 0} for name in eval_sets
+    }
+
+    def _bp(hit: int, tot: int):
+        return (hit * 20000 + tot) // (2 * tot) if tot > 0 else None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        per_set = (
+            _doc_shingles(batch_df, id_col, text_col, n)
+            .join(F.broadcast(tagged), "_gram", "inner")
+            .groupBy("eval_set")
+            .agg(
+                F.collect_set("_gram").alias("grams"),
+                F.countDistinct(id_col).alias("n_docs"),
+            )
+            .collect()
+        )
+        for r in per_set:
+            s = state[r["eval_set"]]
+            s["grams"].update(r["grams"])
+            s["docs"] += int(r["n_docs"])
+        sink(
+            [
+                (
+                    name,
+                    totals.get(name, 0),
+                    len(s["grams"]),
+                    s["docs"],
+                    _bp(len(s["grams"]), totals.get(name, 0)),
+                )
+                for name, s in sorted(state.items())
+            ],
+            batch_id,
+        )
+
+    def release() -> None:
+        tagged.unpersist()
+
+    process.state = state
+    process.release = release
     return process
