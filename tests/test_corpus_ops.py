@@ -1349,3 +1349,32 @@ def test_text_normalize_nfc_controls_whitespace_and_duckdb_parity(spark):
             [raw],
         ).fetchone()[0]
         assert got == out[i].text, (i, got, out[i].text)
+
+
+def test_sample_exact_k_deterministic_and_size(spark):
+    from webloghunter_spark.pipelines.split import sample_exact_k
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    grouped = sample_exact_k(df, k=4, group_col="source").collect()
+    per = {}
+    for r in grouped:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 4 for v in per.values()) and len(per) == 3
+    again = sample_exact_k(df, k=4, group_col="source").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in grouped}
+
+    # global path: distributed top-k, exact size, reproducible
+    g1 = {r.doc_id for r in sample_exact_k(df, k=7).collect()}
+    g2 = {r.doc_id for r in sample_exact_k(df, k=7).collect()}
+    assert len(g1) == 7 and g1 == g2
+    # different seed -> (almost surely) different winners
+    g3 = {r.doc_id for r in sample_exact_k(df, k=7, seed="other").collect()}
+    assert g3 != g1
+    # small group passes through whole
+    tiny = sample_exact_k(df.filter(F.col("doc_id") < 2), k=5)
+    assert tiny.count() == 2
+
+    with pytest.raises(ValueError):
+        sample_exact_k(df, k=0)

@@ -7447,6 +7447,28 @@ SQL_TEXT_NORMALIZE = r"""
 """
 
 
+def q_sample_exact_k(spark, sf_dir):
+    """Deterministic exact-k-per-source carve-out (fixed-size eval
+    sets): smallest md5(seed|id) keys win — one window partitioned
+    on source, engine-reproducible."""
+    from webloghunter_spark.pipelines.split import sample_exact_k
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return sample_exact_k(docs, k=20, group_col="source").select(
+        "doc_id", "source"
+    )
+
+
+SQL_SAMPLE_EXACT_K = r"""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7611,6 +7633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_consistency": q_lang_consistency,
     "contam_matrix": q_contam_matrix,
     "text_normalize": q_text_normalize,
+    "sample_exact_k": q_sample_exact_k,
 }
 
 ORACLES: dict[str, str] = {
@@ -7768,4 +7791,5 @@ ORACLES: dict[str, str] = {
     "lang_consistency": SQL_LANG_CONSISTENCY,
     "contam_matrix": SQL_CONTAM_MATRIX,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "sample_exact_k": SQL_SAMPLE_EXACT_K,
 }

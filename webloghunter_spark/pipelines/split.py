@@ -645,3 +645,48 @@ def mix_match_weights(
         F.col("n").cast("long").alias("n_tokens"),
         "weight_micro",
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic exact-k sample without replacement — the
+    fixed-SIZE sibling of stratified_sample's fixed-RATE carve-out
+    (eval sets, human-review batches and ablation subsets are
+    specified as "exactly k docs", not "2%"). The k winners per group
+    (or globally) are the smallest md5(seed|id) order keys, so the
+    sample is a pure function of (seed, ids): engines agree,
+    re-runs reproduce it, and adding new data only displaces
+    boundary rows rather than reshuffling the whole sample.
+
+    Scale: grouped -> one row_number window hash-partitioned on the
+    group (repartition + in-partition sort). Global -> orderBy(key)
+    .limit(k), which Spark executes as distributed per-partition
+    top-k + a k-row driver merge (TakeOrderedAndProject), NOT a
+    single-partition global sort. Groups smaller than k pass through
+    whole."""
+    from webloghunter_spark.pipelines.shard import order_key_expr
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    key = order_key_expr(id_col, seed)
+    if group_col is None:
+        return (
+            df.withColumn("_k", key)
+            .orderBy("_k", id_col)
+            .limit(k)
+            .drop("_k")
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy("_k", id_col)
+    return (
+        df.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_k", "_rn")
+    )
