@@ -488,3 +488,59 @@ def test_fim_splits_partition_and_digest(spark):
         assert r.fim_digest == want, d
     out2 = {r.doc_id: r for r in fim_splits(df, seed="other").collect()}
     assert any(out[d].n_prefix != out2[d].n_prefix for d in out if texts[d])
+
+
+# --- gopher_rules ------------------------------------------------------------
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    from webloghunter_spark.pipelines.gate import gopher_rules
+
+    ok = " ".join(["the", "of", "apple"] + [f"word{i}" for i in range(47)])
+    rows = [
+        (1, ok),                                     # passes everything
+        (2, "the of " + " ".join(f"www{i}" for i in range(3))),  # too short
+        (3, "the of " + " ".join("#" * 4 for _ in range(48))),  # symbols
+        (4, "the of " + " ".join("12345" for _ in range(48))),  # non-alpha
+        (5, " ".join(f"word{i}" for i in range(50))),           # no stopwords
+        (6, "the of apple\n" + "\n".join(f"- item {i} extra words here pad pad pad" for i in range(47))),  # bullets
+        (7, "the of apple\n" + "\n".join(f"line {i} trails off pad pad pad pad ..." for i in range(47))),  # ellipses
+        (8, None),                                              # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+
+    assert out[1].pass_all and out[1].n_failed == 0
+    assert not out[2].r_word_count and out[2].n_failed == 1
+    assert not out[3].r_symbol_ratio  # '#' runs also contain no alpha
+    assert not out[3].r_alpha_words and out[3].n_failed == 2
+    assert not out[4].r_alpha_words
+    assert not out[5].r_stopwords and out[5].n_failed == 1
+    assert not out[6].r_bullet_lines
+    assert not out[7].r_ellipsis_lines
+    # NULL text: word_count and stopwords (both COUNT rules) fail;
+    # every RATIO rule passes vacuously via the 0-vs-0 cross-multiply
+    assert not out[8].r_word_count and not out[8].r_stopwords
+    assert out[8].n_failed == 2
+
+
+def test_gopher_rules_stopwords_counted_distinct(spark):
+    from webloghunter_spark.pipelines.gate import gopher_rules
+
+    # "the" repeated 30 times is ONE distinct stopword -> rule fails
+    df = spark.createDataFrame(
+        [(1, " ".join(["the"] * 30 + [f"word{i}" for i in range(30)]))],
+        "doc_id long, text string",
+    )
+    row = gopher_rules(df, min_stopwords=2).collect()[0]
+    assert not row.r_stopwords
+
+
+def test_gopher_rules_mean_word_len_integer_boundary(spark):
+    from webloghunter_spark.pipelines.gate import gopher_rules
+
+    # 50 tokens x 3 chars: mean exactly 3.0 -> sumlen*10 == 30*ntok, inclusive
+    df = spark.createDataFrame(
+        [(1, "the and " + " ".join(["abc"] * 48))], "doc_id long, text string"
+    )
+    row = gopher_rules(df, min_mwl_deci=30).collect()[0]
+    assert row.r_mean_word_len

@@ -7469,6 +7469,80 @@ SQL_SAMPLE_EXACT_K = r"""
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule audit matrix (Rae et al. 2021): one boolean
+    per rule per document — word-count bounds, mean-word-length band,
+    symbol ratio, alpha-word fraction, distinct-stopword floor,
+    bullet/ellipsis line ratios — all integer cross-multiplies in ONE
+    codegen projection; no shuffle, no UDF, scan speed at 100 TB.
+    Thresholds here are tightened from the published defaults so the
+    fixture exercises the word-count, mean-word-length, and stopword
+    rules (the symbol/alpha/line rules are covered by unit tests —
+    the synthetic corpus contains no symbols or multi-line docs)."""
+    from webloghunter_spark.pipelines.gate import gopher_rules
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return gopher_rules(
+        docs, min_words=30, max_words=60, min_mwl_deci=38, max_mwl_deci=45,
+        min_stopwords=2,
+    )
+
+
+SQL_GOPHER_RULES = r"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS c,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t,
+               string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(t)::BIGINT AS ntok,
+               length(array_to_string(t, ''))::BIGINT AS sumlen,
+               (length(c) - length(replace(c, '#', '')))::BIGINT AS n_hash,
+               ((length(c) - length(replace(c, '...', ''))) // 3)::BIGINT
+                   AS n_ell,
+               len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                   AS n_alpha,
+               len(list_filter(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   s -> list_contains(t, s)))::BIGINT AS n_stop,
+               len(ls)::BIGINT AS n_lines,
+               len(list_filter(ls, l -> substr(ltrim(l), 1, 1)
+                   IN ('-', '*', '•')))::BIGINT AS n_bullet,
+               len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+                   OR rtrim(l) LIKE '%…'))::BIGINT AS n_ell_l
+        FROM base
+    ),
+    r AS (
+        SELECT doc_id,
+               (ntok >= 30 AND ntok <= 60) AS r_word_count,
+               (sumlen*10 >= 38*ntok AND sumlen*10 <= 45*ntok)
+                   AS r_mean_word_len,
+               ((n_hash + n_ell)*10000 <= 1000*ntok) AS r_symbol_ratio,
+               (n_alpha*10000 >= 8000*ntok) AS r_alpha_words,
+               (n_stop >= 2) AS r_stopwords,
+               (n_bullet*10000 <= 9000*n_lines) AS r_bullet_lines,
+               (n_ell_l*10000 <= 3000*n_lines) AS r_ellipsis_lines
+        FROM m
+    )
+    SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_alpha_words, r_stopwords, r_bullet_lines, r_ellipsis_lines,
+           ((NOT r_word_count)::INT + (NOT r_mean_word_len)::INT
+            + (NOT r_symbol_ratio)::INT + (NOT r_alpha_words)::INT
+            + (NOT r_stopwords)::INT + (NOT r_bullet_lines)::INT
+            + (NOT r_ellipsis_lines)::INT)::BIGINT AS n_failed,
+           ((NOT r_word_count)::INT + (NOT r_mean_word_len)::INT
+            + (NOT r_symbol_ratio)::INT + (NOT r_alpha_words)::INT
+            + (NOT r_stopwords)::INT + (NOT r_bullet_lines)::INT
+            + (NOT r_ellipsis_lines)::INT) = 0 AS pass_all
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7634,6 +7708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contam_matrix": q_contam_matrix,
     "text_normalize": q_text_normalize,
     "sample_exact_k": q_sample_exact_k,
+    "gopher_rules": q_gopher_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -7792,4 +7867,5 @@ ORACLES: dict[str, str] = {
     "contam_matrix": SQL_CONTAM_MATRIX,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "sample_exact_k": SQL_SAMPLE_EXACT_K,
+    "gopher_rules": SQL_GOPHER_RULES,
 }

@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 from webloghunter_spark.functions.lm import bigram_logprob
 from webloghunter_spark.functions.text import (
     NON_PRINTABLE_ASCII,
+    STOPWORDS,
     quality_bp_expr,
     token_count_expr,
+    tokens_expr,
 )
 
 GATE_RULES = ("too_short", "too_long", "encoding", "low_quality", "low_lm")
@@ -88,4 +90,117 @@ def quality_gate(
         id_col,
         (reason == "").alias("keep"),
         reason.alias("reason"),
+    )
+
+
+GOPHER_RULES = (
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "alpha_words",
+    "stopwords",
+    "bullet_lines",
+    "ellipsis_lines",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl_deci: int = 30,
+    max_mwl_deci: int = 100,
+    max_symbol_bp: int = 1000,
+    min_alpha_bp: int = 8000,
+    min_stopwords: int = 2,
+    max_bullet_bp: int = 9000,
+    max_ellipsis_bp: int = 3000,
+) -> DataFrame:
+    """The Gopher repetition-free quality-rule matrix (Rae et al. 2021,
+    §A1.1 "Massive-Text quality filtering"): per document, one boolean
+    PER RULE plus the failure count — the full audit matrix, unlike
+    quality_gate's first-failing-reason collapse. Rules (defaults are
+    the published values, expressed on integer grids):
+
+    - word_count: min_words <= ntok <= max_words
+    - mean_word_len: mean token length in [min_mwl_deci, max_mwl_deci]
+      deci-chars (Gopher: 3..10 chars) — integer cross-multiply
+      ``sumlen*10 vs bound*ntok``, no float division
+    - symbol_ratio: ('#' chars + '...' runs) / ntok <= max_symbol_bp
+    - alpha_words: fraction of tokens containing an ASCII letter
+      >= min_alpha_bp (Gopher: 0.8)
+    - stopwords: at least min_stopwords DISTINCT words from the shared
+      STOPWORDS list appear (counted by filtering the 10-element
+      literal list against the token array — never a token-side
+      distinct)
+    - bullet_lines / ellipsis_lines: fraction of lines starting with a
+      bullet (-, *, •) / ending with an ellipsis <= the bp bound
+      (Gopher: 0.90 / 0.30)
+
+    Empty/NULL text: the two COUNT rules (word_count, stopwords) fail;
+    every RATIO rule passes vacuously (0-vs-0 cross-multiplies) —
+    deterministic in both engines, and the document is dead either way.
+
+    Scale: ONE whole-stage-codegen projection — token array, line
+    array, and every count are per-row expressions; no shuffle, no
+    join, no UDF. At 100 TB this runs at parquet scan speed and is
+    exactly as parallel as the input splits.
+
+    Reference parity: extends the intake-gate surface (reference
+    triage.py's single-score gate) with the per-rule matrix its audit
+    log prints.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_expr(c)
+    ntok = F.size(toks).cast("long")
+    sumlen = F.length(F.array_join(toks, "")).cast("long")
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast("long")
+    n_ell = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    ).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis_l = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("long")
+
+    r = {
+        "word_count": (ntok >= min_words) & (ntok <= max_words),
+        "mean_word_len": (sumlen * 10 >= F.lit(min_mwl_deci) * ntok)
+        & (sumlen * 10 <= F.lit(max_mwl_deci) * ntok),
+        "symbol_ratio": (n_hash + n_ell) * 10000 <= F.lit(max_symbol_bp) * ntok,
+        "alpha_words": n_alpha * 10000 >= F.lit(min_alpha_bp) * ntok,
+        "stopwords": n_stop >= min_stopwords,
+        "bullet_lines": n_bullet * 10000 <= F.lit(max_bullet_bp) * n_lines,
+        "ellipsis_lines": n_ellipsis_l * 10000
+        <= F.lit(max_ellipsis_bp) * n_lines,
+    }
+    n_failed = sum(
+        (~r[name]).cast("int") for name in GOPHER_RULES
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        *[r[name].alias(f"r_{name}") for name in GOPHER_RULES],
+        n_failed.alias("n_failed"),
+        (n_failed == 0).alias("pass_all"),
     )
