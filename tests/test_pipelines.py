@@ -1348,3 +1348,44 @@ def test_snapshot_diff_classifies_every_id_once(spark):
     assert out == {1: "unchanged", 2: "changed",
                    3: "unchanged",  # whitespace-only: same fingerprint
                    4: "removed", 5: "added"}
+
+
+# --- rank_fusion --------------------------------------------------------------
+
+def test_rank_fusion_orders_by_rrf_sum(spark):
+    from webloghunter_spark.pipelines.select import rank_fusion
+
+    # doc 3: 2nd on a, 1st on b; doc 1: 1st on a, 3rd on b -> 3 first
+    df = spark.createDataFrame(
+        [(1, 100, 5), (2, 10, 50), (3, 90, 55)],
+        "doc_id long, a long, b long",
+    )
+    out = {r.doc_id: r for r in rank_fusion(df, ["a", "b"]).collect()}
+    assert out[3].fused_rank == 1
+    # exact micro contributions: 1e6 div (60+rank)
+    assert out[3].rrf_micro == 1000000 // 62 + 1000000 // 61
+    assert out[1].rrf_micro == 1000000 // 61 + 1000000 // 63
+
+
+def test_rank_fusion_null_signal_ranks_last_and_ties_break_on_id(spark):
+    from webloghunter_spark.pipelines.select import rank_fusion
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 7), (3, 7)], "doc_id long, a long"
+    )
+    out = {r.doc_id: r for r in rank_fusion(df, ["a"]).collect()}
+    assert out[1].rank_a == 3          # NULL below every value
+    assert out[2].rank_a == 1 and out[3].rank_a == 2  # tie -> lower id
+
+
+def test_rank_fusion_grouped_ranks_are_per_group(spark):
+    from webloghunter_spark.pipelines.select import rank_fusion
+
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 9), (3, "y", 1)],
+        "doc_id long, g string, a long",
+    )
+    out = {r.doc_id: r for r in
+           rank_fusion(df, ["a"], group_col="g").collect()}
+    assert out[3].rank_a == 1 and out[3].fused_rank == 1  # alone in y
+    assert out[2].rank_a == 1 and out[1].rank_a == 2

@@ -7543,6 +7543,87 @@ SQL_GOPHER_RULES = r"""
 """
 
 
+def q_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of three uncalibrated quality signals
+    (heuristic quality bp, token count, char count) into one selection
+    order per language — integer micro-grid contributions
+    (1e6 div (60+rank)) so the fused score is engine-exact; one
+    window exchange per signal, all partitioned on lang."""
+    from webloghunter_spark.functions.text import (
+        quality_bp_expr,
+        token_count_expr,
+    )
+    from webloghunter_spark.pipelines.select import rank_fusion
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        F.coalesce(quality_bp_expr(F.col("text")), F.lit(0)).alias(
+            "quality_bp"
+        ),
+        F.coalesce(token_count_expr(F.col("text")), F.lit(0)).alias("ntok"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("nch"),
+    )
+    return rank_fusion(
+        sig, ["quality_bp", "ntok", "nch"], group_col="lang", rrf_k=60
+    )
+
+
+SQL_RANK_FUSION = r"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, coalesce(n_chars, 0)::BIGINT AS nch,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, lang, nch,
+               len(t)::BIGINT AS ntok,
+               len(t)::DOUBLE AS ntok_d,
+               greatest(length(text)::DOUBLE, 1.0) AS nchar,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE AS npunct,
+               len(list_filter(t, x -> list_contains(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   lower(x))))::DOUBLE AS nstop
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, lang, ntok, nch,
+               coalesce(CAST(floor((least(ntok_d / 100.0, 1.0) * 0.5
+                   + (1.0 - npunct / nchar) * 0.3
+                   + least((nstop / greatest(ntok_d, 1.0)) * 5.0, 1.0) * 0.2)
+                   * 10000.0 + 0.5) AS BIGINT), 0) AS quality_bp
+        FROM stats
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY quality_bp DESC NULLS LAST, doc_id)
+                   AS rank_quality_bp,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY ntok DESC NULLS LAST, doc_id) AS rank_ntok,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY nch DESC NULLS LAST, doc_id) AS rank_nch
+        FROM sig
+    ),
+    fused AS (
+        SELECT lang, doc_id, rank_quality_bp, rank_ntok, rank_nch,
+               (1000000 // (60 + rank_quality_bp)
+                + 1000000 // (60 + rank_ntok)
+                + 1000000 // (60 + rank_nch))::BIGINT AS rrf_micro
+        FROM ranked
+    )
+    SELECT lang, doc_id, rank_quality_bp, rank_ntok, rank_nch, rrf_micro,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+    FROM fused
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7709,6 +7790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "sample_exact_k": q_sample_exact_k,
     "gopher_rules": q_gopher_rules,
+    "rank_fusion": q_rank_fusion,
 }
 
 ORACLES: dict[str, str] = {
@@ -7868,4 +7950,5 @@ ORACLES: dict[str, str] = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "sample_exact_k": SQL_SAMPLE_EXACT_K,
     "gopher_rules": SQL_GOPHER_RULES,
+    "rank_fusion": SQL_RANK_FUSION,
 }

@@ -925,3 +925,62 @@ def dataset_card(
             bp(F.col("_n_empty"), F.col("n_docs")).alias("empty_bp"),
         )
     )
+
+
+def rank_fusion(
+    df: DataFrame,
+    signal_cols: tuple[str, ...] | list[str],
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of several
+    quality/ranking signals into ONE selection order — the standard
+    way to combine heterogeneous signals (heuristic quality,
+    classifier score, LM likelihood) without calibrating their scales
+    against each other: each signal contributes 1/(rrf_k + rank), and
+    documents are re-ranked by the sum.
+
+    Contributions live on an integer micro grid — ``1_000_000 div
+    (rrf_k + rank)`` — so the fused score is an exact integer in any
+    engine (the mix_temperature/dist_drift convention: never sum
+    floats across engines). Ranks are dense row_numbers ordered by
+    (signal DESC NULLS LAST, id ASC): NULL signals rank below every
+    non-NULL value, deterministically (Spark's .desc() puts NULLs
+    last; a DuckDB oracle must spell NULLS LAST because its DESC
+    default puts them FIRST).
+
+    Returns (group?, id, rank_<s>..., rrf_micro, fused_rank).
+
+    Scale: one window exchange PER SIGNAL plus one for the fused
+    re-rank — all on `group_col`. RRF is a per-candidate-list
+    operator: pass group_col (query id, language, shard) so every
+    sort is bounded by its group; a None group is a GLOBAL total sort
+    per signal (range-partitioned — Spark handles it, but at 100 TB
+    you want the grouped form or a pre-filtered candidate set).
+    """
+    from pyspark.sql import Window as W
+
+    signal_cols = list(signal_cols)
+    if not signal_cols:
+        raise ValueError("rank_fusion needs at least one signal column")
+    part = [group_col] if group_col else []
+    w = W.partitionBy(*part)
+    out = df
+    for s in signal_cols:
+        out = out.withColumn(
+            f"rank_{s}",
+            F.row_number().over(
+                w.orderBy(F.col(s).desc_nulls_last(), F.col(id_col).asc())
+            ),
+        )
+    rrf = None
+    for s in signal_cols:
+        c = F.expr(f"1000000 div ({int(rrf_k)} + rank_{s})")
+        rrf = c if rrf is None else rrf + c
+    out = out.withColumn("rrf_micro", rrf.cast("long"))
+    fused = F.row_number().over(
+        w.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+    )
+    keep = part + [id_col] + [f"rank_{s}" for s in signal_cols]
+    return out.select(*keep, "rrf_micro", fused.alias("fused_rank"))
