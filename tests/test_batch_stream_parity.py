@@ -1268,3 +1268,58 @@ def test_contam_matrix_batch_stream_parity(spark, tmp_path):
     assert seen["batches"] >= 3
     assert sorted(seen["last"]) == expected
     fn.release()
+
+
+def test_boilerplate_batch_stream_parity(spark, tmp_path):
+    """Frozen boilerplate set: learned once from the full corpus, the
+    stream cleans the SAME corpus in three file-batches — per-doc
+    removal is stateless given the set, so the accumulated stream
+    output equals batch boilerplate_segments exactly."""
+    from webloghunter_spark.pipelines.dedup import (
+        boilerplate_keys,
+        boilerplate_segments,
+    )
+    from webloghunter_spark.streaming.dedup import boilerplate_stream_writer
+
+    boiler_txt = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (i, f"{boiler_txt} " + " ".join(f"u{i}w{j}" for j in range(5)))
+        for i in range(9)
+    ]
+    rows.append((9, None))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expected = sorted(
+        (r.doc_id, r.n_seg, r.n_kept, r.new_text)
+        for r in boilerplate_segments(corpus, seg_tokens=5, min_df=3).collect()
+    )
+
+    src = tmp_path / "bp_src"
+    corpus.filter(F.col("doc_id") < 3).write.parquet(str(src / "a"))
+    corpus.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6)).write.parquet(str(src / "b"))
+    corpus.filter(F.col("doc_id") >= 6).write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(out_rows, batch_id):
+        seen["last"] = out_rows
+        seen["batches"] += 1
+
+    boiler = boilerplate_keys(corpus, seg_tokens=5, min_df=3)
+    fn = boilerplate_stream_writer(boiler, sink, seg_tokens=5)
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        fn.release()
+    assert seen["batches"] >= 3
+    assert seen["last"] == expected

@@ -544,3 +544,50 @@ def test_gopher_rules_mean_word_len_integer_boundary(spark):
     )
     row = gopher_rules(df, min_mwl_deci=30).collect()[0]
     assert row.r_mean_word_len
+
+
+# --- boilerplate_segments -----------------------------------------------------
+
+def test_boilerplate_removed_from_every_copy_including_first(spark):
+    from webloghunter_spark.pipelines.dedup import boilerplate_segments
+
+    boiler = " ".join(f"b{i}" for i in range(5))
+    uniq = {d: " ".join(f"u{d}x{i}" for i in range(5)) for d in (1, 2, 3)}
+    df = _docs(spark, [(d, f"{boiler} {uniq[d]}") for d in (1, 2, 3)])
+    out = {r.doc_id: r for r in
+           boilerplate_segments(df, seg_tokens=5, min_df=3).collect()}
+    for d in (1, 2, 3):
+        # unlike segment_dedup, doc 1 loses its copy too
+        assert out[d].n_seg == 2 and out[d].n_kept == 1
+        assert out[d].new_text == uniq[d]
+
+
+def test_boilerplate_below_min_df_is_kept(spark):
+    from webloghunter_spark.pipelines.dedup import boilerplate_segments
+
+    shared = " ".join(f"s{i}" for i in range(5))
+    df = _docs(spark, [(1, shared), (2, shared), (3, "one two three")])
+    out = {r.doc_id: r for r in
+           boilerplate_segments(df, seg_tokens=5, min_df=3).collect()}
+    assert out[1].n_kept == 1 and out[2].n_kept == 1  # df=2 < 3: kept
+
+
+def test_boilerplate_df_counts_documents_not_occurrences(spark):
+    from webloghunter_spark.pipelines.dedup import boilerplate_segments
+
+    seg = " ".join(f"r{i}" for i in range(5))
+    # seg appears 3 times but in only 2 documents -> df=2, not boilerplate
+    df = _docs(spark, [(1, f"{seg} {seg}"), (2, seg)])
+    out = {r.doc_id: r for r in
+           boilerplate_segments(df, seg_tokens=5, min_df=3).collect()}
+    assert out[1].n_kept == 2 and out[2].n_kept == 1
+
+
+def test_boilerplate_null_text_all_zero(spark):
+    from webloghunter_spark.pipelines.dedup import boilerplate_segments
+
+    df = _docs(spark, [(1, None), (2, "alpha beta gamma delta eps")])
+    out = {r.doc_id: r for r in
+           boilerplate_segments(df, seg_tokens=5, min_df=2).collect()}
+    assert out[1].n_seg == 0 and out[1].n_kept == 0 and out[1].new_text == ""
+    assert out[2].n_kept == 1

@@ -7624,6 +7624,54 @@ SQL_RANK_FUSION = r"""
 """
 
 
+def q_boilerplate_segments(spark, sf_dir):
+    """CCNet-style boilerplate removal: segments whose document
+    frequency reaches min_df are deleted from EVERY document
+    (segment_dedup keeps the first copy; here the template text goes
+    everywhere). Two combinable md5-key aggregates + one left_anti
+    join + one rebuild — no windows, no all-pairs."""
+    from webloghunter_spark.pipelines.dedup import boilerplate_segments
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return boilerplate_segments(docs, seg_tokens=5, min_df=2)
+
+
+SQL_BOILERPLATE_SEGMENTS = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, CAST(ceil(len(t) / 5.0) AS INT) AS n_seg, t
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, i - 1 AS seg_idx,
+               array_to_string(t[(i-1)*5+1:(i-1)*5+5], ' ') AS seg
+        FROM base, unnest(generate_series(1, n_seg)) AS u(i)
+    ),
+    boiler AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT segs.* FROM segs ANTI JOIN boiler USING (seg)
+    ),
+    stats AS (
+        SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS new_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_seg,
+           coalesce(s.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(s.new_text, '') AS new_text
+    FROM base b LEFT JOIN stats s USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7791,6 +7839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_exact_k": q_sample_exact_k,
     "gopher_rules": q_gopher_rules,
     "rank_fusion": q_rank_fusion,
+    "boilerplate_segments": q_boilerplate_segments,
 }
 
 ORACLES: dict[str, str] = {
@@ -7951,4 +8000,5 @@ ORACLES: dict[str, str] = {
     "sample_exact_k": SQL_SAMPLE_EXACT_K,
     "gopher_rules": SQL_GOPHER_RULES,
     "rank_fusion": SQL_RANK_FUSION,
+    "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
 }

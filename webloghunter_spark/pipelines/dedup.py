@@ -448,6 +448,40 @@ def near_dedup_cc(
     ).drop("comp")
 
 
+def _n_seg_expr(text_col: str, seg_tokens: int) -> Column:
+    toks = tokens_expr(text_col)
+    return F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+
+
+def _doc_segments(
+    df: DataFrame, text_col: str, id_col: str, seg_tokens: int
+) -> DataFrame:
+    """Explode each document into its consecutive `seg_tokens`-token
+    segments: (id, n_seg, seg_idx, seg, seg_key=md5(seg)) — the shared
+    front end of segment_dedup (keep-first) and boilerplate_segments
+    (drop-all-copies)."""
+    toks = tokens_expr(text_col)
+    n_seg = _n_seg_expr(text_col, seg_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            n_seg.alias("n_seg"),
+            F.posexplode_outer(
+                F.transform(
+                    # sequence(0, -1) DESCENDS in Spark; guard n_seg=0
+                    F.when(
+                        n_seg > 0, F.sequence(F.lit(0), n_seg - 1)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg_key", F.md5(F.col("seg")))
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -473,26 +507,7 @@ def segment_dedup(
     hot-key partitions would straggle. Reassembly shuffles once on the
     id. Three narrow exchanges total, all on compact keys.
     """
-    toks = tokens_expr(text_col)
-    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
-    segs = (
-        df.select(
-            F.col(id_col),
-            n_seg.alias("n_seg"),
-            F.posexplode_outer(
-                F.transform(
-                    # sequence(0, -1) DESCENDS in Spark; guard n_seg=0
-                    F.when(
-                        n_seg > 0, F.sequence(F.lit(0), n_seg - 1)
-                    ).otherwise(F.array().cast("array<int>")),
-                    lambda i: F.array_join(
-                        F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
-                    ),
-                )
-            ).alias("seg_idx", "seg"),
-        )
-        .withColumn("seg_key", F.md5(F.col("seg")))
-    )
+    segs = _doc_segments(df, text_col, id_col, seg_tokens)
     keepers = (
         segs.filter(F.col("seg").isNotNull())
         .groupBy("seg_key")
@@ -525,7 +540,10 @@ def segment_dedup(
     # with the coalesced n_kept/new_text (downstream `n_kept < n_seg`
     # filters must not see a NULL/0 mix for the same document).
     base = df.select(
-        F.col(id_col), F.coalesce(n_seg, F.lit(0)).alias("n_seg")
+        F.col(id_col),
+        F.coalesce(_n_seg_expr(text_col, seg_tokens), F.lit(0)).alias(
+            "n_seg"
+        ),
     )
     return (
         base.join(stats, on=id_col, how="left")
@@ -535,6 +553,101 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020 dedupe
+    paragraph-hashes across shards; nav bars / cookie banners appear in
+    thousands of pages): a segment whose DOCUMENT frequency across the
+    corpus reaches `min_df` is boilerplate and is removed from EVERY
+    document — including the first, unlike segment_dedup's keep-first
+    semantics (there the signal is redundancy; here it is that the
+    text belongs to the site template, not the document).
+
+    Returns (id_col, n_seg, n_kept, new_text) — same contract as
+    segment_dedup so downstream `n_kept < n_seg` / empty-doc drops
+    compose unchanged.
+
+    Scale: document frequency is a two-level combinable aggregate —
+    distinct (seg_key, id) then count per seg_key — on 16-byte md5
+    keys (a boilerplate segment in 10^7 docs collapses map-side before
+    either exchange). The removal is one left_anti hash join of the
+    exploded segments against the (typically tiny) boilerplate key
+    set, then one groupBy(id) rebuild. No windows, no all-pairs, skew
+    bounded by the distinct-first shape.
+    """
+    boiler = boilerplate_keys(df, text_col, id_col, seg_tokens, min_df)
+    return remove_boilerplate(df, boiler, text_col, id_col, seg_tokens)
+
+
+def boilerplate_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """The boilerplate MODEL: (seg_key) md5 keys of every segment whose
+    document frequency reaches min_df. Train once on a corpus
+    snapshot, then apply with remove_boilerplate — batch-side here, or
+    frozen in streaming/dedup.boilerplate_stream_writer (the CCNet
+    pinned-reference discipline, like the frozen bigram LM)."""
+    segs = _doc_segments(df, text_col, id_col, seg_tokens)
+    return (
+        segs.filter(F.col("seg").isNotNull())
+        .select("seg_key", id_col)
+        .distinct()
+        .groupBy("seg_key")
+        .agg(F.count(F.lit(1)).alias("seg_df"))
+        .filter(F.col("seg_df") >= int(min_df))
+        .select("seg_key")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    boiler: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 5,
+) -> DataFrame:
+    """Apply a boilerplate key set (from boilerplate_keys, or any
+    (seg_key) frame) to a document frame: per-doc removal depends only
+    on the doc's own segments and the static key set, so this is
+    stateless per document — the property the streaming twin's parity
+    rests on."""
+    segs = _doc_segments(df, text_col, id_col, seg_tokens)
+    kept = segs.filter(F.col("seg").isNotNull()).join(
+        boiler, on="seg_key", how="left_anti"
+    )
+    stats = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(_n_seg_expr(text_col, seg_tokens), F.lit(0)).alias(
+            "n_seg"
+        ),
+    )
+    return base.join(stats, on=id_col, how="left").select(
+        id_col,
+        "n_seg",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
 
 

@@ -32,3 +32,51 @@ def dedup_stream(
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(list(key_cols))
     return wm.dropDuplicates(list(key_cols))
+
+
+def boilerplate_stream_writer(
+    boiler: DataFrame,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 5,
+):
+    """Streaming twin of pipelines/dedup.boilerplate_segments under a
+    FROZEN boilerplate key set (the CCNet pinned-snapshot discipline —
+    the template-segment list is learned from a crawl snapshot via
+    boilerplate_keys, and the stream only APPLIES it; re-learning
+    mid-stream would make a document's cleaned text depend on arrival
+    time).
+
+    Per-document removal depends only on the doc's own segments and
+    the static key set, so each micro-batch runs the exact frozen
+    cleaner and the union of per-batch outputs equals the batch
+    operator over the union of batches — parity by statelessness,
+    like the frozen-LM scorer.
+
+    `sink(rows, batch_id)` receives the CURRENT accumulated
+    [(id, n_seg, n_kept, new_text)] list sorted by id. The key set is
+    persist()ed here in the closure — NOT session.materialize(),
+    whose registry is drained per-query by batch callers and would
+    unpersist a live stream's index. Exposes `.state` (parity
+    surface) and `.release` (call after stream stop).
+    """
+    from webloghunter_spark.pipelines.dedup import remove_boilerplate
+
+    b = boiler.persist()
+    state: dict = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = remove_boilerplate(
+            batch_df, b, text_col=text_col, id_col=id_col,
+            seg_tokens=seg_tokens,
+        ).collect()
+        for r in rows:
+            state[r[id_col]] = (
+                int(r["n_seg"]), int(r["n_kept"]), r["new_text"]
+            )
+        sink([(i, *v) for i, v in sorted(state.items())], batch_id)
+
+    process.state = state
+    process.release = b.unpersist
+    return process
