@@ -1389,3 +1389,58 @@ def test_rank_fusion_grouped_ranks_are_per_group(spark):
            rank_fusion(df, ["a"], group_col="g").collect()}
     assert out[3].rank_a == 1 and out[3].fused_rank == 1  # alone in y
     assert out[2].rank_a == 1 and out[1].rank_a == 2
+
+
+# --- density_sample -----------------------------------------------------------
+
+def _unit_vecs(spark, rows):
+    # rows: (vec_id, direction) where direction picks a fixed unit axis
+    data = []
+    for vid, axis in rows:
+        v = [0.0] * 64
+        v[axis] = 1.0
+        data.append((vid, v))
+    return spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+
+def test_density_sample_caps_dense_buckets_and_weights_inverse(spark):
+    from webloghunter_spark.pipelines.semdedup import density_sample
+
+    # 20 identical vectors (one dense bucket) + 1 opposite direction
+    data = [(i, [1.0] * 64) for i in range(20)] + [(99, [-1.0] * 64)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = density_sample(df, cap=5).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    dense = [b for b, rs in by_bucket.items() if rs[0].bucket_n == 20][0]
+    assert len(by_bucket[dense]) == 5
+    assert all(r.weight_micro == 20 * 1000000 // 5 for r in by_bucket[dense])
+    sparse = [b for b, rs in by_bucket.items() if rs[0].bucket_n == 1][0]
+    assert by_bucket[sparse][0].weight_micro == 1000000
+
+
+def test_density_sample_is_seed_deterministic(spark):
+    from webloghunter_spark.pipelines.semdedup import density_sample
+
+    data = [(i, [1.0] * 64) for i in range(30)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    a = sorted(r.vec_id for r in density_sample(df, cap=7).collect())
+    b = sorted(
+        r.vec_id for r in density_sample(df.repartition(5), cap=7).collect()
+    )
+    assert a == b
+    c = sorted(
+        r.vec_id for r in density_sample(df, cap=7, seed="other").collect()
+    )
+    assert a != c  # different seed picks different survivors
+
+
+def test_density_sample_small_bucket_passes_whole(spark):
+    from webloghunter_spark.pipelines.semdedup import density_sample
+
+    data = [(i, [1.0] * 64) for i in range(3)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = density_sample(df, cap=10).collect()
+    assert len(out) == 3
+    assert all(r.weight_micro == 1000000 for r in out)

@@ -7672,6 +7672,48 @@ SQL_BOILERPLATE_SEGMENTS = r"""
 """
 
 
+def q_density_sample(spark, sf_dir):
+    """Embedding-space density equalization: hyperplane-LSH buckets
+    (the emb_drift hash family), at most cap survivors per bucket by
+    seeded md5 order, integer inverse-density weights for unbiased
+    reweighting. One exchange on the bucket id."""
+    from webloghunter_spark.pipelines.semdedup import density_sample
+
+    emb = _fan(_t(spark, sf_dir, "embeddings"))
+    return density_sample(emb, cap=20, num_planes=4)
+
+
+SQL_DENSITY_SAMPLE = r"""
+    WITH coeff AS (
+        SELECT p, list_transform(generate_series(0, 63),
+                   d -> (strpos('0123456789abcdef',
+                         substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1))
+                         - 8.5)) AS c
+        FROM (SELECT unnest(generate_series(0, 3)) AS p)
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN list_dot_product(
+                                 CAST(embedding AS DOUBLE[]), c) >= 0
+                             THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings, coeff
+        GROUP BY vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, bucket,
+               count(*) OVER (PARTITION BY bucket)::BIGINT AS bucket_n,
+               row_number() OVER (PARTITION BY bucket
+                   ORDER BY md5('density|' || CAST(vec_id AS VARCHAR)),
+                            vec_id)::BIGINT AS keep_rank
+        FROM bucketed
+    )
+    SELECT vec_id, bucket, bucket_n, keep_rank,
+           (bucket_n * 1000000 // least(bucket_n, 20))::BIGINT
+               AS weight_micro
+    FROM ranked WHERE keep_rank <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-7 front = the 21-query never-sampled
@@ -7840,6 +7882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "rank_fusion": q_rank_fusion,
     "boilerplate_segments": q_boilerplate_segments,
+    "density_sample": q_density_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -8001,4 +8044,5 @@ ORACLES: dict[str, str] = {
     "gopher_rules": SQL_GOPHER_RULES,
     "rank_fusion": SQL_RANK_FUSION,
     "boilerplate_segments": SQL_BOILERPLATE_SEGMENTS,
+    "density_sample": SQL_DENSITY_SAMPLE,
 }

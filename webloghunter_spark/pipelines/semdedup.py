@@ -38,6 +38,7 @@ from webloghunter_spark.functions.numeric import round_half_up
 from webloghunter_spark.functions.similarity import (
     grid_round_expr,
     dot_expr,
+    hyperplane_bucket_expr,
     ivf_assign,
     ivf_assign_fast,
     norm_expr,
@@ -190,3 +191,70 @@ def semantic_dedup(
     flags = impl(df, centroids, n_centroids, tau, id_col, vec_col)
     drop = flags.filter(F.col("is_dup")).select(id_col)
     return df.join(drop, id_col, "left_anti")
+
+
+def density_sample(
+    df: DataFrame,
+    cap: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: str = "density",
+) -> DataFrame:
+    """Diversity-preserving downsampling in embedding space (the
+    density-equalization step of DataComp/SemDeDup-style curation:
+    web corpora are wildly non-uniform in embedding space, and
+    training quality improves when over-dense regions are thinned
+    rather than sampled proportionally): bucket every vector with the
+    deterministic hyperplane-LSH hash (the knn_lsh/emb_drift bucket
+    family — no trained model, any engine re-derives it), then keep at
+    most `cap` vectors per bucket, winners chosen by the seeded
+    md5(seed|id) order key (the sample_exact_k convention).
+
+    Each kept row carries its bucket's population and an integer
+    inverse-density importance weight — ``weight_micro = bucket_n *
+    1_000_000 div kept_n`` — so a downstream loss can unbias the
+    thinning (survivors of a 10000-vector bucket capped at 100 carry
+    100x the weight of an uncut bucket's rows). Weights are exact
+    integers in any engine.
+
+    Returns (id_col, bucket, bucket_n, keep_rank, weight_micro).
+
+    Scale: ONE exchange on the bucket id; the count and the top-cap
+    rank ride the same window partitioning. 2^num_planes must exceed
+    the cluster's parallelism for balance — and the hot buckets that
+    would straggle a sort are exactly the ones the cap truncates, so
+    size num_planes to the corpus (more planes = finer cells), not to
+    the machine.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0, got {cap}")
+    from pyspark.sql import Window as W
+
+    from webloghunter_spark.pipelines.shard import order_key_expr
+
+    bucketed = df.select(
+        F.col(id_col),
+        hyperplane_bucket_expr(vec_col, num_planes, dim).alias("bucket"),
+        order_key_expr(id_col, seed).alias("_k"),
+    )
+    w = W.partitionBy("bucket")
+    out = bucketed.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn(
+        "keep_rank",
+        F.row_number().over(w.orderBy("_k", id_col)).cast("long"),
+    )
+    return (
+        out.filter(F.col("keep_rank") <= int(cap))
+        .select(
+            id_col,
+            "bucket",
+            "bucket_n",
+            "keep_rank",
+            F.expr(f"bucket_n * 1000000 div least(bucket_n, {int(cap)})")
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
