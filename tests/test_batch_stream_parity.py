@@ -488,6 +488,95 @@ def test_dist_drift_stream_replay_idempotent(spark):
     assert sum(fn.counts.values()) == 2 * sum(first.values())
 
 
+def test_contam_matrix_stream_replay_idempotent(spark):
+    """Replay guard for the matrix twin: the gram set-union is
+    idempotent but the docs counter is not — a re-delivered batch_id
+    must re-emit the current matrix without re-adding n_docs_hit."""
+    from webloghunter_spark.streaming.decontam import (
+        contamination_matrix_stream_writer,
+    )
+
+    evals = {
+        "setA": spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+    }
+    batch = spark.createDataFrame(
+        [(0, "x alpha beta gamma delta y")], "doc_id long, text string"
+    )
+    emitted = []
+    fn = contamination_matrix_stream_writer(
+        evals, lambda rows, bid: emitted.append(rows), n=4
+    )
+    try:
+        fn(batch, 0)
+        first = {k: (len(v["grams"]), v["docs"]) for k, v in fn.state.items()}
+        assert first["setA"][1] == 1
+        fn(batch, 0)  # replay: same batch_id
+        assert {
+            k: (len(v["grams"]), v["docs"]) for k, v in fn.state.items()
+        } == first  # docs counter NOT re-added
+        assert emitted[0] == emitted[1]  # but the sink re-saw the matrix
+        fn(batch, 1)  # a genuinely new batch does count
+        assert fn.state["setA"]["docs"] == 2
+    finally:
+        fn.release()
+
+
+def test_mix_temperature_stream_replay_idempotent(spark):
+    """Replay guard for the mix twin: re-delivered batch_id must not
+    re-add doc/token totals."""
+    from webloghunter_spark.streaming.mix import mix_temperature_stream_writer
+
+    batch = spark.createDataFrame(
+        [("web", "a b c"), ("code", "d e")], "source string, text string"
+    )
+    emitted = []
+    fn = mix_temperature_stream_writer(
+        lambda rows, bid: emitted.append(rows)
+    )
+    fn(batch, 0)
+    first = {k: list(v) for k, v in fn.totals.items()}
+    fn(batch, 0)  # replay: same batch_id
+    assert {k: list(v) for k, v in fn.totals.items()} == first
+    assert emitted[0] == emitted[1]
+    fn(batch, 1)  # a genuinely new batch does merge
+    assert fn.totals["web"] == [2, 6]
+
+
+def test_incremental_dedup_stream_replay_idempotent(spark):
+    """Replay guard for the incremental-dedup twin: the frozen index
+    makes `kept` deterministic, so a replayed batch re-emits the same
+    survivors but must not double the running counter/survivor list."""
+    from webloghunter_spark.streaming.incdedup import (
+        incremental_dedup_stream_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "completely novel words appearing nowhere in the corpus")],
+        "doc_id long, text string",
+    )
+    emitted = []
+    fn = incremental_dedup_stream_writer(
+        lambda rows, bid: emitted.append(rows),
+        corpus,
+        track_survivors=True,
+    )
+    try:
+        fn(batch, 0)
+        assert fn.survivor_count() == 1
+        fn(batch, 0)  # replay: same batch_id
+        assert fn.survivor_count() == 1  # not double-counted
+        assert fn.survivors == [10]
+        assert emitted[0] == emitted[1]  # sink re-saw the same rows
+    finally:
+        fn.release()
+
+
 def test_contam_spans_batch_stream_parity(spark, tmp_path):
     """foreachBatch contamination-span triage over a streamed train
     corpus (forced into multiple micro-batches) equals the batch

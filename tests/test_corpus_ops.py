@@ -590,6 +590,48 @@ def test_hard_negatives_label_prune_and_topk(spark):
     assert hard_negatives(qnull, store, k=2).count() == 0
 
 
+def test_hard_negatives_zero_norm_excluded(spark):
+    """Zero-norm vectors are excluded on both sides (the
+    triplet_mining contract): a zero-norm query emits NO rows instead
+    of k NULL-cosine smallest-id rows, and a zero-norm store row
+    never appears as a negative."""
+    from webloghunter_spark.functions.similarity import hard_negatives
+
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0], 7), (1, [1.0, 0.0], 7)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    store = spark.createDataFrame(
+        [(10, [0.0, 0.0], 3), (11, [0.6, 0.8], 3)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    rows = hard_negatives(qs, store, k=5).collect()
+    assert [(r.qid, r.vec_id) for r in rows] == [(1, 11)]
+
+
+def test_label_propagation_zero_norm_excluded(spark):
+    """Zero-norm seeds never vote and zero-norm unlabeled rows get no
+    prediction — in BOTH the expr path and the Arrow kernel."""
+    from webloghunter_spark.functions.similarity import (
+        label_propagation,
+        label_propagation_fast,
+    )
+
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0], 9), (1, [1.0, 0.0], 2), (2, [0.9, 0.1], 2)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    unl = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    for fn in (label_propagation, label_propagation_fast):
+        rows = fn(unl, seeds, k=3).collect()
+        assert [(r.vec_id, r.pred_label, r.votes) for r in rows] == [
+            (11, 2, 2)
+        ], fn.__name__
+
+
 def test_cluster_label_purity_contingency(spark):
     """Purity audit: majority label per cluster with smallest-label
     tie-break, NULL labels excluded, purity_bp round-half-up."""

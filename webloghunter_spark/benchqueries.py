@@ -5478,8 +5478,9 @@ SQL_PADDING_WASTE = r"""
            sum(seqs)::BIGINT AS n_seqs,
            sum(seqs * 128 - ntok)::BIGINT AS pad_tokens,
            CASE WHEN sum(seqs) > 0
-                THEN CAST(floor(sum(seqs * 128 - ntok) * 10000.0
-                                / (sum(seqs) * 128) + 0.5) AS BIGINT)
+                THEN ((sum(seqs * 128 - ntok)::BIGINT * 20000
+                       + sum(seqs)::BIGINT * 128)
+                      // (2 * sum(seqs)::BIGINT * 128))::BIGINT
                 ELSE 0 END AS waste_bp
     FROM x
     GROUP BY source
@@ -6330,8 +6331,9 @@ SQL_HARD_NEGATIVES = """
         FROM embeddings
     ),
     q AS (SELECT vec_id AS qid, label AS qlab, e AS qv
-          FROM v WHERE vec_id < 5),
-    s AS (SELECT vec_id, label, e FROM v WHERE vec_id >= 5),
+          FROM v WHERE vec_id < 5 AND list_dot_product(e, e) > 0),
+    s AS (SELECT vec_id, label, e FROM v
+          WHERE vec_id >= 5 AND list_dot_product(e, e) > 0),
     scored AS (
         SELECT qid, s.vec_id, s.label,
                round(list_dot_product(e, qv)
@@ -6424,8 +6426,10 @@ SQL_LABEL_PROPAGATION = """
         FROM embeddings
     ),
     s AS (SELECT vec_id AS sid, label AS slab, e AS sv
-          FROM v WHERE vec_id < 100 AND label IS NOT NULL),
-    u AS (SELECT vec_id, e FROM v WHERE vec_id >= 100),
+          FROM v WHERE vec_id < 100 AND label IS NOT NULL
+            AND list_dot_product(e, e) > 0),
+    u AS (SELECT vec_id, e FROM v
+          WHERE vec_id >= 100 AND list_dot_product(e, e) > 0),
     scored AS (
         SELECT u.vec_id, s.sid, s.slab,
                round(list_dot_product(u.e, s.sv)
@@ -7716,14 +7720,125 @@ SQL_DENSITY_SAMPLE = r"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-7 front = the 21-query never-sampled
-    # tail (incl. bloom_audit, red in r6 on the now-fixed oracle
-    # cast) + all 29 round-7 additions (substring_remove ..
-    # snapshot_diff, exactly filling slots 22-50); no recheck slots
-    # remain this round — everything else is covered by the committed
-    # HASHCHECK artifact. Round-8 rotation: front = the r7 queries the
-    # driver never sampled + round-8 additions + oldest-green
-    # rechecks.
+    # FIRST 50 entries. Round-8 front = the 10 round-7 queries the
+    # driver never sampled, then round-8 additions (inserted below the
+    # marker as they land), then oldest-green rechecks (last sampled in
+    # round 5) filling the remaining slots. Everything after slot 50 is
+    # covered by the committed full-registry HASHCHECK artifact.
+    # -- never driver-sampled (round-7 tail) --
+    "topic_classify": q_topic_classify,
+    "interleave_audit": q_interleave_audit,
+    "lang_consistency": q_lang_consistency,
+    "contam_matrix": q_contam_matrix,
+    "text_normalize": q_text_normalize,
+    "sample_exact_k": q_sample_exact_k,
+    "gopher_rules": q_gopher_rules,
+    "rank_fusion": q_rank_fusion,
+    "boilerplate_segments": q_boilerplate_segments,
+    "density_sample": q_density_sample,
+    # -- round-8 additions --
+    # -- oldest-green rechecks (last driver-sampled round 5) --
+    "pricing_summary": q_pricing_summary,
+    "top_revenue": q_top_revenue,
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "request_count": q_request_count,
+    "lag_delta": q_lag_delta,
+    "burst_detect": q_burst_detect,
+    "first_last": q_first_last,
+    "event_risk": q_event_risk,
+    "sigma_rules": q_sigma_rules,
+    "filter_api": q_filter_api,
+    "cidr_filter": q_cidr_filter,
+    "topk_per_group": q_topk_per_group,
+    "json_agg": q_json_agg,
+    "dedup_exact": q_dedup_exact,
+    "dedup_cross_source": q_dedup_cross_source,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality,
+    "lang_id": q_lang_id,
+    "minhash_signatures": q_minhash,
+    "lsh_pairs": q_lsh_pairs,
+    "knn_bruteforce": q_knn,
+    "parse_roundtrip": q_parse_roundtrip,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "neardup_embeddings": q_neardup_embeddings,
+    "burst_success": q_burst_success,
+    "tool_scan": q_tool_scan,
+    "tool_scan_single": q_tool_scan_single,
+    "tool_scan_windowed": q_tool_scan_windowed,
+    "knn_lsh": q_knn_lsh,
+    "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "doc_fingerprint_fast": q_doc_fingerprint_fast,
+    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
+    "knn_ivf": q_knn_ivf,
+    "tool_focus": q_tool_focus,
+    "uri_risk": q_uri_risk,
+    "bpe_tokens": q_bpe_tokens,
+    "salted_join": q_salted_join,
+    "salted_collect": q_salted_collect,
+    "rollup_counts": q_rollup_counts,
+    "trailing_rate": q_trailing_rate,
+    "asof_join": q_asof_join,
+    "train_split": q_train_split,
+    "domain_mix": q_domain_mix,
+    "segment_dedup": q_segment_dedup,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "charset_stats": q_charset_stats,
+    "bigram_logprob": q_bigram_logprob,
+    # -- last driver-sampled round 6 --
+    "quality_gate": q_quality_gate,
+    "novelty_frac": q_novelty_frac,
+    "source_overlap": q_source_overlap,
+    "token_entropy": q_token_entropy,
+    "knn_batch": q_knn_batch,
+    "ann_recall": q_ann_recall,
+    "media_sniff": q_media_sniff,
+    "media_decode": q_media_decode,
+    "shipping_priority": q_shipping_priority,
+    "dup_stats": q_dup_stats,
+    "returned_items": q_returned_items,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "tfidf_topk_salted": q_tfidf_topk_salted,
+    "corpus_stats": q_corpus_stats,
+    "quantize_emb": q_quantize_emb,
+    "knn_quantized": q_knn_quantized,
+    "simhash_pairs": q_simhash_pairs,
+    "referrer_hosts": q_referrer_hosts,
+    "funnel": q_funnel,
+    "pivot_counts": q_pivot_counts,
+    "clean_html": q_clean_html,
+    "mad_outliers": q_mad_outliers,
+    "pack_chunks": q_pack_chunks,
+    "rep_signals": q_rep_signals,
+    "pii_redact": q_pii_redact,
+    "near_dedup": q_near_dedup,
+    "near_dedup_cc": q_near_dedup_cc,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_fast": q_semantic_dedup_fast,
+    "kmeans_train": q_kmeans_train,
+    "kmeans_sizes": q_kmeans_sizes,
+    "mix_resample": q_mix_resample,
+    "chunk_sliding": q_chunk_sliding,
+    "jl_project": q_jl_project,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "shard_manifest": q_shard_manifest,
+    "quality_ecdf": q_quality_ecdf,
+    "hll_distinct": q_hll_distinct,
+    "pagerank": q_pagerank,
+    "pack_bins": q_pack_bins,
+    "lsh_recall": q_lsh_recall,
+    "gapfill_hourly": q_gapfill_hourly,
+    "fuzzy_match": q_fuzzy_match,
+    "value_quantiles": q_value_quantiles,
+    "decontam_bloom": q_decontam_bloom,
+    "weighted_sample": q_weighted_sample,
+    # -- last driver-sampled round 7 --
     "bloom_audit": q_bloom_audit,
     "cc_representatives": q_cc_representatives,
     "contam_spans": q_contam_spans,
@@ -7774,115 +7889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triplet_mining": q_triplet_mining,
     "epoch_order": q_epoch_order,
     "snapshot_diff": q_snapshot_diff,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue": q_top_revenue,
-    "sessionize": q_sessionize,
-    "session_stats": q_session_stats,
-    "request_count": q_request_count,
-    "lag_delta": q_lag_delta,
-    "burst_detect": q_burst_detect,
-    "first_last": q_first_last,
-    "event_risk": q_event_risk,
-    "sigma_rules": q_sigma_rules,
-    "filter_api": q_filter_api,
-    "cidr_filter": q_cidr_filter,
-    "topk_per_group": q_topk_per_group,
-    "json_agg": q_json_agg,
-    "dedup_exact": q_dedup_exact,
-    "dedup_cross_source": q_dedup_cross_source,
-    "token_stats": q_token_stats,
-    "quality_score": q_quality,
-    "lang_id": q_lang_id,
-    "minhash_signatures": q_minhash,
-    "lsh_pairs": q_lsh_pairs,
-    "quality_gate": q_quality_gate,
-    "novelty_frac": q_novelty_frac,
-    "source_overlap": q_source_overlap,
-    "token_entropy": q_token_entropy,
-    "knn_batch": q_knn_batch,
-    "ann_recall": q_ann_recall,
-    "media_sniff": q_media_sniff,
-    "media_decode": q_media_decode,
-    "shipping_priority": q_shipping_priority,
-    "dup_stats": q_dup_stats,
-    "returned_items": q_returned_items,
-    "vocab_topk": q_vocab_topk,
-    "tfidf_topk": q_tfidf_topk,
-    "tfidf_topk_salted": q_tfidf_topk_salted,
-    "corpus_stats": q_corpus_stats,
-    "quantize_emb": q_quantize_emb,
-    "knn_quantized": q_knn_quantized,
-    "simhash_pairs": q_simhash_pairs,
-    "referrer_hosts": q_referrer_hosts,
-    "funnel": q_funnel,
-    "pivot_counts": q_pivot_counts,
-    "clean_html": q_clean_html,
-    "mad_outliers": q_mad_outliers,
-    "pack_chunks": q_pack_chunks,
-    "rep_signals": q_rep_signals,
-    "pii_redact": q_pii_redact,
-    "near_dedup": q_near_dedup,
-    "near_dedup_cc": q_near_dedup_cc,
-    "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_fast": q_semantic_dedup_fast,
-    "kmeans_train": q_kmeans_train,
-    "kmeans_sizes": q_kmeans_sizes,
-    "mix_resample": q_mix_resample,
-    "chunk_sliding": q_chunk_sliding,
-    "jl_project": q_jl_project,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "shard_manifest": q_shard_manifest,
-    "quality_ecdf": q_quality_ecdf,
-    "hll_distinct": q_hll_distinct,
-    "pagerank": q_pagerank,
-    "pack_bins": q_pack_bins,
-    "lsh_recall": q_lsh_recall,
-    "gapfill_hourly": q_gapfill_hourly,
-    "fuzzy_match": q_fuzzy_match,
-    "value_quantiles": q_value_quantiles,
-    "decontam_bloom": q_decontam_bloom,
-    "weighted_sample": q_weighted_sample,
-    "knn_bruteforce": q_knn,
-    "parse_roundtrip": q_parse_roundtrip,
-    "jaccard_pairs": q_jaccard_pairs,
-    "simhash": q_simhash,
-    "neardup_embeddings": q_neardup_embeddings,
-    "burst_success": q_burst_success,
-    "tool_scan": q_tool_scan,
-    "tool_scan_single": q_tool_scan_single,
-    "tool_scan_windowed": q_tool_scan_windowed,
-    "knn_lsh": q_knn_lsh,
-    "doc_fingerprint": q_doc_fingerprint,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "doc_fingerprint_fast": q_doc_fingerprint_fast,
-    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
-    "knn_ivf": q_knn_ivf,
-    "tool_focus": q_tool_focus,
-    "uri_risk": q_uri_risk,
-    "bpe_tokens": q_bpe_tokens,
-    "salted_join": q_salted_join,
-    "salted_collect": q_salted_collect,
-    "rollup_counts": q_rollup_counts,
-    "trailing_rate": q_trailing_rate,
-    "asof_join": q_asof_join,
-    "train_split": q_train_split,
-    "domain_mix": q_domain_mix,
-    "segment_dedup": q_segment_dedup,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "charset_stats": q_charset_stats,
-    "bigram_logprob": q_bigram_logprob,
-    "topic_classify": q_topic_classify,
-    "interleave_audit": q_interleave_audit,
-    "lang_consistency": q_lang_consistency,
-    "contam_matrix": q_contam_matrix,
-    "text_normalize": q_text_normalize,
-    "sample_exact_k": q_sample_exact_k,
-    "gopher_rules": q_gopher_rules,
-    "rank_fusion": q_rank_fusion,
-    "boilerplate_segments": q_boilerplate_segments,
-    "density_sample": q_density_sample,
 }
 
 ORACLES: dict[str, str] = {

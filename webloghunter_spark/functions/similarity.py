@@ -614,6 +614,10 @@ def hard_negatives(
     models learn boundaries instead of memorizing easy contrasts.
     Output: (qid, id, label, cosine), top-k per query by
     (cosine desc, id asc); NULL-labeled rows never match (either side).
+    Zero-norm vectors have no direction — cosine against them is
+    NULL/NaN, which would silently turn a query's "top-k hardest
+    negatives" into the k smallest-id rows — so they are excluded on
+    BOTH sides (the triplet_mining contract).
 
     Scale: one store scan regardless of batch size — the query batch
     (ids + labels + vectors) is broadcast into a crossJoin, the label
@@ -627,18 +631,26 @@ def hard_negatives(
             F.col(id_col).alias("qid"),
             F.col(label_col).alias("_qlab"),
             F.col(vec_col).alias("_qv"),
-        )
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        ).filter(F.col("_qn") > 0)
+    )
+    st = store.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).alias("_sv"),
+        norm_expr(F.col(vec_col)).alias("_sn"),
+    ).filter(F.col("_sn") > 0)
+    raw = dot_expr(F.col("_sv"), F.col("_qv")) / (
+        F.col("_sn") * F.col("_qn")
     )
     scored = (
-        store.crossJoin(q)
+        st.crossJoin(q)
         .filter(F.col(label_col) != F.col("_qlab"))
         .select(
             "qid",
             id_col,
             label_col,
-            grid_round_expr(
-                cosine_expr(F.col(vec_col), F.col("_qv")), round_digits
-            ).alias("cosine"),
+            grid_round_expr(raw, round_digits).alias("cosine"),
         )
     )
     from pyspark.sql import Window as _W
@@ -667,7 +679,10 @@ def label_propagation(
     label of its k nearest seeds by cosine; vote ties break to the
     smaller label, neighbor ties at the cosine boundary to the
     smaller seed id. Output: (id, pred_label, votes) per unlabeled
-    row; NULL-labeled seeds are ignored.
+    row; NULL-labeled seeds are ignored, and zero-norm vectors are
+    excluded on BOTH sides (no direction -> NULL cosine would silently
+    hand the vote to the k smallest-id seeds; the triplet_mining
+    contract).
 
     Scale: the SEED side is the broadcast (labeled data is the small
     side in SSL — thousands against a corpus of billions); the big
@@ -691,13 +706,13 @@ def label_propagation(
             F.col(label_col).alias("_slab"),
             F.col(vec_col).alias("_sv"),
             norm_expr(F.col(vec_col)).alias("_sn"),
-        )
+        ).filter(F.col("_sn") > 0)
     )
     u = unlabeled.select(
         F.col(id_col),
         F.col(vec_col).alias("_uv"),
         norm_expr(F.col(vec_col)).alias("_un"),
-    )
+    ).filter(F.col("_un") > 0)
     raw = dot_expr(F.col("_uv"), F.col("_sv")) / (
         F.col("_un") * F.col("_sn")
     )
@@ -778,6 +793,18 @@ def label_propagation_fast(
         .collect()
     )
     rows.sort(key=lambda r: r[0])
+    # zero-norm exclusion on both sides, matching the expr twin
+    rows = [
+        r
+        for r in rows
+        if float(
+            np.dot(
+                np.asarray(r[2], dtype=np.float64),
+                np.asarray(r[2], dtype=np.float64),
+            )
+        )
+        > 0
+    ]
     if not rows:
         return unlabeled.sparkSession.createDataFrame(
             [], f"{id_col} long, pred_label long, votes long"
@@ -792,7 +819,13 @@ def label_propagation_fast(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            s = (v @ c.T) / np.outer(np.sqrt((v * v).sum(axis=1)), cn)
+            vn = np.sqrt((v * v).sum(axis=1))
+            keep = vn > 0  # zero-norm rows excluded, like the expr twin
+            if not keep.all():
+                pdf, v, vn = pdf[keep], v[keep], vn[keep]
+                if len(pdf) == 0:
+                    continue
+            s = (v @ c.T) / np.outer(vn, cn)
             s = round_half_up(s, round_digits)
             order = np.argsort(-s, axis=1, kind="stable")[:, :kk]
             top_lab = sl[order]

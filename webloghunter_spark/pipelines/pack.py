@@ -245,7 +245,11 @@ def padding_waste(
             "_pad", F.col("_seqs") * max_seq_len - F.col("_ntok")
         )
     )
-    denom = F.col("n_seqs") * max_seq_len
+    # waste_bp on the exact integer cross-multiply grid
+    # (x*20000 + den) div (2*den) — round-half-up with NO double
+    # quotient, so the bp value cannot flip at a boundary across
+    # engines (the interleave_audit / lang_consistency convention)
+    L = int(max_seq_len)
     return (
         per.groupBy(group_col)
         .agg(
@@ -262,8 +266,9 @@ def padding_waste(
             "pad_tokens",
             F.when(
                 F.col("n_seqs") > 0,
-                F.floor(
-                    F.col("pad_tokens") * 10000.0 / denom + F.lit(0.5)
+                F.expr(
+                    f"(pad_tokens * 20000 + n_seqs * {L}) "
+                    f"div (2 * n_seqs * {L})"
                 ),
             )
             .otherwise(F.lit(0))

@@ -209,25 +209,32 @@ def contamination_matrix_stream_writer(
     state: dict = {
         name: {"grams": set(), "docs": 0} for name in eval_sets
     }
+    seen_batches: set[int] = set()
 
     def _bp(hit: int, tot: int):
         return (hit * 20000 + tot) // (2 * tot) if tot > 0 else None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        per_set = (
-            _doc_shingles(batch_df, id_col, text_col, n)
-            .join(F.broadcast(tagged), "_gram", "inner")
-            .groupBy("eval_set")
-            .agg(
-                F.collect_set("_gram").alias("grams"),
-                F.countDistinct(id_col).alias("n_docs"),
+        # foreachBatch is at-least-once: a replayed micro-batch arrives
+        # with the SAME batch_id. The gram set-union is idempotent but
+        # the docs counter is NOT — re-adding it would permanently break
+        # the every-prefix parity invariant, so replays only re-emit.
+        if batch_id not in seen_batches:
+            seen_batches.add(batch_id)
+            per_set = (
+                _doc_shingles(batch_df, id_col, text_col, n)
+                .join(F.broadcast(tagged), "_gram", "inner")
+                .groupBy("eval_set")
+                .agg(
+                    F.collect_set("_gram").alias("grams"),
+                    F.countDistinct(id_col).alias("n_docs"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        for r in per_set:
-            s = state[r["eval_set"]]
-            s["grams"].update(r["grams"])
-            s["docs"] += int(r["n_docs"])
+            for r in per_set:
+                s = state[r["eval_set"]]
+                s["grams"].update(r["grams"])
+                s["docs"] += int(r["n_docs"])
         sink(
             [
                 (

@@ -65,6 +65,7 @@ def incremental_dedup_stream_writer(
 
     survivors: list = []
     counts = {"n": 0}
+    seen_batches: set[int] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         nb = lsh_band_signatures(
@@ -110,9 +111,14 @@ def incremental_dedup_stream_writer(
             .select(id_col)
             .collect()
         ]
-        counts["n"] += len(kept)
-        if track_survivors:
-            survivors.extend(k for k, in kept)
+        # foreachBatch is at-least-once: the frozen index makes `kept`
+        # deterministic per batch, so a replay re-emits the same rows,
+        # but the running counter / survivor list must not re-add them.
+        if batch_id not in seen_batches:
+            seen_batches.add(batch_id)
+            counts["n"] += len(kept)
+            if track_survivors:
+                survivors.extend(k for k, in kept)
         sink(kept, batch_id)
 
     def release() -> None:

@@ -78,19 +78,28 @@ def mix_temperature_stream_writer(
             )
         return out
 
+    seen_batches: set[int] = set()
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        rows = (
-            batch_df.groupBy(group_col)
-            .agg(
-                F.count(F.lit(1)).alias("_d"),
-                F.sum(token_count_expr(text_col).cast("long")).alias("_t"),
+        # foreachBatch is at-least-once: a replayed micro-batch arrives
+        # with the SAME batch_id — re-adding its doc/token totals would
+        # double-count, so replays only re-emit the current weights.
+        if batch_id not in seen_batches:
+            seen_batches.add(batch_id)
+            rows = (
+                batch_df.groupBy(group_col)
+                .agg(
+                    F.count(F.lit(1)).alias("_d"),
+                    F.sum(
+                        token_count_expr(text_col).cast("long")
+                    ).alias("_t"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        for r in rows:
-            cur = state.setdefault(r[group_col], [0, 0])
-            cur[0] += int(r["_d"])
-            cur[1] += int(r["_t"] or 0)
+            for r in rows:
+                cur = state.setdefault(r[group_col], [0, 0])
+                cur[0] += int(r["_d"])
+                cur[1] += int(r["_t"] or 0)
         sink(weights(), batch_id)
 
     process.totals = state
