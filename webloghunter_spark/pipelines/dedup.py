@@ -220,8 +220,12 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    # stored-value half-up grid, not F.round (shortest-repr HALF_UP
+    # diverges from DuckDB round() on grid-line doubles)
     return j.filter(F.col("jaccard") >= threshold).withColumn(
-        "jaccard", F.round("jaccard", 4)
+        "jaccard", grid_round_expr(F.col("jaccard"), 4)
     )
 
 

@@ -124,14 +124,23 @@ def kmeans_fit(
         # the deterministic-trainer contract, like the per-round
         # centroid rounding.
         grid = 10.0 ** round_digits
-        micro = F.round(F.col("val") * grid).cast("long")
+        # stored-value half-away-from-zero grid, not F.round: F.round
+        # is HALF_UP on the double's shortest decimal repr and can
+        # diverge from DuckDB round() on grid-line doubles
+        mc = F.col("val") * grid
+        micro = (F.signum(mc) * F.floor(F.abs(mc) + F.lit(0.5))).cast(
+            "long"
+        )
+        mean = F.sum(micro) / F.count(F.lit(1)) / grid
         means = (
             assigned.join(df.select(id_col, vec_col), id_col)
             .select("cent_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cent_id", "pos")
             .agg(
-                F.round(
-                    F.sum(micro) / F.count(F.lit(1)) / grid, round_digits
+                (
+                    F.signum(mean)
+                    * F.floor(F.abs(mean) * grid + F.lit(0.5))
+                    / grid
                 ).alias("val")
             )
             .collect()
@@ -256,14 +265,15 @@ def kmeans_cluster_sizes(
     dependence put the raw avg within 1e-13 of a rounding boundary on
     real data, flipping the last digit between engines. Integer sums
     are order-free, so the division result is bit-identical anywhere."""
-    micro = F.round(F.col("dist") * 1e6).cast("long")
+    # stored-value half-up grid, not F.round (dist >= 0 so signum is
+    # omitted on the micro cast; the mean keeps it for uniformity)
+    micro = F.floor(F.col("dist") * 1e6 + F.lit(0.5)).cast("long")
+    mean = F.sum(micro) / F.count(F.lit(1)) / 1e6
     return (
         assigned.groupBy("cent_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(micro) / F.count(F.lit(1)) / 1e6, 6).alias(
-                "mean_dist"
-            ),
+            (F.floor(mean * 1e6 + F.lit(0.5)) / 1e6).alias("mean_dist"),
         )
     )
 
