@@ -1412,3 +1412,169 @@ def test_boilerplate_batch_stream_parity(spark, tmp_path):
         fn.release()
     assert seen["batches"] >= 3
     assert seen["last"] == expected
+
+
+def test_density_sample_batch_stream_parity(spark, tmp_path):
+    """Cumulative streaming density_sample equals the batch operator
+    over everything streamed so far at EVERY prefix: buckets and the
+    seeded order key are pure functions of the data, so the bounded
+    per-bucket (count, top-cap kept set) driver state reproduces the
+    batch window exactly — including a later arrival displacing an
+    earlier winner."""
+    import numpy as np
+
+    from webloghunter_spark.pipelines.semdedup import density_sample
+    from webloghunter_spark.streaming.semdedup import (
+        density_sample_stream_writer,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = tmp_path / "dens_src"
+    emb.filter(F.col("vec_id") < 20).write.parquet(str(src / "a"))
+    emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 40)
+    ).write.parquet(str(src / "b"))
+    emb.filter(F.col("vec_id") >= 40).write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+
+    def sink(out_rows, batch_id):
+        seen["last"] = out_rows
+        seen["batches"] += 1
+
+    fn = density_sample_stream_writer(
+        sink, cap=3, num_planes=3, dim=8
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dens"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 3
+    expected = sorted(
+        tuple(r)
+        for r in density_sample(
+            emb, cap=3, num_planes=3, dim=8
+        ).collect()
+    )
+    assert sorted(seen["last"]) == expected
+
+
+def test_density_sample_stream_replay_idempotent(spark):
+    """Replay guard: a re-delivered batch_id must not re-add bucket
+    counts (kept-set merge is idempotent; the counter is not)."""
+    from webloghunter_spark.streaming.semdedup import (
+        density_sample_stream_writer,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    emitted = []
+    fn = density_sample_stream_writer(
+        lambda rows, bid: emitted.append(rows), cap=5, num_planes=3, dim=8
+    )
+    fn(emb, 0)
+    first = {b: s["n"] for b, s in fn.state.items()}
+    fn(emb, 0)  # replay
+    assert {b: s["n"] for b, s in fn.state.items()} == first
+    assert emitted[0] == emitted[1]
+    fn(emb, 1)  # genuinely new batch merges
+    assert {b: s["n"] for b, s in fn.state.items()} == {
+        b: 2 * n for b, n in first.items()
+    }
+
+
+def test_gopher_rules_stream_stateless_parity(spark, tmp_path):
+    """gopher_rules is one stateless projection: accumulated streaming
+    output equals the batch matrix row-for-row."""
+    from webloghunter_spark.pipelines.gate import gopher_rules
+    from webloghunter_spark.streaming.gate import gopher_rules_stream
+
+    rows = [
+        (1, " ".join(f"word{i} the and" for i in range(30))),
+        (2, "short"),
+        (3, None),
+        (4, "- a\n- b\n- c\nnormal line with the and of words " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = sorted(tuple(r) for r in gopher_rules(docs).collect())
+    src = tmp_path / "goph_src"
+    docs.filter(F.col("doc_id") <= 2).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") > 2).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_dir = tmp_path / "goph_out"
+    q = (
+        gopher_rules_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_goph"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out_dir)).collect())
+    assert got == expected
+
+
+def test_bpe_apply_stream_frozen_merges_parity(spark, tmp_path):
+    """bpe_apply under a FROZEN merge table is stateless: streaming the
+    held-out corpus through the twin equals the batch operator."""
+    from webloghunter_spark.pipelines.bpe import bpe_apply, bpe_merge_learn
+    from webloghunter_spark.streaming.gate import bpe_apply_stream
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "the cat sat on a hat")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (int(r.step), r.sym_a, r.sym_b)
+        for r in bpe_merge_learn(train, steps=3).collect()
+    ]
+    held = spark.createDataFrame(
+        [(10, "the cat sat on a log"), (11, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    expected = sorted(tuple(r) for r in bpe_apply(held, merges).collect())
+    src = tmp_path / "bpea_src"
+    held.filter(F.col("doc_id") == 10).write.parquet(str(src / "a"))
+    held.filter(F.col("doc_id") == 11).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(held.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_dir = tmp_path / "bpea_out"
+    q = (
+        bpe_apply_stream(stream, merges)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_bpea"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out_dir)).collect())
+    assert got == expected

@@ -533,6 +533,49 @@ def test_bpe_encode_compression_report(spark):
     assert out == {1: (3, 3, 0), 2: (3, 3, 0)}
 
 
+def test_bpe_apply_frozen_merges_on_unseen_text(spark):
+    """bpe_apply: merges trained on one corpus, applied FROZEN to
+    held-out docs — segments only the patterns the trainer learned,
+    re-encoding the training corpus reproduces bpe_encode exactly,
+    and an empty merge table is the identity."""
+    from webloghunter_spark.pipelines.bpe import (
+        bpe_apply,
+        bpe_encode,
+        bpe_merge_learn,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "the cat sat on a hat"),
+         (3, "a a a a a")],
+        "doc_id long, text string",
+    )
+    merges = bpe_merge_learn(train, steps=4)
+    held_out = spark.createDataFrame(
+        [(10, "the cat sat on a log"),   # hits (the,cat),(sat,on),(merged pair)
+         (11, "a a a dog"),              # hits (a,a) once under 3-pass
+         (12, "nothing learned here"),   # identity
+         (13, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.ntok, r.n_symbols, r.saved_bp)
+            for r in bpe_apply(held_out, merges).collect()}
+    # doc 10: the^cat^sat^on a log -> 3 symbols of 6 toks
+    assert rows[10] == (6, 3, 5000)
+    # doc 11: a^a a dog -> 3 symbols of 4 toks
+    assert rows[11] == (4, 3, 2500)
+    assert rows[12] == (3, 3, 0)
+    assert rows[13] == (0, 0, 0)
+    # re-encoding the training corpus with its own merges == bpe_encode
+    enc = sorted(tuple(r) for r in bpe_encode(train, steps=4).collect())
+    app = sorted(tuple(r) for r in bpe_apply(train, merges).collect())
+    assert app == enc
+    # empty merge table -> identity segmentation
+    ident = {r.doc_id: (r.ntok, r.n_symbols, r.saved_bp)
+             for r in bpe_apply(held_out, []).collect()}
+    assert ident[10] == (6, 6, 0) and ident[13] == (0, 0, 0)
+
+
 def test_mmr_select_diversity_beats_redundancy(spark):
     """MMR: pick 1 is the most query-relevant vector; with a low
     lambda the next pick skips a near-duplicate of pick 1 in favor of

@@ -186,3 +186,58 @@ def test_build_training_dataset_round_trip(spark, tmp_path):
     assert sorted(recomputed) == report["manifest"]
     # the upsampled tail source appears in more than one epoch
     assert max(e for e, _, _, _ in report["manifest"]) >= 1
+    # the consumer-side verifier — digests from PHYSICAL file row
+    # order — agrees with the manifest on every shard
+    from webloghunter_spark.pipelines.dataset import verify_training_dataset
+
+    verdicts = verify_training_dataset(spark, path, report["manifest"])
+    assert verdicts and all(v[-1] for v in verdicts)
+    assert {(v[0], v[1]) for v in verdicts} == {
+        (e, s) for e, s, _, _ in report["manifest"]
+    }
+
+
+def test_verify_training_dataset_catches_corruption(spark, tmp_path):
+    """Corrupting one shard's row ORDER (same rows, same position
+    column values — only the physical file order flips) fails exactly
+    that shard; a missing shard and a phantom manifest cell are
+    reported as not-ok, not silently skipped."""
+    from webloghunter_spark.pipelines.dataset import (
+        build_training_dataset,
+        verify_training_dataset,
+    )
+
+    rows = [
+        (i, "src", " ".join(f"w{i}x{j}" for j in range(20)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    path = str(tmp_path / "ds")
+    report = build_training_dataset(
+        docs, path, min_quality_bp=None, near_dedup_threshold=None,
+        max_epochs=1, n_shards=2, seed="s",
+    )
+    ok = verify_training_dataset(spark, path, report["manifest"])
+    assert all(v[-1] for v in ok)
+    # rewrite one shard with its row order REVERSED (position column
+    # kept verbatim, so only the physical order lies)
+    e0, s0 = report["manifest"][0][0], report["manifest"][0][1]
+    cell = f"{path}/epoch={e0}/shard_id={s0}"
+    pdfs = spark.read.parquet(cell).toPandas()[::-1].reset_index(drop=True)
+    spark.createDataFrame(pdfs).coalesce(1).write.mode("overwrite").parquet(cell)
+    verdicts = verify_training_dataset(spark, path, report["manifest"])
+    bad = {(v[0], v[1]) for v in verdicts if not v[-1]}
+    assert bad == {(e0, s0)}
+    # missing shard on disk and phantom manifest cell both flag
+    import shutil
+
+    shutil.rmtree(cell)
+    phantom = report["manifest"] + [(9, 9, 1, 123)]
+    verdicts = verify_training_dataset(spark, path, phantom)
+    flags = {(v[0], v[1]): v[-1] for v in verdicts}
+    assert flags[(e0, s0)] is False and flags[(9, 9)] is False
+    assert all(
+        v
+        for (e, s), v in flags.items()
+        if (e, s) not in {(e0, s0), (9, 9)}
+    )

@@ -6176,6 +6176,158 @@ SQL_BPE_ENCODE = r"""
 """
 
 
+
+def q_bpe_apply(spark, sf_dir):
+    """Deployment half of the tokenizer lifecycle: merges trained on
+    the even-doc_id half of the corpus, applied FROZEN to the unseen
+    odd half (the bigram_logprob_frozen discipline). Training is the
+    usual steps x 2 combinable passes; application is ONE stateless
+    whole-stage-codegen'd projection — 12 chained replace()s, no
+    shuffle, no per-round state. The oracle re-learns the merges on
+    the train half and replays the replace chain on the held-out
+    half."""
+    from webloghunter_spark.pipelines.bpe import bpe_apply, bpe_merge_learn
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    merges = bpe_merge_learn(docs.filter(F.col("doc_id") % 2 == 0), steps=4)
+    return bpe_apply(docs.filter(F.col("doc_id") % 2 == 1), merges)
+
+
+SQL_BPE_APPLY = r"""
+    WITH ttoks AS (
+        SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    ts0 AS (
+        SELECT ' ' || array_to_string(t, ' ') || ' ' AS s FROM ttoks
+    ),
+    p1 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM ts0 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m1 AS (
+        SELECT a, b, cnt FROM p1 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ts1 AS (
+        SELECT replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))) AS s
+        FROM ts0
+    ),
+    p2 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM ts1 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m2 AS (
+        SELECT a, b, cnt FROM p2 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ts2 AS (
+        SELECT replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))) AS s
+        FROM ts1
+    ),
+    p3 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM ts2 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m3 AS (
+        SELECT a, b, cnt FROM p3 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ts3 AS (
+        SELECT replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))) AS s
+        FROM ts2
+    ),
+    p4 AS (
+        SELECT tt[i] AS a, tt[i + 1] AS b, count(*)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(s), ' ') AS tt
+              FROM ts3 WHERE length(trim(s)) > 0),
+             LATERAL (SELECT unnest(generate_series(1, len(tt) - 1)) AS i)
+        GROUP BY 1, 2
+    ),
+    m4 AS (
+        SELECT a, b, cnt FROM p4 WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    ts4 AS (
+        SELECT replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))) AS s
+        FROM ts3
+    ),
+    atoks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    as0 AS (
+        SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS s FROM atoks
+    ),
+    as1 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m1), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m1), chr(2))) AS s
+        FROM as0
+    ),
+    as2 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m2), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m2), chr(2))) AS s
+        FROM as1
+    ),
+    as3 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m3), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m3), chr(2))) AS s
+        FROM as2
+    ),
+    as4 AS (
+        SELECT doc_id, replace(replace(replace(s,
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))),
+            coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM m4), chr(2)), coalesce((SELECT ' ' || a || chr(1) || b || ' ' FROM m4), chr(2))) AS s
+        FROM as3
+    ),
+    rep AS (
+        SELECT t.doc_id,
+               len(t.t)::BIGINT AS ntok,
+               CASE WHEN length(trim(f.s)) = 0 THEN 0
+                    ELSE len(string_split(trim(f.s), ' ')) END::BIGINT
+                   AS n_symbols
+        FROM atoks t JOIN as4 f USING (doc_id)
+    )
+    SELECT doc_id, ntok, n_symbols,
+           CASE WHEN ntok > 0
+                THEN ((ntok - n_symbols) * 20000 + ntok)
+                     // (2 * ntok)
+                ELSE 0 END::BIGINT AS saved_bp
+    FROM rep
+"""
+
 def q_mmr_select(spark, sf_dir):
     """Greedy maximal-marginal-relevance pick of 4 vectors balancing
     relevance to vec_id 0 against redundancy with prior picks
@@ -7737,6 +7889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments": q_boilerplate_segments,
     "density_sample": q_density_sample,
     # -- round-8 additions --
+    "bpe_apply": q_bpe_apply,
     # -- oldest-green rechecks (last driver-sampled round 5) --
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -7925,6 +8078,7 @@ ORACLES: dict[str, str] = {
     "mix_solver": SQL_MIX_SOLVER,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
+    "bpe_apply": SQL_BPE_APPLY,
     "mmr_select": SQL_MMR_SELECT,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "cluster_purity": SQL_CLUSTER_PURITY,

@@ -164,3 +164,62 @@ def bpe_encode(
         .cast("long")
         .alias("saved_bp"),
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame | list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a FROZEN merge table to UNSEEN text — the deployment half
+    of the tokenizer lifecycle (train once on a reference corpus, then
+    tokenize every future crawl with the same vocabulary; the
+    bigram_logprob_frozen discipline, functions/lm.py). `merges` is a
+    bpe_merge_learn output frame — (step, sym_a, sym_b, ...) — or an
+    equivalent list of tuples; merges are applied in step order with
+    the same 3-pass delimiter replace the trainer used, so a corpus
+    re-encoded with its own training merges reproduces bpe_encode
+    exactly. Returns (id, ntok, n_symbols, saved_bp) per document;
+    saved_bp on the exact integer cross-multiply grid.
+
+    Scale: the merge table is tiny driver state (steps rows), so the
+    whole application is ONE narrow stateless projection — steps x 3
+    chained replace() calls inside a single whole-stage-codegen'd map,
+    no shuffle, no per-round materialization (training needs a count
+    aggregate between rounds; application does not). An empty merge
+    table degrades to the identity segmentation (n_symbols = ntok)."""
+    if isinstance(merges, DataFrame):
+        rows = merges.select("step", "sym_a", "sym_b").collect()
+        table = sorted((int(r[0]), r[1], r[2]) for r in rows)
+    else:
+        table = sorted((int(m[0]), m[1], m[2]) for m in merges)
+    toks = tokens_expr(text_col)
+    s = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    for _, a, b in table:
+        pat, rep = f" {a} {b} ", f" {a}{BPE_SEP}{b} "
+        for _ in range(3):
+            s = F.replace(s, F.lit(pat), F.lit(rep))
+    nsym = (
+        F.when(F.length(F.trim(s)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(s), " ")))
+        .cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("ntok"),
+        nsym.alias("n_symbols"),
+    ).select(
+        id_col,
+        "ntok",
+        "n_symbols",
+        F.when(
+            F.col("ntok") > 0,
+            F.expr(
+                "((ntok - n_symbols) * 20000 + ntok) div (2 * ntok)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_bp"),
+    )

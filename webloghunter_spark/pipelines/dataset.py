@@ -130,3 +130,85 @@ def build_training_dataset(
         "n_documents": n_docs,
         "n_instances": sum(m[2] for m in manifest),
     }
+
+
+def verify_training_dataset(
+    spark,
+    path: str,
+    manifest: list[tuple],
+    id_col: str = "doc_id",
+) -> list[tuple]:
+    """Consumer-side check of a build_training_dataset layout: re-read
+    the ``epoch=E/shard_id=K`` partitions and recompute each shard's
+    order digest from the PHYSICAL file row order — via the parquet
+    ``_metadata.file_path`` / ``_metadata.row_index`` hidden columns,
+    so the digest position is where the row actually sits in the file
+    (files within a shard ordered by name), NOT the stored `position`
+    column. A writer that shuffled rows but kept the column intact, a
+    truncated file, or a dropped/extra shard all surface here.
+
+    Returns one row per (epoch, shard_id) across the union of
+    manifest and on-disk cells, sorted: (epoch, shard_id, n_rows,
+    order_digest, manifest_n_rows, manifest_digest, ok) — n_rows /
+    digest None for cells missing on disk, manifest fields None for
+    unexpected cells.
+
+    Scale: one scan of the dataset; the per-shard position is a
+    window over (file_path, row_index) — already co-located by the
+    partition layout — and the digest is the same order-free bit_xor
+    the writer used, so verification is one exchange + one combinable
+    aggregate regardless of shard count."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(path).select(
+        F.col(id_col),
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+    w = W.partitionBy("epoch", "shard_id").orderBy("_fp", "_ri")
+    dig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("@"),
+                    (F.row_number().over(w) - 1).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    actual = {
+        (int(r["epoch"]), int(r["shard_id"])): (
+            int(r["n_rows"]),
+            int(r["order_digest"]),
+        )
+        for r in df.withColumn("_dig", dig)
+        .groupBy("epoch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("_dig").alias("order_digest"),
+        )
+        .collect()
+    }
+    expected = {(int(e), int(s)): (int(n), int(d)) for e, s, n, d in manifest}
+    out = []
+    for cell in sorted(set(actual) | set(expected)):
+        a, m = actual.get(cell), expected.get(cell)
+        out.append(
+            (
+                cell[0],
+                cell[1],
+                a[0] if a else None,
+                a[1] if a else None,
+                m[0] if m else None,
+                m[1] if m else None,
+                a is not None and a == m,
+            )
+        )
+    return out

@@ -130,3 +130,35 @@ def quality_gate_stream_writer(
 
     process.release = release  # free the frozen model after stream stop
     return process
+
+
+def gopher_rules_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **rule_kwargs,
+) -> DataFrame:
+    """Stateless streaming twin of pipelines/gate.gopher_rules: the
+    rule matrix is ONE whole-stage-codegen projection (per-row token/
+    line/count expressions, no shuffle, no state), so the batch plan
+    is stream-safe as-is — use directly in a writeStream pipeline."""
+    from webloghunter_spark.pipelines.gate import gopher_rules
+
+    return gopher_rules(stream, text_col, id_col, **rule_kwargs)
+
+
+def bpe_apply_stream(
+    stream: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless streaming twin of pipelines/bpe.bpe_apply: with a
+    FROZEN merge table (trained batch-side — the same
+    frozen-reference discipline as the LM gate above) application is
+    a single narrow replace-chain projection, stream-safe as-is.
+    `merges` must be a collected list of (step, sym_a, sym_b) tuples
+    or a BATCH DataFrame (a streaming frame cannot be collected)."""
+    from webloghunter_spark.pipelines.bpe import bpe_apply
+
+    return bpe_apply(stream, merges, text_col, id_col)

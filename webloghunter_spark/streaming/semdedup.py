@@ -32,6 +32,7 @@ from typing import Any, Tuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "vec_id long, cent_id long, max_sim double, is_dup boolean"
@@ -148,3 +149,92 @@ def semantic_dup_flags_stream(
         "append",
         timeout,
     )
+
+
+def density_sample_stream_writer(
+    sink,
+    cap: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: str = "density",
+):
+    """foreachBatch twin of pipelines/semdedup.density_sample. The
+    hyperplane buckets and the seeded md5 order key are pure functions
+    of the data (no trained state), so the stream can maintain EXACT
+    batch parity with bounded driver state: per bucket, the running
+    population count plus the current top-`cap` (order_key, id) kept
+    set — at most 2^num_planes x cap entries, independent of corpus
+    size. A later arrival with a smaller order key displaces the
+    largest kept key, exactly like the batch window would.
+
+    Per micro-batch the Spark side reduces the batch to per-bucket
+    counts and the batch's OWN top-cap candidates (one bounded window
+    over the micro-batch), so the driver merge handles <= buckets x
+    cap rows regardless of batch size. After each batch `sink(rows,
+    batch_id)` receives the CURRENT [(id, bucket, bucket_n, keep_rank,
+    weight_micro)] — equal, at every prefix, to density_sample over
+    the docs streamed so far (the parity test's invariant). Counts
+    are not idempotent, so replays are guarded by batch_id and only
+    re-emit. Exposes `.state` and `.current()`."""
+    from pyspark.sql import Window as W
+
+    from webloghunter_spark.functions.similarity import (
+        hyperplane_bucket_expr,
+    )
+    from webloghunter_spark.pipelines.shard import order_key_expr
+
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0, got {cap}")
+    # bucket -> {"n": int, "kept": [(key, id), ...] sorted, <= cap}
+    state: dict[int, dict] = {}
+    seen_batches: set[int] = set()
+
+    def current() -> list[tuple]:
+        out = []
+        for bucket in sorted(state):
+            s = state[bucket]
+            n = s["n"]
+            wm = n * 1_000_000 // min(n, cap)
+            for rank, (_k, vid) in enumerate(s["kept"], start=1):
+                out.append((vid, bucket, n, rank, wm))
+        return out
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id not in seen_batches:
+            seen_batches.add(batch_id)
+            b = batch_df.select(
+                F.col(id_col),
+                hyperplane_bucket_expr(vec_col, num_planes, dim).alias(
+                    "bucket"
+                ),
+                order_key_expr(id_col, seed).alias("_k"),
+            )
+            w = W.partitionBy("bucket").orderBy("_k", id_col)
+            rows = (
+                b.withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("bucket")))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap)
+                .collect()
+            )
+            # per-bucket batch counts ride the kept rows' _n (every
+            # bucket with >= 1 row keeps >= 1 row, so none is missed)
+            counted: set[int] = set()
+            for r in rows:
+                s = state.setdefault(
+                    int(r["bucket"]), {"n": 0, "kept": []}
+                )
+                if int(r["bucket"]) not in counted:
+                    counted.add(int(r["bucket"]))
+                    s["n"] += int(r["_n"])
+                s["kept"].append((r["_k"], r[id_col]))
+            for bucket in counted:
+                s = state[bucket]
+                s["kept"].sort()
+                del s["kept"][cap:]
+        sink(current(), batch_id)
+
+    process.state = state
+    process.current = current
+    return process
