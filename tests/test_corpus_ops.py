@@ -1463,3 +1463,93 @@ def test_sample_exact_k_deterministic_and_size(spark):
 
     with pytest.raises(ValueError):
         sample_exact_k(df, k=0)
+
+
+def test_longest_repeat_binary_search_exact(spark):
+    """Longest repeated token n-gram: open-ended k (not fixed-k),
+    tie counting at the max length, overlap-correct, and 0/0 for
+    repeat-free, short, empty, and NULL docs."""
+    from webloghunter_spark.functions.text import longest_repeat
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b c e"),          # longest: 'a b c' (k=3)
+            (2, "x y x y x y"),              # 'x y x y' (k=4, overlap)
+            (3, "p q r s"),                  # no repeat
+            (4, "w"),                        # < 2 tokens
+            (5, ""),
+            (6, None),
+            (7, "m n m n o p o p"),          # k=2: two distinct grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.ntok, r.longest_len, r.n_longest)
+            for r in longest_repeat(df).collect()}
+    assert rows[1] == (8, 3, 1)
+    assert rows[2] == (6, 4, 1)
+    assert rows[3] == (4, 0, 0)
+    assert rows[4] == (1, 0, 0)
+    assert rows[5] == (0, 0, 0)
+    assert rows[6] == (0, 0, 0)
+    assert rows[7] == (8, 2, 2)
+
+
+def test_url_blocklist_gate_suffix_and_specificity(spark):
+    """Blocklist: exact and subdomain matches block, longest domain
+    wins, lookalike suffixes without the dot don't match, non-URLs
+    pass with host ''."""
+    from webloghunter_spark.functions.url import url_blocklist_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.example.org/x"),     # most specific wins
+            (2, "https://cdn.example.org/x"),     # parent domain
+            (3, "https://example.org/x"),         # exact
+            (4, "https://notexample.org/x"),      # no dot boundary: pass
+            (5, "https://Sub.ADS.example.ORG/x"), # case-insensitive
+            (6, "ftp://example.org/x"),           # not http(s): host ''
+            (7, "-"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: (r.host, r.blocked_by, r.blocked)
+           for r in url_blocklist_gate(
+               df, ["example.org", "ads.example.org"]).collect()}
+    assert out[1] == ("ads.example.org", "ads.example.org", True)
+    assert out[2] == ("cdn.example.org", "example.org", True)
+    assert out[3] == ("example.org", "example.org", True)
+    assert out[4] == ("notexample.org", None, False)
+    assert out[5] == ("Sub.ADS.example.ORG", "ads.example.org", True)
+    assert out[6] == ("", None, False)
+    assert out[7] == ("", None, False)
+
+
+def test_filter_track_attrition_by_band(spark):
+    """The attrition matrix: raw counts partition by (group, band),
+    stage counts are monotone non-increasing along the funnel, and a
+    planted duplicate dies in the exact tier while its original
+    survives."""
+    from webloghunter_spark.pipelines.curate import filter_track
+
+    text = " ".join(f"tok{j} the of and" for j in range(10))
+    rows = [
+        (1, "a", text),
+        (2, "a", text),            # exact dup of 1: dies in exact tier
+        (3, "a", "tiny"),          # gated (min_tokens)
+        (4, "b", " ".join(f"w{j} the is on" for j in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = filter_track(
+        docs, eval_df=None, min_quality_bp=0, min_tokens=10,
+        max_tokens=5000, near_dedup_threshold=0.9,
+    )
+    rows_out = out.collect()
+    assert sum(r.n_raw for r in rows_out) == 4
+    for r in rows_out:
+        assert r.n_raw >= r.n_gate >= r.n_exact >= r.n_near >= r.n_clean
+    a = {r.quality_band: r for r in rows_out if r.source == "a"}
+    band_of_dup = [b for b, r in a.items() if r.n_gate >= 2]
+    assert band_of_dup, "docs 1+2 share a band and both pass the gate"
+    r = a[band_of_dup[0]]
+    assert r.n_gate - r.n_exact == 1  # the dup died in the exact tier
+    assert r.survived_bp == (r.n_clean * 20000 + r.n_raw) // (2 * r.n_raw)

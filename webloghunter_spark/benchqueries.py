@@ -7175,6 +7175,163 @@ SQL_CURATE_PIPELINE = r"""
 """
 
 
+def q_filter_track(spark, sf_dir):
+    """DataComp-style attrition matrix over the SAME funnel (and the
+    same split/parameters) as curate_pipeline: per (source, quality
+    band), how many documents survive the gate, each dedup tier, and
+    decontamination — the report that shows WHERE a source's data
+    dies. The oracle shares curate_pipeline's stage CTEs verbatim
+    (built from the same string), so the two rows can never drift."""
+    from webloghunter_spark.pipelines.curate import filter_track
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return filter_track(
+        tr,
+        eval_df=ev,
+        min_quality_bp=3000,
+        min_tokens=10,
+        max_tokens=5000,
+        near_dedup_threshold=0.8,
+        dedup_num_hashes=4,
+        dedup_band_size=2,
+        decontam_n=4,
+    )
+
+
+SQL_FILTER_TRACK = SQL_CURATE_PIPELINE.replace(
+    """    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN s3 USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+    """    , clean AS (
+        SELECT doc_id FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    )
+    SELECT d.source,
+           least(g.qbp // 2500, 3)::BIGINT AS quality_band,
+           count(*)::BIGINT AS n_raw,
+           sum((d.doc_id IN (SELECT doc_id FROM s1))::INT)::BIGINT
+               AS n_gate,
+           sum((d.doc_id IN (SELECT doc_id FROM s2))::INT)::BIGINT
+               AS n_exact,
+           sum((d.doc_id IN (SELECT doc_id FROM s3))::INT)::BIGINT
+               AS n_near,
+           sum((d.doc_id IN (SELECT doc_id FROM clean))::INT)::BIGINT
+               AS n_clean,
+           ((sum((d.doc_id IN (SELECT doc_id FROM clean))::INT)::BIGINT
+             * 20000 + count(*))
+            // (2 * count(*)))::BIGINT AS survived_bp
+    FROM documents d JOIN gate g USING (doc_id)
+    WHERE d.doc_id % 50 != 0
+    GROUP BY 1, 2""",
+)
+
+
+
+def q_longest_repeat(spark, sf_dir):
+    """Per-document longest repeated token n-gram + tie count — the
+    open-ended repetition statistic beyond the fixed-k window family
+    (rep_signals / segment_dedup). Row-local: one Arrow mapInPandas
+    pass, zero shuffle; the kernel binary-searches k with O(n) set
+    probes. The oracle replays it as the full quadratic gram explode
+    (bounded: docs are <= ~100 tokens in the fixture)."""
+    from webloghunter_spark.functions.text import longest_repeat
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return longest_repeat(docs)
+
+
+SQL_LONGEST_REPEAT = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, k, array_to_string(t[i:i+k-1], chr(31)) AS g
+        FROM (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS k),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - k + 1)) AS i)
+    ),
+    rep AS (
+        SELECT doc_id, k, g FROM grams
+        GROUP BY doc_id, k, g HAVING count(*) >= 2
+    ),
+    best AS (
+        SELECT doc_id, max(k)::BIGINT AS longest_len FROM rep GROUP BY doc_id
+    ),
+    cnt AS (
+        SELECT r.doc_id, count(*)::BIGINT AS n_longest
+        FROM rep r JOIN best b
+          ON r.doc_id = b.doc_id AND r.k = b.longest_len
+        GROUP BY r.doc_id
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS ntok,
+           coalesce(b.longest_len, 0)::BIGINT AS longest_len,
+           coalesce(c.n_longest, 0)::BIGINT AS n_longest
+    FROM toks t
+    LEFT JOIN best b USING (doc_id)
+    LEFT JOIN cnt c USING (doc_id)
+"""
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Per-domain URL blocklist gate: hosts derived from events,
+    matched against a suffix blocklist (exact or subdomain; longest
+    domain wins) compiled into a codegen'd CASE chain — no join, no
+    shuffle before the |hosts|-row rollup. Non-URL values pass
+    (domain rules need a domain)."""
+    from webloghunter_spark.functions.url import url_blocklist_gate
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    pick = F.element_at(
+        F.array(
+            F.lit("https://ads.tracker.example/p"),
+            F.lit("https://www.fofa.info/p"),
+            F.lit("https://example.org/p"),
+            F.lit("https://fofa.info/p"),
+            F.lit("-"),
+        ),
+        (F.col("user_id") % 5 + 1).cast("int"),
+    )
+    g = url_blocklist_gate(
+        ev.select(pick.alias("url")), ["tracker.example", "fofa.info"]
+    )
+    return g.groupBy("host", "blocked_by", "blocked").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_URL_BLOCKLIST = """
+    WITH u AS (
+        SELECT CASE (user_id % 5)
+               WHEN 0 THEN 'https://ads.tracker.example/p'
+               WHEN 1 THEN 'https://www.fofa.info/p'
+               WHEN 2 THEN 'https://example.org/p'
+               WHEN 3 THEN 'https://fofa.info/p'
+               ELSE '-' END AS url
+        FROM events
+    ),
+    h AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u),
+    g AS (
+        SELECT host,
+               CASE WHEN lower(host) = 'tracker.example'
+                         OR lower(host) LIKE '%.tracker.example'
+                    THEN 'tracker.example'
+                    WHEN lower(host) = 'fofa.info'
+                         OR lower(host) LIKE '%.fofa.info'
+                    THEN 'fofa.info' END AS blocked_by
+        FROM h
+    )
+    SELECT host, blocked_by, blocked_by IS NOT NULL AS blocked,
+           count(*)::BIGINT AS n
+    FROM g GROUP BY 1, 2, 3
+"""
+
+
+
 def q_dist_drift(spark, sf_dir):
     """Snapshot drift monitor: one-row Jensen-Shannon divergence (in
     integer nano-nats) between the even- and odd-doc halves' hashed
@@ -7890,6 +8047,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "density_sample": q_density_sample,
     # -- round-8 additions --
     "bpe_apply": q_bpe_apply,
+    "filter_track": q_filter_track,
+    "longest_repeat": q_longest_repeat,
+    "url_blocklist": q_url_blocklist,
     # -- oldest-green rechecks (last driver-sampled round 5) --
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -8049,6 +8209,9 @@ ORACLES: dict[str, str] = {
     "cc_representatives": SQL_CC_REPRESENTATIVES,
     "contam_spans": SQL_CONTAM_SPANS,
     "curate_pipeline": SQL_CURATE_PIPELINE,
+    "filter_track": SQL_FILTER_TRACK,
+    "longest_repeat": SQL_LONGEST_REPEAT,
+    "url_blocklist": SQL_URL_BLOCKLIST,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dist_drift": SQL_DIST_DRIFT,
     "dsir_weights": SQL_DSIR_WEIGHTS,

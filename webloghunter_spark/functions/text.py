@@ -914,3 +914,89 @@ def text_normalize(
         F.length(raw).cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+def longest_repeat(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document longest repeated token n-gram — the repetition
+    statistic the fixed-k window family (dup_line_frac / rep_signals /
+    segment_dedup) cannot express: instead of asking "does any k-gram
+    repeat" for ONE k, it finds max k with a repeat, plus how many
+    distinct grams tie at that length. High longest_len relative to
+    ntok is the self-repetition signature of boilerplate loops and
+    degenerate generations (the Gopher repetition family's open-ended
+    case). Returns (id, ntok, longest_len, n_longest); docs with no
+    repeated token at all (or < 2 tokens) report 0/0.
+
+    Scale: repetition is a ROW-LOCAL property, so the operator is one
+    Arrow-batched mapInPandas pass — zero shuffle, scan-speed
+    parallelism, like simhash_udf. Per doc the kernel binary-searches
+    k (the predicate "some k-gram repeats" is monotone: a repeated
+    k-gram's prefix repeats at the same positions), each probe one
+    O(n) rolling set pass — O(n log n) per doc vs the O(n^2) gram
+    blow-up a full explode would shuffle. Grams are compared as
+    chr(31)-joined token strings, matching the SQL oracle's separator
+    exactly."""
+    import re as _re
+
+    import pandas as pd
+
+    # ASCII \s+ split over trimmed text — the exact tokens_expr /
+    # string_split_regex semantics (Python's argless str.split would
+    # also split on unicode spaces)
+    _ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _one(toks: list) -> tuple:
+        n = len(toks)
+        if n < 2:
+            return n, 0, 0
+
+        def rep_grams(k: int):
+            seen: set = set()
+            out: set = set()
+            for i in range(n - k + 1):
+                g = "\x1f".join(toks[i : i + k])
+                if g in seen:
+                    out.add(g)
+                else:
+                    seen.add(g)
+            return out
+
+        lo, hi = 0, n - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if rep_grams(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        if lo == 0:
+            return n, 0, 0
+        return n, lo, len(rep_grams(lo))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = [
+                _one(
+                    _ws.split(t.strip())
+                    if isinstance(t, str) and t.strip()
+                    else []
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ntok": [r[0] for r in res],
+                    "longest_len": [r[1] for r in res],
+                    "n_longest": [r[2] for r in res],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, ntok long, longest_len long, n_longest long"
+    )

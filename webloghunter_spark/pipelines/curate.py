@@ -215,3 +215,146 @@ def snapshot_diff(
     return joined.select(
         id_col, status.alias("status"), "old_md5", "new_md5"
     )
+
+
+def filter_track(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_bp: int = 3000,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    near_dedup_threshold: float = 0.8,
+    dedup_num_hashes: int = 4,
+    dedup_band_size: int = 2,
+    dedup_shingle_k: int = 3,
+    decontam_n: int = 4,
+    band_width_bp: int = 2500,
+) -> DataFrame:
+    """DataComp-style attrition report: the curate_corpus funnel
+    (gate -> normalized exact dedup -> MinHash-LSH near-dedup ->
+    n-gram decontamination, identical stage exprs and parameters),
+    tracked per (group, quality band) instead of collapsed to global
+    funnel counts — the table that shows WHERE a source's data dies
+    and whether the gate and the dedup tiers hit the same quality
+    strata. Bands are fixed-width quality_bp bins
+    (band = min(qbp div band_width_bp, 10000 div band_width_bp - 1),
+    so 2500 -> 4 bands), assigned to every RAW document, survivors or
+    not. Returns one row per observed (group, band):
+    (group, quality_band, n_raw, n_gate, n_exact, n_near, n_clean,
+    survived_bp) with survived_bp = n_clean/n_raw on the exact
+    integer cross-multiply grid.
+
+    Scale: the stage costs ARE curate_corpus's (each stage is the
+    same operator on the same survivor sets); the tracking adds
+    four id-only left-semi-shaped flag joins and ONE |groups x bands|
+    aggregate — id sets move, never text. NULL groups survive via
+    null-safe grouping (groupBy treats NULL as a key)."""
+    from webloghunter_spark.functions.text import (
+        normalized_text_expr,
+        quality_bp_expr,
+    )
+    from webloghunter_spark.pipelines.dedup import near_dedup
+    from webloghunter_spark.pipelines.decontam import decontaminate
+    from webloghunter_spark.pipelines.gate import quality_gate
+
+    n_bands = max(10000 // band_width_bp, 1)
+    base = materialize(
+        docs.select(
+            F.col(id_col),
+            F.col(group_col).alias("_grp"),
+            F.col(text_col).alias("_txt"),
+            F.coalesce(quality_bp_expr(text_col), F.lit(0))
+            .cast("long")
+            .alias("_qbp"),
+        ).select(
+            id_col,
+            "_grp",
+            "_txt",
+            F.least(
+                F.expr(f"_qbp div {int(band_width_bp)}"),
+                F.lit(n_bands - 1).cast("long"),
+            ).alias("quality_band"),
+        )
+    )
+    s1 = materialize(
+        base.join(
+            quality_gate(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                min_tokens=min_tokens,
+                max_tokens=max_tokens,
+                min_quality_bp=min_quality_bp,
+            )
+            .filter(F.col("keep"))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        ).select(id_col, "_grp", "_txt", "quality_band")
+    )
+    keyed = s1.select(
+        F.col(id_col), F.md5(normalized_text_expr("_txt")).alias("_k")
+    )
+    s2 = materialize(
+        s1.join(
+            keyed.groupBy("_k").agg(F.min(id_col).alias(id_col)).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    s3 = materialize(
+        s2.join(
+            near_dedup(
+                s2,
+                text_col="_txt",
+                id_col=id_col,
+                threshold=near_dedup_threshold,
+                num_hashes=dedup_num_hashes,
+                band_size=dedup_band_size,
+                shingle_k=dedup_shingle_k,
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    if eval_df is not None:
+        # decontaminate shingles BOTH frames on text_col — mirror the
+        # rename on the eval side
+        ev = eval_df.select(
+            F.col(id_col), F.col(text_col).alias("_txt")
+        )
+        s4 = decontaminate(
+            s3, ev, id_col=id_col, text_col="_txt", n=decontam_n
+        ).select(id_col)
+    else:
+        s4 = s3.select(id_col)
+    flags = base.select(id_col, "_grp", "quality_band")
+    for name, ids in (
+        ("_f_gate", s1),
+        ("_f_exact", s2),
+        ("_f_near", s3),
+        ("_f_clean", s4),
+    ):
+        flags = flags.join(
+            ids.select(F.col(id_col), F.lit(1).alias(name)),
+            id_col,
+            "left",
+        )
+    cnt = lambda c: F.sum(F.coalesce(F.col(c), F.lit(0))).cast("long")  # noqa: E731
+    return (
+        flags.groupBy(F.col("_grp").alias(group_col), "quality_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            cnt("_f_gate").alias("n_gate"),
+            cnt("_f_exact").alias("n_exact"),
+            cnt("_f_near").alias("n_near"),
+            cnt("_f_clean").alias("n_clean"),
+        )
+        .withColumn(
+            "survived_bp",
+            F.expr("(n_clean * 20000 + n_raw) div (2 * n_raw)"),
+        )
+    )
