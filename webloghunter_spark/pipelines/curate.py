@@ -331,27 +331,38 @@ def filter_track(
         ).select(id_col)
     else:
         s4 = s3.select(id_col)
-    flags = base.select(id_col, "_grp", "quality_band")
-    for name, ids in (
-        ("_f_gate", s1),
-        ("_f_exact", s2),
-        ("_f_near", s3),
-        ("_f_clean", s4),
-    ):
-        flags = flags.join(
-            ids.select(F.col(id_col), F.lit(1).alias(name)),
-            id_col,
-            "left",
-        )
-    cnt = lambda c: F.sum(F.coalesce(F.col(c), F.lit(0))).cast("long")  # noqa: E731
+    # Settle the staged persists BEFORE the fan-out aggregate, so the
+    # final query's branches hit cache instead of recomputing shared
+    # funnel lineage (curate_corpus gets this for free from its
+    # per-stage funnel counts).
+    for st in (base, s1, s2, s3):
+        st.count()
+    # Survivor sets are NESTED (clean ⊆ near ⊆ exact ⊆ gate), so the
+    # four membership flags collapse to ONE number — the last stage a
+    # doc survived: union the id sets with a stage tag, take max(tag),
+    # join ONCE. One exchange + one join instead of four id joins.
+    stages = (
+        s1.select(F.col(id_col), F.lit(1).alias("_st"))
+        .unionByName(s2.select(F.col(id_col), F.lit(2).alias("_st")))
+        .unionByName(s3.select(F.col(id_col), F.lit(3).alias("_st")))
+        .unionByName(s4.select(F.col(id_col), F.lit(4).alias("_st")))
+        .groupBy(id_col)
+        .agg(F.max("_st").alias("_last"))
+    )
+    flags = base.select(id_col, "_grp", "quality_band").join(
+        stages, id_col, "left"
+    )
+    cnt = lambda k: F.sum(  # noqa: E731
+        F.when(F.coalesce(F.col("_last"), F.lit(0)) >= k, 1).otherwise(0)
+    ).cast("long")
     return (
         flags.groupBy(F.col("_grp").alias(group_col), "quality_band")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
-            cnt("_f_gate").alias("n_gate"),
-            cnt("_f_exact").alias("n_exact"),
-            cnt("_f_near").alias("n_near"),
-            cnt("_f_clean").alias("n_clean"),
+            cnt(1).alias("n_gate"),
+            cnt(2).alias("n_exact"),
+            cnt(3).alias("n_near"),
+            cnt(4).alias("n_clean"),
         )
         .withColumn(
             "survived_bp",
