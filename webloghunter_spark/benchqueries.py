@@ -7226,6 +7226,10 @@ SQL_FILTER_TRACK = SQL_CURATE_PIPELINE.replace(
     WHERE d.doc_id % 50 != 0
     GROUP BY 1, 2""",
 )
+# a silent .replace() no-op (anchor drift in SQL_CURATE_PIPELINE) would
+# leave filter_track with curate_pipeline's oracle - fail at import
+assert SQL_FILTER_TRACK != SQL_CURATE_PIPELINE
+assert "quality_band" in SQL_FILTER_TRACK
 
 
 

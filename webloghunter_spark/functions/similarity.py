@@ -794,17 +794,11 @@ def label_propagation_fast(
     )
     rows.sort(key=lambda r: r[0])
     # zero-norm exclusion on both sides, matching the expr twin
-    rows = [
-        r
-        for r in rows
-        if float(
-            np.dot(
-                np.asarray(r[2], dtype=np.float64),
-                np.asarray(r[2], dtype=np.float64),
-            )
-        )
-        > 0
-    ]
+    def _sq(r):
+        v = np.asarray(r[2], dtype=np.float64)
+        return float(v @ v)
+
+    rows = [r for r in rows if _sq(r) > 0]
     if not rows:
         return unlabeled.sparkSession.createDataFrame(
             [], f"{id_col} long, pred_label long, votes long"

@@ -80,8 +80,11 @@ def url_blocklist_gate(
     is not an http(s) URL (never blocked: the gate is a DOMAIN rule;
     pair with uri_risk for path-shaped threats). Row-local codegen'd
     projection — scan speed at any scale, no shuffle, no state."""
-    host = host_expr(url_col)
-    blocked_by = blocked_by_expr(host, domains)
-    return df.withColumn("host", host).withColumn(
-        "blocked_by", blocked_by
-    ).withColumn("blocked", F.col("blocked_by").isNotNull())
+    # materialize host FIRST and match on the column reference — the
+    # CASE chain carries two comparisons per domain, and inlining the
+    # regexp_extract subtree would duplicate it ~2N+1 times per row
+    return (
+        df.withColumn("host", host_expr(url_col))
+        .withColumn("blocked_by", blocked_by_expr(F.col("host"), domains))
+        .withColumn("blocked", F.col("blocked_by").isNotNull())
+    )

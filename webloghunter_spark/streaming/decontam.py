@@ -209,7 +209,10 @@ def contamination_matrix_stream_writer(
     state: dict = {
         name: {"grams": set(), "docs": 0} for name in eval_sets
     }
-    seen_batches: set[int] = set()
+    # bounded replay guard: batch_ids are monotone within a query, so
+    # one high-water int gives identical at-least-once protection
+    # without accumulating a set entry per micro-batch forever
+    last_seen = [-1]
 
     def _bp(hit: int, tot: int):
         return (hit * 20000 + tot) // (2 * tot) if tot > 0 else None
@@ -219,8 +222,8 @@ def contamination_matrix_stream_writer(
         # with the SAME batch_id. The gram set-union is idempotent but
         # the docs counter is NOT — re-adding it would permanently break
         # the every-prefix parity invariant, so replays only re-emit.
-        if batch_id not in seen_batches:
-            seen_batches.add(batch_id)
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
             per_set = (
                 _doc_shingles(batch_df, id_col, text_col, n)
                 .join(F.broadcast(tagged), "_gram", "inner")

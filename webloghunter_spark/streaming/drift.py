@@ -79,7 +79,10 @@ def dist_drift_stream_writer(
         for r in _bucket_counts(ref_df, text_col, n_buckets).collect()
     }
     state: dict[int, int] = {}
-    seen_batches: set[int] = set()
+    # bounded replay guard: batch_ids are monotone within a query, so
+    # one high-water int gives identical at-least-once protection
+    # without accumulating a set entry per micro-batch forever
+    last_seen = [-1]
 
     def current() -> tuple:
         return js_nano_from_hists(ref, state, n_buckets)
@@ -88,8 +91,8 @@ def dist_drift_stream_writer(
         # foreachBatch is at-least-once: a replayed micro-batch arrives
         # with the SAME batch_id — adding its counts twice would break
         # the exact-parity claim permanently, so replays only re-emit
-        if batch_id not in seen_batches:
-            seen_batches.add(batch_id)
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
             for r in _bucket_counts(batch_df, text_col, n_buckets).collect():
                 b = int(r["_b"])
                 state[b] = state.get(b, 0) + int(r["_c"])

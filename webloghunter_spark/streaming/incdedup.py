@@ -65,7 +65,10 @@ def incremental_dedup_stream_writer(
 
     survivors: list = []
     counts = {"n": 0}
-    seen_batches: set[int] = set()
+    # bounded replay guard: batch_ids are monotone within a query, so
+    # one high-water int gives identical at-least-once protection
+    # without accumulating a set entry per micro-batch forever
+    last_seen = [-1]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         nb = lsh_band_signatures(
@@ -114,8 +117,8 @@ def incremental_dedup_stream_writer(
         # foreachBatch is at-least-once: the frozen index makes `kept`
         # deterministic per batch, so a replay re-emits the same rows,
         # but the running counter / survivor list must not re-add them.
-        if batch_id not in seen_batches:
-            seen_batches.add(batch_id)
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
             counts["n"] += len(kept)
             if track_survivors:
                 survivors.extend(k for k, in kept)

@@ -78,14 +78,17 @@ def mix_temperature_stream_writer(
             )
         return out
 
-    seen_batches: set[int] = set()
+    # bounded replay guard: batch_ids are monotone within a query, so
+    # one high-water int gives identical at-least-once protection
+    # without accumulating a set entry per micro-batch forever
+    last_seen = [-1]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a replayed micro-batch arrives
         # with the SAME batch_id — re-adding its doc/token totals would
         # double-count, so replays only re-emit the current weights.
-        if batch_id not in seen_batches:
-            seen_batches.add(batch_id)
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
             rows = (
                 batch_df.groupBy(group_col)
                 .agg(

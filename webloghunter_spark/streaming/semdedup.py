@@ -189,7 +189,10 @@ def density_sample_stream_writer(
         raise ValueError(f"cap must be > 0, got {cap}")
     # bucket -> {"n": int, "kept": [(key, id), ...] sorted, <= cap}
     state: dict[int, dict] = {}
-    seen_batches: set[int] = set()
+    # bounded replay guard: batch_ids are monotone within a query, so
+    # one high-water int gives identical at-least-once protection
+    # without accumulating a set entry per micro-batch forever
+    last_seen = [-1]
 
     def current() -> list[tuple]:
         out = []
@@ -202,8 +205,8 @@ def density_sample_stream_writer(
         return out
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id not in seen_batches:
-            seen_batches.add(batch_id)
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
             b = batch_df.select(
                 F.col(id_col),
                 hyperplane_bucket_expr(vec_col, num_planes, dim).alias(
