@@ -1976,7 +1976,12 @@ SQL_ROLLUP = """
 
 def q_trailing_rate(spark, sf_dir):
     """Trailing 1-hour event count per user via a RANGE window frame on
-    epoch seconds — the rate-limiter / anomaly-baseline primitive."""
+    epoch seconds — the rate-limiter / anomaly-baseline primitive.
+    The window key is the module's floor(epoch) BIGINT convention:
+    sub-second-apart events share a key and count as RANGE peers
+    (caught by the sf0.1 sweep — the oracle's fractional epoch(ts)
+    key excluded a 0.06 s-later neighbor Spark's truncated key
+    includes)."""
     ev = _t(spark, sf_dir, "events")
     ep = F.unix_timestamp("ts")
     w = (
@@ -1991,7 +1996,8 @@ def q_trailing_rate(spark, sf_dir):
 
 SQL_TRAILING_RATE = """
     SELECT event_id,
-           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY floor(epoch(ts))::BIGINT
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
     FROM events
 """
