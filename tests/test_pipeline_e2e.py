@@ -241,3 +241,47 @@ def test_verify_training_dataset_catches_corruption(spark, tmp_path):
         for (e, s), v in flags.items()
         if (e, s) not in {(e0, s0), (9, 9)}
     )
+
+
+def test_verify_training_dataset_multi_file_shard_order(spark, tmp_path):
+    """A shard cell split across MULTIPLE part files: the verifier
+    orders rows by (file name, in-file row index), so a manifest built
+    from that contract verifies, and swapping the two files' contents
+    (same rows, different physical placement) breaks it."""
+    import hashlib
+
+    from webloghunter_spark.pipelines.dataset import verify_training_dataset
+
+    cell = tmp_path / "ds" / "epoch=0" / "shard_id=0"
+    a = spark.createDataFrame(
+        [(1, 0), (2, 1)], "doc_id long, position long"
+    )
+    b = spark.createDataFrame(
+        [(3, 2), (4, 3)], "doc_id long, position long"
+    )
+    a.coalesce(1).write.parquet(str(cell / "_tmp_a"))
+    b.coalesce(1).write.parquet(str(cell / "_tmp_b"))
+    import glob
+    import shutil
+
+    # place as deterministically-named sibling files inside the cell
+    for tag, tmp in (("aaaa", "_tmp_a"), ("bbbb", "_tmp_b")):
+        (src,) = glob.glob(str(cell / tmp / "part-*.parquet"))
+        shutil.move(src, str(cell / f"part-{tag}.parquet"))
+        shutil.rmtree(str(cell / tmp))
+
+    def dig(ids):
+        d = 0
+        for pos, i in enumerate(ids):
+            d ^= int(
+                hashlib.md5(f"{i}@{pos}".encode()).hexdigest()[:15], 16
+            )
+        return d
+
+    manifest = [(0, 0, 4, dig([1, 2, 3, 4]))]  # file aaaa before bbbb
+    out = verify_training_dataset(spark, str(tmp_path / "ds"), manifest)
+    assert out == [(0, 0, 4, dig([1, 2, 3, 4]), 4, dig([1, 2, 3, 4]), True)]
+    # a manifest claiming the other interleave must NOT verify
+    bad = [(0, 0, 4, dig([3, 4, 1, 2]))]
+    out = verify_training_dataset(spark, str(tmp_path / "ds"), bad)
+    assert out[0][-1] is False

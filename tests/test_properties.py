@@ -635,3 +635,86 @@ def test_perplexity_bands_matches_ntile_replay(spark, rows):
                 want[d] = band
             k += sz
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_longest_repeat_matches_quadratic_reference(spark, docs):
+    """The binary-search kernel equals the naive quadratic definition:
+    longest_len = max k with a repeated k-gram, n_longest = distinct
+    repeated grams at that k. A 4-letter alphabet forces collisions."""
+    from webloghunter_spark.functions.text import longest_repeat
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.ntok, r.longest_len, r.n_longest)
+           for r in longest_repeat(df).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        best, cnt = 0, 0
+        for k in range(1, n):
+            seen, rep = set(), set()
+            for j in range(n - k + 1):
+                g = tuple(toks[j:j + k])
+                (rep if g in seen else seen).add(g)
+            if rep:
+                best, cnt = k, len(rep)
+        assert got[i] == (n, best, cnt), (i, toks)
+
+
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=8),
+        min_size=2,
+        max_size=5,
+    ),
+    held=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "q"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_bpe_apply_invariants(spark, train, held):
+    """Frozen-merge application: n_symbols <= ntok always, applying an
+    empty merge table is the identity, and re-applying the training
+    corpus's own merges reproduces bpe_encode row-for-row."""
+    from webloghunter_spark.pipelines.bpe import (
+        bpe_apply,
+        bpe_encode,
+        bpe_merge_learn,
+    )
+
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)],
+        "doc_id long, text string",
+    )
+    hdf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(held)],
+        "doc_id long, text string",
+    )
+    merges = [(int(r.step), r.sym_a, r.sym_b)
+              for r in bpe_merge_learn(tdf, steps=3).collect()]
+    out = {r.doc_id: (r.ntok, r.n_symbols, r.saved_bp)
+           for r in bpe_apply(hdf, merges).collect()}
+    for i, t in enumerate(held):
+        ntok, nsym, bp = out[100 + i]
+        assert ntok == len(t)
+        assert 0 <= nsym <= ntok
+        if ntok:
+            assert bp == ((ntok - nsym) * 20000 + ntok) // (2 * ntok)
+        else:
+            assert (nsym, bp) == (0, 0)
+    ident = {r.doc_id: r.n_symbols for r in bpe_apply(hdf, []).collect()}
+    assert all(ident[100 + i] == len(t) for i, t in enumerate(held))
+    enc = sorted(tuple(r) for r in bpe_encode(tdf, steps=3).collect())
+    app = sorted(tuple(r) for r in bpe_apply(tdf, merges).collect())
+    assert app == enc
