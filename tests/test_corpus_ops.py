@@ -1553,3 +1553,85 @@ def test_filter_track_attrition_by_band(spark):
     r = a[band_of_dup[0]]
     assert r.n_gate - r.n_exact == 1  # the dup died in the exact tier
     assert r.survived_bp == (r.n_clean * 20000 + r.n_raw) // (2 * r.n_raw)
+
+
+def test_shard_balance_shares_and_deviation(spark):
+    """Balance audit: doc/token sums per md5 shard, shares sum to
+    ~10000 bp, deviation is the exact integer cross-multiply of
+    |share - 1/n|, and an empty-text corpus reports 0 shares."""
+    from webloghunter_spark.pipelines.shard import shard_balance
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_balance(df, n_shards=4, seed="t").collect()
+    assert {r.shard_id for r in out} <= {0, 1, 2, 3}
+    tot = sum(r.n_tokens for r in out)
+    assert sum(r.n_docs for r in out) == 40
+    for r in out:
+        assert r.token_share_bp == (r.n_tokens * 20000 + tot) // (2 * tot)
+        assert r.dev_bp == (
+            abs(r.n_tokens * 4 - tot) * 20000 + tot * 4
+        ) // (2 * tot * 4)
+    assert 9990 <= sum(r.token_share_bp for r in out) <= 10010
+    empty = spark.createDataFrame([(1, ""), (2, None)],
+                                  "doc_id long, text string")
+    for r in shard_balance(empty, n_shards=2, seed="t").collect():
+        assert (r.n_tokens, r.token_share_bp, r.dev_bp) == (0, 0, 0)
+
+
+def test_time_split_audit_leakage_only(spark):
+    """Only groups on BOTH sides of the cut appear; counts and the
+    earliest post-cut epoch are exact; a clean split is empty."""
+    from webloghunter_spark.pipelines.split import time_split_audit
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),  # user 1: both sides
+        (1, "2024-02-01 00:00:30"),
+        (1, "2024-02-02 00:00:00"),
+        (2, "2024-01-05 00:00:00"),  # user 2: train only
+        (3, "2024-02-05 00:00:00"),  # user 3: test only
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    out = time_split_audit(df, "2024-01-15 00:00:00").collect()
+    assert len(out) == 1 and out[0].user_id == 1
+    assert (out[0].n_train, out[0].n_test) == (1, 2)
+    import calendar
+    from datetime import datetime, timezone
+
+    exp = calendar.timegm(
+        datetime(2024, 2, 1, 0, 0, 30, tzinfo=timezone.utc).timetuple()
+    )
+    assert out[0].first_test_epoch == exp
+    clean = time_split_audit(df, "2024-03-01 00:00:00")
+    assert clean.count() == 0
+
+
+def test_contamination_sensitivity_monotone(spark):
+    """Rates are monotone non-increasing in n (every n-gram hit
+    contains smaller-gram hits) and the bp grid is exact."""
+    from webloghunter_spark.pipelines.decontam import (
+        contamination_sensitivity,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta epsilon y"),  # 5-gram hit
+            (2, "alpha beta gamma z q w"),              # 3-gram hit only
+            (3, "no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.n: (r.n_train, r.n_contaminated, r.contam_bp)
+           for r in contamination_sensitivity(train, ev, ns=(3, 4, 5)).collect()}
+    assert out[3] == (3, 2, (2 * 20000 + 3) // 6)
+    assert out[4] == (3, 1, (1 * 20000 + 3) // 6)
+    assert out[5] == (3, 1, (1 * 20000 + 3) // 6)
+    ns = sorted(out)
+    assert all(out[a][1] >= out[b][1] for a, b in zip(ns, ns[1:]))

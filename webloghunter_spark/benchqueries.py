@@ -7342,6 +7342,140 @@ SQL_URL_BLOCKLIST = """
 
 
 
+
+def q_shard_balance(spark, sf_dir):
+    """Per-shard token-load balance audit of the seeded md5 shard
+    assignment: doc counts, token totals, share and |share - 1/n|
+    deviation on the integer cross-multiply grid. ONE combinable
+    (shard) aggregate — no order-key sort, no window over the corpus
+    (balance doesn't depend on the within-shard order)."""
+    from webloghunter_spark.pipelines.shard import shard_balance
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return shard_balance(docs, n_shards=16, seed="bal")
+
+
+SQL_SHARD_BALANCE = r"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('bal|' || CAST(doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) % 16 AS INTEGER)
+                   AS shard_id,
+               len(CASE WHEN length(trim(coalesce(text, ''))) = 0
+                   THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                   END)::BIGINT AS ntok
+        FROM documents
+    ),
+    per AS (
+        SELECT shard_id, count(*)::BIGINT AS n_docs,
+               sum(ntok)::BIGINT AS n_tokens
+        FROM s GROUP BY shard_id
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per)
+    SELECT shard_id, n_docs, n_tokens,
+           CASE WHEN t > 0
+                THEN (n_tokens * 20000 + t) // (2 * t)
+                ELSE 0 END::BIGINT AS token_share_bp,
+           CASE WHEN t > 0
+                THEN (abs(n_tokens * 16 - t) * 20000 + t * 16)
+                     // (2 * t * 16)
+                ELSE 0 END::BIGINT AS dev_bp
+    FROM per, tot
+"""
+
+
+def q_time_split(spark, sf_dir):
+    """Temporal split leakage audit: users with events on BOTH sides
+    of the cut, with train/test counts and the floor-epoch of the
+    earliest post-cut event. One conditional-count aggregate on the
+    group key; an empty result is the clean-split verdict."""
+    from webloghunter_spark.pipelines.split import time_split_audit
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    return time_split_audit(ev, "2024-01-15 00:00:00")
+
+
+SQL_TIME_SPLIT = """
+    SELECT user_id,
+           sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_test,
+           min(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                    THEN floor(epoch(ts))::BIGINT END) AS first_test_epoch
+    FROM events
+    GROUP BY user_id
+    HAVING sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END) > 0
+       AND sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_contam_sensitivity(spark, sf_dir):
+    """Contamination rate vs n-gram size (the choose-n analysis:
+    GPT-3 used 13-grams, the library default is 8): one
+    contaminated_docs pass per n over the decontaminate split, rates
+    on the integer grid. Monotone non-increasing in n by
+    construction."""
+    from webloghunter_spark.pipelines.decontam import (
+        contamination_sensitivity,
+    )
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_sensitivity(tr, ev, ns=(3, 4, 6))
+
+
+def _contam_n_cte(n: int) -> str:
+    g = n - 1
+    return f"""
+    SELECT {n} AS n,
+           (SELECT count(*) FROM documents WHERE doc_id % 50 != 0)::BIGINT
+               AS n_train,
+           count(DISTINCT tr.doc_id)::BIGINT AS n_contaminated
+    FROM (
+        SELECT t.doc_id, unnest(CASE WHEN len(t.t) < {n}
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - {g}),
+                   i -> array_to_string(t.t[i:i+{g}], ' ')) END) AS gram
+        FROM toks t WHERE t.doc_id % 50 != 0
+    ) tr
+    JOIN (
+        SELECT DISTINCT unnest(CASE WHEN len(t.t) < {n}
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - {g}),
+                   i -> array_to_string(t.t[i:i+{g}], ' ')) END) AS gram
+        FROM toks t WHERE t.doc_id % 50 = 0
+    ) ev USING (gram)
+"""
+
+
+SQL_CONTAM_SENSITIVITY = (
+    r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    hits AS (
+"""
+    + "        UNION ALL".join(_contam_n_cte(n) for n in (3, 4, 6))
+    + """
+    )
+    SELECT n, n_train, n_contaminated,
+           CASE WHEN n_train > 0
+                THEN (n_contaminated * 20000 + n_train) // (2 * n_train)
+                ELSE 0 END::BIGINT AS contam_bp
+    FROM hits ORDER BY n
+"""
+)
+
+
+
 def q_dist_drift(spark, sf_dir):
     """Snapshot drift monitor: one-row Jensen-Shannon divergence (in
     integer nano-nats) between the even- and odd-doc halves' hashed
@@ -8060,6 +8194,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_track": q_filter_track,
     "longest_repeat": q_longest_repeat,
     "url_blocklist": q_url_blocklist,
+    "shard_balance": q_shard_balance,
+    "time_split": q_time_split,
+    "contam_sensitivity": q_contam_sensitivity,
     # -- oldest-green rechecks (last driver-sampled round 5) --
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
@@ -8222,6 +8359,9 @@ ORACLES: dict[str, str] = {
     "filter_track": SQL_FILTER_TRACK,
     "longest_repeat": SQL_LONGEST_REPEAT,
     "url_blocklist": SQL_URL_BLOCKLIST,
+    "shard_balance": SQL_SHARD_BALANCE,
+    "time_split": SQL_TIME_SPLIT,
+    "contam_sensitivity": SQL_CONTAM_SENSITIVITY,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dist_drift": SQL_DIST_DRIFT,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -556,3 +556,47 @@ def contamination_matrix(
             .alias("coverage_bp"),
         )
     )
+
+
+def contamination_sensitivity(
+    train: DataFrame,
+    eval_df: DataFrame,
+    ns: tuple[int, ...] = (4, 6, 8),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contamination rate as a function of the n-gram size — the
+    analysis behind choosing n at all (GPT-3 used 13-grams, the
+    library default is 8; small n over-flags common phrases, large n
+    misses partial overlap). One row per n: (n, n_train,
+    n_contaminated, contam_bp) with contam_bp on the exact integer
+    cross-multiply grid. Monotone by construction: every n-gram hit
+    contains (n-1)-gram hits, so n_contaminated never increases
+    with n — a non-monotone result is a bug, and the test pins it.
+
+    Scale: one contaminated_docs pass per n (|ns| is a small
+    constant) — each is the broadcast-eval-gram inner-join +
+    combinable count shape the single-n operator uses; the train
+    side is scanned |ns| times but never shuffled on text."""
+    if not ns:
+        raise ValueError("ns must be non-empty")
+    spark = train.sparkSession
+    n_train = train.count()
+    rows = []
+    for n in sorted(set(int(x) for x in ns)):
+        hit = contaminated_docs(
+            train, eval_df, id_col=id_col, text_col=text_col, n=n
+        ).count()
+        rows.append(
+            (
+                n,
+                n_train,
+                hit,
+                (hit * 20000 + n_train) // (2 * n_train)
+                if n_train > 0
+                else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "n long, n_train long, n_contaminated long, contam_bp long"
+    )

@@ -459,3 +459,75 @@ def interleave_audit(
         .alias("same_bp"),
         "expected_same_bp",
     )
+
+
+def shard_balance(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: str = "train",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard load-balance audit of a train_order assignment — the
+    check a data-loader deployment runs before pinning shard-to-worker
+    placement: md5 shards are uniform in DOC count by construction,
+    but TOKEN load (what actually bounds a training step) can still
+    skew when document lengths are heavy-tailed. Returns one row per
+    shard: (shard_id, n_docs, n_tokens, token_share_bp, dev_bp) —
+    token_share_bp = this shard's token share, dev_bp = |share -
+    1/n_shards| relative to the ideal, both on the exact integer
+    cross-multiply grid (dev numerator |tokens*n - total| over
+    total*n).
+
+    Scale: ONE map-side-combinable (shard) aggregate over a codegen'd
+    shard-assignment projection — no window, no order key sort (the
+    order itself is irrelevant to balance); the share/deviation math
+    runs on the |shards|-row result against a broadcast-total window
+    over those same rows."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    from webloghunter_spark.functions.text import token_count_expr
+
+    shard = shard_from_key_expr(order_key_expr(id_col, seed), n_shards)
+    per = (
+        df.select(
+            shard.alias("shard_id"),
+            token_count_expr(text_col).cast("long").alias("_ntok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    n = int(n_shards)
+    return per.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        total.alias("_tot"),
+    ).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.when(
+            F.col("_tot") > 0,
+            F.expr("(n_tokens * 20000 + _tot) div (2 * _tot)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("token_share_bp"),
+        F.when(
+            F.col("_tot") > 0,
+            F.expr(
+                f"(abs(n_tokens * {n} - _tot) * 20000 + _tot * {n}) "
+                f"div (2 * _tot * {n})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dev_bp"),
+    )

@@ -690,3 +690,42 @@ def sample_exact_k(
         .filter(F.col("_rn") <= k)
         .drop("_k", "_rn")
     )
+
+
+def time_split_audit(
+    df: DataFrame,
+    cut: str,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal train/test split leakage audit: with train = rows
+    strictly before `cut` and test = rows at-or-after, report every
+    group (user, session, entity) that appears on BOTH sides — the
+    leakage a random split hides and a time split is supposed to
+    prevent when the entity itself is the memorization vector.
+    Returns (group, n_train, n_test, first_test_epoch) per leaked
+    group, with first_test_epoch the floor-epoch of the group's
+    earliest test row (how soon after the cut the entity re-appears).
+    Groups entirely on one side emit nothing: an empty result IS the
+    'clean temporal split' verdict.
+
+    Scale: one conditional-count aggregate per group (map-side
+    combinable, one shuffle on the group key) + a HAVING-style filter
+    on the |groups|-row result. No join, no window over the corpus."""
+    c = F.col(ts_col)
+    is_test = c >= F.lit(cut).cast("timestamp")
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.sum(F.when(~is_test, 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(is_test, 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.min(
+                F.when(is_test, F.unix_timestamp(c))
+            ).alias("first_test_epoch"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+    )
