@@ -1578,3 +1578,95 @@ def test_bpe_apply_stream_frozen_merges_parity(spark, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in spark.read.parquet(str(out_dir)).collect())
     assert got == expected
+
+
+def test_shard_balance_batch_stream_parity_and_replay(spark, tmp_path):
+    """Sum-merge twin: per-shard totals over any batch slicing equal
+    the batch operator at every prefix; a replayed batch_id re-emits
+    without re-adding."""
+    from webloghunter_spark.pipelines.shard import shard_balance
+    from webloghunter_spark.streaming.mix import shard_balance_stream_writer
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 9 + 1)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "sb_src"
+    docs.filter(F.col("doc_id") < 25).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") >= 25).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+    fn = shard_balance_stream_writer(
+        lambda r, b: seen.update(last=r, batches=seen["batches"] + 1),
+        n_shards=4, seed="t",
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sb"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 2
+    expected = sorted(
+        tuple(r) for r in shard_balance(docs, n_shards=4, seed="t").collect()
+    )
+    assert sorted(seen["last"]) == expected
+    # replay guard
+    first = {k: list(v) for k, v in fn.totals.items()}
+    fn(docs.limit(5), 0)  # stale batch_id: must not merge
+    assert {k: list(v) for k, v in fn.totals.items()} == first
+
+
+def test_time_split_batch_stream_parity_and_replay(spark, tmp_path):
+    """(sum, sum, min)-merge twin: the leaked-group list equals the
+    batch audit at every prefix, only both-sides groups emit, and a
+    stale batch_id only re-emits."""
+    from webloghunter_spark.pipelines.split import time_split_audit
+    from webloghunter_spark.streaming.mix import time_split_stream_writer
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-02-01 00:00:30"),
+        (2, "2024-01-05 00:00:00"),
+        (2, "2024-02-02 00:00:00"),
+        (3, "2024-01-06 00:00:00"),   # train only: never emits
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    cut = "2024-01-15 00:00:00"
+    src = tmp_path / "ts_src"
+    ev.filter(F.col("ts") < "2024-01-20").write.parquet(str(src / "a"))
+    ev.filter(F.col("ts") >= "2024-01-20").write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    seen = {"last": None, "batches": 0}
+    fn = time_split_stream_writer(
+        lambda r, b: seen.update(last=r, batches=seen["batches"] + 1), cut
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ts"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen["batches"] >= 2
+    expected = sorted(
+        tuple(r) for r in time_split_audit(ev, cut).collect()
+    )
+    assert sorted(seen["last"]) == expected
+    first = {k: list(v) for k, v in fn.totals.items()}
+    fn(ev, 0)  # stale batch_id
+    assert {k: list(v) for k, v in fn.totals.items()} == first

@@ -154,3 +154,132 @@ def upsample_epochs_stream_writer(
         sink(rows, batch_id)
 
     return process
+
+
+def shard_balance_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    n_shards: int = 16,
+    seed: str = "train",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/shard.shard_balance: per-shard
+    (n_docs, n_tokens) totals merge by SUM (the mix/hll sum-merge
+    family — state bounded at n_shards rows, parity free for any
+    batch slicing). After each micro-batch `sink(rows, batch_id)`
+    receives the CURRENT [(shard_id, n_docs, n_tokens,
+    token_share_bp, dev_bp)] — equal at every prefix to the batch
+    operator over the docs streamed so far. Replays are guarded by
+    the high-water batch_id and only re-emit. Exposes `.totals` and
+    `.current()`."""
+    from webloghunter_spark.functions.text import token_count_expr
+    from webloghunter_spark.pipelines.shard import (
+        order_key_expr,
+        shard_from_key_expr,
+    )
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    state: dict[int, list[int]] = {}  # shard -> [n_docs, n_tokens]
+    last_seen = [-1]
+
+    def current() -> list[tuple]:
+        tot = sum(v[1] for v in state.values())
+        out = []
+        for sh in sorted(state):
+            d, t = state[sh]
+            share = (t * 20000 + tot) // (2 * tot) if tot > 0 else 0
+            dev = (
+                (abs(t * n_shards - tot) * 20000 + tot * n_shards)
+                // (2 * tot * n_shards)
+                if tot > 0
+                else 0
+            )
+            out.append((sh, d, t, share, dev))
+        return out
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
+            shard = shard_from_key_expr(
+                order_key_expr(id_col, seed), n_shards
+            )
+            rows = (
+                batch_df.select(
+                    shard.alias("_sh"),
+                    token_count_expr(text_col).cast("long").alias("_t"),
+                )
+                .groupBy("_sh")
+                .agg(
+                    F.count(F.lit(1)).alias("_d"),
+                    F.sum("_t").alias("_t"),
+                )
+                .collect()
+            )
+            for r in rows:
+                cur = state.setdefault(int(r["_sh"]), [0, 0])
+                cur[0] += int(r["_d"])
+                cur[1] += int(r["_t"] or 0)
+        sink(current(), batch_id)
+
+    process.totals = state
+    process.current = current
+    return process
+
+
+def time_split_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    cut: str,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/split.time_split_audit — the
+    leakage monitor a live ingest runs against a pinned split cut:
+    per-group (n_train, n_test, first_test_epoch) merge by
+    (sum, sum, min), so the state is one row per group EVER SEEN on
+    either side (the audit's own output domain) and parity with the
+    batch operator holds at every prefix. `sink(rows, batch_id)`
+    receives the CURRENT leaked-group list
+    [(group, n_train, n_test, first_test_epoch)] sorted by group —
+    only groups with rows on BOTH sides, like the batch operator.
+    Replay-guarded; exposes `.totals` and `.current()`."""
+    state: dict = {}  # group -> [n_train, n_test, min_test_epoch|None]
+    last_seen = [-1]
+
+    def current() -> list[tuple]:
+        return [
+            (g, v[0], v[1], v[2])
+            for g, v in sorted(state.items())
+            if v[0] > 0 and v[1] > 0
+        ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
+            c = F.col(ts_col)
+            is_test = c >= F.lit(cut).cast("timestamp")
+            rows = (
+                batch_df.groupBy(group_col)
+                .agg(
+                    F.sum(F.when(~is_test, 1).otherwise(0)).alias("_tr"),
+                    F.sum(F.when(is_test, 1).otherwise(0)).alias("_te"),
+                    F.min(
+                        F.when(is_test, F.unix_timestamp(c))
+                    ).alias("_fe"),
+                )
+                .collect()
+            )
+            for r in rows:
+                cur = state.setdefault(r[group_col], [0, 0, None])
+                cur[0] += int(r["_tr"])
+                cur[1] += int(r["_te"])
+                fe = r["_fe"]
+                if fe is not None:
+                    cur[2] = int(fe) if cur[2] is None else min(
+                        cur[2], int(fe)
+                    )
+        sink(current(), batch_id)
+
+    process.totals = state
+    process.current = current
+    return process
