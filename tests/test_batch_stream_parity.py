@@ -1670,3 +1670,58 @@ def test_time_split_batch_stream_parity_and_replay(spark, tmp_path):
     first = {k: list(v) for k, v in fn.totals.items()}
     fn(ev, 0)  # stale batch_id
     assert {k: list(v) for k, v in fn.totals.items()} == first
+
+
+def test_stream_twins_null_keys_no_crash(spark):
+    """NULL group/doc_id keys (dirty ingest) must not crash the
+    driver-side sorts in the merge twins — the batch operators keep
+    NULL-keyed rows, so the twins do too."""
+    from webloghunter_spark.streaming.mix import (
+        mix_temperature_stream_writer,
+        shard_balance_stream_writer,
+        time_split_stream_writer,
+    )
+
+    out = []
+    fn = time_split_stream_writer(
+        lambda r, b: out.append(r), "2024-01-15 00:00:00"
+    )
+    ev = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:00"), (None, "2024-02-01 00:00:00"),
+         (1, "2024-01-02 00:00:00"), (1, "2024-02-02 00:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    fn(ev, 0)
+    assert [g for g, *_ in out[-1]] == [None, 1]  # NULL group first
+
+    fn2 = shard_balance_stream_writer(
+        lambda r, b: out.append(r), n_shards=2, seed="t"
+    )
+    docs = spark.createDataFrame(
+        [(None, "a b c"), (1, "d e"), (2, "f")],
+        "doc_id long, text string",
+    )
+    fn2(docs, 0)
+    shards = [sh for sh, *_ in out[-1]]
+    assert shards[0] is None and sum(
+        t for _, _, t, _, _ in out[-1]
+    ) == 6
+
+    fn3 = mix_temperature_stream_writer(lambda r, b: out.append(r))
+    mx = spark.createDataFrame(
+        [(None, "a b"), ("web", "c")], "source string, text string"
+    )
+    fn3(mx, 0)
+    assert [g for g, *_ in out[-1]] == [None, "web"]
+
+
+def test_contamination_sensitivity_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    from webloghunter_spark.pipelines.decontam import (
+        contamination_sensitivity,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="every n must be >= 1"):
+        contamination_sensitivity(df, df, ns=(0, 4))

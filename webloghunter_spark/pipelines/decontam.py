@@ -580,6 +580,8 @@ def contamination_sensitivity(
     side is scanned |ns| times but never shuffled on text."""
     if not ns:
         raise ValueError("ns must be non-empty")
+    if any(int(x) < 1 for x in ns):
+        raise ValueError(f"every n must be >= 1, got {tuple(ns)}")
     spark = train.sparkSession
     n_train = train.count()
     rows = []

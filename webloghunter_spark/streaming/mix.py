@@ -68,7 +68,9 @@ def mix_temperature_stream_writer(
             return int(math.floor(x * 10000.0 + 0.5))
 
         out = []
-        for g in sorted(state):
+        # NULL groups sort first, not crash (dirty ingest is normal;
+        # the batch operator keeps a NULL group row)
+        for g in sorted(state, key=lambda k: (k is not None, k)):
             n_docs, n_tokens = state[g]
             raw = raws[g]
             temp = raw ** alpha / z if z > 0 else 0.0
@@ -186,7 +188,9 @@ def shard_balance_stream_writer(
     def current() -> list[tuple]:
         tot = sum(v[1] for v in state.values())
         out = []
-        for sh in sorted(state):
+        # a NULL doc_id hashes to a NULL shard — keep it as its own
+        # row (the batch operator and oracle group NULL), sorted first
+        for sh in sorted(state, key=lambda k: (k is not None, k)):
             d, t = state[sh]
             share = (t * 20000 + tot) // (2 * tot) if tot > 0 else 0
             dev = (
@@ -217,7 +221,10 @@ def shard_balance_stream_writer(
                 .collect()
             )
             for r in rows:
-                cur = state.setdefault(int(r["_sh"]), [0, 0])
+                sh = r["_sh"]
+                cur = state.setdefault(
+                    int(sh) if sh is not None else None, [0, 0]
+                )
                 cur[0] += int(r["_d"])
                 cur[1] += int(r["_t"] or 0)
         sink(current(), batch_id)
@@ -236,9 +243,13 @@ def time_split_stream_writer(
     """Streaming twin of pipelines/split.time_split_audit — the
     leakage monitor a live ingest runs against a pinned split cut:
     per-group (n_train, n_test, first_test_epoch) merge by
-    (sum, sum, min), so the state is one row per group EVER SEEN on
-    either side (the audit's own output domain) and parity with the
-    batch operator holds at every prefix. `sink(rows, batch_id)`
+    (sum, sum, min). State holds one row per group EVER SEEN on
+    EITHER side — train-only groups are retained (a later test-side
+    arrival must find their train counts), so driver memory is
+    O(|distinct groups|), NOT the (typically tiny) leaked-group
+    output; on very-high-cardinality group columns run the batch
+    audit instead. Parity with the batch operator holds at every
+    prefix. `sink(rows, batch_id)`
     receives the CURRENT leaked-group list
     [(group, n_train, n_test, first_test_epoch)] sorted by group —
     only groups with rows on BOTH sides, like the batch operator.
@@ -249,7 +260,9 @@ def time_split_stream_writer(
     def current() -> list[tuple]:
         return [
             (g, v[0], v[1], v[2])
-            for g, v in sorted(state.items())
+            for g, v in sorted(
+                state.items(), key=lambda kv: (kv[0] is not None, kv[0])
+            )
             if v[0] > 0 and v[1] > 0
         ]
 
