@@ -1494,6 +1494,41 @@ def test_longest_repeat_binary_search_exact(spark):
     assert rows[7] == (8, 2, 2)
 
 
+def test_longest_repeat_tokenizes_like_tokens_expr(spark):
+    """ADVICE r8: the kernel must see EXACTLY the tokens_expr stream
+    (F.trim strips only spaces; Java \\s+ split keeps a leading empty
+    token for tab/newline-padded text). '\\tfoo bar' is 3 tokens
+    ('', 'foo', 'bar'), not 2 — and the empty leading token can even
+    participate in repeats."""
+    from webloghunter_spark.functions.text import (
+        longest_repeat,
+        token_count_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "\tfoo bar"),        # leading tab -> leading '' token
+            (2, "foo bar\n"),        # trailing newline -> trailing ''
+            (3, "\t a b \n a b"),    # mixed padding + a real repeat
+            (4, " spaces only "),    # F.trim handles these
+            (5, "\t\n"),             # whitespace-only, not space-only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.ntok, r.longest_len, r.n_longest)
+           for r in longest_repeat(df).collect()}
+    ntok = {r.doc_id: r.n
+            for r in df.select("doc_id",
+                               token_count_expr("text").alias("n")).collect()}
+    # ntok always agrees with the JVM tokens_expr count
+    for d, (n, _, _) in got.items():
+        assert n == ntok[d], (d, n, ntok[d])
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (3, 0, 0)
+    assert got[3][1] == 2 and got[3][0] == ntok[3]   # 'a b' repeats
+    assert got[4] == (2, 0, 0)
+
+
 def test_url_blocklist_gate_suffix_and_specificity(spark):
     """Blocklist: exact and subdomain matches block, longest domain
     wins, lookalike suffixes without the dot don't match, non-URLs

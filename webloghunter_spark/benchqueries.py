@@ -7306,8 +7306,11 @@ def q_url_blocklist(spark, sf_dir):
         ),
         (F.col("user_id") % 5 + 1).cast("int"),
     )
+    # NULL user_id -> NULL index -> NULL pick; the oracle's CASE maps
+    # NULL to the ELSE '-' branch, so coalesce to match (ADVICE r8).
     g = url_blocklist_gate(
-        ev.select(pick.alias("url")), ["tracker.example", "fofa.info"]
+        ev.select(F.coalesce(pick, F.lit("-")).alias("url")),
+        ["tracker.example", "fofa.info"],
     )
     return g.groupBy("host", "blocked_by", "blocked").agg(
         F.count(F.lit(1)).alias("n")

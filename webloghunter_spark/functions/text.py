@@ -939,15 +939,15 @@ def longest_repeat(
     O(n) rolling set pass — O(n log n) per doc vs the O(n^2) gram
     blow-up a full explode would shuffle. Grams are compared as
     chr(31)-joined token strings, matching the SQL oracle's separator
-    exactly."""
-    import re as _re
+    exactly.
 
+    Tokenization happens JVM-SIDE via tokens_expr (F.trim + Java
+    \\s+ split), so the kernel's token stream is definitionally the
+    repo convention — a Python re-implementation (str.strip() + an
+    ASCII \\s+ re.split) silently diverged on tab/newline-padded text
+    (str.strip() eats ALL whitespace; F.trim eats only spaces, so a
+    leading tab yields a leading empty token JVM-side)."""
     import pandas as pd
-
-    # ASCII \s+ split over trimmed text — the exact tokens_expr /
-    # string_split_regex semantics (Python's argless str.split would
-    # also split on unicode spaces)
-    _ws = _re.compile(r"\s+", _re.ASCII)
 
     def _one(toks: list) -> tuple:
         n = len(toks)
@@ -981,12 +981,8 @@ def longest_repeat(
             if not len(pdf):
                 continue
             res = [
-                _one(
-                    _ws.split(t.strip())
-                    if isinstance(t, str) and t.strip()
-                    else []
-                )
-                for t in pdf[text_col]
+                _one(list(t) if t is not None else [])
+                for t in pdf["_toks"]
             ]
             yield pd.DataFrame(
                 {
@@ -997,6 +993,8 @@ def longest_repeat(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).mapInPandas(
         gen, f"{id_col} long, ntok long, longest_len long, n_longest long"
     )
