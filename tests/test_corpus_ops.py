@@ -1559,6 +1559,52 @@ def test_url_blocklist_gate_suffix_and_specificity(spark):
     assert out[7] == ("", None, False)
 
 
+def test_url_blocklist_join_matches_gate_form(spark):
+    """The broadcast suffix-join form (the 100k-list scale path) is
+    row-for-row identical to the CASE-chain form on the same list —
+    exact/subdomain matches, longest-domain-wins specificity, case
+    folding, non-URL pass-through, and a domain list larger than any
+    sane CASE chain."""
+    from webloghunter_spark.functions.url import (
+        url_blocklist_gate,
+        url_blocklist_join,
+    )
+
+    rows = [
+        (1, "https://ads.example.org/x"),
+        (2, "https://cdn.example.org/x"),
+        (3, "https://example.org/x"),
+        (4, "https://notexample.org/x"),
+        (5, "https://Sub.ADS.example.ORG/x"),
+        (6, "ftp://example.org/x"),
+        (7, "-"),
+        (8, None),
+        (9, "https://blk123.example/q"),       # hits the big list
+        (10, "https://deep.a.blk9.example/q"), # subdomain, big list
+        (11, "https://blk99999.example/q"),    # not on the list
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # parity on a list already past hand-written size but still CASE-
+    # plannable; the join form then runs a list the CASE chain can't
+    small = [f"blk{i}.example" for i in range(300)] + [
+        "example.org",
+        "ads.example.org",
+    ]
+    gate = {r.doc_id: (r.host, r.blocked_by, r.blocked)
+            for r in url_blocklist_gate(df, small).collect()}
+    join = {r.doc_id: (r.host, r.blocked_by, r.blocked)
+            for r in url_blocklist_join(df, small).collect()}
+    assert gate == join
+    big = [f"blk{i}.example" for i in range(20000)] + ["example.org"]
+    out = {r.doc_id: (r.host, r.blocked_by, r.blocked)
+           for r in url_blocklist_join(df, big).collect()}
+    assert out[9] == ("blk123.example", "blk123.example", True)
+    assert out[10] == ("deep.a.blk9.example", "blk9.example", True)
+    assert out[11] == ("blk99999.example", None, False)
+    # non-URL -> host ''; NULL url -> NULL host (both forms agree)
+    assert out[7] == ("", None, False) and out[8] == (None, None, False)
+
+
 def test_filter_track_attrition_by_band(spark):
     """The attrition matrix: raw counts partition by (group, band),
     stage counts are monotone non-increasing along the funnel, and a

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.risk import method_risk_expr, status_risk_expr
-from webloghunter_spark.functions.similarity import cosine_topk
+from webloghunter_spark.functions.similarity import cosine_topk, grid_round_expr
 from webloghunter_spark.functions.text import (
     lang_id_expr,
     punct_count_expr,
@@ -240,12 +240,15 @@ def q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            # stored-value half-up grid throughout, not F.round — every
+            # fixture numeric is a DOUBLE and F.round rounds the
+            # shortest decimal repr (functions/similarity.py:45)
+            grid_round_expr(F.sum("l_quantity"), 2).alias("sum_qty"),
+            grid_round_expr(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            grid_round_expr(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(
+            grid_round_expr(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
@@ -253,9 +256,9 @@ def q_pricing_summary(spark, sf_dir):
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            grid_round_expr(F.avg("l_quantity"), 4).alias("avg_qty"),
+            grid_round_expr(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            grid_round_expr(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -287,7 +290,7 @@ def q_top_revenue(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.round(
+            grid_round_expr(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -667,7 +670,7 @@ def q_json_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(k).alias("sum_k"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        grid_round_expr(F.avg("value"), 4).alias("avg_value"),
     )
 
 
@@ -1913,7 +1916,7 @@ def q_salted_join(spark, sf_dir):
     return j.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
+        grid_round_expr(F.col("o_totalprice").cast("double"), 2).alias("price"),
         "n_orders",
     )
 
@@ -3180,7 +3183,7 @@ def q_quantize_emb(spark, sf_dir):
     scale, codes = quantize_embedding_exprs("embedding", bits=8)
     return emb.select(
         "vec_id",
-        F.round(scale, 4).alias("scale"),
+        grid_round_expr(scale, 4).alias("scale"),
         F.concat_ws(",", codes).alias("codes"),
     )
 
@@ -3471,8 +3474,8 @@ def q_mad_outliers(spark, sf_dir):
     out = mad_outliers(w, "sz", ["ip"], k=3.0)
     return out.select(
         "event_id", "ip", "sz",
-        F.round("med", 4).alias("med"),
-        F.round("mad", 4).alias("mad"),
+        grid_round_expr(F.col("med"), 4).alias("med"),
+        grid_round_expr(F.col("mad"), 4).alias("mad"),
         "is_outlier",
     )
 
@@ -3603,10 +3606,10 @@ def q_corpus_stats(spark, sf_dir):
         t.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.expr("percentile(ntok, 0.5)"), 4).alias("p50_tokens"),
-            F.round(F.expr("percentile(ntok, 0.9)"), 4).alias("p90_tokens"),
-            F.round(F.expr("percentile(ntok, 0.99)"), 4).alias("p99_tokens"),
-            F.round(F.avg("ntok"), 4).alias("mean_tokens"),
+            grid_round_expr(F.expr("percentile(ntok, 0.5)"), 4).alias("p50_tokens"),
+            grid_round_expr(F.expr("percentile(ntok, 0.9)"), 4).alias("p90_tokens"),
+            grid_round_expr(F.expr("percentile(ntok, 0.99)"), 4).alias("p99_tokens"),
+            grid_round_expr(F.avg("ntok"), 4).alias("mean_tokens"),
         )
     )
 
@@ -3750,8 +3753,8 @@ def q_emb_outliers(spark, sf_dir):
     out = mad_outliers(assigned, "dist", ["cent_id"])
     return out.select(
         "vec_id", "cent_id", "dist",
-        F.round("med", 4).alias("med"),
-        F.round("mad", 4).alias("mad"),
+        grid_round_expr(F.col("med"), 4).alias("med"),
+        grid_round_expr(F.col("mad"), 4).alias("mad"),
         "is_outlier",
     )
 
@@ -4902,7 +4905,7 @@ def q_local_volume(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            grid_round_expr(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -4981,7 +4984,7 @@ def q_shipping_priority(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(
-            F.round(
+            grid_round_expr(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.min(F.unix_timestamp("o_orderdate")).alias("order_epoch"),
@@ -5025,10 +5028,10 @@ def q_returned_items(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
+            grid_round_expr(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
-            F.round(F.min("c_acctbal"), 2).alias("acctbal"),
+            grid_round_expr(F.min("c_acctbal"), 2).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -7344,6 +7347,74 @@ SQL_URL_BLOCKLIST = """
 """
 
 
+def q_url_blocklist_big(spark, sf_dir):
+    """Large-list blocklist gate: 10,002 domains through the broadcast
+    suffix-join form (url_blocklist_join) — the regime where the
+    CASE-chain form (url_blocklist_gate, a 2N-comparison codegen chain)
+    stops being plannable. Hosts are derived so the big list actually
+    matches (blk<user_id%97>.example, exact AND subdomain), plus the
+    small-list domains and a pass-through host. Corpus side never
+    shuffles: distinct hosts -> suffix explode -> broadcast join ->
+    matched-host map broadcast back."""
+    from webloghunter_spark.functions.url import url_blocklist_join
+
+    ev = _fan(_t(spark, sf_dir, "events"))
+    m5 = F.col("user_id") % 5
+    k = (F.col("user_id") % 97).cast("string")
+    url = (
+        F.when(m5 == 0, F.concat(F.lit("https://sub.blk"), k, F.lit(".example/p")))
+        .when(m5 == 1, F.concat(F.lit("https://blk"), k, F.lit(".example/q")))
+        .when(m5 == 2, F.lit("https://www.fofa.info/p"))
+        .when(m5 == 3, F.lit("https://example.org/p"))
+        .otherwise(F.lit("-"))  # incl. NULL user_id, like the SQL CASE
+    )
+    domains = [f"blk{i}.example" for i in range(10000)] + [
+        "tracker.example",
+        "fofa.info",
+    ]
+    g = url_blocklist_join(ev.select(url.alias("url")), domains)
+    return g.groupBy("host", "blocked_by", "blocked").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_URL_BLOCKLIST_BIG = """
+    WITH u AS (
+        SELECT CASE (user_id % 5)
+               WHEN 0 THEN 'https://sub.blk' || (user_id % 97) || '.example/p'
+               WHEN 1 THEN 'https://blk' || (user_id % 97) || '.example/q'
+               WHEN 2 THEN 'https://www.fofa.info/p'
+               WHEN 3 THEN 'https://example.org/p'
+               ELSE '-' END AS url
+        FROM events
+    ),
+    h AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u),
+    bl AS (
+        SELECT 'blk' || i || '.example' AS domain
+        FROM generate_series(0, 9999) t(i)
+        UNION ALL SELECT 'tracker.example'
+        UNION ALL SELECT 'fofa.info'
+    ),
+    hosts AS (
+        SELECT DISTINCT lower(host) AS lh FROM h WHERE lower(host) <> ''
+    ),
+    sfx AS (
+        SELECT lh, array_to_string(list_slice(p, i, len(p)), '.') AS s
+        FROM (SELECT lh, string_split(lh, '.') AS p FROM hosts),
+             LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+    ),
+    m AS (
+        SELECT lh, arg_max(domain, length(domain)) AS blocked_by
+        FROM sfx JOIN bl ON sfx.s = bl.domain
+        GROUP BY lh
+    )
+    SELECT h.host, m.blocked_by, m.blocked_by IS NOT NULL AS blocked,
+           count(*)::BIGINT AS n
+    FROM h LEFT JOIN m ON lower(h.host) = m.lh
+    GROUP BY 1, 2, 3
+"""
+
+
 
 
 def q_shard_balance(spark, sf_dir):
@@ -8192,6 +8263,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_fusion": q_rank_fusion,
     "boilerplate_segments": q_boilerplate_segments,
     "density_sample": q_density_sample,
+    # -- round-9 additions --
+    "url_blocklist_big": q_url_blocklist_big,
     # -- round-8 additions --
     "bpe_apply": q_bpe_apply,
     "filter_track": q_filter_track,
@@ -8361,6 +8434,7 @@ ORACLES: dict[str, str] = {
     "curate_pipeline": SQL_CURATE_PIPELINE,
     "filter_track": SQL_FILTER_TRACK,
     "longest_repeat": SQL_LONGEST_REPEAT,
+    "url_blocklist_big": SQL_URL_BLOCKLIST_BIG,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "shard_balance": SQL_SHARD_BALANCE,
     "time_split": SQL_TIME_SPLIT,

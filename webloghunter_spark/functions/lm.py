@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from webloghunter_spark.functions.similarity import grid_round_expr
 
 from webloghunter_spark.functions.text import tokens_expr
 from webloghunter_spark.session import materialize
@@ -91,7 +92,7 @@ def bigram_logprob(
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("_lp"), round_digits).alias("avg_ll"),
+        grid_round_expr(F.avg("_lp"), round_digits).alias("avg_ll"),
     )
     return (
         df.select(id_col)
@@ -360,7 +361,7 @@ def bigram_logprob_frozen(
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("_lp"), round_digits).alias("avg_ll"),
+        grid_round_expr(F.avg("_lp"), round_digits).alias("avg_ll"),
     )
     return (
         df.select(id_col)

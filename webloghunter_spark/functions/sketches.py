@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from webloghunter_spark.functions.similarity import grid_round_expr
 
 HLL_M = 64
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
@@ -81,7 +82,9 @@ def hll_distinct(
         )
         .select(
             *group_cols,
-            F.round(
+            # stored-value grid, not F.round (similarity.py:45);
+            # the estimate is non-negative so signum is a no-op
+            grid_round_expr(
                 F.lit(HLL_ALPHA * HLL_M * HLL_M)
                 / (F.col("_s") + (F.lit(HLL_M) - F.col("_nb"))),
                 2,

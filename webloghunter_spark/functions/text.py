@@ -100,7 +100,15 @@ def quality_score_raw_expr(col: Column | str) -> Column:
 
 
 def quality_score_expr(col: Column | str) -> Column:
-    return F.round(quality_score_raw_expr(col), 4)
+    """Stored-value half-up grid, not F.round: the score is a DOUBLE
+    in [0,1] whose shortest decimal repr can sit ON a .xxxx5 midpoint
+    the stored value is just below — F.round (BigDecimal HALF_UP on
+    the repr) rounds UP there while DuckDB round() / the Arrow
+    kernels round DOWN (see functions/similarity.py:45). Feeds
+    quality_gate / curate_pipeline / filter_track / dataset_card."""
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    return grid_round_expr(quality_score_raw_expr(col), 4)
 
 
 def quality_bp_expr(col: Column | str) -> Column:
@@ -538,9 +546,12 @@ def tfidf_topk(
     else:
         dfreq = tf.groupBy("token").agg(_F.count(_F.lit(1)).alias("df"))
         scored = tf.join(dfreq, "token")
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    # stored-value grid, not F.round (similarity.py:45)
     scored = scored.crossJoin(_F.broadcast(ndocs)).withColumn(
         "tfidf",
-        _F.round(
+        grid_round_expr(
             _F.col("tf") * _F.log(_F.col("n_docs").cast("double") / _F.col("df")), 4
         ),
     )
@@ -615,7 +626,10 @@ def charset_stats_exprs(col: Column | str) -> list[Column]:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c).cast("long")
     safe = F.greatest(n, F.lit(1)).cast("double")
-    ratio = lambda cnt: F.round(cnt.cast("double") / safe, 6)
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    # stored-value grid, not F.round (similarity.py:45)
+    ratio = lambda cnt: grid_round_expr(cnt.cast("double") / safe, 6)  # noqa: E731
     return [
         n.alias("n_chars"),
         _class_count(c, CTRL_CLASS).alias("n_ctrl"),
@@ -650,10 +664,13 @@ def token_entropy(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias("_cl"),
     )
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    # stored-value grid, not F.round (similarity.py:45)
     ent = agg.select(
         id_col,
         F.col("_n").cast("long").alias("ntok"),
-        F.round(
+        grid_round_expr(
             F.log(F.col("_n").cast("double")) - F.col("_cl") / F.col("_n").cast("double"),
             round_digits,
         ).alias("entropy"),

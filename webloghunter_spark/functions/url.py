@@ -57,8 +57,9 @@ def blocked_by_expr(host: Column | str, domains: list[str]) -> Column:
     The list is compiled into a codegen'd CASE chain — for the
     tens-to-hundreds-entry lists this targets, that beats a broadcast
     join (no build side, no hashing; the match runs inside the scan's
-    whole-stage codegen). For 100k+-entry lists, broadcast-join a
-    (domain) frame on the same suffix predicate instead."""
+    whole-stage codegen). For 100k+-entry lists use
+    url_blocklist_join — the broadcast suffix-join form with the same
+    semantics and output schema."""
     h = F.lower(F.col(host) if isinstance(host, str) else host)
     expr = F.lit(None).cast("string")
     # ascending length, each new branch wraps the previous as its
@@ -68,6 +69,78 @@ def blocked_by_expr(host: Column | str, domains: list[str]) -> Column:
         cond = (h == dl) | h.endswith("." + dl)
         expr = F.when(cond, F.lit(dl)).otherwise(expr)
     return expr
+
+
+def host_suffixes_expr(host: Column | str) -> Column:
+    """The dot-suffix chain of a (lowercased) host, longest first:
+    'a.b.example.org' -> ['a.b.example.org', 'b.example.org',
+    'example.org', 'org']. Pure codegen (split + transform + slice) —
+    no explode, no Python."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + F.lit(1)), "."),
+    )
+
+
+def url_blocklist_join(
+    df,
+    domains: list[str],
+    url_col: str = "url",
+):
+    """Large-list form of url_blocklist_gate — identical output schema
+    and semantics (host as extracted, match on lowercase, exact or
+    subdomain suffix, LONGEST domain wins, non-URLs pass), but the
+    list lives in a broadcast (domain) frame instead of a codegen'd
+    CASE chain. blocked_by_expr compiles 2 comparisons per domain into
+    the plan, which is right for tens-to-hundreds of entries and fatal
+    for a real 100k-entry crawl blocklist (url.py:60); this form is
+    O(plan) in 1.
+
+    Scale shape (the reason this beats exploding the corpus):
+      1. DISTINCT lowercased hosts — one narrow-column shuffle, heavily
+         map-side combinable (a 100 TB crawl has ~1e8 distinct hosts,
+         not 1e12).
+      2. Suffix-explode + broadcast-join + max_by(domain, length) runs
+         on |distinct hosts| x ~5 label rows, never on corpus rows.
+      3. The MATCHED host map (only hosts that hit the list — bounded
+         by blocklist coverage, far smaller than the host set) joins
+         back via broadcast, so the corpus side never shuffles at all.
+    If the matched-host set itself outgrows broadcast (a list designed
+    to block most of the crawl), drop the explicit broadcast() in step
+    3 and let AQE pick a shuffle join — the semantics don't change.
+
+    Longest-match ties are impossible: two distinct suffixes of one
+    host can't share a length, so max_by is deterministic."""
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d.lower(),) for d in sorted(set(domains))], "domain string"
+    )
+    hosts = (
+        df.select(F.lower(host_expr(url_col)).alias("_lhost"))
+        .where(F.col("_lhost") != "")
+        .distinct()
+    )
+    ex = hosts.select(
+        "_lhost", F.explode(host_suffixes_expr("_lhost")).alias("_sfx")
+    )
+    matched = (
+        ex.join(F.broadcast(bl), F.col("_sfx") == F.col("domain"))
+        .groupBy("_lhost")
+        .agg(F.max_by("domain", F.length("domain")).alias("blocked_by"))
+    )
+    return (
+        df.withColumn("host", host_expr(url_col))
+        .join(
+            F.broadcast(matched),
+            F.lower(F.col("host")) == F.col("_lhost"),
+            "left",
+        )
+        .drop("_lhost")
+        .withColumn("blocked", F.col("blocked_by").isNotNull())
+    )
 
 
 def url_blocklist_gate(

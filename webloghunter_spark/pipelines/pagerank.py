@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from webloghunter_spark.functions.similarity import grid_round_expr
 
 
 def pagerank(
@@ -73,7 +74,11 @@ def pagerank(
             nodes.join(sums, on="node", how="left")
             .select(
                 "node",
-                F.round(
+                # stored-value half-up grid, not F.round — pr >= 0 and
+                # ITERATES (a boundary flip would compound through
+                # every later round); grid == DuckDB round() exactly
+                # (similarity.py:45)
+                grid_round_expr(
                     F.lit(base)
                     + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
                     round_digits,

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from webloghunter_spark.functions.similarity import grid_round_expr
 from webloghunter_spark.functions.text import (
     hash_bucket_expr,
     token_count_expr,
@@ -333,7 +334,11 @@ def dsir_weights(
         .crossJoin(F.broadcast(ttot))
         .select(
             "_b",
-            F.round(
+            # stored-value half-away-from-zero grid, not F.round —
+            # log ratios can be negative and F.round rounds the
+            # SHORTEST DECIMAL REPR (similarity.py:45); grid ==
+            # DuckDB round(x*1e6)::BIGINT exactly
+            grid_round_expr(
                 F.log(
                     (
                         (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
@@ -343,7 +348,8 @@ def dsir_weights(
                         (F.col("_cr") + F.lit(1)) / (F.col("_tr") + b)
                     )
                 )
-                * 1e6
+                * 1e6,
+                0,
             )
             .cast("long")
             .alias("_lr"),
@@ -456,8 +462,10 @@ def _js_divergence(fa: DataFrame, fb: DataFrame, n_cells: int) -> DataFrame:
     p = (F.coalesce(F.col("_ca"), F.lit(0)) + F.lit(1)) / (F.col("_ta") + bl)
     q = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(1)) / (F.col("_tb") + bl)
     m = (p + q) / F.lit(2.0)
-    contrib = F.round(
-        (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0) * 1e9
+    # stored-value grid (similarity.py:45), not F.round — JS contribs
+    # can be arbitrarily close to an integer midpoint of the nano grid
+    contrib = grid_round_expr(
+        (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0) * 1e9, 0
     ).cast("long")
     return (
         j.select(contrib.alias("_c"), "_ta", "_tb")
@@ -644,13 +652,15 @@ def source_divergence(
     )
     pairs = a.join(b, "_b").filter(F.col("source_a") < F.col("source_b"))
     m = (F.col("_pa") + F.col("_pb")) / F.lit(2.0)
-    contrib = F.round(
+    # stored-value grid, not F.round (similarity.py:45)
+    contrib = grid_round_expr(
         (
             F.col("_pa") * F.log(F.col("_pa") / m)
             + F.col("_pb") * F.log(F.col("_pb") / m)
         )
         / F.lit(2.0)
-        * 1e9
+        * 1e9,
+        0,
     ).cast("long")
     return (
         pairs.select(
@@ -700,7 +710,8 @@ def zipf_fit(
     )
     x = F.log(F.col("_r").cast("double"))
     y = F.log(F.col("_n").cast("double"))
-    nano = lambda c: F.round(c * 1e9).cast("long")  # noqa: E731
+    # stored-value grid, not F.round (similarity.py:45)
+    nano = lambda c: grid_round_expr(c * 1e9, 0).cast("long")  # noqa: E731
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.coalesce(F.sum(nano(x)), F.lit(0)).alias("sx"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webloghunter_spark.functions.lm import bigram_logprob
+from webloghunter_spark.functions.similarity import grid_round_expr
 from webloghunter_spark.pipelines.gate import quality_gate
 
 
@@ -104,7 +105,10 @@ def quality_gate_stream_writer(
                 ).alias("_lp"),
             )
             .groupBy(id_col)
-            .agg(F.round(F.avg("_lp"), 4).alias("avg_ll"))
+            # grid, matching the batch side's grid_round_expr (the
+            # batch lm.py migrated off F.round; the twin must follow
+            # or a boundary value breaks stream/batch parity)
+            .agg(grid_round_expr(F.avg("_lp"), 4).alias("avg_ll"))
         )
         out = (
             base.join(scored, id_col, "left")
