@@ -576,6 +576,83 @@ def test_bpe_apply_frozen_merges_on_unseen_text(spark):
     assert ident[10] == (6, 6, 0) and ident[13] == (0, 0, 0)
 
 
+def test_bpe_apply_kernel_matches_expression(spark):
+    """The Arrow-kernel fallback (real merge-table sizes) is
+    row-for-row identical to the replace-chain expression form on the
+    same table — including chained merges (the output symbol of step
+    k is the input of step k+1), 3-pass back-to-back runs, and empty
+    docs. A 1,024-merge table — far past the ~100-merge Catalyst
+    cliff where the expression form stops planning — runs through the
+    kernel in seconds."""
+    from webloghunter_spark.pipelines.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w0 w1 w2 w3 w4 w5"),       # chain: w0w1, then (w0w1)?
+            (2, "w0 w1 w0 w1 w0 w1 w0 w1"), # back-to-back 3-pass case
+            (3, "w9 w7 w5 w3 w1"),          # non-adjacent: identity
+            (4, ""),
+            (5, None),
+            (6, "the cat sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [(i, f"w{i}", f"w{i+1}") for i in range(8)] + [
+        (100, "the", "cat"),
+        (101, "sat", "on"),
+    ]
+    expr = sorted(
+        tuple(r)
+        for r in bpe_apply(docs, merges, kernel_threshold=10**9).collect()
+    )
+    kern = sorted(
+        tuple(r)
+        for r in bpe_apply(docs, merges, kernel_threshold=0).collect()
+    )
+    assert expr == kern
+    # 1k merges: expression form would not plan; the kernel just runs
+    big = [(i, f"w{i}", f"w{i+1}") for i in range(1024)]
+    out = {r.doc_id: r.n_symbols
+           for r in bpe_apply(docs, big, kernel_threshold=64).collect()}
+    assert out[3] == 5 and out[4] == 0   # non-adjacent identity, empty
+    assert out[1] < 6                    # chain merges collapsed doc 1
+
+
+def test_bpe_roundtrip_detects_separator_collision(spark):
+    """decode(encode(x)) == x holds for every clean doc under any
+    well-formed merge table; a doc whose RAW text contains the merge
+    separator chr(1) flips ok to False — the corruption the
+    pre-deployment vocab check exists to catch. Expression and kernel
+    forms agree row-for-row."""
+    from webloghunter_spark.pipelines.bpe import bpe_merge_learn, bpe_roundtrip
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "the cat sat on a hat")],
+        "doc_id long, text string",
+    )
+    merges = bpe_merge_learn(train, steps=3)
+    held = spark.createDataFrame(
+        [(10, "the cat sat on a log"),
+         (11, "no learned pairs here"),
+         (12, ""),
+         (13, None),
+         (14, "bad\x01token the cat")],  # separator collision
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.ntok, r.n_symbols, r.ok)
+            for r in bpe_roundtrip(held, merges).collect()}
+    assert rows[10][2] and rows[11][2] and rows[12] == (0, 0, True)
+    assert rows[13] == (0, 0, True)
+    assert rows[14][2] is False          # chr(1) in raw text detected
+    assert rows[10][1] < rows[10][0]     # merges actually applied
+    # kernel form agrees (force it with threshold 0)
+    kern = {r.doc_id: (r.ntok, r.n_symbols, r.ok)
+            for r in bpe_roundtrip(held, merges,
+                                   kernel_threshold=0).collect()}
+    assert kern == rows
+
+
 def test_mmr_select_diversity_beats_redundancy(spark):
     """MMR: pick 1 is the most query-relevant vector; with a low
     lambda the next pick skips a near-duplicate of pick 1 in favor of

@@ -6337,6 +6337,57 @@ SQL_BPE_APPLY = r"""
     FROM rep
 """
 
+
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer round-trip validation: decode(encode(x)) == x per
+    held-out doc under the frozen even-half merge table — the commit
+    check a vocab deployment runs (it catches SEPARATOR COLLISION:
+    raw text already containing the merge connector chr(1) detokenizes
+    wrong). Same train/apply split as bpe_apply; one stateless
+    projection, no shuffle."""
+    from webloghunter_spark.pipelines.bpe import bpe_merge_learn, bpe_roundtrip
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    merges = bpe_merge_learn(docs.filter(F.col("doc_id") % 2 == 0), steps=4)
+    return bpe_roundtrip(docs.filter(F.col("doc_id") % 2 == 1), merges)
+
+
+# The roundtrip oracle IS the apply oracle with the report tail swapped
+# for the decode-and-compare tail — built by replacement so the learn/
+# apply replay CTEs can never drift between the two.
+_BPE_REPORT_TAIL = """    rep AS (
+        SELECT t.doc_id,
+               len(t.t)::BIGINT AS ntok,
+               CASE WHEN length(trim(f.s)) = 0 THEN 0
+                    ELSE len(string_split(trim(f.s), ' ')) END::BIGINT
+                   AS n_symbols
+        FROM atoks t JOIN as4 f USING (doc_id)
+    )
+    SELECT doc_id, ntok, n_symbols,
+           CASE WHEN ntok > 0
+                THEN ((ntok - n_symbols) * 20000 + ntok)
+                     // (2 * ntok)
+                ELSE 0 END::BIGINT AS saved_bp
+    FROM rep
+"""
+_BPE_ROUNDTRIP_TAIL = """    rep AS (
+        SELECT t.doc_id,
+               len(t.t)::BIGINT AS ntok,
+               CASE WHEN length(trim(f.s)) = 0 THEN 0
+                    ELSE len(string_split(trim(f.s), ' ')) END::BIGINT
+                   AS n_symbols,
+               (replace(f.s, chr(1), ' ') = a0.s) AS ok
+        FROM atoks t
+        JOIN as4 f USING (doc_id)
+        JOIN as0 a0 USING (doc_id)
+    )
+    SELECT doc_id, ntok, n_symbols, ok
+    FROM rep
+"""
+assert _BPE_REPORT_TAIL in SQL_BPE_APPLY, "bpe tail drifted from SQL_BPE_APPLY"
+SQL_BPE_ROUNDTRIP = SQL_BPE_APPLY.replace(_BPE_REPORT_TAIL, _BPE_ROUNDTRIP_TAIL)
+
+
 def q_mmr_select(spark, sf_dir):
     """Greedy maximal-marginal-relevance pick of 4 vectors balancing
     relevance to vec_id 0 against redundancy with prior picks
@@ -8265,6 +8316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "density_sample": q_density_sample,
     # -- round-9 additions --
     "url_blocklist_big": q_url_blocklist_big,
+    "bpe_roundtrip": q_bpe_roundtrip,
     # -- round-8 additions --
     "bpe_apply": q_bpe_apply,
     "filter_track": q_filter_track,
@@ -8435,6 +8487,7 @@ ORACLES: dict[str, str] = {
     "filter_track": SQL_FILTER_TRACK,
     "longest_repeat": SQL_LONGEST_REPEAT,
     "url_blocklist_big": SQL_URL_BLOCKLIST_BIG,
+    "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "shard_balance": SQL_SHARD_BALANCE,
     "time_split": SQL_TIME_SPLIT,

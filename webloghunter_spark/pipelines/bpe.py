@@ -171,6 +171,7 @@ def bpe_apply(
     merges: DataFrame | list[tuple],
     text_col: str = "text",
     id_col: str = "doc_id",
+    kernel_threshold: int = 64,
 ) -> DataFrame:
     """Apply a FROZEN merge table to UNSEEN text — the deployment half
     of the tokenizer lifecycle (train once on a reference corpus, then
@@ -184,32 +185,93 @@ def bpe_apply(
     saved_bp on the exact integer cross-multiply grid.
 
     Scale: the merge table is tiny driver state (steps rows), so the
-    whole application is ONE narrow stateless projection — steps x 3
-    chained replace() calls inside a single whole-stage-codegen'd map,
-    no shuffle, no per-round materialization (training needs a count
-    aggregate between rounds; application does not). An empty merge
-    table degrades to the identity segmentation (n_symbols = ntok)."""
+    whole application is ONE narrow stateless projection — no shuffle,
+    no per-round materialization (training needs a count aggregate
+    between rounds; application does not). An empty merge table
+    degrades to the identity segmentation (n_symbols = ntok).
+
+    Two physical forms, same semantics, dispatched on table size:
+
+    - `len(merges) <= kernel_threshold`: 3x|steps| chained replace()
+      calls in one whole-stage-codegen'd map — zero Python, the right
+      plan for the dozens-of-merges fixtures and small domain vocabs.
+    - above the threshold: one Arrow mapInPandas kernel applying the
+      SAME step-ordered 3-pass literal replaces per document (Python
+      str.replace is the identical left-to-right non-overlapping
+      scan-after-replacement primitive as Spark's replace(), so the
+      forms are bit-equal — parity-tested in
+      tests/test_bpe.py::test_bpe_apply_kernel_matches_expression).
+      A production 32k-merge vocabulary would otherwise compile a
+      ~100k-node expression tree Catalyst cannot survive. Measured at
+      sf0.01 (500 docs, local[32]): the expression form runs 0.7-3 s
+      up to 96 merges, then falls off a CLIFF — 112+ merges never
+      finished inside 100 s (superlinear Catalyst analysis on the
+      3x|steps|-deep nested replace tree); the kernel runs 0.5 s at
+      1k merges, 2.2 s at 8k, 7.0 s at a full 32k vocabulary (see
+      SCALING.md). The default threshold 64 keeps the codegen path
+      for every size safely below the cliff. Tokenization stays
+      JVM-side in BOTH forms: the kernel receives the
+      already-delimited state string, so tokens_expr semantics can't
+      drift."""
     if isinstance(merges, DataFrame):
         rows = merges.select("step", "sym_a", "sym_b").collect()
         table = sorted((int(r[0]), r[1], r[2]) for r in rows)
     else:
         table = sorted((int(m[0]), m[1], m[2]) for m in merges)
     toks = tokens_expr(text_col)
-    s = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
-    for _, a, b in table:
-        pat, rep = f" {a} {b} ", f" {a}{BPE_SEP}{b} "
-        for _ in range(3):
-            s = F.replace(s, F.lit(pat), F.lit(rep))
-    nsym = (
-        F.when(F.length(F.trim(s)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(s), " ")))
-        .cast("long")
-    )
-    return df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("ntok"),
-        nsym.alias("n_symbols"),
-    ).select(
+    state0 = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    ntok = F.size(toks).cast("long")
+
+    if len(table) > int(kernel_threshold):
+        import pandas as pd
+
+        pairs = [(a, b) for _, a, b in table]
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                for s in pdf["_s"]:
+                    for a, b in pairs:
+                        pat = f" {a} {b} "
+                        rep = f" {a}{BPE_SEP}{b} "
+                        for _ in range(3):
+                            # replace() on a missing pattern is the
+                            # identity — skipping it is semantics-free
+                            if pat not in s:
+                                break
+                            s = s.replace(pat, rep)
+                    t = s.strip(" ")
+                    out.append(len(t.split(" ")) if t else 0)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "ntok": pdf["ntok"],
+                        "n_symbols": out,
+                    }
+                )
+
+        base = df.select(
+            F.col(id_col), ntok.alias("ntok"), state0.alias("_s")
+        ).mapInPandas(gen, f"{id_col} long, ntok long, n_symbols long")
+    else:
+        s = state0
+        for _, a, b in table:
+            pat, rep = f" {a} {b} ", f" {a}{BPE_SEP}{b} "
+            for _ in range(3):
+                s = F.replace(s, F.lit(pat), F.lit(rep))
+        nsym = (
+            F.when(F.length(F.trim(s)) == 0, F.lit(0))
+            .otherwise(F.size(F.split(F.trim(s), " ")))
+            .cast("long")
+        )
+        base = df.select(
+            F.col(id_col),
+            ntok.alias("ntok"),
+            nsym.alias("n_symbols"),
+        )
+    return base.select(
         id_col,
         "ntok",
         "n_symbols",
@@ -222,4 +284,95 @@ def bpe_apply(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("saved_bp"),
+    )
+
+
+def bpe_roundtrip(
+    df: DataFrame,
+    merges: DataFrame | list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel_threshold: int = 64,
+) -> DataFrame:
+    """decode(encode(x)) == x per document — the validation a
+    tokenizer deployment runs before committing a frozen vocabulary.
+    Encodes with the same step-ordered 3-pass merge chain bpe_apply
+    uses, decodes by replacing the merge separator back to a space,
+    and compares against the original delimited token stream. Returns
+    (id, ntok, n_symbols, ok).
+
+    For a well-formed merge table over clean text, ok is TRUE by
+    construction (merges only fuse delimiter-separated symbols). What
+    flips it — and what the check exists to catch — is SEPARATOR
+    COLLISION: a document whose raw tokens already contain the merge
+    separator chr(1) decodes to more symbols than it encoded from.
+    Committing a vocab without this check silently corrupts every
+    downstream detokenization of such documents.
+
+    Scale: same two physical forms as bpe_apply, dispatched on
+    `kernel_threshold` — a stateless codegen replace-chain projection
+    for small tables, an Arrow mapInPandas kernel above the ~100-merge
+    Catalyst cliff. The kernel computes ok in-kernel, so no encoded
+    strings ship back through Arrow. No shuffle in either form."""
+    if isinstance(merges, DataFrame):
+        rows = merges.select("step", "sym_a", "sym_b").collect()
+        table = sorted((int(r[0]), r[1], r[2]) for r in rows)
+    else:
+        table = sorted((int(m[0]), m[1], m[2]) for m in merges)
+    toks = tokens_expr(text_col)
+    state0 = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    ntok = F.size(toks).cast("long")
+
+    if len(table) > int(kernel_threshold):
+        import pandas as pd
+
+        pairs = [(a, b) for _, a, b in table]
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                nsyms, oks = [], []
+                for s0 in pdf["_s"]:
+                    s = s0
+                    for a, b in pairs:
+                        pat = f" {a} {b} "
+                        rep = f" {a}{BPE_SEP}{b} "
+                        for _ in range(3):
+                            if pat not in s:
+                                break
+                            s = s.replace(pat, rep)
+                    t = s.strip(" ")
+                    nsyms.append(len(t.split(" ")) if t else 0)
+                    oks.append(s.replace(BPE_SEP, " ") == s0)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "ntok": pdf["ntok"],
+                        "n_symbols": nsyms,
+                        "ok": oks,
+                    }
+                )
+
+        return df.select(
+            F.col(id_col), ntok.alias("ntok"), state0.alias("_s")
+        ).mapInPandas(
+            gen, f"{id_col} long, ntok long, n_symbols long, ok boolean"
+        )
+
+    s = state0
+    for _, a, b in table:
+        pat, rep = f" {a} {b} ", f" {a}{BPE_SEP}{b} "
+        for _ in range(3):
+            s = F.replace(s, F.lit(pat), F.lit(rep))
+    nsym = (
+        F.when(F.length(F.trim(s)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(s), " ")))
+        .cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        ntok.alias("ntok"),
+        nsym.alias("n_symbols"),
+        (F.replace(s, F.lit(BPE_SEP), F.lit(" ")) == state0).alias("ok"),
     )
