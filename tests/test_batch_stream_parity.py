@@ -1725,3 +1725,103 @@ def test_contamination_sensitivity_rejects_bad_n(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="every n must be >= 1"):
         contamination_sensitivity(df, df, ns=(0, 4))
+
+
+def _run_file_stream(spark, tmp_path, tag, parts, schema, xform):
+    """Write each `parts` frame as its own parquet dir, stream them
+    maxFilesPerTrigger=1 through `xform`, return collected rows."""
+    src = tmp_path / f"{tag}_src"
+    for i, p in enumerate(parts):
+        p.write.parquet(str(src / f"p{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_dir = tmp_path / f"{tag}_out"
+    q = (
+        xform(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sorted(tuple(r) for r in spark.read.parquet(str(out_dir)).collect())
+
+
+def test_longest_repeat_stream_stateless_parity(spark, tmp_path):
+    """Row-local repetition stat: streaming the corpus through the
+    twin equals the batch operator, any batch slicing."""
+    from webloghunter_spark.functions.text import longest_repeat
+    from webloghunter_spark.streaming.gate import longest_repeat_stream
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c d"), (2, "x y x y"), (3, "p q r"),
+         (4, ""), (5, None), (6, "\tm n m n")],
+        "doc_id long, text string",
+    )
+    expected = sorted(tuple(r) for r in longest_repeat(docs).collect())
+    got = _run_file_stream(
+        spark, tmp_path, "lrep",
+        [docs.filter(F.col("doc_id") <= 3),
+         docs.filter(F.col("doc_id") > 3)],
+        docs.schema, longest_repeat_stream,
+    )
+    assert got == expected
+
+
+def test_url_blocklist_stream_stateless_parity(spark, tmp_path):
+    """Gate-form blocklist on a stream equals the batch gate."""
+    from webloghunter_spark.functions.url import url_blocklist_gate
+    from webloghunter_spark.streaming.gate import url_blocklist_stream
+
+    docs = spark.createDataFrame(
+        [(1, "https://ads.example.org/x"), (2, "https://cdn.example.org/x"),
+         (3, "https://other.net/x"), (4, "-"), (5, None)],
+        "doc_id long, url string",
+    )
+    domains = ["example.org", "ads.example.org"]
+    expected = sorted(
+        tuple(r) for r in url_blocklist_gate(docs, domains).collect()
+    )
+    got = _run_file_stream(
+        spark, tmp_path, "ubl",
+        [docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1)],
+        docs.schema, lambda s: url_blocklist_stream(s, domains),
+    )
+    assert got == expected
+
+
+def test_readability_stream_stateless_parity(spark, tmp_path):
+    """Flesch projection on a stream equals the batch query shape."""
+    from webloghunter_spark.functions.text import flesch_exprs
+    from webloghunter_spark.streaming.gate import readability_stream
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran! Did it?"), (2, "word"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    e = flesch_exprs("text")
+    expected = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            e["ntok"].alias("ntok"),
+            e["n_sent"].alias("n_sent"),
+            e["n_syll"].alias("n_syll"),
+            e["flesch_centi"].alias("flesch_centi"),
+        ).collect()
+    )
+    got = _run_file_stream(
+        spark, tmp_path, "read",
+        [docs.filter(F.col("doc_id") <= 2),
+         docs.filter(F.col("doc_id") > 2)],
+        docs.schema, readability_stream,
+    )
+    assert got == expected

@@ -166,3 +166,57 @@ def bpe_apply_stream(
     from webloghunter_spark.pipelines.bpe import bpe_apply
 
     return bpe_apply(stream, merges, text_col, id_col)
+
+
+def longest_repeat_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless streaming twin of functions/text.longest_repeat:
+    repetition is a ROW-LOCAL property, so the Arrow mapInPandas
+    kernel (JVM-side tokens_expr tokenization, per-doc binary search)
+    is stream-safe as-is — no shuffle, no state, use directly in a
+    writeStream pipeline."""
+    from webloghunter_spark.functions.text import longest_repeat
+
+    return longest_repeat(stream, text_col, id_col)
+
+
+def url_blocklist_stream(
+    stream: DataFrame,
+    domains: list,
+    url_col: str = "url",
+) -> DataFrame:
+    """Stateless streaming twin of functions/url.url_blocklist_gate:
+    the CASE-chain form is one codegen'd projection, stream-safe
+    as-is. Deliberately the GATE form, not url_blocklist_join — the
+    join form's distinct-host aggregation is corpus-relative state; a
+    stream wanting the 100k-list path should broadcast-join a
+    PRECOMPUTED matched-host map per micro-batch instead (the frozen-
+    reference discipline the LM gate above uses)."""
+    from webloghunter_spark.functions.url import url_blocklist_gate
+
+    return url_blocklist_gate(stream, domains, url_col)
+
+
+def readability_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless streaming twin of the readability query
+    (functions/text.flesch_exprs): pure regexp codegen projection on
+    the 1e-2 integer grid, stream-safe as-is."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from webloghunter_spark.functions.text import flesch_exprs
+
+    e = flesch_exprs(text_col)
+    return stream.select(
+        F.col(id_col),
+        e["ntok"].alias("ntok"),
+        e["n_sent"].alias("n_sent"),
+        e["n_syll"].alias("n_syll"),
+        e["flesch_centi"].alias("flesch_centi"),
+    )
