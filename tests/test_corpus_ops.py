@@ -1793,3 +1793,42 @@ def test_contamination_sensitivity_monotone(spark):
     assert out[5] == (3, 1, (1 * 20000 + 3) // 6)
     ns = sorted(out)
     assert all(out[a][1] >= out[b][1] for a, b in zip(ns, ns[1:]))
+
+
+def test_dataset_diff_status_and_stage_transitions(spark):
+    """snapshot_diff x funnel: every planted scenario lands in the
+    right (status, old_stage, new_stage) cell — a removed survivor,
+    an added gate-dead stub, a rewrite that moves a doc OUT of the
+    gate-dead band, and untouched docs on the diagonal."""
+    from webloghunter_spark.pipelines.curate import dataset_diff
+
+    good = lambda i: (i, " ".join(f"tok{i}x{j} the of and is on a"  # noqa: E731
+                                  for j in range(8)))
+    old_rows = [
+        good(1),             # unchanged survivor
+        good(2),             # will be REMOVED
+        (3, "tiny"),         # gate-dead in old; rewritten good in new
+        good(4),             # unchanged survivor
+    ]
+    new_rows = [
+        good(1),
+        (3, good(3)[1]),     # rewrite: stage 0 -> survivor
+        good(4),
+        (5, "stub"),         # ADDED, dies at the gate
+        good(6),             # ADDED, survives
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = {(r.status, r.old_stage, r.new_stage): r.n
+           for r in dataset_diff(
+               old, new, min_quality_bp=1000, min_tokens=5,
+               near_dedup_threshold=0.8,
+           ).collect()}
+    # no eval_df -> stage 4 == stage 3 survivors (decontam skipped
+    # means s4 = s3, so survivors tag 4)
+    assert out[("unchanged", 4, 4)] == 2        # docs 1, 4
+    assert out[("removed", 4, -1)] == 1         # doc 2
+    assert out[("changed", 0, 4)] == 1          # doc 3 rewrite
+    assert out[("added", -1, 0)] == 1           # doc 5 stub
+    assert out[("added", -1, 4)] == 1           # doc 6
+    assert sum(out.values()) == 6

@@ -2615,6 +2615,51 @@ SQL_SNAPSHOT_DIFF = r"""
 """
 
 
+def q_dataset_diff(spark, sf_dir):
+    """Two-build-run diff: snapshot_diff composed with the curate
+    funnel (what changed AND at which funnel stage). Old run = the
+    curate train split; new run = deterministic perturbation (every
+    13th doc dropped, every 7th rewritten, a short 'new doc' per 11th
+    id — short enough to die at the gate, so added rows land in
+    stage 0). Oracle replays the curate CTE chain TWICE (o_/n_
+    prefixed, re-rooted at each snapshot CTE) — built from
+    SQL_CURATE_PIPELINE by string surgery with import-time asserts,
+    so the funnel stages can never drift from curate_pipeline/
+    filter_track."""
+    from webloghunter_spark.pipelines.curate import dataset_diff
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    old = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    survivors = old.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", changed.alias("text")
+    )
+    fresh = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    return dataset_diff(
+        old,
+        survivors.unionByName(fresh),
+        eval_df=ev,
+        min_quality_bp=3000,
+        min_tokens=10,
+        max_tokens=5000,
+        near_dedup_threshold=0.8,
+        dedup_num_hashes=4,
+        dedup_band_size=2,
+        decontam_n=4,
+    )
+
+
+
+
+
 def q_epoch_order(spark, sf_dir):
     """Multi-epoch loader-ready training order: upsample_epochs'
     plan expanded, fresh md5(seed|epoch|id) interleave per epoch,
@@ -7292,6 +7337,113 @@ assert SQL_FILTER_TRACK != SQL_CURATE_PIPELINE
 assert "quality_band" in SQL_FILTER_TRACK
 
 
+def _curate_stage_chain(prefix: str, src: str) -> str:
+    """The curate funnel's CTE chain re-rooted at the snapshot CTE
+    `src`, every CTE name `prefix`ed — lets ONE query replay the
+    funnel on two corpora. Import-time asserts pin every anchor so a
+    drift in SQL_CURATE_PIPELINE fails loudly here, not as a silent
+    oracle fork."""
+    import re as _re
+
+    body = SQL_CURATE_PIPELINE
+    tail = """    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN s3 USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+    assert tail in body, "curate final SELECT drifted"
+    body = body.replace(tail, "")
+    old_src = "FROM documents WHERE doc_id % 50 != 0"
+    assert body.count(old_src) == 1, "curate train-split anchor drifted"
+    body = body.replace(old_src, f"FROM {src}")
+    old_keyed = "FROM documents d JOIN s1 USING (doc_id)"
+    assert body.count(old_keyed) == 1, "curate keyed anchor drifted"
+    body = body.replace(old_keyed, f"FROM {src} d JOIN s1 USING (doc_id)")
+    body = body.strip()
+    assert body.startswith("WITH "), "curate chain shape drifted"
+    body = body[len("WITH "):]
+    # longer names BEFORE their prefixes (evt before ev)
+    names = (
+        "toks|gate|keyed|sh3|hashed|sig|banded|cand|dsh|dropped"
+        "|evt|ev|tr4|bad|s1|s2|s3"
+    )
+    return _re.sub(
+        rf"\b({names})\b", lambda m: prefix + m.group(1), body
+    ).rstrip()
+
+
+def _curate_stage_case(prefix: str) -> str:
+    """last-survived-stage CASE over one prefixed funnel replay."""
+    p = prefix
+    return f"""(
+        SELECT t.doc_id,
+               CASE WHEN t.doc_id IN (SELECT doc_id FROM {p}s3)
+                     AND t.doc_id NOT IN (SELECT doc_id FROM {p}bad) THEN 4
+                    WHEN t.doc_id IN (SELECT doc_id FROM {p}s3) THEN 3
+                    WHEN t.doc_id IN (SELECT doc_id FROM {p}s2) THEN 2
+                    WHEN t.doc_id IN (SELECT doc_id FROM {p}s1) THEN 1
+                    ELSE 0 END AS stage
+        FROM {p}toks t
+    )"""
+
+
+SQL_DATASET_DIFF = (
+    """
+    WITH o_src AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
+    ),
+    n_src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 50 != 0 AND doc_id % 13 != 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 50 != 0 AND doc_id % 11 = 0
+    ),
+    """
+    + _curate_stage_chain("o_", "o_src")
+    + ",\n    "
+    + _curate_stage_chain("n_", "n_src")
+    + ",\n    ofp AS (\n"
+    + """        SELECT doc_id,
+               md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                  '\\s+', ' ', 'g')) AS old_md5
+        FROM o_src
+    ),
+    nfp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                  '\\s+', ' ', 'g')) AS new_md5
+        FROM n_src
+    ),
+    dsj AS (
+        SELECT coalesce(ofp.doc_id, nfp.doc_id) AS doc_id,
+               CASE WHEN ofp.doc_id IS NULL THEN 'added'
+                    WHEN nfp.doc_id IS NULL THEN 'removed'
+                    WHEN old_md5 = new_md5 THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_md5, new_md5
+        FROM ofp FULL OUTER JOIN nfp ON ofp.doc_id = nfp.doc_id
+    ),
+    ost AS """
+    + _curate_stage_case("o_")
+    + ",\n    nst AS "
+    + _curate_stage_case("n_")
+    + """
+    SELECT d.status,
+           (CASE WHEN d.old_md5 IS NOT NULL
+                 THEN coalesce(o.stage, 0) ELSE -1 END)::BIGINT AS old_stage,
+           (CASE WHEN d.new_md5 IS NOT NULL
+                 THEN coalesce(nn.stage, 0) ELSE -1 END)::BIGINT AS new_stage,
+           count(*)::BIGINT AS n
+    FROM dsj d
+    LEFT JOIN ost o USING (doc_id)
+    LEFT JOIN nst nn USING (doc_id)
+    GROUP BY 1, 2, 3
+"""
+)
+
 
 def q_longest_repeat(spark, sf_dir):
     """Per-document longest repeated token n-gram + tie count — the
@@ -8317,6 +8469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-9 additions --
     "url_blocklist_big": q_url_blocklist_big,
     "bpe_roundtrip": q_bpe_roundtrip,
+    "dataset_diff": q_dataset_diff,
     # -- round-8 additions --
     "bpe_apply": q_bpe_apply,
     "filter_track": q_filter_track,
@@ -8488,6 +8641,7 @@ ORACLES: dict[str, str] = {
     "longest_repeat": SQL_LONGEST_REPEAT,
     "url_blocklist_big": SQL_URL_BLOCKLIST_BIG,
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
+    "dataset_diff": SQL_DATASET_DIFF,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "shard_balance": SQL_SHARD_BALANCE,
     "time_split": SQL_TIME_SPLIT,

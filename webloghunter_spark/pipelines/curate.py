@@ -217,6 +217,104 @@ def snapshot_diff(
     )
 
 
+def funnel_stage_tags(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_bp: int = 3000,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    near_dedup_threshold: float = 0.8,
+    dedup_num_hashes: int = 4,
+    dedup_band_size: int = 2,
+    dedup_shingle_k: int = 3,
+    decontam_n: int = 4,
+) -> DataFrame:
+    """The LAST curate-funnel stage each document survives — (id,
+    last_stage) with 1=gate, 2=exact dedup, 3=near dedup,
+    4=decontamination; gate-dead docs are ABSENT (callers coalesce to
+    0). This is filter_track's survivor computation factored out so
+    dataset_diff can run it on two snapshots without drift — one code
+    path, one oracle CTE chain.
+
+    Scale: stage frames carry (id, text) only until the dedup tiers
+    need the text, then id-only; survivor sets are NESTED so the four
+    membership flags collapse to ONE union + max(stage) aggregate
+    (the filter_track lesson: 4.2x -> 2.82x at the 32x control)."""
+    from webloghunter_spark.functions.text import normalized_text_expr
+    from webloghunter_spark.pipelines.dedup import near_dedup
+    from webloghunter_spark.pipelines.decontam import decontaminate
+    from webloghunter_spark.pipelines.gate import quality_gate
+
+    s1 = materialize(
+        docs.select(F.col(id_col), F.col(text_col).alias("_txt")).join(
+            quality_gate(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                min_tokens=min_tokens,
+                max_tokens=max_tokens,
+                min_quality_bp=min_quality_bp,
+            )
+            .filter(F.col("keep"))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    keyed = s1.select(
+        F.col(id_col), F.md5(normalized_text_expr("_txt")).alias("_k")
+    )
+    s2 = materialize(
+        s1.join(
+            keyed.groupBy("_k").agg(F.min(id_col).alias(id_col)).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    s3 = materialize(
+        s2.join(
+            near_dedup(
+                s2,
+                text_col="_txt",
+                id_col=id_col,
+                threshold=near_dedup_threshold,
+                num_hashes=dedup_num_hashes,
+                band_size=dedup_band_size,
+                shingle_k=dedup_shingle_k,
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    if eval_df is not None:
+        # decontaminate shingles BOTH frames on text_col — mirror the
+        # rename on the eval side
+        ev = eval_df.select(F.col(id_col), F.col(text_col).alias("_txt"))
+        s4 = decontaminate(
+            s3, ev, id_col=id_col, text_col="_txt", n=decontam_n
+        ).select(id_col)
+    else:
+        s4 = s3.select(id_col)
+    # Settle the staged persists BEFORE the fan-out union, so the
+    # branches hit cache instead of recomputing shared funnel lineage.
+    for st in (s1, s2, s3):
+        st.count()
+    # Survivor sets are NESTED (clean ⊆ near ⊆ exact ⊆ gate), so the
+    # four membership flags collapse to ONE number — the last stage a
+    # doc survived: union the id sets with a stage tag, take max(tag),
+    # join ONCE. One exchange + one join instead of four id joins.
+    return (
+        s1.select(F.col(id_col), F.lit(1).alias("_st"))
+        .unionByName(s2.select(F.col(id_col), F.lit(2).alias("_st")))
+        .unionByName(s3.select(F.col(id_col), F.lit(3).alias("_st")))
+        .unionByName(s4.select(F.col(id_col), F.lit(4).alias("_st")))
+        .groupBy(id_col)
+        .agg(F.max("_st").alias("last_stage"))
+    )
+
+
 def filter_track(
     docs: DataFrame,
     eval_df: DataFrame | None = None,
@@ -252,103 +350,40 @@ def filter_track(
     four id-only left-semi-shaped flag joins and ONE |groups x bands|
     aggregate — id sets move, never text. NULL groups survive via
     null-safe grouping (groupBy treats NULL as a key)."""
-    from webloghunter_spark.functions.text import (
-        normalized_text_expr,
-        quality_bp_expr,
-    )
-    from webloghunter_spark.pipelines.dedup import near_dedup
-    from webloghunter_spark.pipelines.decontam import decontaminate
-    from webloghunter_spark.pipelines.gate import quality_gate
+    from webloghunter_spark.functions.text import quality_bp_expr
 
     n_bands = max(10000 // band_width_bp, 1)
     base = materialize(
         docs.select(
             F.col(id_col),
             F.col(group_col).alias("_grp"),
-            F.col(text_col).alias("_txt"),
             F.coalesce(quality_bp_expr(text_col), F.lit(0))
             .cast("long")
             .alias("_qbp"),
         ).select(
             id_col,
             "_grp",
-            "_txt",
             F.least(
                 F.expr(f"_qbp div {int(band_width_bp)}"),
                 F.lit(n_bands - 1).cast("long"),
             ).alias("quality_band"),
         )
     )
-    s1 = materialize(
-        base.join(
-            quality_gate(
-                docs,
-                text_col=text_col,
-                id_col=id_col,
-                min_tokens=min_tokens,
-                max_tokens=max_tokens,
-                min_quality_bp=min_quality_bp,
-            )
-            .filter(F.col("keep"))
-            .select(id_col),
-            id_col,
-            "left_semi",
-        ).select(id_col, "_grp", "_txt", "quality_band")
-    )
-    keyed = s1.select(
-        F.col(id_col), F.md5(normalized_text_expr("_txt")).alias("_k")
-    )
-    s2 = materialize(
-        s1.join(
-            keyed.groupBy("_k").agg(F.min(id_col).alias(id_col)).select(id_col),
-            id_col,
-            "left_semi",
-        )
-    )
-    s3 = materialize(
-        s2.join(
-            near_dedup(
-                s2,
-                text_col="_txt",
-                id_col=id_col,
-                threshold=near_dedup_threshold,
-                num_hashes=dedup_num_hashes,
-                band_size=dedup_band_size,
-                shingle_k=dedup_shingle_k,
-            ).select(id_col),
-            id_col,
-            "left_semi",
-        )
-    )
-    if eval_df is not None:
-        # decontaminate shingles BOTH frames on text_col — mirror the
-        # rename on the eval side
-        ev = eval_df.select(
-            F.col(id_col), F.col(text_col).alias("_txt")
-        )
-        s4 = decontaminate(
-            s3, ev, id_col=id_col, text_col="_txt", n=decontam_n
-        ).select(id_col)
-    else:
-        s4 = s3.select(id_col)
-    # Settle the staged persists BEFORE the fan-out aggregate, so the
-    # final query's branches hit cache instead of recomputing shared
-    # funnel lineage (curate_corpus gets this for free from its
-    # per-stage funnel counts).
-    for st in (base, s1, s2, s3):
-        st.count()
-    # Survivor sets are NESTED (clean ⊆ near ⊆ exact ⊆ gate), so the
-    # four membership flags collapse to ONE number — the last stage a
-    # doc survived: union the id sets with a stage tag, take max(tag),
-    # join ONCE. One exchange + one join instead of four id joins.
-    stages = (
-        s1.select(F.col(id_col), F.lit(1).alias("_st"))
-        .unionByName(s2.select(F.col(id_col), F.lit(2).alias("_st")))
-        .unionByName(s3.select(F.col(id_col), F.lit(3).alias("_st")))
-        .unionByName(s4.select(F.col(id_col), F.lit(4).alias("_st")))
-        .groupBy(id_col)
-        .agg(F.max("_st").alias("_last"))
-    )
+    base.count()  # settle before the stage fan-out below
+    stages = funnel_stage_tags(
+        docs,
+        eval_df,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality_bp=min_quality_bp,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        near_dedup_threshold=near_dedup_threshold,
+        dedup_num_hashes=dedup_num_hashes,
+        dedup_band_size=dedup_band_size,
+        dedup_shingle_k=dedup_shingle_k,
+        decontam_n=decontam_n,
+    ).withColumnRenamed("last_stage", "_last")
     flags = base.select(id_col, "_grp", "quality_band").join(
         stages, id_col, "left"
     )
@@ -368,4 +403,65 @@ def filter_track(
             "survived_bp",
             F.expr("(n_clean * 20000 + n_raw) div (2 * n_raw)"),
         )
+    )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **funnel_kwargs,
+) -> DataFrame:
+    """What changed between two dataset build runs AND at which funnel
+    stage — snapshot_diff composed with the curate funnel. Every id in
+    either snapshot is classified added/removed/changed/unchanged by
+    content fingerprint, and BOTH snapshots get funnel_stage_tags'
+    last-survived-stage (-1=absent from that snapshot, 0=gate-dead ..
+    4=clean — integral, never NULL, so the column survives
+    Arrow/pandas round-trips without NaN-float coercion). Returns one
+    row per observed
+    (status, old_stage, new_stage) with its count n — the table that
+    answers \"the new crawl added 40k docs; how many made it past
+    near-dedup?\" and \"did the docs we rewrote move out of the
+    gate-dead band?\".
+
+    Scale: snapshot_diff is one full-outer join on 16-byte digests;
+    each funnel pass is filter_track's machinery (same code path via
+    funnel_stage_tags — id sets move, never text, one union+max(stage)
+    aggregate per snapshot); the final rollup is a |statuses x 5 x 5|
+    aggregate. Nothing here exceeds what two curate runs already
+    cost."""
+    ds = snapshot_diff(old, new, id_col=id_col, text_col=text_col)
+    so = funnel_stage_tags(
+        old, eval_df, id_col=id_col, text_col=text_col, **funnel_kwargs
+    ).withColumnRenamed("last_stage", "_so")
+    sn = funnel_stage_tags(
+        new, eval_df, id_col=id_col, text_col=text_col, **funnel_kwargs
+    ).withColumnRenamed("last_stage", "_sn")
+    j = (
+        ds.join(so, id_col, "left")
+        .join(sn, id_col, "left")
+        .select(
+            "status",
+            # absent side -> -1; present-but-gate-dead -> 0
+            F.when(
+                F.col("old_md5").isNotNull(),
+                F.coalesce(F.col("_so"), F.lit(0)),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("old_stage"),
+            F.when(
+                F.col("new_md5").isNotNull(),
+                F.coalesce(F.col("_sn"), F.lit(0)),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("new_stage"),
+        )
+    )
+    return j.groupBy("status", "old_stage", "new_stage").agg(
+        F.count(F.lit(1)).alias("n")
     )
