@@ -1832,3 +1832,32 @@ def test_dataset_diff_status_and_stage_transitions(spark):
     assert out[("added", -1, 0)] == 1           # doc 5 stub
     assert out[("added", -1, 4)] == 1           # doc 6
     assert sum(out.values()) == 6
+
+
+def test_repeated_window_spans_sort_strategy_parity(spark):
+    """The suffix-ordering ('sort') repeat-set strategy returns
+    row-for-row the hash-aggregate form's output — cross-doc repeats,
+    in-doc repeats, overlapping-span union, and clean docs absent."""
+    from webloghunter_spark.pipelines.dedup import repeated_window_spans
+
+    boiler = "all rights reserved contact us for more info"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"delta {boiler} epsilon zeta"),
+            (3, "x y z x y z x y z x y z"),      # in-doc repeats
+            (4, "unique words only here now"),    # clean: absent
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    h = sorted(tuple(r) for r in
+               repeated_window_spans(docs, window=4).collect())
+    s = sorted(tuple(r) for r in
+               repeated_window_spans(docs, window=4,
+                                     strategy="sort").collect())
+    assert h == s and len(h) >= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strategy"):
+        repeated_window_spans(docs, window=4, strategy="suffix")

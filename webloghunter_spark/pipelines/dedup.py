@@ -773,11 +773,48 @@ def lsh_recall_audit(
     )
 
 
+def _repeated_hashes_sorted(wins: DataFrame) -> DataFrame:
+    """Repeat set via SORT instead of hash-aggregate: range-partition
+    the window hashes (Spark's range partitioner keys on value
+    comparison, so equal hashes land in one partition), sort within
+    partitions, and emit each value equal to its sorted predecessor
+    exactly once — one Arrow mapInPandas pass with cross-batch carry
+    (Arrow batches arrive in partition order). This is the relational
+    stand-in for the suffix-ordering ExactSubstr pipeline; unlike the
+    hash form, the FULL window volume crosses the range exchange."""
+    import pandas as pd
+
+    def gen(batches):
+        prev = None
+        emitted_prev = False
+        for pdf in batches:
+            out = []
+            for v in pdf["_h"]:
+                if v == prev:
+                    if not emitted_prev:
+                        out.append(v)
+                        emitted_prev = True
+                else:
+                    prev = v
+                    emitted_prev = False
+            if out:
+                yield pd.DataFrame({"_h": out})
+
+    parts = wins.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    return (
+        wins.select("_h")
+        .repartitionByRange(int(parts), "_h")
+        .sortWithinPartitions("_h")
+        .mapInPandas(gen, "_h string")
+    )
+
+
 def repeated_window_spans(
     df: DataFrame,
     window: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "hash",
 ) -> DataFrame:
     """Exact-substring duplication signal (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -801,9 +838,23 @@ def repeated_window_spans(
       function per doc ordered by position, where each span
       contributes max(0, end - max(start, max_prev_end)) — O(hits)
       rows through the exchange, never O(ntok).
+
+    `strategy` picks how the repeat set is computed — identical
+    output, different physical plan (the ExactSubstr literature's two
+    shapes, measured head-to-head in SCALING.md):
+    - 'hash' (default): groupBy on the window md5 — partial map-side
+      combine shrinks the exchange to |distinct| before the shuffle.
+    - 'sort': the suffix-ordering analog — range-partition the window
+      hashes (equal keys co-locate by range contract), sort within
+      partitions, and mark values equal to their sorted neighbor via
+      one Arrow pass. The FULL window volume crosses the exchange
+      (no combine); it exists as the relational stand-in for the
+      suffix-array pipeline and as the measurement control.
     """
     if window <= 0:
         raise ValueError(f"window must be > 0, got {window}")
+    if strategy not in ("hash", "sort"):
+        raise ValueError(f"strategy must be 'hash' or 'sort', got {strategy!r}")
     from pyspark.sql import Window as W
 
     base = df.select(
@@ -814,12 +865,15 @@ def repeated_window_spans(
         F.posexplode(shingles_expr(text_col, window)).alias("_pos", "_g"),
     ).select(id_col, "_pos", F.md5(F.col("_g")).alias("_h"))
     wins = materialize(wins)
-    repeated = (
-        wins.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("_h")
-    )
+    if strategy == "sort":
+        repeated = _repeated_hashes_sorted(wins)
+    else:
+        repeated = (
+            wins.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("_h")
+        )
     rep = wins.join(repeated, "_h", "left_semi")
     w = (
         W.partitionBy(id_col)
