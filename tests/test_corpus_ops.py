@@ -1680,6 +1680,9 @@ def test_url_blocklist_join_matches_gate_form(spark):
     assert out[11] == ("blk99999.example", None, False)
     # non-URL -> host ''; NULL url -> NULL host (both forms agree)
     assert out[7] == ("", None, False) and out[8] == (None, None, False)
+    # empty-string domain would silently fork from the CASE form
+    with pytest.raises(ValueError, match="empty domain"):
+        url_blocklist_join(df, ["example.org", ""])
 
 
 def test_filter_track_attrition_by_band(spark):

@@ -8450,12 +8450,65 @@ SQL_DENSITY_SAMPLE = r"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-8 front = the 10 round-7 queries the
-    # driver never sampled, then round-8 additions (inserted below the
-    # marker as they land), then oldest-green rechecks (last sampled in
-    # round 5) filling the remaining slots. Everything after slot 50 is
-    # covered by the committed full-registry HASHCHECK artifact.
-    # -- never driver-sampled (round-7 tail) --
+    # FIRST 50 entries. Round-9 front = the round-9 additions, then
+    # the 17 round-5-cohort queries never re-sampled since round 5
+    # (round 8 covered the other 33), then round-6 oldest-green
+    # rechecks filling to 50. Everything after slot 50 is covered by
+    # the committed full-registry HASHCHECK artifacts.
+    # -- round-9 additions --
+    "url_blocklist_big": q_url_blocklist_big,
+    "bpe_roundtrip": q_bpe_roundtrip,
+    "dataset_diff": q_dataset_diff,
+    # -- never re-sampled since round 5 (the remaining 17) --
+    "doc_fingerprint_fast": q_doc_fingerprint_fast,
+    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
+    "knn_ivf": q_knn_ivf,
+    "tool_focus": q_tool_focus,
+    "uri_risk": q_uri_risk,
+    "bpe_tokens": q_bpe_tokens,
+    "salted_join": q_salted_join,
+    "salted_collect": q_salted_collect,
+    "rollup_counts": q_rollup_counts,
+    "trailing_rate": q_trailing_rate,
+    "asof_join": q_asof_join,
+    "train_split": q_train_split,
+    "domain_mix": q_domain_mix,
+    "segment_dedup": q_segment_dedup,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "charset_stats": q_charset_stats,
+    "bigram_logprob": q_bigram_logprob,
+    # -- oldest-green rechecks (last driver-sampled round 6) --
+    "quality_gate": q_quality_gate,
+    "novelty_frac": q_novelty_frac,
+    "source_overlap": q_source_overlap,
+    "token_entropy": q_token_entropy,
+    "knn_batch": q_knn_batch,
+    "ann_recall": q_ann_recall,
+    "media_sniff": q_media_sniff,
+    "media_decode": q_media_decode,
+    "shipping_priority": q_shipping_priority,
+    "dup_stats": q_dup_stats,
+    "returned_items": q_returned_items,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "tfidf_topk_salted": q_tfidf_topk_salted,
+    "corpus_stats": q_corpus_stats,
+    "quantize_emb": q_quantize_emb,
+    "knn_quantized": q_knn_quantized,
+    "simhash_pairs": q_simhash_pairs,
+    "referrer_hosts": q_referrer_hosts,
+    "funnel": q_funnel,
+    "pivot_counts": q_pivot_counts,
+    "clean_html": q_clean_html,
+    "mad_outliers": q_mad_outliers,
+    "pack_chunks": q_pack_chunks,
+    "rep_signals": q_rep_signals,
+    "pii_redact": q_pii_redact,
+    "near_dedup": q_near_dedup,
+    "near_dedup_cc": q_near_dedup_cc,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    # -- below the driver window (full-registry hashcheck coverage) --
     "topic_classify": q_topic_classify,
     "interleave_audit": q_interleave_audit,
     "lang_consistency": q_lang_consistency,
@@ -8466,11 +8519,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_fusion": q_rank_fusion,
     "boilerplate_segments": q_boilerplate_segments,
     "density_sample": q_density_sample,
-    # -- round-9 additions --
-    "url_blocklist_big": q_url_blocklist_big,
-    "bpe_roundtrip": q_bpe_roundtrip,
-    "dataset_diff": q_dataset_diff,
-    # -- round-8 additions --
     "bpe_apply": q_bpe_apply,
     "filter_track": q_filter_track,
     "longest_repeat": q_longest_repeat,
@@ -8478,7 +8526,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_balance": q_shard_balance,
     "time_split": q_time_split,
     "contam_sensitivity": q_contam_sensitivity,
-    # -- oldest-green rechecks (last driver-sampled round 5) --
     "pricing_summary": q_pricing_summary,
     "top_revenue": q_top_revenue,
     "sessionize": q_sessionize,
@@ -8512,54 +8559,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
-    "doc_fingerprint_fast": q_doc_fingerprint_fast,
-    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
-    "knn_ivf": q_knn_ivf,
-    "tool_focus": q_tool_focus,
-    "uri_risk": q_uri_risk,
-    "bpe_tokens": q_bpe_tokens,
-    "salted_join": q_salted_join,
-    "salted_collect": q_salted_collect,
-    "rollup_counts": q_rollup_counts,
-    "trailing_rate": q_trailing_rate,
-    "asof_join": q_asof_join,
-    "train_split": q_train_split,
-    "domain_mix": q_domain_mix,
-    "segment_dedup": q_segment_dedup,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "charset_stats": q_charset_stats,
-    "bigram_logprob": q_bigram_logprob,
-    # -- last driver-sampled round 6 --
-    "quality_gate": q_quality_gate,
-    "novelty_frac": q_novelty_frac,
-    "source_overlap": q_source_overlap,
-    "token_entropy": q_token_entropy,
-    "knn_batch": q_knn_batch,
-    "ann_recall": q_ann_recall,
-    "media_sniff": q_media_sniff,
-    "media_decode": q_media_decode,
-    "shipping_priority": q_shipping_priority,
-    "dup_stats": q_dup_stats,
-    "returned_items": q_returned_items,
-    "vocab_topk": q_vocab_topk,
-    "tfidf_topk": q_tfidf_topk,
-    "tfidf_topk_salted": q_tfidf_topk_salted,
-    "corpus_stats": q_corpus_stats,
-    "quantize_emb": q_quantize_emb,
-    "knn_quantized": q_knn_quantized,
-    "simhash_pairs": q_simhash_pairs,
-    "referrer_hosts": q_referrer_hosts,
-    "funnel": q_funnel,
-    "pivot_counts": q_pivot_counts,
-    "clean_html": q_clean_html,
-    "mad_outliers": q_mad_outliers,
-    "pack_chunks": q_pack_chunks,
-    "rep_signals": q_rep_signals,
-    "pii_redact": q_pii_redact,
-    "near_dedup": q_near_dedup,
-    "near_dedup_cc": q_near_dedup_cc,
-    "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_fast": q_semantic_dedup_fast,
     "kmeans_train": q_kmeans_train,
@@ -8579,7 +8578,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles": q_value_quantiles,
     "decontam_bloom": q_decontam_bloom,
     "weighted_sample": q_weighted_sample,
-    # -- last driver-sampled round 7 --
     "bloom_audit": q_bloom_audit,
     "cc_representatives": q_cc_representatives,
     "contam_spans": q_contam_spans,

@@ -113,7 +113,14 @@ def url_blocklist_join(
     3 and let AQE pick a shuffle join — the semantics don't change.
 
     Longest-match ties are impossible: two distinct suffixes of one
-    host can't share a length, so max_by is deterministic."""
+    host can't share a length, so max_by is deterministic.
+
+    Empty-string domains are rejected: the CASE form would match ''
+    against every non-URL row (host ''), while this form's host
+    filter would skip them — a silent parity fork for a list entry
+    that is never a real domain."""
+    if any(not d for d in domains):
+        raise ValueError("url_blocklist_join: empty domain in list")
     spark = df.sparkSession
     bl = spark.createDataFrame(
         [(d.lower(),) for d in sorted(set(domains))], "domain string"
