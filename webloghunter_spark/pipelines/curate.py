@@ -346,10 +346,11 @@ def filter_track(
     integer cross-multiply grid.
 
     Scale: the stage costs ARE curate_corpus's (each stage is the
-    same operator on the same survivor sets); the tracking adds
-    four id-only left-semi-shaped flag joins and ONE |groups x bands|
-    aggregate — id sets move, never text. NULL groups survive via
-    null-safe grouping (groupBy treats NULL as a key)."""
+    same operator on the same survivor sets, via funnel_stage_tags —
+    shared with dataset_diff); the tracking adds one union+max(stage)
+    tag aggregate, ONE id join, and ONE |groups x bands| aggregate —
+    id sets move, never text. NULL groups survive via null-safe
+    grouping (groupBy treats NULL as a key)."""
     from webloghunter_spark.functions.text import quality_bp_expr
 
     n_bands = max(10000 // band_width_bp, 1)
