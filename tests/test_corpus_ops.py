@@ -1864,3 +1864,40 @@ def test_repeated_window_spans_sort_strategy_parity(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="strategy"):
         repeated_window_spans(docs, window=4, strategy="suffix")
+
+
+def test_containment_pairs_finds_doc_in_doc(spark):
+    """Containment catches a short doc fully embedded in a long one
+    (Jaccard ~0.1 — below any near-dup threshold), reports the
+    direction correctly, excludes unrelated docs, and skips pairs
+    sharing only ubiquitous shingles (df > max_df)."""
+    from webloghunter_spark.pipelines.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    filler = " ".join(f"w{j} x{j} y{j}" for j in range(12))
+    boiler = "all rights reserved"                          # 1 shingle
+    rows = [
+        (1, short),
+        (2, f"{filler} {short} more unique tail words"),    # contains 1
+        (3, "totally different content entirely here now"),
+        (4, f"{boiler} aa bb"),
+        (5, f"{boiler} cc dd"),
+        (6, f"{boiler} ee ff"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): (r.n_common, r.contain_ab, r.contain_ba)
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in out
+    n, ab, ba = out[(1, 2)]
+    assert ab == 1.0 and ba < 0.5       # all of A in B, B mostly not in A
+    # the boiler trio shares shingles with df=3 <= max_df, but their
+    # containment is far below 0.5... unless the docs are tiny — here
+    # each has >= 3 distinct shingles of which they share <= 2
+    for k in out:
+        assert 3 not in k               # unrelated doc never appears
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, threshold=1.5)
+    with _pytest.raises(ValueError, match="max_df"):
+        containment_pairs(docs, max_df=1)

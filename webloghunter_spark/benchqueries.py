@@ -1215,6 +1215,48 @@ SQL_JACCARD_PAIRS = f"""
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment pairs (doc-in-doc near-dup —
+    the signal Jaccard/MinHash-LSH structurally miss): candidates
+    from a bounded inverted-index join on discriminative shingles
+    (2 <= df <= 20), exact |A∩B|/|A| verify on distinct shingle
+    arrays, max-direction threshold 0.5."""
+    from webloghunter_spark.pipelines.dedup import containment_pairs
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return containment_pairs(
+        docs, shingle_k=3, threshold=0.5, max_df=20
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+    WITH {DOC_TOKENS_SQL},
+    dsh AS (
+        SELECT doc_id, list_distinct(s) AS s FROM shingles WHERE len(s) > 0
+    ),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM dsh),
+    rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
+    rinv AS (SELECT i.doc_id, i.g FROM inv i JOIN rare USING (g)),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM rinv l JOIN rinv r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    ex AS (
+        SELECT id_a, id_b,
+               len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+               len(a.s)::BIGINT AS na, len(b.s)::BIGINT AS nb
+        FROM cand
+        JOIN dsh a ON a.doc_id = cand.id_a
+        JOIN dsh b ON b.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common::DOUBLE / na, 4) AS contain_ab,
+           round(n_common::DOUBLE / nb, 4) AS contain_ba
+    FROM ex
+    WHERE greatest(n_common::DOUBLE / na, n_common::DOUBLE / nb) >= 0.5
+"""
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprint per document."""
     from webloghunter_spark.pipelines.dedup import simhash_udf
@@ -8459,6 +8501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_blocklist_big": q_url_blocklist_big,
     "bpe_roundtrip": q_bpe_roundtrip,
     "dataset_diff": q_dataset_diff,
+    "containment_pairs": q_containment_pairs,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -8507,8 +8550,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup": q_near_dedup,
     "near_dedup_cc": q_near_dedup_cc,
     "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
     # -- below the driver window (full-registry hashcheck coverage) --
+    "decontaminate": q_decontaminate,
     "topic_classify": q_topic_classify,
     "interleave_audit": q_interleave_audit,
     "lang_consistency": q_lang_consistency,
@@ -8640,6 +8683,7 @@ ORACLES: dict[str, str] = {
     "url_blocklist_big": SQL_URL_BLOCKLIST_BIG,
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "dataset_diff": SQL_DATASET_DIFF,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "shard_balance": SQL_SHARD_BALANCE,
     "time_split": SQL_TIME_SPLIT,

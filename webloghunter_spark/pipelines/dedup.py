@@ -229,6 +229,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs — the doc-in-doc
+    signal the Jaccard family structurally misses: a 50-shingle doc
+    fully embedded in a 5,000-shingle doc has Jaccard ~0.01 (so
+    MinHash-LSH, which approximates Jaccard, never even surfaces the
+    pair) but containment |A∩B|/|A| = 1.0. This is how quote farms,
+    wrapper pages, and chunk-level plagiarism show up in a crawl.
+    Returns (id_a, id_b, n_common, contain_ab, contain_ba) for pairs
+    with max-direction containment >= `threshold`; id_a < id_b,
+    contain_ab = |A∩B|/|A| (how much of A lives inside B).
+
+    Candidate generation is an inverted-index join restricted to
+    DISCRIMINATIVE shingles (2 <= document frequency <= `max_df`):
+    Σ df(g)² over kept grams is bounded by max_df · Σ df(g) — O(corpus
+    shingle volume · max_df), never all-pairs. The documented miss: a
+    pair sharing ONLY ubiquitous shingles (df > max_df) is skipped —
+    acceptable for containment, where a contained doc shares ALL its
+    shingles with the container, rare ones included; a doc made
+    entirely of boilerplate shingles is template spam for
+    boilerplate_segments, not containment. Verification is exact on
+    the distinct shingle arrays with the same shuffle_hash discipline
+    as ngram_jaccard_pairs (the shingle table scales with the corpus —
+    never broadcast it)."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    sh = materialize(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
+    inv = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    rare = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_df)))
+        .select("_g")
+    )
+    rinv = inv.join(rare, "_g", "left_semi")
+    cand = (
+        rinv.alias("l")
+        .join(
+            rinv.alias("r"),
+            (F.col("l._g") == F.col("r._g"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
+    inter = F.size(F.array_intersect("a._sh", "b._sh")).cast("long")
+    ex = (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            F.size("a._sh").cast("long").alias("_na"),
+            F.size("b._sh").cast("long").alias("_nb"),
+        )
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("_na")
+    c_ba = F.col("n_common").cast("double") / F.col("_nb")
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    return (
+        ex.filter(F.greatest(c_ab, c_ba) >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            # stored-value grid, not F.round (similarity.py:45)
+            grid_round_expr(c_ab, 4).alias("contain_ab"),
+            grid_round_expr(c_ba, 4).alias("contain_ba"),
+        )
+    )
+
+
 def simhash_udf(shingle_k: int = 3, bits: int = 16):
     """Arrow-vectorized SimHash: one md5 per shingle, bit b from nibble
     b of the digest (bit index b % 4), majority vote over shingles.
