@@ -1825,3 +1825,51 @@ def test_readability_stream_stateless_parity(spark, tmp_path):
         docs.schema, readability_stream,
     )
     assert got == expected
+
+
+def test_containment_stream_matches_batch_any_slicing(spark):
+    """Asymmetric probe-vs-corpus containment: the union of per-batch
+    sink rows equals the one-shot batch operator over the union of
+    all batches, for two different slicings — and a replayed batch
+    re-emits identical rows (frozen index, zero cross-batch state)."""
+    from webloghunter_spark.pipelines.dedup import containment_pairs_against
+    from webloghunter_spark.streaming.incdedup import (
+        containment_stream_writer,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{j} x{j} y{j}" for j in range(10))
+    corpus = spark.createDataFrame(
+        [(0, f"{filler} {short} unique container tail"),
+         (1, "another corpus document with different words entirely")],
+        "doc_id long, text string",
+    )
+    probes = [
+        (10, short),                                   # contained in 0
+        (11, "no overlap with anything here at all"),
+        (12, f"{short} extra bits"),                   # mostly in 0
+        (13, ""),
+        (14, None),
+    ]
+    pdf = spark.createDataFrame(probes, "doc_id long, text string")
+    expected = sorted(
+        tuple(r)
+        for r in containment_pairs_against(pdf, corpus,
+                                           threshold=0.5).collect()
+    )
+    for slicing in ([[10, 11], [12, 13, 14]], [[10], [11, 12], [13, 14]]):
+        got = []
+        fn = containment_stream_writer(
+            lambda rows, bid: got.extend(rows), corpus, threshold=0.5
+        )
+        try:
+            for bid, ids in enumerate(slicing):
+                fn(pdf.filter(F.col("doc_id").isin(ids)), bid)
+            assert sorted(got) == expected
+            # replay: same rows re-emitted, union unchanged
+            before = sorted(got)
+            fn(pdf.filter(F.col("doc_id").isin(slicing[0])), 0)
+            assert sorted(set(got)) == sorted(set(before))
+        finally:
+            fn.release()
+    assert any(r[0] == 10 and r[1] == 0 and r[3] == 1.0 for r in expected)

@@ -718,3 +718,55 @@ def test_bpe_apply_invariants(spark, train, held):
     enc = sorted(tuple(r) for r in bpe_encode(tdf, steps=3).collect())
     app = sorted(tuple(r) for r in bpe_apply(tdf, merges).collect())
     assert app == enc
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_containment_pairs_matches_bruteforce(spark, docs, threshold):
+    """containment_pairs equals the brute-force all-pairs definition
+    RESTRICTED to its documented candidate contract: pairs sharing at
+    least one discriminative shingle (2 <= df <= max_df). With max_df
+    = len(docs) every shared-shingle pair is a candidate, so the
+    operator must find EXACTLY the brute-force set."""
+    from webloghunter_spark.pipelines.dedup import containment_pairs
+
+    k = 3
+    sets = []
+    for toks in docs:
+        sets.append({
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set())
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_common, r.contain_ab, r.contain_ba)
+           for r in containment_pairs(
+               df, threshold=threshold, max_df=len(docs)).collect()}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = sets[a] & sets[b]
+            if not inter:
+                continue  # no shared shingle -> never a candidate
+            ca = len(inter) / len(sets[a])
+            cb = len(inter) / len(sets[b])
+            if max(ca, cb) >= threshold:
+                want[(a, b)] = len(inter)
+    assert set(got) == set(want)
+    for key, n in want.items():
+        assert got[key][0] == n
+        a, b = key
+        import math
+        def grid(x):
+            return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+        assert got[key][1] == grid(n / len(sets[a]))
+        assert got[key][2] == grid(n / len(sets[b]))

@@ -321,6 +321,91 @@ def containment_pairs(
     )
 
 
+def containment_pairs_against(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """Asymmetric PROBE-vs-CORPUS containment — each probe doc checked
+    for doc-in-doc overlap against an accepted corpus (the decontam /
+    incremental_dedup shape; the continuous-ingest sibling of
+    containment_pairs). Returns (id_a=probe, id_b=corpus, n_common,
+    contain_ab, contain_ba) for pairs with max-direction containment
+    >= threshold. Candidates share >= 1 shingle whose CORPUS document
+    frequency is <= max_df (frozen-index discriminativeness — the
+    probe side never contributes to df, so per-batch results don't
+    depend on batch slicing). Because probes are only compared against
+    the corpus — never each other — the union of per-batch results
+    over any slicing equals the one-shot run exactly; the streaming
+    twin (streaming/incdedup.containment_stream_writer) gets parity
+    for free."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    csh = materialize(
+        corpus.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
+    cinv = csh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    keep = (
+        cinv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= int(max_df))
+        .select("_g")
+    )
+    rcinv = cinv.join(keep, "_g", "left_semi")
+    psh = probe.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    cand = (
+        pinv.alias("p")
+        .join(rcinv.alias("c"), F.col("p._g") == F.col("c._g"))
+        .select(
+            F.col(f"p.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = psh.alias("a").hint("shuffle_hash")
+    b = csh.alias("b").hint("shuffle_hash")
+    ex = (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a._sh", "b._sh"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("a._sh").cast("long").alias("_na"),
+            F.size("b._sh").cast("long").alias("_nb"),
+        )
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("_na")
+    c_ba = F.col("n_common").cast("double") / F.col("_nb")
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    return (
+        ex.filter(F.greatest(c_ab, c_ba) >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            grid_round_expr(c_ab, 4).alias("contain_ab"),
+            grid_round_expr(c_ba, 4).alias("contain_ba"),
+        )
+    )
+
+
 def simhash_udf(shingle_k: int = 3, bits: int = 16):
     """Arrow-vectorized SimHash: one md5 per shingle, bit b from nibble
     b of the digest (bit index b % 4), majority vote over shingles.

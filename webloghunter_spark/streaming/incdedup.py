@@ -132,3 +132,108 @@ def incremental_dedup_stream_writer(
     process.survivors = survivors
     process.survivor_count = lambda: counts["n"]
     return process
+
+
+def containment_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/dedup.containment_pairs_against —
+    the continuous-ingest doc-in-doc gate. The FROZEN index is the
+    corpus's distinct shingle sets plus its discriminative inverted
+    index (corpus df <= max_df; the probe side never contributes to
+    df, so results are independent of batch slicing). Asymmetric, so
+    the union of per-batch sink rows over ANY slicing equals the
+    one-shot batch operator exactly — parity for free, no cross-batch
+    state. Index persisted in the closure (never
+    session.materialize(), whose registry is drained by batch
+    callers); `.release` frees it after stream stop. No replay guard
+    NEEDED: the twin holds zero cross-batch state, and re-emitting a
+    replayed batch is the at-least-once-correct behavior (the frozen
+    index makes the re-emit deterministic; an early-return guard
+    would LOSE rows when Spark replays a batch whose sink failed
+    mid-write)."""
+    from webloghunter_spark.functions.similarity import grid_round_expr
+    from webloghunter_spark.functions.text import shingles_expr
+
+    csh = (
+        corpus.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
+    cinv = csh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    rcinv = (
+        cinv.join(
+            cinv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= int(max_df))
+            .select("_g"),
+            "_g",
+            "left_semi",
+        )
+        .persist()
+    )
+    csh.count(), rcinv.count()  # settle the frozen index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        psh = batch_df.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+        pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+        cand = (
+            pinv.alias("p")
+            .join(rcinv.alias("c"), F.col("p._g") == F.col("c._g"))
+            .select(
+                F.col(f"p.{id_col}").alias("id_a"),
+                F.col(f"c.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        a = psh.alias("a")
+        b = csh.alias("b")
+        ex = (
+            cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+            .join(b, cand.id_b == F.col(f"b.{id_col}"))
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("a._sh", "b._sh"))
+                .cast("long")
+                .alias("n_common"),
+                F.size("a._sh").cast("long").alias("_na"),
+                F.size("b._sh").cast("long").alias("_nb"),
+            )
+        )
+        c_ab = F.col("n_common").cast("double") / F.col("_na")
+        c_ba = F.col("n_common").cast("double") / F.col("_nb")
+        rows = (
+            ex.filter(F.greatest(c_ab, c_ba) >= F.lit(float(threshold)))
+            .select(
+                "id_a",
+                "id_b",
+                "n_common",
+                grid_round_expr(c_ab, 4).alias("contain_ab"),
+                grid_round_expr(c_ba, 4).alias("contain_ba"),
+            )
+            .collect()
+        )
+        # NULL-safe sort keys (ids can be NULL in bad-record reality)
+        rows.sort(key=lambda r: ((r[0] is not None, r[0]),
+                                 (r[1] is not None, r[1])))
+        sink([tuple(r) for r in rows], batch_id)
+
+    def release() -> None:
+        csh.unpersist()
+        rcinv.unpersist()
+
+    process.release = release
+    return process
