@@ -1901,3 +1901,21 @@ def test_containment_pairs_finds_doc_in_doc(spark):
         containment_pairs(docs, threshold=1.5)
     with _pytest.raises(ValueError, match="max_df"):
         containment_pairs(docs, max_df=1)
+
+
+def test_host_suffixes_expr_edges(spark):
+    """Suffix chain: multi-label order (longest first), single label,
+    trailing dot (yields an empty last element — never matches a real
+    domain), and empty host."""
+    from webloghunter_spark.functions.url import host_suffixes_expr
+
+    df = spark.createDataFrame(
+        [(1, "a.b.example.org"), (2, "org"), (3, "example.org."), (4, "")],
+        "i long, h string",
+    )
+    out = {r.i: list(r.s)
+           for r in df.select("i", host_suffixes_expr("h").alias("s")).collect()}
+    assert out[1] == ["a.b.example.org", "b.example.org", "example.org", "org"]
+    assert out[2] == ["org"]
+    assert out[3] == ["example.org.", "org.", ""]
+    assert out[4] == [""]
