@@ -1919,3 +1919,73 @@ def test_host_suffixes_expr_edges(spark):
     assert out[2] == ["org"]
     assert out[3] == ["example.org.", "org.", ""]
     assert out[4] == [""]
+
+
+def test_unimax_alloc_waterfill(spark):
+    """Hand-computed ascending-capacity waterfill: counts (10, 100,
+    100), cap = 2 epochs, budget = 1.5x total = 315. Small source
+    capped at 20; the two large ones split the remainder 147/148
+    (integer floor gives the later rank the extra token)."""
+    from webloghunter_spark.pipelines.select import unimax_alloc
+
+    df = spark.createDataFrame(
+        [("a", " ".join(["w"] * 10)), ("b", " ".join(["w"] * 100)),
+         ("c", " ".join(["w"] * 100))],
+        "source string, text string",
+    )
+    out = {r.source: r.asDict()
+           for r in unimax_alloc(df, budget_bp_of_total=15000,
+                                 max_epochs=2).collect()}
+    assert out["a"]["alloc_tokens"] == 20 and out["a"]["capped"]
+    # ties on capacity rank by source: b before c
+    assert out["b"]["alloc_tokens"] == 147 and not out["b"]["capped"]
+    assert out["c"]["alloc_tokens"] == 148 and not out["c"]["capped"]
+    assert out["a"]["epochs_bp"] == 20000
+    assert sum(r["alloc_tokens"] for r in out.values()) == 315
+
+
+def test_unimax_alloc_invariants(spark):
+    """alloc <= cap everywhere; allocations non-decreasing in
+    (capacity, source) order; budget exhausted when not everyone is
+    capped; surplus budget -> every source capped at max_epochs."""
+    from webloghunter_spark.pipelines.select import unimax_alloc
+
+    rows = [(f"s{i}", " ".join(["w"] * (7 + 13 * i))) for i in range(9)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = sorted(
+        (r.cap_tokens, r.source, r.alloc_tokens, r.capped, r.c_tokens)
+        for r in unimax_alloc(df, budget_bp_of_total=12000,
+                              max_epochs=3).collect()
+    )
+    total = sum(g[4] for g in got)
+    budget = total * 12000 // 10000
+    assert all(a <= cap for cap, _, a, _, _ in got)
+    allocs = [a for _, _, a, _, _ in got]
+    assert allocs == sorted(allocs)
+    if not all(c for _, _, _, c, _ in got):
+        assert sum(allocs) == budget
+    # surplus budget: everyone takes full capacity
+    full = unimax_alloc(df, budget_bp_of_total=50000, max_epochs=3).collect()
+    assert all(r.capped and r.alloc_tokens == 3 * r.c_tokens for r in full)
+    assert all(r.epochs_bp == 30000 for r in full if r.c_tokens > 0)
+
+
+def test_unimax_alloc_edges(spark):
+    """Empty frame -> empty result with the schema; NULL group fails
+    loudly (cross-engine NULL ordering); bad params raise."""
+    import pytest as _pytest
+
+    from webloghunter_spark.pipelines.select import unimax_alloc
+
+    empty = spark.createDataFrame([], "source string, text string")
+    assert unimax_alloc(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(None, "w w w")], "source string, text string"
+    )
+    with _pytest.raises(ValueError, match="NULL group"):
+        unimax_alloc(nulls)
+    df = spark.createDataFrame([("a", "w")], "source string, text string")
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_alloc(df, max_epochs=0)
+    with _pytest.raises(ValueError, match="budget_bp_of_total"):
+        unimax_alloc(df, budget_bp_of_total=-1)

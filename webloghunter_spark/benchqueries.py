@@ -2545,6 +2545,55 @@ SQL_BUDGET_BY_SOURCE = r"""
 """
 
 
+def q_unimax_alloc(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023): a 1.8x-total
+    token budget waterfilled across sources as uniformly as possible
+    under a 2-epoch repetition cap — the published alternative to
+    temperature sampling when over-repeating small sources hurts more
+    than under-weighting large ones. One combinable (source -> sum
+    ntok) aggregate; the ascending-capacity waterfill is driver
+    integer arithmetic on the |sources|-row result. The oracle replays
+    the walk with a recursive CTE, one recursion step per source."""
+    from webloghunter_spark.pipelines.select import unimax_alloc
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return unimax_alloc(docs, budget_bp_of_total=18000, max_epochs=2)
+
+
+SQL_UNIMAX_ALLOC = r"""
+    WITH RECURSIVE toks AS (
+        SELECT source, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    src AS (SELECT source, sum(len(t))::BIGINT AS c FROM toks GROUP BY source),
+    tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS n FROM src),
+    ranked AS (
+        SELECT source, c, (2 * c)::BIGINT AS cap,
+               row_number() OVER (ORDER BY 2 * c, source)::BIGINT AS rk
+        FROM src
+    ),
+    fill AS (
+        SELECT 0::BIGINT AS rk,
+               ((SELECT t FROM tot) * 18000 // 10000)::BIGINT AS rem,
+               NULL::VARCHAR AS source, NULL::BIGINT AS c,
+               NULL::BIGINT AS cap, NULL::BIGINT AS alloc
+        UNION ALL
+        SELECT r.rk,
+               f.rem - least(r.cap, f.rem // ((SELECT n FROM tot) - r.rk + 1)),
+               r.source, r.c, r.cap,
+               least(r.cap, f.rem // ((SELECT n FROM tot) - r.rk + 1))
+        FROM fill f JOIN ranked r ON r.rk = f.rk + 1
+    )
+    SELECT source, c AS c_tokens, cap AS cap_tokens, alloc AS alloc_tokens,
+           (alloc = cap) AS capped,
+           CASE WHEN c > 0 THEN alloc * 10000 // c ELSE 0 END::BIGINT
+               AS epochs_bp
+    FROM fill WHERE rk >= 1
+"""
+
+
 def q_triplet_mining(spark, sf_dir):
     """Hardest positive + hardest negative per anchor (vec_id < 10)
     against the labeled store: one broadcast scan, combinable
@@ -8667,6 +8716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "fim_split": q_fim_split,
     "budget_by_source": q_budget_by_source,
+    "unimax_alloc": q_unimax_alloc,
     "span_corruption": q_span_corruption,
     "triplet_mining": q_triplet_mining,
     "epoch_order": q_epoch_order,
@@ -8731,6 +8781,7 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "fim_split": SQL_FIM_SPLIT,
     "budget_by_source": SQL_BUDGET_BY_SOURCE,
+    "unimax_alloc": SQL_UNIMAX_ALLOC,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "triplet_mining": SQL_TRIPLET_MINING,
     "epoch_order": SQL_EPOCH_ORDER,

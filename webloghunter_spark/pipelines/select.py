@@ -995,3 +995,79 @@ def rank_fusion(
     )
     keep = part + [id_col] + [f"rank_{s}" for s in signal_cols]
     return out.select(*keep, "rrf_micro", fused.alias("fused_rank"))
+
+
+def unimax_alloc(
+    df: DataFrame,
+    budget_bp_of_total: int = 18000,
+    max_epochs: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    ntok_col: Column | str | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): split a total
+    token budget across sources as UNIFORMLY as possible subject to a
+    per-source repetition cap of `max_epochs` epochs — the published
+    alternative to temperature sampling when over-repeating small
+    sources hurts more than under-weighting them. Ascending-capacity
+    waterfill: sources ordered by (capacity, group); each takes
+    min(capacity, remaining_budget // remaining_sources), all integer
+    arithmetic so both engines replay the walk exactly.
+
+    budget = total_tokens * budget_bp_of_total // 10000 (relative to
+    the corpus so the plan ports across scale factors); capacity_i =
+    max_epochs * c_i. Output one row per group: token count, capacity,
+    allocation, capped flag, epochs consumed in basis points.
+
+    Scale: ONE combinable (group -> sum ntok) aggregate; the waterfill
+    is driver arithmetic on the |groups|-row result (groups are a
+    bounded categorical — the same guard as token_budget_by_group's
+    histogram). The corpus is never sorted, joined, or re-shuffled.
+    A NULL group cannot rank deterministically across engines
+    (Spark asc = NULLS FIRST, DuckDB = NULLS LAST) — fail loudly,
+    as token_budget_by_group does for NULL scores."""
+    if budget_bp_of_total < 0:
+        raise ValueError(
+            f"budget_bp_of_total must be >= 0, got {budget_bp_of_total}"
+        )
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    ntok = (
+        F.col(ntok_col) if isinstance(ntok_col, str)
+        else ntok_col if ntok_col is not None
+        else token_count_expr(text_col)
+    )
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(ntok.cast("long")).alias("_c"))
+        .collect()
+    )
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = (
+        f"{group_col} {gtype}, c_tokens long, cap_tokens long, "
+        "alloc_tokens long, capped boolean, epochs_bp long"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if any(r[group_col] is None for r in rows):
+        raise ValueError(
+            "unimax_alloc: NULL group value — NULL orders differently"
+            " across engines; coalesce the group column upstream."
+        )
+    counts = [(r[group_col], int(r["_c"] or 0)) for r in rows]
+    total = sum(c for _, c in counts)
+    budget = total * int(budget_bp_of_total) // 10000
+    ranked = sorted(
+        ((int(max_epochs) * c, g, c) for g, c in counts),
+        key=lambda t: (t[0], t[1]),
+    )
+    out, rem, n = [], budget, len(ranked)
+    for j, (cap, g, c) in enumerate(ranked):
+        alloc = min(cap, rem // (n - j))
+        rem -= alloc
+        out.append((
+            g, c, cap, alloc, alloc == cap,
+            alloc * 10000 // c if c > 0 else 0,
+        ))
+    return spark.createDataFrame(out, schema)
