@@ -1873,3 +1873,66 @@ def test_containment_stream_matches_batch_any_slicing(spark):
         finally:
             fn.release()
     assert any(r[0] == 10 and r[1] == 0 and r[3] == 1.0 for r in expected)
+
+
+def test_unimax_alloc_batch_stream_parity_and_replay(spark, tmp_path):
+    """Sum-merge + shared-waterfill twin: the re-planned allocation
+    over any batch slicing equals the batch operator at EVERY prefix
+    (budget is relative to the streamed-so-far total, so the plan is
+    prefix-consistent by construction); a stale batch_id re-emits
+    without re-adding; a NULL group fails loudly like the batch form."""
+    import pytest as _pytest
+
+    from webloghunter_spark.pipelines.select import unimax_alloc
+    from webloghunter_spark.streaming.mix import unimax_alloc_stream_writer
+
+    rows = [(i, f"s{i % 5}", " ".join(f"w{j}" for j in range(i % 11 + 1)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src = tmp_path / "ua_src"
+    # one file per cut so maxFilesPerTrigger=1 batches align with
+    # the prefix boundaries the assertions replay
+    docs.filter(F.col("doc_id") < 20).coalesce(1).write.parquet(str(src / "a"))
+    docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).coalesce(
+        1).write.parquet(str(src / "b"))
+    docs.filter(F.col("doc_id") >= 40).coalesce(1).write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    prefixes = []
+    fn = unimax_alloc_stream_writer(
+        lambda r, b: prefixes.append(list(r)),
+        budget_bp_of_total=14000, max_epochs=3,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ua"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(prefixes) >= 3
+    # every-prefix parity: replay each file-cut boundary through the
+    # batch operator (files arrive in lexicographic a/b/c order)
+    cuts = [20, 40, 60]
+    for got, hi in zip(prefixes, cuts):
+        exp = sorted(
+            tuple(r)
+            for r in unimax_alloc(
+                docs.filter(F.col("doc_id") < hi),
+                budget_bp_of_total=14000, max_epochs=3,
+            ).collect()
+        )
+        assert sorted(got) == exp
+    first = dict(fn.totals)
+    fn(docs.limit(5), 0)  # stale batch_id: must not merge
+    assert dict(fn.totals) == first
+    nulls = spark.createDataFrame(
+        [(None, "w w")], "source string, text string"
+    )
+    with _pytest.raises(ValueError, match="NULL group"):
+        fn(nulls, 99)

@@ -1056,10 +1056,21 @@ def unimax_alloc(
             " across engines; coalesce the group column upstream."
         )
     counts = [(r[group_col], int(r["_c"] or 0)) for r in rows]
+    out = unimax_waterfill(counts, int(budget_bp_of_total), int(max_epochs))
+    return spark.createDataFrame(out, schema)
+
+
+def unimax_waterfill(
+    counts: list, budget_bp_of_total: int, max_epochs: int
+) -> list:
+    """The pure integer waterfill shared by unimax_alloc and its
+    streaming twin (one algorithm, no drift): counts is [(group,
+    c_tokens)]; returns [(group, c, cap, alloc, capped, epochs_bp)]
+    in ascending (capacity, group) order."""
     total = sum(c for _, c in counts)
-    budget = total * int(budget_bp_of_total) // 10000
+    budget = total * budget_bp_of_total // 10000
     ranked = sorted(
-        ((int(max_epochs) * c, g, c) for g, c in counts),
+        ((max_epochs * c, g, c) for g, c in counts),
         key=lambda t: (t[0], t[1]),
     )
     out, rem, n = [], budget, len(ranked)
@@ -1070,4 +1081,4 @@ def unimax_alloc(
             g, c, cap, alloc, alloc == cap,
             alloc * 10000 // c if c > 0 else 0,
         ))
-    return spark.createDataFrame(out, schema)
+    return out

@@ -296,3 +296,68 @@ def time_split_stream_writer(
     process.totals = state
     process.current = current
     return process
+
+
+def unimax_alloc_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    budget_bp_of_total: int = 18000,
+    max_epochs: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/select.unimax_alloc — the budget
+    plan recomputed as the corpus grows: per-source token counts
+    merge by SUM (state bounded at |sources| rows), then the SAME
+    unimax_waterfill the batch operator runs (imported, not copied —
+    one algorithm, no drift) re-plans on the merged counts. Budget is
+    relative to the streamed-so-far total, so every prefix equals the
+    batch operator over the docs streamed so far, for any batch
+    slicing. A NULL group fails loudly, exactly like the batch form.
+    Replay-guarded; `sink(rows, batch_id)` receives the CURRENT
+    [(group, c_tokens, cap_tokens, alloc_tokens, capped, epochs_bp)]
+    in ascending (capacity, group) order; exposes `.totals` and
+    `.current()`."""
+    from webloghunter_spark.functions.text import token_count_expr
+    from webloghunter_spark.pipelines.select import unimax_waterfill
+
+    if budget_bp_of_total < 0:
+        raise ValueError(
+            f"budget_bp_of_total must be >= 0, got {budget_bp_of_total}"
+        )
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    state: dict = {}  # group -> c_tokens
+    last_seen = [-1]
+
+    def current() -> list[tuple]:
+        return unimax_waterfill(
+            list(state.items()), budget_bp_of_total, max_epochs
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
+            rows = (
+                batch_df.groupBy(group_col)
+                .agg(
+                    F.sum(
+                        token_count_expr(text_col).cast("long")
+                    ).alias("_c")
+                )
+                .collect()
+            )
+            if any(r[group_col] is None for r in rows):
+                raise ValueError(
+                    "unimax_alloc_stream_writer: NULL group value —"
+                    " coalesce the group column upstream (batch-form"
+                    " contract)."
+                )
+            for r in rows:
+                state[r[group_col]] = state.get(r[group_col], 0) + int(
+                    r["_c"] or 0
+                )
+        sink(current(), batch_id)
+
+    process.totals = state
+    process.current = current
+    return process
