@@ -1989,3 +1989,30 @@ def test_unimax_alloc_edges(spark):
         unimax_alloc(df, max_epochs=0)
     with _pytest.raises(ValueError, match="budget_bp_of_total"):
         unimax_alloc(df, budget_bp_of_total=-1)
+
+
+def test_dup_source_matrix(spark):
+    """Constructed near-dups across known sources: one cross-source
+    pair (a<->b), one within-source pair (a<->a), one unique doc.
+    Matrix rows carry exact counts, half-up integer shares, and the
+    cross flag; the unique doc appears nowhere."""
+    from webloghunter_spark.pipelines.dedup import dup_source_matrix
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    rows = [
+        (1, "a", t1), (2, "b", t1),          # cross-source dup
+        (3, "a", t2), (4, "a", t2),          # within-source dup
+        (5, "c", "lone wolf document text"), # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_lo, r.source_hi): (r.n_pairs, r.share_bp, r.cross_source)
+        for r in dup_source_matrix(
+            df, threshold=0.8, num_hashes=4, band_size=2
+        ).collect()
+    }
+    assert got == {
+        ("a", "a"): (1, 5000, False),
+        ("a", "b"): (1, 5000, True),
+    }

@@ -1257,6 +1257,46 @@ SQL_CONTAINMENT_PAIRS = f"""
 """
 
 
+def q_dup_source_matrix(spark, sf_dir):
+    """Cross-source near-dup flow matrix: per unordered source pair,
+    the count and share of >=0.8-Jaccard near-dup pairs (diagonal =
+    within-source churn; off-diagonal = one source copying another) —
+    the diagnostic that decides whether cross-source dedup is worth
+    its shuffle before anything is dropped. Same MinHash/LSH/exact
+    verify and parameters as near_dedup; the oracle is BUILT FROM
+    SQL_JACCARD_PAIRS so the pair machinery cannot drift."""
+    from webloghunter_spark.pipelines.dedup import dup_source_matrix
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return dup_source_matrix(
+        docs, threshold=0.8, num_hashes=4, band_size=2
+    )
+
+
+SQL_DUP_SOURCE_MATRIX = f"""
+    WITH jacc AS ({SQL_JACCARD_PAIRS}),
+    sel AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.8),
+    lab AS (
+        SELECT least(coalesce(da.source, ''), coalesce(db.source, ''))
+                   AS source_lo,
+               greatest(coalesce(da.source, ''), coalesce(db.source, ''))
+                   AS source_hi
+        FROM sel
+        JOIN documents da ON sel.id_a = da.doc_id
+        JOIN documents db ON sel.id_b = db.doc_id
+    ),
+    m AS (
+        SELECT source_lo, source_hi, count(*)::BIGINT AS n_pairs
+        FROM lab GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM m)
+    SELECT source_lo, source_hi, n_pairs,
+           ((n_pairs * 20000 + tot) // (2 * tot))::BIGINT AS share_bp,
+           (source_lo <> source_hi) AS cross_source
+    FROM m, t
+"""
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprint per document."""
     from webloghunter_spark.pipelines.dedup import simhash_udf
@@ -8642,6 +8682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn,
     "parse_roundtrip": q_parse_roundtrip,
     "jaccard_pairs": q_jaccard_pairs,
+    "dup_source_matrix": q_dup_source_matrix,
     "simhash": q_simhash,
     "neardup_embeddings": q_neardup_embeddings,
     "burst_success": q_burst_success,
@@ -8859,6 +8900,7 @@ ORACLES: dict[str, str] = {
     "knn_bruteforce": SQL_KNN,
     "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
     "simhash": SQL_SIMHASH,
     "neardup_embeddings": SQL_NEARDUP_EMB,
     "burst_success": SQL_BURST_SUCCESS,

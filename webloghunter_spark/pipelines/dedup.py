@@ -1287,3 +1287,93 @@ def incremental_near_dedup(
     )
     drop = sims.select(F.col("id_a").alias(id_col)).distinct()
     return new.join(drop, id_col, "left_anti")
+
+
+def dup_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-source near-duplicate FLOW MATRIX — the diagnostic that
+    decides dedup scope before anything is dropped: for every
+    unordered source pair, how many >=threshold near-dup pairs live
+    there (diagonal = within-source churn, off-diagonal = one crawl /
+    snapshot copying another). At 100 TB this is what tells you
+    whether per-source dedup suffices or the expensive cross-source
+    pass is warranted, and which source pairs to scope it to.
+
+    Rides the same MinHash->LSH->exact-Jaccard machinery as
+    near_dedup (identical candidates and threshold semantics; raw
+    jaccard >= threshold implies grid-rounded >= threshold whenever
+    the threshold sits ON the 1e-4 grid, and shingle-set ratios are
+    too coarse to land inside 5e-5 of it — the near_dedup boundary
+    argument). Sources attach with ONE scan of the (id, source)
+    projection: pairs explode into two role rows and join once,
+    instead of two corpus joins; the pairs side is NEVER broadcast
+    (duplicate-heavy corpora make it large — the same reasoning as
+    ngram_jaccard_pairs' shuffle_hash discipline). share_bp is the
+    half-up integer share of all surviving pairs, computed by an
+    unpartitioned window on the <=|sources|^2-row matrix only. NULL
+    sources coalesce to '' (cross-engine least/greatest NULL
+    semantics differ)."""
+    pairs = lsh_candidate_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k,
+    )
+    sims = ngram_jaccard_pairs(
+        df, pairs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    ).select("id_a", "id_b")
+    roles = sims.select(
+        "id_a", "id_b", F.col("id_a").alias("_did"), F.lit("a").alias("_r")
+    ).unionByName(
+        sims.select(
+            "id_a", "id_b", F.col("id_b").alias("_did"),
+            F.lit("b").alias("_r"),
+        )
+    )
+    src = df.select(
+        F.col(id_col).alias("_did"),
+        F.coalesce(F.col(source_col), F.lit("")).alias("_s"),
+    )
+    lab = (
+        roles.join(src, "_did")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_r") == "a", F.col("_s"))).alias("_sa"),
+            F.max(F.when(F.col("_r") == "b", F.col("_s"))).alias("_sb"),
+        )
+    )
+    mat = (
+        lab.groupBy(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    from pyspark.sql import Window as W
+
+    # exact integer share (the shard_balance div convention) — never
+    # float division + floor
+    return (
+        mat.select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            F.sum("n_pairs").over(W.partitionBy()).alias("_tot"),
+        )
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            F.expr("(n_pairs * 20000 + _tot) div (2 * _tot)")
+            .cast("long")
+            .alias("share_bp"),
+            (F.col("source_lo") != F.col("source_hi")).alias("cross_source"),
+        )
+    )
