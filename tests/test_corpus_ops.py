@@ -2016,3 +2016,30 @@ def test_dup_source_matrix(spark):
         ("a", "a"): (1, 5000, False),
         ("a", "b"): (1, 5000, True),
     }
+
+
+def test_dedup_sensitivity(spark):
+    """Constructed pairs at jaccard 1.0 (identical) and a partial
+    overlap: the curve is monotone non-increasing, the identical pair
+    survives every threshold, the partial one only the lower ones."""
+    from webloghunter_spark.pipelines.dedup import dedup_sensitivity
+    import pytest as _pytest
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 8 shared tokens of 12 -> shared shingle block, jaccard between
+    # 0.5 and 0.9 -> drops out at 9000 but 1.0-pair stays
+    t_part = t_dup + " extra tokens"
+    rows = [(1, t_dup), (2, t_dup), (3, t_part)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.t_bp: (r.n_pairs, r.n_docs_dropped)
+           for r in dedup_sensitivity(
+               df, thresholds_bp=(5000, 8000, 10000),
+               num_hashes=4, band_size=2).collect()}
+    # identical pair (1,2) has jaccard 1.0 -> in every bucket
+    assert got[10000][0] >= 1
+    # monotone non-increasing
+    pairs = [got.get(t, (0, 0)) for t in (5000, 8000, 10000)]
+    assert pairs[0][0] >= pairs[1][0] >= pairs[2][0]
+    assert pairs[0][1] >= pairs[1][1] >= pairs[2][1]
+    with _pytest.raises(ValueError, match="thresholds_bp"):
+        dedup_sensitivity(df, thresholds_bp=(10001,))

@@ -1257,6 +1257,35 @@ SQL_CONTAINMENT_PAIRS = f"""
 """
 
 
+def q_dedup_sensitivity(spark, sf_dir):
+    """Near-dup attrition vs threshold (0.7/0.8/0.9): ONE shared
+    MinHash/LSH/exact-Jaccard pass, per-threshold pair counts and
+    would-drop doc counts on the integer bp grid — the knob-tuning
+    curve run before committing near_dedup's threshold. Oracle BUILT
+    FROM SQL_JACCARD_PAIRS so the pair machinery cannot drift."""
+    from webloghunter_spark.pipelines.dedup import dedup_sensitivity
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return dedup_sensitivity(
+        docs, thresholds_bp=(7000, 8000, 9000), num_hashes=4, band_size=2
+    )
+
+
+SQL_DEDUP_SENSITIVITY = f"""
+    WITH jacc AS ({SQL_JACCARD_PAIRS}),
+    b AS (
+        SELECT id_a, id_b,
+               CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jbp
+        FROM jacc
+    ),
+    t AS (SELECT CAST(unnest([7000, 8000, 9000]) AS BIGINT) AS t_bp)
+    SELECT t_bp, count(*)::BIGINT AS n_pairs,
+           count(DISTINCT id_b)::BIGINT AS n_docs_dropped
+    FROM b JOIN t ON b.jbp >= t.t_bp
+    GROUP BY t_bp
+"""
+
+
 def q_dup_source_matrix(spark, sf_dir):
     """Cross-source near-dup flow matrix: per unordered source pair,
     the count and share of >=0.8-Jaccard near-dup pairs (diagonal =
@@ -8683,6 +8712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_roundtrip": q_parse_roundtrip,
     "jaccard_pairs": q_jaccard_pairs,
     "dup_source_matrix": q_dup_source_matrix,
+    "dedup_sensitivity": q_dedup_sensitivity,
     "simhash": q_simhash,
     "neardup_embeddings": q_neardup_embeddings,
     "burst_success": q_burst_success,
@@ -8901,6 +8931,7 @@ ORACLES: dict[str, str] = {
     "parse_roundtrip": SQL_PARSE_ROUNDTRIP,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "dup_source_matrix": SQL_DUP_SOURCE_MATRIX,
+    "dedup_sensitivity": SQL_DEDUP_SENSITIVITY,
     "simhash": SQL_SIMHASH,
     "neardup_embeddings": SQL_NEARDUP_EMB,
     "burst_success": SQL_BURST_SUCCESS,

@@ -1377,3 +1377,48 @@ def dup_source_matrix(
             (F.col("source_lo") != F.col("source_hi")).alias("cross_source"),
         )
     )
+
+
+def dedup_sensitivity(
+    df: DataFrame,
+    thresholds_bp: tuple = (7000, 8000, 9000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup attrition vs Jaccard threshold — the choose-the-knob
+    curve run BEFORE committing a dedup pass (contam_sensitivity's
+    sibling): for each candidate threshold, how many >=t pairs exist
+    and how many documents the lower-id-wins rule would drop. ONE
+    MinHash->LSH->exact-Jaccard pass shared across every threshold
+    (the expensive part is threshold-independent); thresholds attach
+    as a broadcast |thresholds|-row frame and the comparison runs on
+    the integer bp grid (the stored grid-rounded jaccard re-derives
+    its bp exactly in both engines — never a float >= against a
+    decimal literal). n_docs_dropped is monotone non-increasing in
+    t_bp; a threshold with no surviving pairs emits no row (both
+    engines filter-then-group)."""
+    for t in thresholds_bp:
+        if not 0 <= int(t) <= 10000:
+            raise ValueError(f"thresholds_bp must be in [0, 10000], got {t}")
+    pairs = lsh_candidate_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k,
+    )
+    sims = ngram_jaccard_pairs(
+        df, pairs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=0.0,
+    )
+    jbp = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long")
+    tdf = df.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds_bp], "t_bp long"
+    )
+    j = sims.select("id_a", "id_b", jbp.alias("_jbp")).join(
+        F.broadcast(tdf), F.col("_jbp") >= F.col("t_bp")
+    )
+    return j.groupBy("t_bp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_docs_dropped"),
+    )
