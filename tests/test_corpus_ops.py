@@ -2043,3 +2043,29 @@ def test_dedup_sensitivity(spark):
     assert pairs[0][1] >= pairs[1][1] >= pairs[2][1]
     with _pytest.raises(ValueError, match="thresholds_bp"):
         dedup_sensitivity(df, thresholds_bp=(10001,))
+
+
+def test_ivf_probe_curve(spark):
+    """Monotone non-decreasing recall in n_probe; probing EVERY list
+    recovers brute force exactly (recall_bp == 10000); params raise."""
+    import pytest as _pytest
+
+    from webloghunter_spark.functions.similarity import ivf_probe_curve
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = [1.0, -2.0, 3.0, 0.5, -1.0, 2.0, -0.5, 1.5]
+    got = {r.n_probe: (r.n_common, r.recall_bp)
+           for r in ivf_probe_curve(
+               df, qvec, k=5, n_centroids=4, probes=(1, 2, 4)).collect()}
+    recalls = [got[n][1] for n in (1, 2, 4)]
+    assert recalls == sorted(recalls)
+    # probing all 4 lists == brute force
+    assert got[4] == (5, 10000)
+    with _pytest.raises(ValueError, match="probe count"):
+        ivf_probe_curve(df, qvec, probes=(0,))
+    with _pytest.raises(ValueError, match="non-empty"):
+        ivf_probe_curve(df, qvec, probes=())

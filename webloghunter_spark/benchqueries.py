@@ -1887,6 +1887,41 @@ SQL_ANN_RECALL = f"""
 """
 
 
+def q_ivf_probe_curve(spark, sf_dir):
+    """Recall@10 vs n_probe (1/2/4) — the IVF tuning curve read
+    before pinning the probe setting: one brute-force truth + ONE
+    materialized list assignment shared across every probe branch.
+    The oracle replays each branch with SQL_KNN_IVF's probe LIMIT
+    swapped (built by replacement, import-time assert) so the IVF
+    topology cannot drift."""
+    from webloghunter_spark.functions.similarity import ivf_probe_curve
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    store = _fan(raw.filter(F.col("vec_id") != 0))
+    return ivf_probe_curve(
+        store, qvec, k=10, n_centroids=8, probes=(1, 2, 4)
+    )
+
+
+# one probe LIMIT in SQL_KNN_IVF (the final LIMIT is the top-k) —
+# the curve swaps it per branch
+assert SQL_KNN_IVF.count("LIMIT 2") == 1, "probe LIMIT drifted in SQL_KNN_IVF"
+SQL_IVF_PROBE_CURVE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT CAST({n} AS BIGINT) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_common,
+           (count(*) * 10000 // 10)::BIGINT AS recall_bp
+    FROM (SELECT vec_id FROM ({SQL_KNN})) b
+    JOIN (SELECT vec_id FROM ({SQL_KNN_IVF.replace("LIMIT 2", f"LIMIT {n}")})) a
+      USING (vec_id)
+"""
+    for n in (1, 2, 4)
+)
+
+
 def q_tool_focus(spark, sf_dir):
     """F14 through the real apply_filters(tool_focus=True) path: first
     and last event per (source, ip, tool) for tool-tagged rows.
@@ -8645,6 +8680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "knn_batch": q_knn_batch,
     "ann_recall": q_ann_recall,
+    "ivf_probe_curve": q_ivf_probe_curve,
     "media_sniff": q_media_sniff,
     "media_decode": q_media_decode,
     "shipping_priority": q_shipping_priority,
@@ -8884,6 +8920,7 @@ ORACLES: dict[str, str] = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "knn_batch": SQL_KNN_BATCH,
     "ann_recall": SQL_ANN_RECALL,
+    "ivf_probe_curve": SQL_IVF_PROBE_CURVE,
     "media_sniff": SQL_MEDIA_SNIFF,
     "media_decode": SQL_MEDIA_DECODE,
     "shipping_priority": SQL_SHIPPING_PRIORITY,

@@ -922,3 +922,84 @@ def triplet_mining(
         neg_bp.cast("long").alias("neg_bp"),
         (pos_bp - neg_bp).cast("long").alias("margin_bp"),
     )
+
+
+def ivf_probe_curve(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    probes: tuple = (1, 2, 4),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k vs n_probe — the IVF tuning curve every ANN
+    deployment reads before pinning its probe setting (more probes =
+    more recall = more scan; the knee is the operating point). One
+    brute-force ground truth and ONE list assignment are computed and
+    materialized; each probe setting only filters the SAME assignment
+    to its centroid prefix and re-ranks — the expensive parts are
+    probe-independent, exactly like dedup_sensitivity's shared pair
+    pass. Returns (n_probe, n_common, recall_bp) per probe setting,
+    monotone non-decreasing in n_probe (a centroid prefix only
+    grows). Same centroid defaults and tie-breaks as cosine_topk_ivf,
+    so SQL_KNN_IVF replays each branch with its LIMIT swapped."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    if any(int(p) < 1 for p in probes):
+        raise ValueError(f"every probe count must be >= 1, got {probes}")
+    if centroids is None:
+        centroids = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centroid")
+        )
+    cents = {r["cent_id"]: list(r["centroid"]) for r in centroids.collect()}
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return dot / (na * nb)
+
+    ranked = sorted(cents, key=lambda cid: (-cos(query_vec, cents[cid]), cid))
+    truth = materialize(
+        cosine_topk(
+            df, query_vec, k=k, vec_col=vec_col, id_col=id_col,
+            round_digits=round_digits,
+        ).select(id_col)
+    )
+    assigned = materialize(ivf_assign(df, centroids, vec_col=vec_col,
+                                      id_col=id_col))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = None
+    for n in probes:
+        pset = [int(p) for p in ranked[: int(n)]]
+        approx = (
+            df.join(
+                assigned.filter(F.col("cent_id").isin(pset)),
+                on=id_col, how="inner",
+            )
+            .select(
+                F.col(id_col),
+                grid_round_expr(
+                    cosine_expr(F.col(vec_col), q), round_digits
+                ).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        row = (
+            truth.join(approx, id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+            .select(
+                F.lit(int(n)).cast("long").alias("n_probe"),
+                "n_common",
+                F.expr(f"n_common * 10000 div {int(k)}")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
