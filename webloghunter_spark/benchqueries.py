@@ -8645,16 +8645,21 @@ SQL_DENSITY_SAMPLE = r"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-9 front = the round-9 additions, then
-    # the 17 round-5-cohort queries never re-sampled since round 5
-    # (round 8 covered the other 33), then round-6 oldest-green
-    # rechecks filling to 50. Everything after slot 50 is covered by
-    # the committed full-registry HASHCHECK artifacts.
+    # FIRST 50 entries. Round-9 front = the 8 round-9 additions
+    # (wave 1 + wave 3), then the 17 round-5-cohort queries never
+    # re-sampled since round 5 (round 8 covered the other 33), then
+    # round-6 oldest-green rechecks filling to exactly 50. Everything
+    # after slot 50 is covered by the committed full-registry
+    # HASHCHECK artifacts.
     # -- round-9 additions --
     "url_blocklist_big": q_url_blocklist_big,
     "bpe_roundtrip": q_bpe_roundtrip,
     "dataset_diff": q_dataset_diff,
     "containment_pairs": q_containment_pairs,
+    "unimax_alloc": q_unimax_alloc,
+    "dup_source_matrix": q_dup_source_matrix,
+    "dedup_sensitivity": q_dedup_sensitivity,
+    "ivf_probe_curve": q_ivf_probe_curve,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -8680,7 +8685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "knn_batch": q_knn_batch,
     "ann_recall": q_ann_recall,
-    "ivf_probe_curve": q_ivf_probe_curve,
     "media_sniff": q_media_sniff,
     "media_decode": q_media_decode,
     "shipping_priority": q_shipping_priority,
@@ -8700,11 +8704,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "pack_chunks": q_pack_chunks,
     "rep_signals": q_rep_signals,
+    # -- below the driver window (full-registry hashcheck coverage) --
+    # (pii_redact/near_dedup/near_dedup_cc/stratified_sample yielded
+    # their r9 recheck slots to the wave-3 additions; next rotation)
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
     "near_dedup_cc": q_near_dedup_cc,
     "stratified_sample": q_stratified_sample,
-    # -- below the driver window (full-registry hashcheck coverage) --
     "decontaminate": q_decontaminate,
     "topic_classify": q_topic_classify,
     "interleave_audit": q_interleave_audit,
@@ -8747,8 +8753,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn,
     "parse_roundtrip": q_parse_roundtrip,
     "jaccard_pairs": q_jaccard_pairs,
-    "dup_source_matrix": q_dup_source_matrix,
-    "dedup_sensitivity": q_dedup_sensitivity,
     "simhash": q_simhash,
     "neardup_embeddings": q_neardup_embeddings,
     "burst_success": q_burst_success,
@@ -8823,7 +8827,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "fim_split": q_fim_split,
     "budget_by_source": q_budget_by_source,
-    "unimax_alloc": q_unimax_alloc,
     "span_corruption": q_span_corruption,
     "triplet_mining": q_triplet_mining,
     "epoch_order": q_epoch_order,
