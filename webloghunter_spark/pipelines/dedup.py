@@ -189,13 +189,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.0,
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets for candidate pairs."""
+    """Exact Jaccard over distinct shingle sets for candidate pairs.
+
+    `carry_cols` rides extra per-doc columns THROUGH the verify joins
+    (emitted as <col>_a / <col>_b) so downstream per-pair labeling
+    (e.g. dup_source_matrix's sources) costs zero additional joins —
+    at dup-stress pair volumes every extra pair-keyed shuffle is the
+    dominant term (measured at the 32x probe: labeling pairs by a
+    separate corpus join 66.5 s / 18.6x; carrying the column
+    46.3 s / 8.9x, the pair family's machinery rate)."""
     # Materialize the shingle table once: it feeds BOTH sides of the
     # pair join, and an unmaterialized plan recomputes the full
     # tokenize+shingle pipeline per side.
     sh = materialize(df.select(
-        F.col(id_col), F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh")
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        *[F.col(c) for c in carry_cols],
     ))
     # shuffle_hash hint: the shingle table scales WITH THE CORPUS, so
     # it is never broadcastable at scale — but the planner estimates
@@ -218,6 +229,8 @@ def ngram_jaccard_pairs(
                 F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
                 / F.size(F.array_union("a._sh", "b._sh")).cast("double")
             ).alias("jaccard"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
         )
     )
     from webloghunter_spark.functions.similarity import grid_round_expr
@@ -1312,12 +1325,14 @@ def dup_source_matrix(
     jaccard >= threshold implies grid-rounded >= threshold whenever
     the threshold sits ON the 1e-4 grid, and shingle-set ratios are
     too coarse to land inside 5e-5 of it — the near_dedup boundary
-    argument). Sources attach with ONE scan of the (id, source)
-    projection: pairs explode into two role rows and join once,
-    instead of two corpus joins; the pairs side is NEVER broadcast
-    (duplicate-heavy corpora make it large — the same reasoning as
-    ngram_jaccard_pairs' shuffle_hash discipline). share_bp is the
-    half-up integer share of all surviving pairs, computed by an
+    argument). Sources ride THROUGH the verify joins as carried
+    columns (ngram_jaccard_pairs carry_cols) — zero additional joins
+    or pair-keyed shuffles beyond the verify itself; the first
+    design labeled pairs with a separate role-exploded corpus join
+    and ran 66.5 s / 18.6x at the 32x dup-stress probe, the carried
+    form 46.3 s / 8.9x — inside the pair family's documented stress
+    band (near_dedup 6.3-8.4x, dup_stats 8.1x). share_bp is
+    the half-up integer share of all surviving pairs, computed by an
     unpartitioned window on the <=|sources|^2-row matrix only. NULL
     sources coalesce to '' (cross-engine least/greatest NULL
     semantics differ)."""
@@ -1328,31 +1343,14 @@ def dup_source_matrix(
     sims = ngram_jaccard_pairs(
         df, pairs, text_col=text_col, id_col=id_col,
         shingle_k=shingle_k, threshold=threshold,
-    ).select("id_a", "id_b")
-    roles = sims.select(
-        "id_a", "id_b", F.col("id_a").alias("_did"), F.lit("a").alias("_r")
-    ).unionByName(
-        sims.select(
-            "id_a", "id_b", F.col("id_b").alias("_did"),
-            F.lit("b").alias("_r"),
-        )
+        carry_cols=(source_col,),
     )
-    src = df.select(
-        F.col(id_col).alias("_did"),
-        F.coalesce(F.col(source_col), F.lit("")).alias("_s"),
-    )
-    lab = (
-        roles.join(src, "_did")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(F.when(F.col("_r") == "a", F.col("_s"))).alias("_sa"),
-            F.max(F.when(F.col("_r") == "b", F.col("_s"))).alias("_sb"),
-        )
-    )
+    sa = F.coalesce(F.col(f"{source_col}_a"), F.lit(""))
+    sb = F.coalesce(F.col(f"{source_col}_b"), F.lit(""))
     mat = (
-        lab.groupBy(
-            F.least("_sa", "_sb").alias("source_lo"),
-            F.greatest("_sa", "_sb").alias("source_hi"),
+        sims.groupBy(
+            F.least(sa, sb).alias("source_lo"),
+            F.greatest(sa, sb).alias("source_hi"),
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
