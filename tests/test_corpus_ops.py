@@ -2069,3 +2069,27 @@ def test_ivf_probe_curve(spark):
         ivf_probe_curve(df, qvec, probes=(0,))
     with _pytest.raises(ValueError, match="non-empty"):
         ivf_probe_curve(df, qvec, probes=())
+
+
+def test_ngram_jaccard_pairs_carry_cols(spark):
+    """carry_cols rides per-doc columns through the verify joins as
+    <col>_a/<col>_b without touching the pair semantics."""
+    from webloghunter_spark.pipelines.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, "x", t), (2, "y", t)],
+        "doc_id long, source string, text string",
+    )
+    pairs = lsh_candidate_pairs(df, num_hashes=4, band_size=2)
+    plain = ngram_jaccard_pairs(df, pairs).collect()
+    carried = ngram_jaccard_pairs(
+        df, pairs, carry_cols=("source",)
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in plain] == [
+        (r.id_a, r.id_b, r.jaccard) for r in carried
+    ]
+    assert carried[0].source_a == "x" and carried[0].source_b == "y"
