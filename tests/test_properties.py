@@ -770,3 +770,35 @@ def test_containment_pairs_matches_bruteforce(spark, docs, threshold):
             return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
         assert got[key][1] == grid(n / len(sets[a]))
         assert got[key][2] == grid(n / len(sets[b]))
+
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=100_000),
+                    min_size=1, max_size=12),
+    bp=st.integers(min_value=0, max_value=40_000),
+    epochs=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_unimax_waterfill_invariants(counts, bp, epochs):
+    """Pure-function invariants, no Spark: alloc <= cap everywhere;
+    total alloc <= budget; allocations non-decreasing in processing
+    order; if the LAST (largest-capacity) source is uncapped the
+    budget is spent exactly (min(cap, rem // 1) = rem); if budget
+    covers total capacity, everyone is capped."""
+    from webloghunter_spark.pipelines.select import unimax_waterfill
+
+    rows = unimax_waterfill(
+        [(f"s{i}", c) for i, c in enumerate(counts)], bp, epochs
+    )
+    total = sum(counts)
+    budget = total * bp // 10000
+    allocs = [r[3] for r in rows]
+    assert all(r[3] <= r[2] for r in rows)
+    assert sum(allocs) <= budget
+    assert allocs == sorted(allocs)
+    last = rows[-1]
+    if not last[4]:  # last source uncapped -> budget exhausted
+        assert sum(allocs) == budget
+    if budget >= epochs * total:
+        assert all(r[4] for r in rows)
+        assert sum(allocs) == epochs * total
