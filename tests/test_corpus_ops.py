@@ -2093,3 +2093,42 @@ def test_ngram_jaccard_pairs_carry_cols(spark):
         (r.id_a, r.id_b, r.jaccard) for r in carried
     ]
     assert carried[0].source_a == "x" and carried[0].source_b == "y"
+
+
+def test_winnow_pairs(spark):
+    """Two docs sharing a long literal block surface as a pair with
+    overlap_bp on the integer grid; a short unique doc never pairs;
+    identical docs hit overlap_bp 10000; params raise."""
+    import pytest as _pytest
+
+    from webloghunter_spark.pipelines.dedup import winnow_pairs
+
+    block = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, block + " alpha ending one"),
+        (2, block + " totally different tail text"),
+        (3, "short unique"),
+        (4, "zz completely unrelated content block qq"),
+        (5, block + " alpha ending one"),  # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_shared, r.overlap_bp)
+           for r in winnow_pairs(df, max_df=4, min_shared=2).collect()}
+    assert (1, 5) in got and got[(1, 5)][1] == 10000
+    assert (1, 2) in got and 0 < got[(1, 2)][1] <= 10000
+    assert not any(3 in p for p in got)
+    with _pytest.raises(ValueError, match="max_df"):
+        winnow_pairs(df, max_df=1)
+    with _pytest.raises(ValueError, match="min_shared"):
+        winnow_pairs(df, min_shared=0)
+
+
+def test_quantize_recall_registry(spark):
+    """The registry quantize_recall returns one row with recall on the
+    bp grid and n_common <= k (sf0.001 fixture)."""
+    from webloghunter_spark.benchqueries import QUERIES
+
+    row = QUERIES["quantize_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0 <= r.n_common <= 10 and r.recall_bp == r.n_common * 1000

@@ -1774,6 +1774,46 @@ SQL_WINNOW = f"""
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS-style overlap pairs from winnowed fingerprints — the
+    sparse candidate generator winnowing exists for (fingerprint
+    inverted index ~1/((w+1)/2) the density of the shingle index):
+    candidates from discriminative fingerprints (2 <= df <= 20),
+    exact shared-count verify on the per-doc sorted distinct
+    fingerprint arrays, n_shared >= 2, overlap on the integer bp
+    grid. Oracle BUILT FROM SQL_WINNOW so the fingerprint definition
+    cannot drift."""
+    from webloghunter_spark.pipelines.dedup import winnow_pairs
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return winnow_pairs(
+        docs, kgram=8, window=4, max_df=20, min_shared=2
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+    WITH w0 AS ({SQL_WINNOW}),
+    agg AS (SELECT doc_id, list_sort(list(fp)) AS fps FROM w0 GROUP BY doc_id),
+    rare AS (SELECT fp FROM w0 GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+    rinv AS (SELECT w0.doc_id, w0.fp FROM w0 JOIN rare USING (fp)),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM rinv l JOIN rinv r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    ),
+    ex AS (
+        SELECT id_a, id_b,
+               len(list_intersect(a.fps, b.fps))::BIGINT AS n_shared,
+               len(a.fps)::BIGINT AS na, len(b.fps)::BIGINT AS nb
+        FROM cand
+        JOIN agg a ON a.doc_id = cand.id_a
+        JOIN agg b ON b.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, n_shared,
+           (n_shared * 10000 // least(na, nb))::BIGINT AS overlap_bp
+    FROM ex WHERE n_shared >= 2
+"""
+
+
 def q_doc_fingerprint_fast(spark, sf_dir):
     """Arrow twin of doc_fingerprint: identical Rabin-Karp values from
     a vectorized pandas UDF (numpy dot-with-mod per row) instead of the
@@ -3505,6 +3545,59 @@ SQL_KNN_QUANTIZED = """
     FROM deq, q
     ORDER BY cosine DESC, vec_id
     LIMIT 10
+"""
+
+
+def q_quantize_recall(spark, sf_dir):
+    """Recall@10 of the int8-quantized store against full-precision
+    brute force — the check run before committing compressed
+    embedding storage (quantize_emb's retrieval-quality half; the
+    ann_recall shape with quantization instead of IVF as the
+    approximation). Oracle joins SQL_KNN and SQL_KNN_QUANTIZED so
+    both rankings replay their own registry definitions."""
+    from webloghunter_spark.functions.similarity import (
+        cosine_expr,
+        cosine_topk,
+        grid_round_expr,
+        quantize_embedding_exprs,
+    )
+
+    raw = _t(spark, sf_dir, "embeddings")
+    qvec = list(
+        raw.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    store = _fan(raw.filter(F.col("vec_id") != 0))
+    brute = cosine_topk(store, qvec, k=10).select("vec_id")
+    scale, codes = quantize_embedding_exprs("embedding", bits=8)
+    deq_store = store.select("vec_id", scale.alias("_s"), codes.alias("_c"))
+    deq = F.transform(F.col("_c"), lambda c: c.cast("double") * F.col("_s"))
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    approx = (
+        deq_store.select(
+            "vec_id", grid_round_expr(cosine_expr(deq, q), 4).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        brute.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            "n_common",
+            F.expr("n_common * 10000 div 10").cast("long").alias("recall_bp"),
+        )
+    )
+
+
+SQL_QUANTIZE_RECALL = f"""
+    WITH brute AS (SELECT vec_id FROM ({SQL_KNN})),
+    approx AS (SELECT vec_id FROM ({SQL_KNN_QUANTIZED}))
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_common,
+           (count(*) * 10000 // 10)::BIGINT AS recall_bp
+    FROM brute JOIN approx USING (vec_id)
 """
 
 
@@ -8660,6 +8753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_source_matrix": q_dup_source_matrix,
     "dedup_sensitivity": q_dedup_sensitivity,
     "ivf_probe_curve": q_ivf_probe_curve,
+    "winnow_pairs": q_winnow_pairs,
+    "quantize_recall": q_quantize_recall,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -8702,11 +8797,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "clean_html": q_clean_html,
     "mad_outliers": q_mad_outliers,
+    # -- below the driver window (full-registry hashcheck coverage) --
+    # (pack_chunks/rep_signals/pii_redact/near_dedup/near_dedup_cc/
+    # stratified_sample yielded their r9 recheck slots to the wave-3/4
+    # additions; next rotation)
     "pack_chunks": q_pack_chunks,
     "rep_signals": q_rep_signals,
-    # -- below the driver window (full-registry hashcheck coverage) --
-    # (pii_redact/near_dedup/near_dedup_cc/stratified_sample yielded
-    # their r9 recheck slots to the wave-3 additions; next rotation)
     "pii_redact": q_pii_redact,
     "near_dedup": q_near_dedup,
     "near_dedup_cc": q_near_dedup_cc,
@@ -8981,6 +9077,8 @@ ORACLES: dict[str, str] = {
     "knn_lsh": SQL_KNN_LSH,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW,
+    "winnow_pairs": SQL_WINNOW_PAIRS,
+    "quantize_recall": SQL_QUANTIZE_RECALL,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

@@ -1420,3 +1420,97 @@ def dedup_sensitivity(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("id_b").alias("n_docs_dropped"),
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style overlap pairs from WINNOWED fingerprints (Schleimer
+    et al., SIGMOD 2003) — the cheap candidate generator winnowing
+    exists for: a doc's fingerprint set is ~|text| / ((window+1)/2)
+    selected hashes instead of every shingle, so the inverted index
+    this self-join rides is an order of magnitude sparser than the
+    shingle index containment_pairs uses, at the cost of the
+    winnowing guarantee (only matches of length >= kgram + window - 1
+    chars are certain to share a fingerprint). Returns (id_a, id_b,
+    n_shared, overlap_bp) for pairs sharing >= min_shared selected
+    fingerprints; overlap_bp = n_shared / min(|A|, |B|) on the
+    integer bp grid (pure integer division — no float grid exposure).
+
+    Candidates come from DISCRIMINATIVE fingerprints (2 <= df <=
+    max_df, the containment_pairs bound: sum df^2 <= max_df * sum df,
+    never all-pairs); verification is exact on the per-doc sorted
+    distinct fingerprint arrays with the same shuffle_hash discipline
+    (the fingerprint table scales with the corpus — never broadcast).
+    Fingerprints come from the Arrow fast twin (the 100 TB scan
+    path), whose value-identity with the expression form is pinned by
+    the shared winnow oracle and the property tests."""
+    from webloghunter_spark.functions.text import (
+        with_winnowed_fingerprints_fast,
+    )
+
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    sh = materialize(
+        with_winnowed_fingerprints_fast(
+            df.select(F.col(id_col), F.col(text_col)),
+            text_col, out_col="_fp", kgram=kgram, window=window,
+        )
+        .select(F.col(id_col), F.col("_fp"))
+        .filter(F.size("_fp") > 0)
+    )
+    inv = sh.select(F.col(id_col), F.explode("_fp").alias("_g"))
+    rare = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_df)))
+        .select("_g")
+    )
+    rinv = inv.join(rare, "_g", "left_semi")
+    cand = (
+        rinv.alias("l")
+        .join(
+            rinv.alias("r"),
+            (F.col("l._g") == F.col("r._g"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
+    ex = (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a._fp", "b._fp"))
+            .cast("long")
+            .alias("n_shared"),
+            F.size("a._fp").cast("long").alias("_na"),
+            F.size("b._fp").cast("long").alias("_nb"),
+        )
+    )
+    return (
+        ex.filter(F.col("n_shared") >= int(min_shared))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.expr("n_shared * 10000 div least(_na, _nb)")
+            .cast("long")
+            .alias("overlap_bp"),
+        )
+    )
