@@ -2132,3 +2132,28 @@ def test_quantize_recall_registry(spark):
     assert len(row) == 1
     r = row[0]
     assert 0 <= r.n_common <= 10 and r.recall_bp == r.n_common * 1000
+
+
+def test_padding_curve(spark):
+    """Hand-checked sums at two lengths: docs of 3/5/9 tokens at L=4
+    -> seqs 1+2+3=6, pad 24-17=7; at L=16 -> 3 seqs, pad 48-17=31.
+    n_seqs monotone non-increasing in L; waste on the half-up bp grid;
+    params raise."""
+    import pytest as _pytest
+
+    from webloghunter_spark.pipelines.pack import padding_curve
+
+    rows = [(1, "a b c"), (2, "a b c d e"), (3, " ".join("x" * 1 for _ in range(9)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.seq_len: r.asDict()
+           for r in padding_curve(df, seq_lens=(4, 16)).collect()}
+    assert got[4]["n_seqs"] == 6 and got[4]["pad_tokens"] == 7
+    assert got[16]["n_seqs"] == 3 and got[16]["pad_tokens"] == 31
+    assert got[4]["n_docs"] == 3 and got[4]["n_tokens"] == 17
+    # half-up bp: 7/24 -> 2917, 31/48 -> 6458
+    assert got[4]["waste_bp"] == (7 * 20000 + 24) // 48
+    assert got[16]["n_seqs"] <= got[4]["n_seqs"]
+    with _pytest.raises(ValueError, match="seq_lens"):
+        padding_curve(df, seq_lens=())
+    with _pytest.raises(ValueError, match="seq_lens"):
+        padding_curve(df, seq_lens=(0,))

@@ -5829,6 +5829,53 @@ SQL_PADDING_WASTE = r"""
 """
 
 
+def q_padding_curve(spark, sf_dir):
+    """Padding waste vs context length (128/512/1024/2048): the
+    sizing curve read before pinning a training sequence length. ONE
+    combinable aggregate computes every length's sums in a single
+    scan; per-L rows explode from the 1-row result. Monotone
+    non-increasing n_seqs in L by construction."""
+    from webloghunter_spark.pipelines.pack import padding_curve
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return padding_curve(docs, seq_lens=(128, 512, 1024, 2048))
+
+
+_PADDING_CURVE_BRANCH = """
+    SELECT CAST({L} AS BIGINT) AS seq_len, n_docs, n_tokens,
+           s_{L} AS n_seqs,
+           (s_{L} * {L} - n_tokens)::BIGINT AS pad_tokens,
+           CASE WHEN s_{L} > 0
+                THEN (((s_{L} * {L} - n_tokens) * 20000 + s_{L} * {L})
+                      // (2 * s_{L} * {L}))::BIGINT
+                ELSE 0 END AS waste_bp
+    FROM t
+"""
+SQL_PADDING_CURVE = (
+    r"""
+    WITH per AS (
+        SELECT len(CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END)::BIGINT AS ntok
+        FROM documents
+    ),
+    t AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               coalesce(sum(ntok), 0)::BIGINT AS n_tokens,
+               coalesce(sum((ntok + 127) // 128), 0)::BIGINT AS s_128,
+               coalesce(sum((ntok + 511) // 512), 0)::BIGINT AS s_512,
+               coalesce(sum((ntok + 1023) // 1024), 0)::BIGINT AS s_1024,
+               coalesce(sum((ntok + 2047) // 2048), 0)::BIGINT AS s_2048
+        FROM per
+    )
+"""
+    + "\n    UNION ALL\n".join(
+        _PADDING_CURVE_BRANCH.format(L=x) for x in (128, 512, 1024, 2048)
+    )
+)
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Tokenizer-sizing curve: corpus coverage of the top-V vocabulary
     for V in {250, 1k, 4k, 16k}. One type-count aggregate + a bounded
@@ -8755,6 +8802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_probe_curve": q_ivf_probe_curve,
     "winnow_pairs": q_winnow_pairs,
     "quantize_recall": q_quantize_recall,
+    "padding_curve": q_padding_curve,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -8796,11 +8844,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "pivot_counts": q_pivot_counts,
     "clean_html": q_clean_html,
-    "mad_outliers": q_mad_outliers,
     # -- below the driver window (full-registry hashcheck coverage) --
-    # (pack_chunks/rep_signals/pii_redact/near_dedup/near_dedup_cc/
-    # stratified_sample yielded their r9 recheck slots to the wave-3/4
-    # additions; next rotation)
+    # (mad_outliers/pack_chunks/rep_signals/pii_redact/near_dedup/
+    # near_dedup_cc/stratified_sample yielded their r9 recheck slots
+    # to the wave-3/4 additions; next rotation)
+    "mad_outliers": q_mad_outliers,
     "pack_chunks": q_pack_chunks,
     "rep_signals": q_rep_signals,
     "pii_redact": q_pii_redact,
@@ -9079,6 +9127,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW,
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "quantize_recall": SQL_QUANTIZE_RECALL,
+    "padding_curve": SQL_PADDING_CURVE,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

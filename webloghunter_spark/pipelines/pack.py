@@ -453,3 +453,66 @@ def span_corruption_plan(
             "masked_digest"
         ),
     )
+
+
+def padding_curve(
+    df: DataFrame,
+    seq_lens: tuple = (128, 512, 1024, 2048),
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding waste vs context length — the sizing analysis read
+    before pinning a training sequence length (padding_waste's
+    sensitivity-curve sibling, corpus-level): for each candidate L,
+    how many naive ceil(ntok/L) sequences the corpus loads as and
+    what fraction of their slots is pad. ONE combinable aggregate
+    computes every length's sums in a single scan (per-L conditional
+    sums over the same ntok projection — the dedup_sensitivity
+    shared-pass shape); the per-L rows explode from the 1-row result.
+    All integer arithmetic (div / half-up bp), no text movement, no
+    shuffle beyond the aggregate."""
+    from webloghunter_spark.functions.text import token_count_expr
+
+    lens = [int(x) for x in seq_lens]
+    if not lens or any(x < 1 for x in lens):
+        raise ValueError(f"seq_lens must be non-empty, all >= 1: {seq_lens}")
+    base = df.select(token_count_expr(text_col).alias("_n"))
+    row = base.agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_tok"),
+        *[
+            F.coalesce(F.sum(F.expr(f"(_n + {x - 1}) div {x}")), F.lit(0))
+            .cast("long")
+            .alias(f"_s{x}")
+            for x in lens
+        ],
+    )
+    structs = []
+    for x in lens:
+        slots = F.col(f"_s{x}") * x
+        pad = slots - F.col("_tok")
+        waste = F.when(
+            slots > 0,
+            F.expr(f"((_s{x} * {x} - _tok) * 20000 + _s{x} * {x}) "
+                   f"div (2 * _s{x} * {x})"),
+        ).otherwise(F.lit(0))
+        structs.append(
+            F.struct(
+                F.lit(x).cast("long").alias("seq_len"),
+                F.col(f"_s{x}").alias("n_seqs"),
+                pad.cast("long").alias("pad_tokens"),
+                waste.cast("long").alias("waste_bp"),
+            )
+        )
+    return (
+        row.select(
+            "_docs", "_tok", F.explode(F.array(*structs)).alias("_r")
+        )
+        .select(
+            F.col("_r.seq_len").alias("seq_len"),
+            F.col("_docs").alias("n_docs"),
+            F.col("_tok").alias("n_tokens"),
+            F.col("_r.n_seqs").alias("n_seqs"),
+            F.col("_r.pad_tokens").alias("pad_tokens"),
+            F.col("_r.waste_bp").alias("waste_bp"),
+        )
+    )
