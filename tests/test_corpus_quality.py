@@ -591,3 +591,53 @@ def test_boilerplate_null_text_all_zero(spark):
            boilerplate_segments(df, seg_tokens=5, min_df=2).collect()}
     assert out[1].n_seg == 0 and out[1].n_kept == 0 and out[1].new_text == ""
     assert out[2].n_kept == 1
+
+
+# --- BM25 retrieval probe ------------------------------------------------------
+
+def test_bm25_topk_matches_pure_python(spark):
+    from math import log
+
+    from webloghunter_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "spark query spark table"),
+        (2, "the dog ate the cat food"),
+        (3, "query plan for the big table join join join"),
+        (4, None),
+        (5, ""),
+        (6, "SPARK Spark spark"),  # case folding
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "query", "join"]
+    got = {r.doc_id: (r.dl, r.bm25) for r in bm25_topk(df, terms, k=10).collect()}
+
+    docs = {i: (t or "").lower().split() for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    dfreq = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            idf = log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * len(toks) / avgdl))
+        if round(s, 4) > 0:
+            exp[i] = (len(toks), round(s, 4))
+    assert set(got) == set(exp)  # zero-score docs (2,4,5) dropped
+    for i in got:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-9
+
+
+def test_bm25_topk_order_and_limit(spark):
+    from webloghunter_spark.functions.text import bm25_topk
+
+    rows = [(i, "spark " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["spark"], k=3).collect()
+    assert len(out) == 3
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)

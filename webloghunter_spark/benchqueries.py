@@ -8783,6 +8783,89 @@ SQL_DENSITY_SAMPLE = r"""
 """
 
 
+BM25_QUERY_TERMS = ["spark", "query", "table", "join"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval probe: top-20 docs for a fixed 4-term query.
+    The query is tiny, so tf is computed ROW-LOCALLY with array
+    filter() — no explode/shuffle of corpus tokens (contrast
+    tfidf_topk's tf table). Two corpus passes: one combinable
+    stats aggregate collected as a SINGLE row (guard-bounded:
+    2+|q| scalars), then scan + score + TakeOrderedAndProject."""
+    from webloghunter_spark.functions.text import bm25_topk
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
+
+
+SQL_BM25_TOPK = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(t)::BIGINT AS dl,
+               len(list_filter(t, x -> x = 'spark'))::BIGINT AS tf0,
+               len(list_filter(t, x -> x = 'query'))::BIGINT AS tf1,
+               len(list_filter(t, x -> x = 'table'))::BIGINT AS tf2,
+               len(list_filter(t, x -> x = 'join'))::BIGINT AS tf3
+        FROM toks
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl,
+               sum((tf0 > 0)::BIGINT)::BIGINT AS df0,
+               sum((tf1 > 0)::BIGINT)::BIGINT AS df1,
+               sum((tf2 > 0)::BIGINT)::BIGINT AS df2,
+               sum((tf3 > 0)::BIGINT)::BIGINT AS df3
+        FROM d
+    ),
+    scored AS (
+        SELECT d.doc_id, d.dl,
+               round(
+                 0.0
+                 + ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+                   * (CAST(d.tf0 AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(d.tf0 AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75) + 0.75
+                               * (CAST(d.dl AS DOUBLE)
+                                  / (CAST(s.sdl AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE)))))
+                 + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+                   * (CAST(d.tf1 AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(d.tf1 AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75) + 0.75
+                               * (CAST(d.dl AS DOUBLE)
+                                  / (CAST(s.sdl AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE)))))
+                 + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0)
+                   * (CAST(d.tf2 AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(d.tf2 AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75) + 0.75
+                               * (CAST(d.dl AS DOUBLE)
+                                  / (CAST(s.sdl AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE)))))
+                 + ln((s.n - s.df3 + 0.5) / (s.df3 + 0.5) + 1.0)
+                   * (CAST(d.tf3 AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(d.tf3 AS DOUBLE)
+                      + 1.2 * ((1.0 - 0.75) + 0.75
+                               * (CAST(d.dl AS DOUBLE)
+                                  / (CAST(s.sdl AS DOUBLE)
+                                     / CAST(s.n AS DOUBLE)))))
+               , 4) AS bm25
+        FROM d CROSS JOIN s
+    )
+    SELECT doc_id, dl, bm25 FROM scored
+    WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -8803,6 +8886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs": q_winnow_pairs,
     "quantize_recall": q_quantize_recall,
     "padding_curve": q_padding_curve,
+    "bm25_topk": q_bm25_topk,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9128,6 +9212,7 @@ ORACLES: dict[str, str] = {
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "quantize_recall": SQL_QUANTIZE_RECALL,
     "padding_curve": SQL_PADDING_CURVE,
+    "bm25_topk": SQL_BM25_TOPK,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

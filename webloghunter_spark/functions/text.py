@@ -1015,3 +1015,95 @@ def longest_repeat(
     ).mapInPandas(
         gen, f"{id_col} long, ntok long, longest_len long, n_longest long"
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-k documents by BM25 (Robertson/Sparck-Jones idf with +1
+    smoothing) against a FIXED small query — the retrieval shape of a
+    data-curation "find me training docs about X" probe.
+
+    Returns (id, dl, bm25) ordered (bm25 desc, id asc), docs with a
+    zero score dropped; bm25 on the stored-value 1e-4 grid
+    (similarity.py:45) so cross-engine ULP noise cannot flip ranks.
+
+    Scale shape — the key decision is that the QUERY is tiny (|q| <=
+    ~16 terms) so tf is computed ROW-LOCALLY with array `filter()`
+    instead of the textbook explode->groupBy tf table: zero shuffle of
+    corpus tokens. Two corpus passes total:
+      1. one combinable aggregate (n_docs, sum dl, per-term df) whose
+         result is a SINGLE collected row (guard-bounded: 2+|q|
+         scalars) from which idf/avgdl become plan literals;
+      2. scan + row-local score projection + TakeOrderedAndProject
+         top-k — no sort of the full corpus, no join, no window.
+    At 100 TB both passes are embarrassingly parallel; the only data
+    movement is the agg's one-row combine tree and the size-k heads.
+
+    Float determinism: idf and avgdl are computed driver-side with
+    libm (== DuckDB's ln/division bit-for-bit); the per-doc score is a
+    fixed left-to-right fold over `query_terms` of
+    idf_t * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl)) with the
+    constants folded in the SAME association order the oracle writes,
+    so the doubles agree exactly before the grid round.
+    """
+    import math
+
+    from pyspark.sql import functions as _F
+
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    terms = [t.lower() for t in query_terms]
+    toks = _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+
+    def _eq(term):
+        # NOTE: a 2-arg lambda would be (element, index) to F.filter.
+        return lambda x: x == _F.lit(term)
+
+    base = df.select(
+        _F.col(id_col),
+        _F.size(toks).cast("long").alias("dl"),
+        *[
+            _F.size(_F.filter(toks, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats_aggs = [
+        _F.count(_F.lit(1)).alias("n_docs"),
+        _F.sum("dl").alias("sum_dl"),
+    ] + [
+        _F.sum((_F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+        for i in range(len(terms))
+    ]
+    # ONE collected row (2 + |q| scalars) — guard-bounded by |query|.
+    stats = base.agg(*stats_aggs).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = int(stats["sum_dl"]) / n_docs if n_docs else 1.0
+    idf = [
+        math.log((n_docs - int(stats[f"_df{i}"]) + 0.5)
+                 / (int(stats[f"_df{i}"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+    # Fixed left-to-right fold, association order mirrored by the SQL
+    # oracle: idf*(tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl)).
+    norm = _F.col("dl").cast("double") / _F.lit(avgdl)
+    denom_base = (_F.lit(k1) * ((_F.lit(1.0) - _F.lit(b)) + _F.lit(b) * norm))
+    score = _F.lit(0.0)
+    for i in range(len(terms)):
+        tf = _F.col(f"_tf{i}").cast("double")
+        score = score + (
+            _F.lit(idf[i]) * (tf * (_F.lit(k1) + _F.lit(1.0)))
+            / (tf + denom_base)
+        )
+    scored = base.select(
+        _F.col(id_col),
+        _F.col("dl"),
+        grid_round_expr(score, 4).alias("bm25"),
+    ).filter(_F.col("bm25") > 0)
+    return scored.orderBy(_F.col("bm25").desc(), _F.col(id_col)).limit(k)
