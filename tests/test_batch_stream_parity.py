@@ -1936,3 +1936,46 @@ def test_unimax_alloc_batch_stream_parity_and_replay(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="NULL group"):
         fn(nulls, 99)
+
+
+def test_ewma_alerts_batch_stream_parity_and_replay(spark, tmp_path):
+    """Count-merge twin: replaying the spine fold over merged counts
+    equals the batch operator at every prefix; a NULL-ts row extends
+    nothing but keeps its type in the dim; stale batch_id only
+    re-emits."""
+    from webloghunter_spark.detectors.ewma import ewma_alerts
+    from webloghunter_spark.streaming.drift import ewma_alerts_stream_writer
+
+    rows = [
+        ("click", "2024-01-01 00:10:00"),
+        ("click", "2024-01-01 00:40:00"),
+        ("error", "2024-01-01 01:05:00"),
+        ("click", "2024-01-01 02:10:00"),
+        ("click", "2024-01-01 03:10:00"),
+        ("error", "2024-01-01 03:20:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    fn = ewma_alerts_stream_writer(lambda r, b: None)
+    # feed in two hour-sliced batches; check parity at each prefix
+    for i, hi in enumerate(["2024-01-01 02:00:00", "2024-01-01 23:00:00"]):
+        prefix = ev.filter(F.col("ts") < hi)
+        fn(prefix if i == 0 else ev.filter(
+            (F.col("ts") >= "2024-01-01 02:00:00") & (F.col("ts") < hi)
+        ), i)
+        exp = sorted(
+            tuple(r) for r in ewma_alerts(prefix).collect()
+        )
+        assert sorted(fn.current()) == exp
+    first = dict(fn.counts)
+    fn(ev, 0)  # stale batch_id: must not merge
+    assert dict(fn.counts) == first
+    # NULL ts: type enters the dim with zero counts, span unchanged
+    nulls = spark.createDataFrame(
+        [("ghost", None)], "event_type string, ts timestamp"
+    )
+    fn(nulls, 99)
+    got = fn.current()
+    ghost = [t for t in got if t[0] == "ghost"]
+    assert len(ghost) == 4 and all(g[2] == 0 for g in ghost)

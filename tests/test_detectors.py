@@ -138,3 +138,51 @@ def test_tool_sparse_stamps_broadcast_flag(spark):
     out = tool_scanner(df, TOOL_SIGS, sparse_stamps=True)
     assert [r.tool for r in out.orderBy("ordinal").collect()] == ["T1", "T1", "T1"]
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+# --- EWMA control chart --------------------------------------------------------
+
+def test_ewma_fold_exact_recursion():
+    from webloghunter_spark.detectors.ewma import MICRO, ewma_fold
+
+    cnts = [4, 0, 0, 12]
+    trip = ewma_fold(cnts, lam_num=1, lam_denom=4, threshold_num=2)
+    # hand replay: e0=4M; e1=(0+3*4M)//4=3M; e2=(0+3*3M)//4=2.25M;
+    # e3=(12M+3*2.25M)//4=4.6875M; alert at t=3: 12M > 2*2.25M
+    assert trip == [
+        (4 * MICRO, 0, 0),
+        (3 * MICRO, 4 * MICRO, 0),
+        (2_250_000, 3 * MICRO, 0),
+        (4_687_500, 2_250_000, 1),
+    ]
+
+
+def test_ewma_alerts_gapfill_and_alert(spark):
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.detectors.ewma import ewma_alerts
+
+    rows = [
+        ("click", "2024-01-01 00:10:00"),
+        ("click", "2024-01-01 00:40:00"),
+        # hour 1 empty for click -> zero-filled
+        ("click", "2024-01-01 02:10:00"),
+        ("error", "2024-01-01 01:05:00"),  # extends span; other hours 0
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {(r.event_type, r.hour_epoch): r for r in ewma_alerts(ev).collect()}
+    # full 3-hour spine for BOTH types
+    assert len(out) == 6
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    clicks = [out[("click", base + 3600 * i)] for i in range(3)]
+    assert [c.cnt for c in clicks] == [2, 0, 1]
+    assert clicks[0].ewma_micro == 2_000_000 and clicks[0].alert == 0
+    assert clicks[1].ewma_micro == 1_500_000
+    # t=2: cnt=1 -> 1M <= 2*1.5M: no alert
+    assert clicks[2].alert == 0
+    errors = [out[("error", base + 3600 * i)] for i in range(3)]
+    assert [e.cnt for e in errors] == [0, 1, 0]
+    # t=1: 1M > 2*0 -> alert on any activity after a silent first hour
+    assert errors[1].alert == 1

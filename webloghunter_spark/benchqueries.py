@@ -8866,6 +8866,60 @@ SQL_BM25_TOPK = r"""
 """
 
 
+def q_ewma_alerts(spark, sf_dir):
+    """EWMA control chart on gap-filled hourly event counts per type:
+    exact integer micro-unit recursion (zero float exposure by
+    construction), alert when an hour's count exceeds 2x the smoothed
+    history. One combinable corpus aggregate; the sequential fold runs
+    per-type on the |hours|-row aggregated frame."""
+    from webloghunter_spark.detectors.ewma import ewma_alerts
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_alerts(ev, lam_num=1, lam_denom=4, threshold_num=2)
+
+
+SQL_EWMA_ALERTS = """
+    WITH RECURSIVE c AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT date_trunc('hour', min(ts)) AS mn,
+               date_trunc('hour', max(ts)) AS mx
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h,
+               generate_subscripts(generate_series(mn, mx, INTERVAL 1 HOUR), 1) - 1 AS i
+        FROM b
+    ),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    g AS (
+        SELECT ty.event_type, s.i,
+               floor(epoch(s.h))::BIGINT AS hour_epoch,
+               coalesce(c.n, 0)::BIGINT AS cnt
+        FROM spine s CROSS JOIN ty
+        LEFT JOIN c ON c.h = s.h AND c.event_type = ty.event_type
+    ),
+    r AS (
+        SELECT event_type, i, hour_epoch, cnt,
+               (cnt * 1000000)::BIGINT AS ewma_micro,
+               0::BIGINT AS prev_micro,
+               0::BIGINT AS alert
+        FROM g WHERE i = 0
+        UNION ALL
+        SELECT g.event_type, g.i, g.hour_epoch, g.cnt,
+               ((g.cnt * 1000000 * 1 + 3 * r.ewma_micro) // 4)::BIGINT,
+               r.ewma_micro,
+               (CASE WHEN g.cnt * 1000000 > 2 * r.ewma_micro
+                     THEN 1 ELSE 0 END)::BIGINT
+        FROM g JOIN r ON g.event_type = r.event_type AND g.i = r.i + 1
+    )
+    SELECT event_type, hour_epoch, cnt, ewma_micro, prev_micro, alert
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -8887,6 +8941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_recall": q_quantize_recall,
     "padding_curve": q_padding_curve,
     "bm25_topk": q_bm25_topk,
+    "ewma_alerts": q_ewma_alerts,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9213,6 +9268,7 @@ ORACLES: dict[str, str] = {
     "quantize_recall": SQL_QUANTIZE_RECALL,
     "padding_curve": SQL_PADDING_CURVE,
     "bm25_topk": SQL_BM25_TOPK,
+    "ewma_alerts": SQL_EWMA_ALERTS,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,
