@@ -2157,3 +2157,42 @@ def test_padding_curve(spark):
         padding_curve(df, seq_lens=())
     with _pytest.raises(ValueError, match="seq_lens"):
         padding_curve(df, seq_lens=(0,))
+
+
+def test_heaps_fit_growth_and_template_corpora(spark):
+    """Vocabulary that keeps growing fits beta >> 0; a fixed-template
+    corpus (same tokens forever) fits beta ~ 0; per-point vocab and
+    cumulative token counts replay a pure-Python spec."""
+    from webloghunter_spark.pipelines.select import heaps_fit
+
+    # growing: doc i introduces a brand-new token alongside a shared one
+    growing = spark.createDataFrame(
+        [(i, f"shared tok{i}") for i in range(32)], "doc_id long, text string"
+    )
+    rows = heaps_fit(growing, n_points=4).collect()
+    assert [r.denom for r in rows] == [8, 4, 2, 1]
+    for r in rows:
+        # prefix of p docs: vocab = p new + 1 shared, tokens = 2p
+        p = r.n_prefix_docs
+        assert r.cum_tokens == 2 * p and r.vocab == p + 1
+    assert rows[0].beta_micro > 500_000  # near-linear growth
+
+    template = spark.createDataFrame(
+        [(i, "a b c") for i in range(32)], "doc_id long, text string"
+    )
+    rows = heaps_fit(template, n_points=4).collect()
+    assert all(r.vocab == 3 for r in rows)
+    assert rows[0].beta_micro == 0  # flat: ln V constant -> slope 0
+
+
+def test_heaps_fit_drops_empty_prefix_points(spark):
+    """A leading empty doc makes the smallest prefix all-empty:
+    that grid point is dropped (ln undefined), the rest survive."""
+    from webloghunter_spark.pipelines.select import heaps_fit
+
+    rows_in = [(0, ""), (1, None)] + [(i, f"w{i}") for i in range(2, 16)]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    out = heaps_fit(df, n_points=4).collect()
+    # denom=8 -> prefix 2 docs, both empty -> dropped
+    assert [r.denom for r in out] == [4, 2, 1]
+    assert all(r.cum_tokens > 0 and r.vocab > 0 for r in out)

@@ -8920,6 +8920,94 @@ SQL_EWMA_ALERTS = """
 """
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary growth over a doubling prefix grid +
+    log-log OLS (V ~ K*N^beta). One token explode -> min(doc_id) per
+    type; every grid point falls out of conditional counts over the
+    type frame — no per-prefix rescans. Fit terms on the 1e-9 integer
+    grid (zipf_fit's engine-exact form)."""
+    from webloghunter_spark.pipelines.select import heaps_fit
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return heaps_fit(docs, n_points=7)
+
+
+SQL_HEAPS_FIT = r"""
+    WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(
+            CASE WHEN length(trim(coalesce(text, ''))) = 0
+                 THEN CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+            END) AS tok
+        FROM documents
+    ),
+    firsts AS (SELECT tok, min(doc_id)::BIGINT AS f FROM toks GROUP BY tok),
+    dl AS (
+        SELECT doc_id,
+               (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                 '\s+'))
+                END)::BIGINT AS k
+        FROM documents
+    ),
+    grid AS (SELECT unnest([64, 32, 16, 8, 4, 2, 1]) AS denom),
+    pts AS (
+        SELECT g.denom::BIGINT AS denom,
+               greatest(1, nn.n // g.denom)::BIGINT AS n_prefix_docs,
+               (SELECT coalesce(sum(k), 0) FROM dl
+                WHERE doc_id < greatest(1, nn.n // g.denom))::BIGINT
+                   AS cum_tokens,
+               (SELECT count(*) FROM firsts
+                WHERE f < greatest(1, nn.n // g.denom))::BIGINT AS vocab
+        FROM grid g CROSS JOIN nn
+    ),
+    kept AS (SELECT * FROM pts WHERE cum_tokens > 0 AND vocab > 0),
+    terms AS (
+        SELECT CAST(round(ln(cum_tokens) * 1e9) AS BIGINT) AS xn,
+               CAST(round(ln(vocab) * 1e9) AS BIGINT) AS yn,
+               CAST(round(ln(cum_tokens) * ln(cum_tokens) * 1e9) AS BIGINT)
+                   AS xxn,
+               CAST(round(ln(cum_tokens) * ln(vocab) * 1e9) AS BIGINT) AS xyn
+        FROM kept
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS k,
+               coalesce(sum(xn), 0)::BIGINT AS sx,
+               coalesce(sum(yn), 0)::BIGINT AS sy,
+               coalesce(sum(xxn), 0)::BIGINT AS sxx,
+               coalesce(sum(xyn), 0)::BIGINT AS sxy
+        FROM terms
+    ),
+    d AS (
+        SELECT CAST(k AS DOUBLE) AS kd,
+               sx / 1e9 AS sxd, sy / 1e9 AS syd,
+               sxx / 1e9 AS sxxd, sxy / 1e9 AS sxyd
+        FROM s
+    ),
+    f AS (
+        SELECT kd, sxd, syd,
+               kd * sxxd - sxd * sxd AS den,
+               kd * sxyd - sxd * syd AS num
+        FROM d
+    ),
+    fit AS (
+        SELECT CASE WHEN den > 0
+                    THEN CAST(floor(num / den * 1e6 + 0.5) AS BIGINT)
+                    ELSE 0 END AS beta_micro,
+               CASE WHEN den > 0
+                    THEN CAST(floor((syd - (num / den) * sxd) / kd * 1e6
+                                    + 0.5) AS BIGINT)
+                    ELSE 0 END AS logk_micro
+        FROM f
+    )
+    SELECT kept.denom, kept.n_prefix_docs, kept.cum_tokens, kept.vocab,
+           fit.beta_micro, fit.logk_micro
+    FROM kept CROSS JOIN fit
+    ORDER BY kept.denom DESC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -8942,6 +9030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "padding_curve": q_padding_curve,
     "bm25_topk": q_bm25_topk,
     "ewma_alerts": q_ewma_alerts,
+    "heaps_fit": q_heaps_fit,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9269,6 +9358,7 @@ ORACLES: dict[str, str] = {
     "padding_curve": SQL_PADDING_CURVE,
     "bm25_topk": SQL_BM25_TOPK,
     "ewma_alerts": SQL_EWMA_ALERTS,
+    "heaps_fit": SQL_HEAPS_FIT,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

@@ -1082,3 +1082,121 @@ def unimax_waterfill(
             alloc * 10000 // c if c > 0 else 0,
         ))
     return out
+
+
+def heaps_fit(
+    df: DataFrame,
+    n_points: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: distinct-type count V and
+    cumulative token count N over a doubling grid of corpus prefixes
+    (the first n/2^j docs by `id_col`, j = n_points-1 .. 0), plus a
+    log-log OLS fit V ~ K * N^beta shared across the rows. Natural
+    text runs beta ~ 0.4-0.6; beta near 0 flags a templated/looping
+    corpus (vocabulary stops growing), beta near 1 flags noise (every
+    token new) — the companion tripwire to zipf_fit, reading growth
+    where zipf reads the frequency curve.
+
+    Requires dense 0..n-1 ids (the corpus ingest order); prefix j is
+    `id < greatest(1, n // 2^j)` so every grid point is non-empty.
+    Grid rows with V = 0 or N = 0 (all-empty prefix) are dropped
+    before the fit — ln is undefined there.
+
+    Scale shape: ONE corpus token explode -> min(id)-per-type
+    aggregate (combinable, the only data-sized shuffle); vocabulary
+    per prefix then needs NO per-prefix rescan — each type carries its
+    FIRST-occurrence id, so all grid points fall out of one
+    conditional-count aggregate over the |V|-row type frame. Token
+    prefix sums are one aggregate over the doc-level frame. The OLS
+    runs on <= n_points rows with each regression term quantized to
+    the 1e-9 grid and integer-summed (zipf_fit's engine-exact,
+    order-free form).
+
+    Output: one row per surviving grid point (denom, n_prefix_docs,
+    cum_tokens, vocab, beta_micro, logk_micro) ordered denom desc;
+    beta/logk repeat on every row (they are corpus-level scalars).
+    """
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    denoms = [2 ** j for j in range(n_points - 1, -1, -1)]
+
+    firsts = (
+        df.select(F.col(id_col).alias("_id"), tokens_expr(text_col).alias("_t"))
+        .select("_id", F.explode("_t").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min("_id").alias("_first"))
+    )
+    nrow = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    thr = lambda d: F.greatest(F.lit(1).cast("long"), F.expr(f"_n div {d}"))  # noqa: E731
+    vrow = firsts.crossJoin(F.broadcast(nrow)).agg(
+        *[
+            F.sum((F.col("_first") < thr(d)).cast("long")).alias(f"_v{d}")
+            for d in denoms
+        ]
+    )
+    trow = (
+        df.select(F.col(id_col).alias("_id"), token_count_expr(text_col).alias("_k"))
+        .crossJoin(F.broadcast(nrow))
+        .agg(
+            *[
+                F.sum(F.when(F.col("_id") < thr(d), F.col("_k")).otherwise(0))
+                .cast("long").alias(f"_c{d}")
+                for d in denoms
+            ]
+        )
+    )
+    grid = (
+        vrow.crossJoin(trow)
+        .crossJoin(nrow)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("denom"),
+                            thr(d).alias("n_prefix_docs"),
+                            F.col(f"_c{d}").alias("cum_tokens"),
+                            F.col(f"_v{d}").alias("vocab"),
+                        )
+                        for d in denoms
+                    ]
+                )
+            ).alias("_g")
+        )
+        .select("_g.*")
+        .filter((F.col("cum_tokens") > 0) & (F.col("vocab") > 0))
+    )
+    # the <= n_points-row grid feeds BOTH the fit agg and the output
+    # rows: persist so the corpus aggregates behind it run once
+    from webloghunter_spark.session import materialize
+
+    grid = materialize(grid)
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    # stored-value grid, not F.round (similarity.py:45)
+    nano = lambda c: grid_round_expr(c * 1e9, 0).cast("long")  # noqa: E731
+    s = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum(nano(x)), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(nano(y)), F.lit(0)).alias("sy"),
+        F.coalesce(F.sum(nano(x * x)), F.lit(0)).alias("sxx"),
+        F.coalesce(F.sum(nano(x * y)), F.lit(0)).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    sx = F.col("sx") / 1e9
+    sy = F.col("sy") / 1e9
+    sxx = F.col("sxx") / 1e9
+    sxy = F.col("sxy") / 1e9
+    den = k * sxx - sx * sx
+    beta = (k * sxy - sx * sy) / den
+    logk = (sy - beta * sx) / k
+    micro = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    fit = s.select(
+        F.when(den > 0, micro(beta)).otherwise(F.lit(0)).cast("long")
+        .alias("beta_micro"),
+        F.when(den > 0, micro(logk)).otherwise(F.lit(0)).cast("long")
+        .alias("logk_micro"),
+    )
+    return grid.crossJoin(F.broadcast(fit)).orderBy(F.col("denom").desc())
