@@ -2196,3 +2196,33 @@ def test_heaps_fit_drops_empty_prefix_points(spark):
     # denom=8 -> prefix 2 docs, both empty -> dropped
     assert [r.denom for r in out] == [4, 2, 1]
     assert all(r.cum_tokens > 0 and r.vocab > 0 for r in out)
+
+
+def test_effective_data_decay_and_dedup(spark):
+    """Exact duplicates inside a source don't count toward unique
+    tokens; 1 epoch is 10000 bp efficient; efficiency is strictly
+    decreasing in epochs; effective tokens are capped at U*(1+R*)."""
+    from math import exp, floor
+
+    from webloghunter_spark.pipelines.select import effective_data
+
+    rows = [
+        (0, "a b c", "s0"),
+        (1, "a  B c ", "s0"),   # same normalized text -> dedup'd
+        (2, "d e", "s0"),
+        (3, "x y z w", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source, r.epochs): r
+           for r in effective_data(df, epochs_grid=(1, 2, 8, 32)).collect()}
+    assert out[("s0", 1)].unique_tokens == 5   # 3 + 2, dup dropped
+    assert out[("s1", 1)].unique_tokens == 4
+    assert out[("s0", 1)].efficiency_bp == 10000
+    effs = [out[("s0", e)].efficiency_bp for e in (1, 2, 8, 32)]
+    assert effs == sorted(effs, reverse=True) and effs[-1] < effs[0]
+    # pure-python replay of the paper formula at epochs=8
+    u, rstar, e = 5, 15.39, 8
+    dprime = u + u * rstar * (1.0 - exp((1 - e) / rstar))
+    assert out[("s0", 8)].effective_tokens == floor(dprime + 0.5)
+    assert all(r.effective_tokens <= floor(r.unique_tokens * (1 + 15.39) + 0.5)
+               for r in out.values())

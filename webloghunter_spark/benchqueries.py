@@ -9008,6 +9008,53 @@ SQL_HEAPS_FIT = r"""
 """
 
 
+def q_effective_data(spark, sf_dir):
+    """Muennighoff data-constrained scaling: per-source effective
+    tokens and repetition efficiency across an epochs grid. One
+    (source, fingerprint) combinable aggregate; the exp decay factors
+    are driver-side libm literals (|grid| values), so no per-row
+    engine transcendental."""
+    from webloghunter_spark.pipelines.select import effective_data
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return effective_data(docs, epochs_grid=(1, 2, 4, 8, 16, 32))
+
+
+SQL_EFFECTIVE_DATA = r"""
+    WITH fp AS (
+        SELECT source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+               min((CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                     '\s+'))
+                    END)::BIGINT) AS mk
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT source, sum(mk)::BIGINT AS unique_tokens
+        FROM fp GROUP BY source
+    ),
+    g AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS epochs)
+    SELECT u.source, g.epochs::BIGINT AS epochs, u.unique_tokens,
+           CAST(floor(
+               (CAST(u.unique_tokens AS DOUBLE)
+                + CAST(u.unique_tokens AS DOUBLE) * 15.39
+                  * (1.0 - exp((1.0 - CAST(g.epochs AS DOUBLE)) / 15.39)))
+               + 0.5) AS BIGINT) AS effective_tokens,
+           CASE WHEN u.unique_tokens > 0 THEN
+               CAST(floor(
+                   (CAST(u.unique_tokens AS DOUBLE)
+                    + CAST(u.unique_tokens AS DOUBLE) * 15.39
+                      * (1.0 - exp((1.0 - CAST(g.epochs AS DOUBLE)) / 15.39)))
+                   / (CAST(u.unique_tokens AS DOUBLE)
+                      * CAST(g.epochs AS DOUBLE))
+                   * 10000.0 + 0.5) AS BIGINT)
+           ELSE 0 END AS efficiency_bp
+    FROM u CROSS JOIN g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -9031,6 +9078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "ewma_alerts": q_ewma_alerts,
     "heaps_fit": q_heaps_fit,
+    "effective_data": q_effective_data,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9359,6 +9407,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "ewma_alerts": SQL_EWMA_ALERTS,
     "heaps_fit": SQL_HEAPS_FIT,
+    "effective_data": SQL_EFFECTIVE_DATA,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

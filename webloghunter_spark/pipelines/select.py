@@ -1200,3 +1200,74 @@ def heaps_fit(
         .alias("logk_micro"),
     )
     return grid.crossJoin(F.broadcast(fit)).orderBy(F.col("denom").desc())
+
+
+def effective_data(
+    df: DataFrame,
+    epochs_grid: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    rstar: float = 15.39,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Data-constrained scaling audit (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): per source, the
+    EFFECTIVE token count of training `epochs` passes over its unique
+    data — D' = U + U * R* * (1 - exp(-(epochs-1)/R*)) with the
+    paper's fitted R* ~ 15.4 — and the efficiency (effective /
+    nominal) in basis points. The planning table behind "is a 4th
+    epoch of source X still worth anything": efficiency decays from
+    10000 bp at 1 epoch toward R*/epochs as repetition stops adding
+    signal.
+
+    U is unique tokens: the exact-dedup fingerprint (fingerprint_expr
+    — md5 of normalized text, the dedup_exact key) collapses repeats
+    WITHIN the source before counting; ntok ties across a (freak) md5
+    collision resolve by MIN, keeping the aggregate deterministic.
+
+    Scale shape: one (group, fingerprint) combinable aggregate — ids
+    and counts move, never text bodies beyond the md5 map stage —
+    then a |sources|-row frame cross-joined with the |grid| epochs
+    dim. The exp() decay factors are computed DRIVER-SIDE with libm
+    (|grid| values, == a SQL engine's exp bit-for-bit) and injected
+    as literals, so no engine-specific transcendental runs per row.
+
+    Output: (source, epochs, unique_tokens, effective_tokens,
+    efficiency_bp); effective_tokens = floor(D' + 0.5).
+    """
+    import math
+
+    if rstar <= 0:
+        raise ValueError(f"rstar must be > 0, got {rstar}")
+    if not epochs_grid or any(e < 1 for e in epochs_grid):
+        raise ValueError(f"epochs_grid must be >= 1, got {epochs_grid}")
+    from webloghunter_spark.functions.text import fingerprint_expr
+
+    uniq = (
+        df.select(
+            F.col(group_col).alias("source"),
+            fingerprint_expr(text_col).alias("_fp"),
+            token_count_expr(text_col).alias("_k"),
+        )
+        .groupBy("source", "_fp")
+        .agg(F.min("_k").alias("_mk"))
+        .groupBy("source")
+        .agg(F.sum("_mk").cast("long").alias("unique_tokens"))
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(int(e), math.exp((1 - int(e)) / rstar)) for e in sorted(set(epochs_grid))],
+        "epochs long, _decay double",
+    )
+    u_d = F.col("unique_tokens").cast("double")
+    eff = u_d + u_d * F.lit(rstar) * (F.lit(1.0) - F.col("_decay"))
+    nominal = u_d * F.col("epochs").cast("double")
+    return uniq.crossJoin(F.broadcast(grid)).select(
+        "source",
+        "epochs",
+        "unique_tokens",
+        F.floor(eff + F.lit(0.5)).cast("long").alias("effective_tokens"),
+        F.when(
+            F.col("unique_tokens") > 0,
+            F.floor(eff / nominal * F.lit(10000.0) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0)).alias("efficiency_bp"),
+    )
