@@ -1444,3 +1444,35 @@ def test_density_sample_small_bucket_passes_whole(spark):
     out = density_sample(df, cap=10).collect()
     assert len(out) == 3
     assert all(r.weight_micro == 1000000 for r in out)
+
+
+def test_dedup_keep_best_prefers_cleanest_variant(spark):
+    """Same normalized text, different raw quality: the higher-bp raw
+    variant survives; ties fall back to min id; n_dups counts the
+    whole group."""
+    from webloghunter_spark.functions.text import quality_bp_expr
+    from webloghunter_spark.pipelines.dedup import dedup_keep_best
+
+    rows = [
+        (0, "the quick brown  fox", "a"),            # singleton
+        (1, "the quick brown fox!!!!!!!!!!", "b"),   # singleton (punct alters fp)
+        (2, "plain words here", "a"),
+        (3, "PLAIN   WORDS    HERE", "b"),   # same fp as 2, different raw quality
+        (4, None, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bps = {r.doc_id: r.q for r in df.select(
+        "doc_id", quality_bp_expr("text").alias("q")).collect()}
+    out = {r.doc_id: r for r in dedup_keep_best(df).collect()}
+    # docs 2,3 share a fingerprint: winner is the higher bp (or min id on tie)
+    assert (2 in out) ^ (3 in out)
+    winner = 2 if 2 in out else 3
+    loser = 5 - winner
+    assert bps[winner] > bps[loser] or (
+        bps[winner] == bps[loser] and winner < loser
+    )
+    assert out[winner].n_dups == 2
+    assert out[winner].quality_bp == bps[winner]
+    # singletons survive with n_dups 1; NULL text keeps a NULL group
+    assert out[0].n_dups == 1 and out[1].n_dups == 1
+    assert out[4].fingerprint is None

@@ -9055,6 +9055,57 @@ SQL_EFFECTIVE_DATA = r"""
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Exact dedup keeping the highest-quality duplicate (ties ->
+    lowest id) — the CCNet/RefinedWeb keep rule. One combinable
+    fingerprint aggregate with a lexicographic struct-MIN argmax; no
+    per-group window."""
+    from webloghunter_spark.pipelines.dedup import dedup_keep_best
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return dedup_keep_best(docs)
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+    WITH toks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS fingerprint,
+               len(t)::DOUBLE AS ntok,
+               greatest(length(text)::DOUBLE, 1.0) AS nchar,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE AS npunct,
+               len(list_filter(t, x -> list_contains(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   lower(x))))::DOUBLE AS nstop
+        FROM toks
+    ),
+    bp AS (
+        SELECT doc_id, fingerprint,
+               CAST(floor((least(ntok / 100.0, 1.0) * 0.5
+                     + (1.0 - npunct / nchar) * 0.3
+                     + least((nstop / greatest(ntok, 1.0)) * 5.0, 1.0) * 0.2)
+                     * 10000.0 + 0.5) AS BIGINT) AS quality_bp
+        FROM stats
+    ),
+    ranked AS (
+        SELECT fingerprint, doc_id, quality_bp,
+               count(*) OVER (PARTITION BY fingerprint)::BIGINT AS n_dups,
+               row_number() OVER (PARTITION BY fingerprint
+                   ORDER BY quality_bp DESC, doc_id) AS rn
+        FROM bp
+    )
+    SELECT fingerprint, doc_id, quality_bp, n_dups
+    FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -9079,6 +9130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_alerts": q_ewma_alerts,
     "heaps_fit": q_heaps_fit,
     "effective_data": q_effective_data,
+    "dedup_keep_best": q_dedup_keep_best,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9408,6 +9460,7 @@ ORACLES: dict[str, str] = {
     "ewma_alerts": SQL_EWMA_ALERTS,
     "heaps_fit": SQL_HEAPS_FIT,
     "effective_data": SQL_EFFECTIVE_DATA,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

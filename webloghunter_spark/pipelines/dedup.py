@@ -1514,3 +1514,48 @@ def winnow_pairs(
             .alias("overlap_bp"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate, not the first: per
+    normalized-text fingerprint group, the surviving row is the one
+    with the highest quality_bp (ties -> lowest id). The CCNet /
+    RefinedWeb keep rule — duplicates differ in case/whitespace/
+    punctuation even when their normalized text is identical, and a
+    pipeline wants the cleanest variant, which min-id (exact_dedup)
+    picks only by accident.
+
+    Output: (fingerprint, doc_id, quality_bp, n_dups).
+
+    Scale shape: identical to exact_dedup — ONE combinable aggregate
+    on the md5 fingerprint; the argmax is a lexicographic struct
+    MIN ((-bp, id)), so no per-group window or second pass, and the
+    quality score is computed in the map stage (codegen, no Python).
+    Integer basis points make the argmax engine-exact.
+    """
+    from webloghunter_spark.functions.text import (
+        fingerprint_expr,
+        quality_bp_expr,
+    )
+
+    keyed = df.select(
+        F.col(id_col),
+        fingerprint_expr(text_col).alias("fingerprint"),
+        quality_bp_expr(text_col).alias("_bp"),
+    )
+    best = keyed.groupBy("fingerprint").agg(
+        F.min(
+            F.struct(
+                (-F.col("_bp")).alias("nb"), F.col(id_col).alias("i")
+            )
+        ).alias("_w"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return best.select(
+        "fingerprint",
+        F.col("_w.i").alias(id_col),
+        (-F.col("_w.nb")).cast("long").alias("quality_bp"),
+        "n_dups",
+    )
