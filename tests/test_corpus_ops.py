@@ -2226,3 +2226,30 @@ def test_effective_data_decay_and_dedup(spark):
     assert out[("s0", 8)].effective_tokens == floor(dprime + 0.5)
     assert all(r.effective_tokens <= floor(r.unique_tokens * (1 + 15.39) + 0.5)
                for r in out.values())
+
+
+def test_tail_index_pure_python_replay_and_edge(spark):
+    """Hill alpha replays a pure-Python reference on a known frequency
+    ladder; fewer than k+1 types -> 0 rows (no tail to estimate)."""
+    from math import floor, log
+
+    from webloghunter_spark.pipelines.select import tail_index
+
+    # frequency ladder: tok_i appears (9 - i) times, i = 0..8 -> 9 types
+    docs = []
+    did = 0
+    for i in range(9):
+        for _ in range(9 - i):
+            docs.append((did, f"t{i}")); did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tail_index(df, k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    freqs = [9, 8, 7, 6, 5]  # top-5: f_1..f_4 and threshold f_5
+    s_ln = sum(int(floor(abs(log(f) * 1e9) + 0.5)) for f in freqs[:4])
+    h = (s_ln / 1e9) / 4.0 - log(freqs[4])
+    assert r.k_used == 4 and r.f_threshold == 5
+    assert r.alpha_micro == floor(1.0 / h * 1e6 + 0.5)
+
+    tiny = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    assert tail_index(tiny, k=4).count() == 0  # only 3 types

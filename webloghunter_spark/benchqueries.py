@@ -9106,6 +9106,52 @@ SQL_DEDUP_KEEP_BEST = r"""
 """
 
 
+def q_tail_index(spark, sf_dir):
+    """Hill tail-index estimate over the top-20 token frequencies —
+    the extreme-tail companion to zipf_fit. Bounded top-(k+1) +
+    1e-9-grid integer ln sums (engine-exact, order-free)."""
+    from webloghunter_spark.pipelines.select import tail_index
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return tail_index(docs, k=20)
+
+
+SQL_TAIL_INDEX = r"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY n DESC, tok) AS r, n
+        FROM counts
+        QUALIFY r <= 21
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS k_used,
+               coalesce(sum(CAST(round(ln(n) * 1e9) AS BIGINT)), 0)::BIGINT
+                   AS s_ln
+        FROM ranked WHERE r <= 20
+    ),
+    thr AS (SELECT n::BIGINT AS f_threshold FROM ranked WHERE r = 21),
+    h AS (
+        SELECT s.k_used, thr.f_threshold,
+               (s.s_ln / 1e9) / CAST(s.k_used AS DOUBLE)
+                   - ln(thr.f_threshold) AS hv
+        FROM s CROSS JOIN thr
+    )
+    SELECT k_used, f_threshold,
+           CAST(round(hv * 1e9) AS BIGINT) AS h_nano,
+           CASE WHEN hv > 0
+                THEN CAST(floor(1.0 / hv * 1e6 + 0.5) AS BIGINT)
+                ELSE 0 END AS alpha_micro
+    FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -9131,6 +9177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_fit": q_heaps_fit,
     "effective_data": q_effective_data,
     "dedup_keep_best": q_dedup_keep_best,
+    "tail_index": q_tail_index,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9461,6 +9508,7 @@ ORACLES: dict[str, str] = {
     "heaps_fit": SQL_HEAPS_FIT,
     "effective_data": SQL_EFFECTIVE_DATA,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "tail_index": SQL_TAIL_INDEX,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

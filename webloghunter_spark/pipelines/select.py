@@ -1271,3 +1271,63 @@ def effective_data(
             F.floor(eff / nominal * F.lit(10000.0) + F.lit(0.5)).cast("long"),
         ).otherwise(F.lit(0)).alias("efficiency_bp"),
     )
+
+
+def tail_index(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Hill estimator of the token-frequency tail index over the top-k
+    types: alpha = 1 / ((1/k) * sum_{i<=k} ln(f_i) - ln(f_{k+1})).
+    The heavy-tail companion to zipf_fit: zipf fits the WHOLE log-log
+    curve by OLS, Hill reads only the extreme tail — a templated
+    corpus (truncated tail) runs a large alpha, natural text runs
+    alpha ~ 1-2. Requires at least k+1 distinct types; returns 0 rows
+    otherwise (no tail to estimate).
+
+    Scale shape: one combinable type count + a bounded top-(k+1)
+    (TakeOrderedAndProject); the per-term ln(f_i) values are
+    quantized to the 1e-9 grid and integer-summed over the <= k-row
+    frame (zipf_fit's engine-exact, order-free form); ln(f_{k+1})
+    enters once from the single threshold row.
+
+    Output: ONE row (k_used, f_threshold, h_nano, alpha_micro).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = counts.orderBy(F.col("_n").desc(), F.col("_tok")).limit(k + 1)
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("_n").desc(), F.col("_tok")))
+        .alias("_r"),
+        F.col("_n"),
+    )
+    from webloghunter_spark.session import materialize
+
+    ranked = materialize(ranked)
+    # stored-value grid, not F.round (similarity.py:45)
+    nano = lambda c: grid_round_expr(c * 1e9, 0).cast("long")  # noqa: E731
+    s = ranked.filter(F.col("_r") <= k).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.coalesce(F.sum(nano(F.log(F.col("_n").cast("double")))), F.lit(0))
+        .alias("s_ln"),
+    )
+    thr = ranked.filter(F.col("_r") == k + 1).select(
+        F.col("_n").cast("long").alias("f_threshold")
+    )
+    kd = F.col("k_used").cast("double")
+    h = (F.col("s_ln") / 1e9) / kd - F.log(F.col("f_threshold").cast("double"))
+    micro = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.crossJoin(thr).select(
+        "k_used",
+        "f_threshold",
+        nano(h).alias("h_nano"),
+        F.when(h > 0, micro(F.lit(1.0) / h)).otherwise(F.lit(0))
+        .alias("alpha_micro"),
+    )
