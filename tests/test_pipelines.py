@@ -1476,3 +1476,38 @@ def test_dedup_keep_best_prefers_cleanest_variant(spark):
     # singletons survive with n_dups 1; NULL text keeps a NULL group
     assert out[0].n_dups == 1 and out[1].n_dups == 1
     assert out[4].fingerprint is None
+
+
+def test_boundary_leakage_adjacency_and_jaccard(spark):
+    """Every within-shard adjacent pair appears exactly once; the
+    integer Jaccard replays a pure-Python set computation; short docs
+    (< k tokens) pair with empty shingle sets -> bp 0."""
+    from webloghunter_spark.pipelines.shard import boundary_leakage, train_order
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),         # exact dup of 0: if adjacent, bp = 10000
+        (2, "x y z w v u"),
+        (3, "tiny"),              # < 3 tokens -> empty shingles
+        (4, "a b c q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boundary_leakage(df, n_shards=2, seed="t", shingle_k=3)
+    got = {(r.shard_id, r.position): r for r in out.collect()}
+    order = train_order(df, n_shards=2, seed="t").collect()
+    by_shard = {}
+    for r in order:
+        by_shard.setdefault(r.shard_id, []).append((r.position, r.doc_id))
+    n_pairs = sum(max(0, len(v) - 1) for v in by_shard.values())
+    assert len(got) == n_pairs
+
+    def shingles(t):
+        ts = t.split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    texts = dict(rows)
+    for (sh, pos), r in got.items():
+        sa, sb = shingles(texts[r.id_a]), shingles(texts[r.id_b])
+        inter, uni = len(sa & sb), len(sa | sb)
+        assert (r.n_inter, r.n_union) == (inter, uni)
+        assert r.jaccard_bp == ((inter * 10000) // uni if uni else 0)

@@ -9152,6 +9152,70 @@ SQL_TAIL_INDEX = r"""
 """
 
 
+def q_boundary_leakage(spark, sf_dir):
+    """Adjacent-doc shingle overlap in the seeded training order —
+    the in-batch leakage audit. Distinct shingle arrays computed
+    before train_order's one shuffle and carried through it; the
+    adjacency self-join co-partitions on shard_id; Jaccard is exact
+    integer basis points."""
+    from webloghunter_spark.pipelines.shard import boundary_leakage
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return boundary_leakage(docs, n_shards=16, seed="lk")
+
+
+SQL_BOUNDARY_LEAKAGE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+2], ' '))
+            END) AS s
+        FROM toks
+    ),
+    ordk AS (
+        SELECT doc_id, md5('lk|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16
+                    AS INTEGER) AS shard_id,
+               (row_number() OVER (
+                    PARTITION BY CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT)
+                                      % 16 AS INTEGER)
+                    ORDER BY h, doc_id) - 1)::BIGINT AS position
+        FROM ordk
+    ),
+    j AS (
+        SELECT a.shard_id, a.position, a.doc_id AS id_a, b.doc_id AS id_b,
+               sa.s AS sa, sb.s AS sb
+        FROM pos a
+        JOIN pos b ON a.shard_id = b.shard_id
+                  AND b.position = a.position + 1
+        JOIN sh sa ON sa.doc_id = a.doc_id
+        JOIN sh sb ON sb.doc_id = b.doc_id
+    )
+    SELECT shard_id, position, id_a, id_b,
+           len(list_intersect(sa, sb))::BIGINT AS n_inter,
+           (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+               AS n_union,
+           CASE WHEN (len(sa) + len(sb) - len(list_intersect(sa, sb))) > 0
+                THEN (len(list_intersect(sa, sb))::BIGINT * 10000)
+                     // (len(sa) + len(sb)
+                         - len(list_intersect(sa, sb)))::BIGINT
+                ELSE 0 END AS jaccard_bp
+    FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 8 round-9 additions
@@ -9178,6 +9242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "effective_data": q_effective_data,
     "dedup_keep_best": q_dedup_keep_best,
     "tail_index": q_tail_index,
+    "boundary_leakage": q_boundary_leakage,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9509,6 +9574,7 @@ ORACLES: dict[str, str] = {
     "effective_data": SQL_EFFECTIVE_DATA,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "tail_index": SQL_TAIL_INDEX,
+    "boundary_leakage": SQL_BOUNDARY_LEAKAGE,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

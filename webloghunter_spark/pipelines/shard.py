@@ -531,3 +531,72 @@ def shard_balance(
         .cast("long")
         .alias("dev_bp"),
     )
+
+
+def boundary_leakage(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: str = "train",
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent-document n-gram overlap in the seeded training order —
+    the in-batch leakage audit: two near-duplicate docs landing next
+    to each other in a shard poison in-batch negatives (contrastive
+    training) and inflate short-range memorization. For every
+    within-shard adjacent pair (position p, p+1) the operator reports
+    the shingle-set overlap as an exact integer Jaccard in basis
+    points ((inter * 10000) div union — no float anywhere).
+
+    Scale shape: the shingle sets are DISTINCT token k-gram arrays
+    computed in the map stage BEFORE train_order's one shuffle and
+    carried through it (carry_cols), so the adjacency self-join on
+    (shard_id, position+1) is equi-join co-partitioned on shard_id —
+    a shuffle of hashed-shingle arrays, never raw text twice. Every
+    doc joins at most one successor; output is exactly
+    |docs| - |shards| rows.
+
+    Output: (shard_id, position, id_a, id_b, n_inter, n_union,
+    jaccard_bp) where position is the LEFT doc's slot.
+    """
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    from webloghunter_spark.functions.text import shingles_expr
+
+    pre = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_s"),
+    )
+    ordered = train_order(
+        pre, n_shards=n_shards, seed=seed, id_col=id_col, carry_cols=("_s",)
+    )
+    a = ordered.select(
+        F.col("shard_id"),
+        F.col("position"),
+        F.col(id_col).alias("id_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = ordered.select(
+        F.col("shard_id"),
+        (F.col("position") - 1).alias("position"),
+        F.col(id_col).alias("id_b"),
+        F.col("_s").alias("_sb"),
+    )
+    joined = a.join(b, ["shard_id", "position"])
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    uni = F.size("_sa") + F.size("_sb") - inter
+    base = joined.select(
+        "shard_id",
+        "position",
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_inter"),
+        uni.cast("long").alias("n_union"),
+    )
+    return base.withColumn(
+        "jaccard_bp",
+        F.when(
+            F.col("n_union") > 0, F.expr("(n_inter * 10000) div n_union")
+        ).otherwise(F.lit(0)).cast("long"),
+    )
