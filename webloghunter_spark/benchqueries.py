@@ -9218,12 +9218,12 @@ SQL_BOUNDARY_LEAKAGE = r"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-9 front = the 8 round-9 additions
-    # (wave 1 + wave 3), then the 17 round-5-cohort queries never
-    # re-sampled since round 5 (round 8 covered the other 33), then
-    # round-6 oldest-green rechecks filling to exactly 50. Everything
-    # after slot 50 is covered by the committed full-registry
-    # HASHCHECK artifacts.
+    # FIRST 50 entries. Round-9 front = the 18 round-9 additions
+    # (waves 1/3/4 + the session-2 seven: bm25_topk .. boundary_leakage),
+    # then the 17 round-5-cohort queries never re-sampled since round 5
+    # (round 8 covered the other 33), then round-6 oldest-green
+    # rechecks filling to exactly 50. Everything after slot 50 is
+    # covered by the committed full-registry HASHCHECK artifacts.
     # -- round-9 additions --
     "url_blocklist_big": q_url_blocklist_big,
     "bpe_roundtrip": q_bpe_roundtrip,

@@ -1074,6 +1074,14 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    # The stats pass and the scoring pass share `base`; persist the
+    # NARROW (2+|q| longs per row) frame so the corpus text is
+    # tokenized ONCE, not once per pass — measured 7.5x -> much
+    # flatter at the 32x probe, and at 100 TB the cached frame is
+    # ~1000x smaller than re-reading + re-splitting the text.
+    from webloghunter_spark.session import materialize
+
+    base = materialize(base)
     stats_aggs = [
         _F.count(_F.lit(1)).alias("n_docs"),
         _F.sum("dl").alias("sum_dl"),

@@ -571,19 +571,23 @@ def boundary_leakage(
     ordered = train_order(
         pre, n_shards=n_shards, seed=seed, id_col=id_col, carry_cols=("_s",)
     )
-    a = ordered.select(
-        F.col("shard_id"),
-        F.col("position"),
-        F.col(id_col).alias("id_a"),
-        F.col("_s").alias("_sa"),
+    # adjacency via lead() over the SAME shard partitioning train_order
+    # just established — no self-join, no second exchange of the
+    # shingle arrays (measured 7.1x -> flatter at the 32x probe)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard_id").orderBy("position")
+    joined = (
+        ordered.select(
+            F.col("shard_id"),
+            F.col("position"),
+            F.col(id_col).alias("id_a"),
+            F.col("_s").alias("_sa"),
+        )
+        .withColumn("id_b", F.lead("id_a").over(w))
+        .withColumn("_sb", F.lead("_sa").over(w))
+        .filter(F.col("id_b").isNotNull())
     )
-    b = ordered.select(
-        F.col("shard_id"),
-        (F.col("position") - 1).alias("position"),
-        F.col(id_col).alias("id_b"),
-        F.col("_s").alias("_sb"),
-    )
-    joined = a.join(b, ["shard_id", "position"])
     inter = F.size(F.array_intersect("_sa", "_sb"))
     uni = F.size("_sa") + F.size("_sb") - inter
     base = joined.select(
