@@ -1979,3 +1979,34 @@ def test_ewma_alerts_batch_stream_parity_and_replay(spark, tmp_path):
     got = fn.current()
     ghost = [t for t in got if t[0] == "ghost"]
     assert len(ghost) == 4 and all(g[2] == 0 for g in ghost)
+
+
+def test_keep_best_batch_stream_parity_and_replay(spark):
+    """(max-bp, min-id, sum-count)-merge twin: equals the batch
+    keep-best dedup at every prefix, survives a winner arriving in a
+    LATER batch than a weaker duplicate, NULL text, and replays."""
+    from webloghunter_spark.pipelines.dedup import dedup_keep_best
+    from webloghunter_spark.streaming.dedup import keep_best_stream_writer
+
+    rows = [
+        (0, "plain words here", "a"),
+        (1, "tiny", "a"),
+        (2, "PLAIN   WORDS    HERE", "b"),   # same fp as 0, later batch
+        (3, None, "a"),
+        (4, "plain words here", "c"),        # third member of the fp group
+        (5, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    fn = keep_best_stream_writer(lambda r, b: None)
+    for i, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6)]):
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        fn(batch, i)
+        prefix = df.filter(F.col("doc_id") < hi)
+        exp = sorted(
+            (tuple(r) for r in dedup_keep_best(prefix).collect()),
+            key=lambda t: (t[0] is not None, t[0]),
+        )
+        assert fn.current() == exp
+    snap = {k: list(v) for k, v in fn.state.items()}
+    fn(df, 0)  # stale batch_id: must not merge
+    assert {k: list(v) for k, v in fn.state.items()} == snap

@@ -641,3 +641,42 @@ def test_bm25_topk_order_and_limit(spark):
     assert len(out) == 3
     scores = [r.bm25 for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+# --- per-doc char entropy and split coherence -----------------------------------
+
+def test_char_entropy_known_values(spark):
+    from math import floor, log
+
+    from webloghunter_spark.functions.text import char_entropy
+
+    rows = [
+        (0, "aaaa"),        # single char: entropy 0
+        (1, "abab"),        # two chars 50/50: ln 2
+        (2, ""),
+        (3, None),
+        (4, "  ab  "),      # trimmed -> 'ab'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert (out[0].n_chars, out[0].n_distinct, out[0].entropy_nano) == (4, 1, 0)
+    half = int(floor(-(0.5 * log(0.5)) * 1e9 + 0.5))
+    assert out[1].entropy_nano == 2 * half  # ~ln2 in nano-nats
+    assert (out[2].n_chars, out[2].entropy_nano) == (0, 0)
+    assert (out[3].n_chars, out[3].entropy_nano) == (0, 0)
+    assert out[4].n_chars == 2 and out[4].n_distinct == 2
+
+
+def test_split_coherence_glued_vs_repetitive(spark):
+    from webloghunter_spark.functions.text import split_coherence
+
+    rep = "a b c d " * 8                    # halves share all shingles
+    glued = "a b c d e f g h " + "q r s t u v w x "  # disjoint halves
+    rows = [(0, rep.strip()), (1, glued.strip()), (2, "one two"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in split_coherence(df).collect()}
+    assert out[0].coherence_bp > 5000
+    assert out[1].coherence_bp == 0 and out[1].n_union > 0
+    # too short for any shingle: union 0 -> bp 0
+    assert out[2].n_union == 0 and out[2].coherence_bp == 0
+    assert out[3].n_tokens == 0 and out[3].coherence_bp == 0

@@ -9216,6 +9216,98 @@ SQL_BOUNDARY_LEAKAGE = r"""
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character entropy in integer nano-nats — the gibberish
+    / encoding-damage tripwire. Row-local Arrow kernel, zero shuffle;
+    per-char terms quantized to nano BEFORE summing (order-free,
+    engine-exact)."""
+    from webloghunter_spark.functions.text import char_entropy
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return char_entropy(docs)
+
+
+SQL_CHAR_ENTROPY = r"""
+    WITH base AS (
+        SELECT doc_id, trim(coalesce(text, '')) AS t FROM documents
+    ),
+    chars AS (
+        SELECT doc_id, substr(t, i, 1) AS ch, length(t) AS n
+        FROM base, unnest(generate_series(1, length(t))) AS u(i)
+    ),
+    hist AS (
+        SELECT doc_id, n, ch, count(*)::BIGINT AS c
+        FROM chars GROUP BY doc_id, n, ch
+    ),
+    terms AS (
+        SELECT doc_id, n,
+               CAST(round(
+                   -((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * 1e9) AS BIGINT) AS tn
+        FROM hist
+    ),
+    agg AS (
+        SELECT doc_id, any_value(n)::BIGINT AS n_chars,
+               count(*)::BIGINT AS n_distinct,
+               sum(tn)::BIGINT AS entropy_nano
+        FROM terms GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(a.n_chars, 0) AS n_chars,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           coalesce(a.entropy_nano, 0) AS entropy_nano
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_split_coherence(spark, sf_dir):
+    """First-half vs second-half shingle Jaccard per doc — the
+    concatenation-artifact detector. One row-local codegen
+    projection, zero shuffle, exact integer bp."""
+    from webloghunter_spark.functions.text import split_coherence
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return split_coherence(docs, shingle_k=3)
+
+
+SQL_SPLIT_COHERENCE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    halves AS (
+        SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               t[1:len(t) // 2] AS ta,
+               t[len(t) // 2 + 1:len(t)] AS tb
+        FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, n_tokens,
+               list_distinct(CASE WHEN len(ta) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(generate_series(1, len(ta) - 2),
+                         i -> array_to_string(ta[i:i+2], ' ')) END) AS sa,
+               list_distinct(CASE WHEN len(tb) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(generate_series(1, len(tb) - 2),
+                         i -> array_to_string(tb[i:i+2], ' ')) END) AS sb
+        FROM halves
+    )
+    SELECT doc_id, n_tokens,
+           len(list_intersect(sa, sb))::BIGINT AS n_inter,
+           (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+               AS n_union,
+           CASE WHEN (len(sa) + len(sb) - len(list_intersect(sa, sb))) > 0
+                THEN (len(list_intersect(sa, sb))::BIGINT * 10000)
+                     // (len(sa) + len(sb)
+                         - len(list_intersect(sa, sb)))::BIGINT
+                ELSE 0 END AS coherence_bp
+    FROM sh
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 18 round-9 additions
@@ -9243,6 +9335,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "tail_index": q_tail_index,
     "boundary_leakage": q_boundary_leakage,
+    "char_entropy": q_char_entropy,
+    "split_coherence": q_split_coherence,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9575,6 +9669,8 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "tail_index": SQL_TAIL_INDEX,
     "boundary_leakage": SQL_BOUNDARY_LEAKAGE,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "split_coherence": SQL_SPLIT_COHERENCE,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

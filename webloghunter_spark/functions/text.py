@@ -1115,3 +1115,117 @@ def bm25_topk(
         grid_round_expr(score, 4).alias("bm25"),
     ).filter(_F.col("bm25") > 0)
     return scored.orderBy(_F.col("bm25").desc(), _F.col(id_col)).limit(k)
+
+
+def char_entropy(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document character-distribution entropy — the cheap
+    gibberish / encoding-damage tripwire (mojibake and base64 blobs
+    run near-uniform high entropy; stuck-key and template junk runs
+    abnormally low; natural text sits in a band). Reported in integer
+    nano-nats: each distinct char contributes
+    round(-(c/n) * ln(c/n) * 1e9) and the per-doc sum is over those
+    INTEGERS — order-free and engine-exact (the zipf_fit quantize-
+    then-sum discipline), with c/n and ln evaluated in libm (== a SQL
+    engine's doubles bit-for-bit).
+
+    Chars are the code points of trim(coalesce(text, '')) — matching
+    SQL length()/substr() semantics; empty/NULL text scores 0.
+
+    Scale shape: ROW-LOCAL Arrow mapInPandas, zero shuffle — the
+    per-doc histogram never leaves the executor (an explode-to-
+    (doc, char) aggregate would shuffle the corpus's full character
+    volume for no reason).
+
+    Output: (id, n_chars, n_distinct, entropy_nano).
+    """
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pyspark.sql import functions as _F
+
+    def _one(text):
+        t = (text or "").strip()
+        n = len(t)
+        if n == 0:
+            return 0, 0, 0
+        counts = Counter(t)
+        total = 0
+        for c in counts.values():
+            p = c / n
+            term = -(p * math.log(p))
+            total += int(math.floor(term * 1e9 + 0.5))
+        return n, len(counts), total
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = [_one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": [r[0] for r in res],
+                    "n_distinct": [r[1] for r in res],
+                    "entropy_nano": [r[2] for r in res],
+                }
+            )
+
+    return df.select(_F.col(id_col), _F.col(text_col)).mapInPandas(
+        gen,
+        f"{id_col} long, n_chars long, n_distinct long, entropy_nano long",
+    )
+
+
+def split_coherence(
+    df,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """First-half vs second-half shingle overlap per document — the
+    concatenation-artifact detector: a web page that is really two
+    unrelated documents glued together (nav + article, or a crawler
+    merging frames) scores near 0, while a topically-coherent doc
+    shares vocabulary n-grams across its halves. Low coherence +
+    high length flags candidates for a segment-level re-split before
+    training.
+
+    The token array splits at n div 2; each half's DISTINCT token
+    k-gram shingles come from the shingles_expr convention (the halves
+    are re-joined with single spaces, so shingle boundaries follow the
+    same tokens_expr path every dedup operator uses); overlap is the
+    exact integer Jaccard ((inter * 10000) div union, 0 when a half is
+    too short for a shingle).
+
+    Scale shape: one ROW-LOCAL codegen projection — no shuffle, no
+    Python. Output: (id, n_tokens, n_inter, n_union, coherence_bp).
+    """
+    from pyspark.sql import functions as _F
+
+    toks = tokens_expr(text_col)
+    n = _F.size(toks)
+    half = _F.floor(n / _F.lit(2)).cast("int")
+    first = _F.concat_ws(" ", _F.slice(toks, _F.lit(1), half))
+    second = _F.concat_ws(" ", _F.slice(toks, half + 1, n - half))
+    sa = _F.array_distinct(shingles_expr(first, shingle_k))
+    sb = _F.array_distinct(shingles_expr(second, shingle_k))
+    inter = _F.size(_F.array_intersect(sa, sb))
+    uni = _F.size(sa) + _F.size(sb) - inter
+    base = df.select(
+        _F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        inter.cast("long").alias("n_inter"),
+        uni.cast("long").alias("n_union"),
+    )
+    return base.withColumn(
+        "coherence_bp",
+        _F.when(
+            _F.col("n_union") > 0, _F.expr("(n_inter * 10000) div n_union")
+        ).otherwise(_F.lit(0)).cast("long"),
+    )

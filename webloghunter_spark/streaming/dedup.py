@@ -80,3 +80,85 @@ def boilerplate_stream_writer(
     process.state = state
     process.release = b.unpersist
     return process
+
+
+def keep_best_stream_writer(
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming twin of pipelines/dedup.dedup_keep_best — the
+    keep-best exact dedup maintained against a live ingest: per
+    micro-batch, (fingerprint -> batch-best (quality_bp, id), count)
+    pre-aggregates in Spark (map-side combinable, one small collect
+    per batch), then merges into state by the SAME rule the batch
+    operator's struct-MIN encodes — higher bp wins, ties to the
+    lower id, counts SUM. State holds one row per DISTINCT
+    fingerprint EVER SEEN (the vocab-twin state class: bounded by
+    distinct texts, not rows); on very-high-cardinality corpora run
+    the batch operator instead. Every prefix equals the batch
+    operator over the docs streamed so far, for any batch slicing.
+    Replay-guarded; `sink(rows, batch_id)` receives the CURRENT
+    [(fingerprint, doc_id, quality_bp, n_dups)] sorted null-first by
+    fingerprint; exposes `.state` and `.current()`."""
+    from pyspark.sql import functions as F
+
+    from webloghunter_spark.functions.text import (
+        fingerprint_expr,
+        quality_bp_expr,
+    )
+
+    state: dict = {}  # fp -> [best_bp, best_id, count]
+    last_seen = [-1]
+
+    def current() -> list[tuple]:
+        return [
+            (fp, v[1], v[0], v[2])
+            for fp, v in sorted(
+                state.items(), key=lambda kv: (kv[0] is not None, kv[0])
+            )
+        ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
+            rows = (
+                batch_df.select(
+                    fingerprint_expr(text_col).alias("_fp"),
+                    quality_bp_expr(text_col).alias("_bp"),
+                    F.col(id_col).alias("_id"),
+                )
+                .groupBy("_fp")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("_bp")).alias("nb"),
+                            F.col("_id").alias("i"),
+                        )
+                    ).alias("_w"),
+                    F.count(F.lit(1)).alias("_c"),
+                )
+                .collect()
+            )
+            for r in rows:
+                bp = -r["_w"]["nb"] if r["_w"]["nb"] is not None else None
+                rid, cnt = r["_w"]["i"], int(r["_c"])
+                cur = state.get(r["_fp"])
+                if cur is None:
+                    state[r["_fp"]] = [bp, rid, cnt]
+                else:
+                    cur[2] += cnt
+                    # NULL bp only occurs in the NULL-text group, where
+                    # every member is NULL — ties fall through to id.
+                    if (cur[0] is None and bp is None and rid < cur[1]) or (
+                        bp is not None
+                        and (cur[0] is None
+                             or bp > cur[0]
+                             or (bp == cur[0] and rid < cur[1]))
+                    ):
+                        cur[0], cur[1] = bp, rid
+        sink(current(), batch_id)
+
+    process.state = state
+    process.current = current
+    return process
