@@ -1196,36 +1196,65 @@ def split_coherence(
     high length flags candidates for a segment-level re-split before
     training.
 
-    The token array splits at n div 2; each half's DISTINCT token
-    k-gram shingles come from the shingles_expr convention (the halves
-    are re-joined with single spaces, so shingle boundaries follow the
-    same tokens_expr path every dedup operator uses); overlap is the
-    exact integer Jaccard ((inter * 10000) div union, 0 when a half is
-    too short for a shingle).
+    The token array splits at n div 2; each half\'s DISTINCT token
+    k-gram shingles follow the shingles_expr convention (space-joined
+    k-grams over tokens_expr tokens); overlap is the exact integer
+    Jaccard ((inter * 10000) div union, 0 when a half is too short
+    for a shingle).
 
-    Scale shape: one ROW-LOCAL codegen projection — no shuffle, no
-    Python. Output: (id, n_tokens, n_inter, n_union, coherence_bp).
+    Scale shape: ROW-LOCAL Arrow mapInPandas over the JVM-tokenized
+    array (tokens_expr ships INTO the kernel, the longest_repeat
+    discipline, so token boundaries cannot drift) — zero shuffle. A
+    pure-Column form with two shingles_expr applications ran 3.9x
+    slower: Spark\'s higher-order array functions are interpreted and
+    projection collapsing re-inlines the token split into every
+    reference (the minhash_sig_udf lesson, dedup.py:58).
+
+    Output: (id, n_tokens, n_inter, n_union, coherence_bp).
     """
+    import pandas as pd
+
     from pyspark.sql import functions as _F
 
-    toks = tokens_expr(text_col)
-    n = _F.size(toks)
-    half = _F.floor(n / _F.lit(2)).cast("int")
-    first = _F.concat_ws(" ", _F.slice(toks, _F.lit(1), half))
-    second = _F.concat_ws(" ", _F.slice(toks, half + 1, n - half))
-    sa = _F.array_distinct(shingles_expr(first, shingle_k))
-    sb = _F.array_distinct(shingles_expr(second, shingle_k))
-    inter = _F.size(_F.array_intersect(sa, sb))
-    uni = _F.size(sa) + _F.size(sb) - inter
-    base = df.select(
-        _F.col(id_col),
-        n.cast("long").alias("n_tokens"),
-        inter.cast("long").alias("n_inter"),
-        uni.cast("long").alias("n_union"),
-    )
-    return base.withColumn(
-        "coherence_bp",
-        _F.when(
-            _F.col("n_union") > 0, _F.expr("(n_inter * 10000) div n_union")
-        ).otherwise(_F.lit(0)).cast("long"),
+    k = int(shingle_k)
+
+    def _one(toks):
+        n = len(toks)
+        half = n // 2
+
+        def sh(ts):
+            if len(ts) < k:
+                return set()
+            return {" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)}
+
+        sa, sb = sh(toks[:half]), sh(toks[half:])
+        inter = len(sa & sb)
+        uni = len(sa) + len(sb) - inter
+        bp = (inter * 10000) // uni if uni > 0 else 0
+        return n, inter, uni, bp
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = [
+                _one(list(t) if t is not None else [])
+                for t in pdf["_toks"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [r[0] for r in res],
+                    "n_inter": [r[1] for r in res],
+                    "n_union": [r[2] for r in res],
+                    "coherence_bp": [r[3] for r in res],
+                }
+            )
+
+    return df.select(
+        _F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).mapInPandas(
+        gen,
+        f"{id_col} long, n_tokens long, n_inter long, n_union long, "
+        "coherence_bp long",
     )
