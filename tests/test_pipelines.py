@@ -1511,3 +1511,25 @@ def test_boundary_leakage_adjacency_and_jaccard(spark):
         inter, uni = len(sa & sb), len(sa | sb)
         assert (r.n_inter, r.n_union) == (inter, uni)
         assert r.jaccard_bp == ((inter * 10000) // uni if uni else 0)
+
+
+def test_dup_ngram_frac_counts_shared_shingles(spark):
+    """A doc fully contained in another scores 10000 bp; a disjoint
+    doc scores 0; shingle-less docs emit (0, 0, 0)."""
+    from webloghunter_spark.pipelines.dedup import dup_ngram_frac
+
+    rows = [
+        (0, "a b c d e"),       # shingles: abc bcd cde
+        (1, "a b c d"),         # abc bcd  -> both also in doc 0
+        (2, "x y z w"),         # xyz yzw  -> unique
+        (3, "hi"),              # too short
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_ngram_frac(df).collect()}
+    assert (out[1].n_shingles, out[1].n_dup, out[1].dup_bp) == (2, 2, 10000)
+    assert (out[0].n_shingles, out[0].n_dup) == (3, 2)
+    assert out[0].dup_bp == (2 * 10000) // 3
+    assert (out[2].n_dup, out[2].dup_bp) == (0, 0)
+    assert (out[3].n_shingles, out[3].dup_bp) == (0, 0)
+    assert (out[4].n_shingles, out[4].dup_bp) == (0, 0)

@@ -9308,6 +9308,52 @@ SQL_SPLIT_COHERENCE = r"""
 """
 
 
+def q_dup_ngram_frac(spark, sf_dir):
+    """Against-the-corpus repetition: per-doc share of distinct
+    shingles appearing in another document. One exchange to the
+    (shingle, doc) posting frame; df is a window on that layout —
+    no second shuffle; integer bp."""
+    from webloghunter_spark.pipelines.dedup import dup_ngram_frac
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return dup_ngram_frac(docs, shingle_k=3)
+
+
+SQL_DUP_NGRAM_FRAC = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+2], ' '))
+            END)) AS s
+        FROM toks
+    ),
+    with_df AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY s)::BIGINT AS df
+        FROM sh
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_shingles,
+               sum((df >= 2)::BIGINT)::BIGINT AS n_dup
+        FROM with_df GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_dup, 0) AS n_dup,
+           CASE WHEN coalesce(p.n_shingles, 0) > 0
+                THEN (p.n_dup * 10000) // p.n_shingles
+                ELSE 0 END AS dup_bp
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 18 round-9 additions
@@ -9337,6 +9383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boundary_leakage": q_boundary_leakage,
     "char_entropy": q_char_entropy,
     "split_coherence": q_split_coherence,
+    "dup_ngram_frac": q_dup_ngram_frac,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9671,6 +9718,7 @@ ORACLES: dict[str, str] = {
     "boundary_leakage": SQL_BOUNDARY_LEAKAGE,
     "char_entropy": SQL_CHAR_ENTROPY,
     "split_coherence": SQL_SPLIT_COHERENCE,
+    "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

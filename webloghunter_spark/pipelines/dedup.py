@@ -1559,3 +1559,69 @@ def dedup_keep_best(
         (-F.col("_w.nb")).cast("long").alias("quality_bp"),
         "n_dups",
     )
+
+
+def dup_ngram_frac(
+    df: DataFrame,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of its DISTINCT token k-gram shingles
+    that also appear in at least one OTHER document — the
+    against-the-corpus repetition signal (RefinedWeb/Gopher family):
+    rep_signals reads repetition WITHIN a doc; this reads how much of
+    a doc is boilerplate shared across the corpus. High dup_bp + low
+    quality flags template farms; high dup_bp on one source flags a
+    mirror.
+
+    Output: (id, n_shingles, n_dup, dup_bp) — dup_bp the exact
+    integer (n_dup * 10000) div n_shingles, 0 for shingle-less docs.
+
+    Scale shape: the tfidf family — one exchange to the distinct
+    (shingle, doc) posting frame, document frequency as a COUNT
+    window over the shingle partition on that same layout (no second
+    shuffle for df, unlike a groupBy+join-back), then one groupBy id
+    to fold per-doc counts. Shingle text never moves twice: the
+    posting rows carry (md5-sized shingle string, id) only. For
+    stopword-shingle skew at 100 TB, salt the df aggregation like
+    tfidf_topk's salted path.
+    """
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    from pyspark.sql import Window as W
+
+    from webloghunter_spark.functions.text import shingles_expr
+
+    posting = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_expr(text_col, shingle_k))
+        ).alias("_sh"),
+    )
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("_sh"))
+    per_doc = (
+        posting.withColumn("_df", dfreq)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    out = (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        )
+    )
+    return out.withColumn(
+        "dup_bp",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.expr("(n_dup * 10000) div n_shingles"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
