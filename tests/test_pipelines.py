@@ -1533,3 +1533,26 @@ def test_dup_ngram_frac_counts_shared_shingles(spark):
     assert (out[2].n_dup, out[2].dup_bp) == (0, 0)
     assert (out[3].n_shingles, out[3].dup_bp) == (0, 0)
     assert (out[4].n_shingles, out[4].dup_bp) == (0, 0)
+
+
+def test_prefix_modal_detects_template_source(spark):
+    """A templated source reports its header prefix with the right
+    share; modal ties break to the smaller prefix; short/empty docs
+    contribute their full (possibly empty) prefix."""
+    from webloghunter_spark.pipelines.curate import prefix_modal
+
+    rows = (
+        [(i, "COPYRIGHT header text body %d" % i, "tpl") for i in range(3)]
+        + [(10, "unique one two three", "tpl")]
+        + [(20, "a b c", "mix"), (21, "b c d", "mix")]   # tie -> 'a b c'
+        + [(30, "", "tiny"), (31, "hi", "tiny"), (32, "hi", "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in prefix_modal(df, n_tokens=3).collect()}
+    t = out["tpl"]
+    assert t.top_prefix == "COPYRIGHT header text"
+    assert (t.n_docs, t.top_n, t.top_share_bp) == (4, 3, 7500)
+    assert out["mix"].top_prefix == "a b c"       # 1-1 tie, lex smaller
+    ty = out["tiny"]
+    assert ty.top_prefix == "hi" and ty.top_n == 2
+    assert ty.n_prefixes == 2                      # '' and 'hi'

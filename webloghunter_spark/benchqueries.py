@@ -9354,6 +9354,48 @@ SQL_DUP_NGRAM_FRAC = r"""
 """
 
 
+def q_prefix_modal(spark, sf_dir):
+    """Per-source modal k-token document prefix + share — the
+    template/header-farm detector. Two combinable aggregates; the
+    argmax is a lexicographic struct-MIN over the compact count
+    frame, no window over corpus rows."""
+    from webloghunter_spark.pipelines.curate import prefix_modal
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return prefix_modal(docs, n_tokens=3)
+
+
+SQL_PREFIX_MODAL = r"""
+    WITH toks AS (
+        SELECT source, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    pre AS (
+        SELECT source,
+               array_to_string(t[1:least(len(t), 3)], ' ') AS p
+        FROM toks
+    ),
+    counts AS (
+        SELECT source, p, count(*)::BIGINT AS n
+        FROM pre GROUP BY source, p
+    ),
+    ranked AS (
+        SELECT source, p, n,
+               sum(n) OVER (PARTITION BY source)::BIGINT AS n_docs,
+               count(*) OVER (PARTITION BY source)::BIGINT AS n_prefixes,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, p) AS rn
+        FROM counts
+    )
+    SELECT source, n_docs, n_prefixes, p AS top_prefix, n AS top_n,
+           (n * 10000) // n_docs AS top_share_bp
+    FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
     # FIRST 50 entries. Round-9 front = the 18 round-9 additions
@@ -9384,6 +9426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "split_coherence": q_split_coherence,
     "dup_ngram_frac": q_dup_ngram_frac,
+    "prefix_modal": q_prefix_modal,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9719,6 +9762,7 @@ ORACLES: dict[str, str] = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "split_coherence": SQL_SPLIT_COHERENCE,
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
+    "prefix_modal": SQL_PREFIX_MODAL,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

@@ -466,3 +466,59 @@ def dataset_diff(
     return j.groupBy("status", "old_stage", "new_stage").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def prefix_modal(
+    df: DataFrame,
+    n_tokens: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source modal document prefix — the template/header-farm
+    detector: if a large share of a source's documents open with the
+    SAME first-k tokens (a nav header, a license banner, a scraped
+    form), that source needs boilerplate stripping before training.
+    Reports each source's most common k-token prefix and its share.
+
+    Output: (source, n_docs, n_prefixes, top_prefix, top_n,
+    top_share_bp) — share the exact integer (top_n * 10000) div
+    n_docs; modal ties break to the lexicographically smaller prefix;
+    docs shorter than k tokens contribute their full token string
+    (empty docs the empty prefix), so every document counts.
+
+    Scale shape: two combinable aggregates — (source, prefix) counts
+    (the only data-sized exchange; prefixes are tiny strings, never
+    full text), then the per-source argmax as a lexicographic
+    struct-MIN over the compact count frame. No window over corpus
+    rows, no join.
+    """
+    if n_tokens < 1:
+        raise ValueError(f"n_tokens must be >= 1, got {n_tokens}")
+    from webloghunter_spark.functions.text import tokens_expr
+
+    prefix = F.array_join(
+        F.slice(tokens_expr(text_col), 1, n_tokens), " "
+    )
+    counts = (
+        df.select(F.col(group_col).alias("source"), prefix.alias("_p"))
+        .groupBy("source", "_p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.min(
+            F.struct((-F.col("_n")).alias("nn"), F.col("_p").alias("p"))
+        ).alias("_w"),
+    )
+    out = per_source.select(
+        "source",
+        "n_docs",
+        "n_prefixes",
+        F.col("_w.p").alias("top_prefix"),
+        (-F.col("_w.nn")).cast("long").alias("top_n"),
+    )
+    return out.withColumn(
+        "top_share_bp",
+        F.expr("(top_n * 10000) div n_docs").cast("long"),
+    )
