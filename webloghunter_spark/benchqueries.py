@@ -9398,8 +9398,8 @@ SQL_PREFIX_MODAL = r"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-9 front = the 18 round-9 additions
-    # (waves 1/3/4 + the session-2 seven: bm25_topk .. boundary_leakage),
+    # FIRST 50 entries. Round-9 front = the 22 round-9 additions
+    # (waves 1/3/4 + the session-2 eleven: bm25_topk .. prefix_modal),
     # then the 17 round-5-cohort queries never re-sampled since round 5
     # (round 8 covered the other 33), then round-6 oldest-green
     # rechecks filling to exactly 50. Everything after slot 50 is
