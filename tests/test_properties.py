@@ -802,3 +802,84 @@ def test_unimax_waterfill_invariants(counts, bp, epochs):
     if budget >= epochs * total:
         assert all(r[4] for r in rows)
         assert sum(allocs) == epochs * total
+
+
+@given(
+    cnts=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    lam=st.tuples(st.integers(1, 7), st.integers(2, 8)).filter(
+        lambda t: t[0] < t[1]
+    ),
+    thr=st.integers(1, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_fold_invariants(cnts, lam, thr):
+    """Pure-function EWMA laws: output length matches; the first row
+    seeds at cnt*MICRO with no alert; every smoothed value stays
+    inside [min, max] of the counts seen so far (integer floor cannot
+    escape a convex combination of integers); alert_t is exactly
+    cnt_t*MICRO > thr*ewma_{t-1}; a constant series is a fixed point
+    with no alerts."""
+    from webloghunter_spark.detectors.ewma import MICRO, ewma_fold
+
+    lam_num, lam_denom = lam
+    out = ewma_fold(cnts, lam_num, lam_denom, thr)
+    assert len(out) == len(cnts)
+    assert out[0] == (cnts[0] * MICRO, 0, 0)
+    lo = hi = cnts[0] * MICRO
+    for t in range(1, len(cnts)):
+        lo, hi = min(lo, cnts[t] * MICRO), max(hi, cnts[t] * MICRO)
+        e, p, a = out[t]
+        assert p == out[t - 1][0]
+        assert lo <= e <= hi
+        assert a == (1 if cnts[t] * MICRO > thr * p else 0)
+    k = cnts[0]
+    const = ewma_fold([k] * 10, lam_num, lam_denom, thr)
+    assert all(e == k * MICRO and a == 0 for e, _, a in const)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab xyq", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.lists(
+        st.sampled_from(["a", "b", "x", "q"]), min_size=1, max_size=3,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_bm25_matches_pure_reference(spark, docs, terms):
+    """bm25_topk replays a pure-Python BM25 on arbitrary small corpora
+    (whitespace-noise text, zero-score docs dropped, rank order by
+    (score desc, id))."""
+    from math import log
+
+    from webloghunter_spark.functions.text import bm25_topk
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.dl, r.bm25) for r in bm25_topk(df, terms, k=50).collect()]
+
+    toks = {i: (t or "").lower().split() for i, t in rows}
+    n = len(rows)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n if n and sum_dl else 1.0  # all-empty: operator's guard
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    exp = []
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            idf = log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(tk) / avgdl)
+            )
+        import math as _m
+
+        bp = _m.copysign(_m.floor(abs(s) * 1e4 + 0.5), s) / 1e4
+        if bp > 0:
+            exp.append((i, len(tk), bp))
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    assert got == exp

@@ -1092,7 +1092,12 @@ def bm25_topk(
     # ONE collected row (2 + |q| scalars) — guard-bounded by |query|.
     stats = base.agg(*stats_aggs).collect()[0]
     n_docs = int(stats["n_docs"])
-    avgdl = int(stats["sum_dl"]) / n_docs if n_docs else 1.0
+    sum_dl = int(stats["sum_dl"] or 0)
+    # avgdl == 0 only when EVERY doc is empty — all tf are then 0 and
+    # every score is 0 (filtered), so 1.0 preserves semantics while
+    # keeping the per-row division ANSI-safe (double x/0 throws under
+    # Spark ANSI mode; the oracle's x/0 -> inf path also emits no rows).
+    avgdl = sum_dl / n_docs if n_docs and sum_dl else 1.0
     idf = [
         math.log((n_docs - int(stats[f"_df{i}"]) + 0.5)
                  / (int(stats[f"_df{i}"]) + 0.5) + 1.0)
