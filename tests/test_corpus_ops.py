@@ -2253,3 +2253,27 @@ def test_tail_index_pure_python_replay_and_edge(spark):
 
     tiny = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     assert tail_index(tiny, k=4).count() == 0  # only 3 types
+
+
+def test_len_quantiles_nearest_rank_replay(spark):
+    """Per-source p10/p50/p90 replay a pure-Python nearest-rank spec
+    (rank = ceil(q*n), value = smallest length whose cumcount reaches
+    it); empty docs count as length 0."""
+    from math import ceil
+
+    from webloghunter_spark.pipelines.select import len_quantiles
+
+    lens = {"a": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9], "b": [5, 5, 5], "c": [7]}
+    rows, did = [], 0
+    for src, ls in lens.items():
+        for L in ls:
+            rows.append((did, " ".join(["w"] * L), src)); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source, r.q_bp): r for r in
+           len_quantiles(df, qs_bp=(1000, 5000, 9000)).collect()}
+    for src, ls in lens.items():
+        s = sorted(ls); n = len(s)
+        for q in (1000, 5000, 9000):
+            rank = max(1, ceil(q * n / 10000))
+            r = out[(src, q)]
+            assert (r.n_docs, r.ntok) == (n, s[rank - 1]), (src, q)

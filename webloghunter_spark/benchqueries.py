@@ -9396,10 +9396,51 @@ SQL_PREFIX_MODAL = r"""
 """
 
 
+def q_len_quantiles(spark, sf_dir):
+    """Exact per-source token-length quantiles (p10/p50/p90,
+    lower-nearest-rank) — sequence-length planning per source. One
+    combinable (source, ntok) histogram; the cumulative walk runs on
+    each source's compact histogram rows, never the corpus."""
+    from webloghunter_spark.pipelines.select import len_quantiles
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return len_quantiles(docs, qs_bp=(1000, 5000, 9000))
+
+
+SQL_LEN_QUANTILES = r"""
+    WITH dl AS (
+        SELECT source,
+               (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                                 '\s+'))
+                END)::BIGINT AS k
+        FROM documents
+    ),
+    hist AS (
+        SELECT source, k, count(*)::BIGINT AS c
+        FROM dl GROUP BY source, k
+    ),
+    cum AS (
+        SELECT source, k,
+               sum(c) OVER (PARTITION BY source ORDER BY k)::BIGINT AS cm,
+               sum(c) OVER (PARTITION BY source)::BIGINT AS n
+        FROM hist
+    ),
+    q AS (SELECT unnest([1000, 5000, 9000]) AS q_bp),
+    hit AS (
+        SELECT cum.source, q.q_bp::BIGINT AS q_bp, cum.n, cum.k
+        FROM cum CROSS JOIN q
+        WHERE cum.cm >= greatest((q.q_bp * cum.n + 9999) // 10000, 1)
+    )
+    SELECT source, q_bp, min(n)::BIGINT AS n_docs, min(k)::BIGINT AS ntok
+    FROM hit GROUP BY source, q_bp
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-9 front = the 22 round-9 additions
-    # (waves 1/3/4 + the session-2 eleven: bm25_topk .. prefix_modal),
+    # FIRST 50 entries. Round-9 front = the 23 round-9 additions
+    # (waves 1/3/4 + the session-2 twelve: bm25_topk .. len_quantiles),
     # then the 17 round-5-cohort queries never re-sampled since round 5
     # (round 8 covered the other 33), then round-6 oldest-green
     # rechecks filling to exactly 50. Everything after slot 50 is
@@ -9427,6 +9468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_coherence": q_split_coherence,
     "dup_ngram_frac": q_dup_ngram_frac,
     "prefix_modal": q_prefix_modal,
+    "len_quantiles": q_len_quantiles,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9763,6 +9805,7 @@ ORACLES: dict[str, str] = {
     "split_coherence": SQL_SPLIT_COHERENCE,
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "prefix_modal": SQL_PREFIX_MODAL,
+    "len_quantiles": SQL_LEN_QUANTILES,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

@@ -1331,3 +1331,63 @@ def tail_index(
         F.when(h > 0, micro(F.lit(1.0) / h)).otherwise(F.lit(0))
         .alias("alpha_micro"),
     )
+
+
+def len_quantiles(
+    df: DataFrame,
+    qs_bp: tuple[int, ...] = (1000, 5000, 9000),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact per-source document-length (token-count) quantiles — the
+    sequence-length planning input: p10/p50/p90 per source decide the
+    packing context length and flag length-skewed sources (a p90 far
+    above the pack budget means heavy truncation for that source).
+
+    Quantile semantics (engine-portable, no interpolation): for
+    quantile q over n docs, rank = ceil(q * n) clamped to >= 1, and
+    the value is the SMALLEST ntok whose cumulative count reaches the
+    rank (the lower-nearest-rank / "disc" definition, exact integer
+    arithmetic: rank = (q_bp * n + 9999) div 10000).
+
+    Scale shape: the value_quantiles histogram discipline applied per
+    group — one combinable (source, ntok) count aggregate (the only
+    corpus-sized exchange; ntok has FAR fewer distinct values than
+    docs), then a cumulative-count window over each source's compact
+    histogram rows — the ordered walk runs over |distinct lengths|
+    per source, never the corpus.
+
+    Output: one row per (source, q_bp): (source, q_bp, n_docs, ntok).
+    """
+    if not qs_bp or any(not (0 < q <= 10000) for q in qs_bp):
+        raise ValueError(f"qs_bp must be in (0, 10000], got {qs_bp}")
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.select(
+            F.col(group_col).alias("source"),
+            token_count_expr(text_col).alias("_k"),
+        )
+        .groupBy("source", "_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = W.partitionBy("source").orderBy("_k")
+    cum = hist.withColumn(
+        "_cum", F.sum("_c").over(w)
+    ).withColumn(
+        "_n", F.sum("_c").over(W.partitionBy("source"))
+    )
+    qrows = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in sorted(qs_bp)])
+    ).alias("q_bp")
+    expanded = cum.select("source", "_k", "_cum", "_n", qrows)
+    rank = F.expr("(q_bp * _n + 9999) div 10000")
+    hit = expanded.filter(F.col("_cum") >= F.greatest(rank, F.lit(1).cast("long")))
+    return (
+        hit.groupBy("source", "q_bp")
+        .agg(
+            F.min("_n").cast("long").alias("n_docs"),
+            F.min("_k").cast("long").alias("ntok"),
+        )
+        .select("source", "q_bp", "n_docs", "ntok")
+    )
