@@ -2010,3 +2010,57 @@ def test_keep_best_batch_stream_parity_and_replay(spark):
     snap = {k: list(v) for k, v in fn.state.items()}
     fn(df, 0)  # stale batch_id: must not merge
     assert {k: list(v) for k, v in fn.state.items()} == snap
+
+
+def test_len_quantiles_batch_stream_parity_and_replay(spark):
+    """Histogram sum-merge twin: quantile rows equal the batch
+    operator at every prefix for arbitrary slicing; stale batch_id
+    only re-emits."""
+    from webloghunter_spark.pipelines.select import len_quantiles
+    from webloghunter_spark.streaming.mix import len_quantiles_stream_writer
+
+    rows = [
+        (i, " ".join(["w"] * ((i * 7) % 11)), "s%d" % (i % 3))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    fn = len_quantiles_stream_writer(lambda r, b: None)
+    for i, (lo, hi) in enumerate([(0, 9), (9, 10), (10, 24)]):
+        fn(df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i)
+        prefix = df.filter(F.col("doc_id") < hi)
+        exp = sorted(
+            (tuple(r) for r in len_quantiles(prefix).collect()),
+            key=lambda t: (t[0] is not None, t[0], t[1]),
+        )
+        assert fn.current() == exp
+    snap = dict(fn.counts)
+    fn(df, 0)
+    assert dict(fn.counts) == snap
+
+
+def test_prefix_modal_batch_stream_parity(spark):
+    """Count sum-merge twin: the modal prefix (incl. tie-to-smaller)
+    equals the batch operator at every prefix even when the modal
+    winner only emerges in a later batch."""
+    from webloghunter_spark.pipelines.curate import prefix_modal
+    from webloghunter_spark.streaming.mix import prefix_modal_stream_writer
+
+    rows = (
+        [(0, "z z z tail", "t"), (1, "a a a body", "t")]
+        + [(2, "a a a more", "t"), (3, "a a a again", "t")]   # 'a a a' wins late
+        + [(4, "", "e"), (5, None, "e")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    fn = prefix_modal_stream_writer(lambda r, b: None)
+    for i, (lo, hi) in enumerate([(0, 2), (2, 6)]):
+        fn(df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i)
+        prefix = df.filter(F.col("doc_id") < hi)
+        exp = sorted(
+            (tuple(r) for r in prefix_modal(prefix).collect()),
+            key=lambda t: (t[0] is not None, t[0]),
+        )
+        assert fn.current() == exp
+    # after batch 0 the tie 'a a a'/'z z z' resolves to 'a a a' (lex);
+    # after batch 1 'a a a' wins outright at 3/4
+    t_row = [r for r in fn.current() if r[0] == "t"][0]
+    assert t_row[3] == "a a a" and t_row[4] == 3 and t_row[5] == 7500

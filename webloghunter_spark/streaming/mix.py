@@ -361,3 +361,133 @@ def unimax_alloc_stream_writer(
     process.totals = state
     process.current = current
     return process
+
+
+def len_quantiles_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    qs_bp: tuple[int, ...] = (1000, 5000, 9000),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/select.len_quantiles — the
+    length-profile monitor over a live ingest: per micro-batch,
+    (source, ntok) counts merge into state by SUM (bounded at
+    |sources| x |distinct lengths| rows), then the nearest-rank walk
+    replays per source on the merged histogram. Every prefix equals
+    the batch operator over the docs streamed so far, for any batch
+    slicing (the quantile is a deterministic function of the
+    histogram). Replay-guarded; `sink(rows, batch_id)` receives the
+    CURRENT [(source, q_bp, n_docs, ntok)] sorted null-first by
+    (source, q_bp); exposes `.counts` and `.current()`."""
+    from webloghunter_spark.functions.text import token_count_expr
+
+    qs = sorted({int(q) for q in qs_bp})
+    if not qs or any(not (0 < q <= 10000) for q in qs):
+        raise ValueError(f"qs_bp must be in (0, 10000], got {qs_bp}")
+    state: dict = {}  # (source, ntok) -> count
+    last_seen = [-1]
+
+    def current() -> list[tuple]:
+        per_src: dict = {}
+        for (src, k), c in state.items():
+            per_src.setdefault(src, {})
+            per_src[src][k] = per_src[src].get(k, 0) + c
+        out: list[tuple] = []
+        for src in sorted(per_src, key=lambda s: (s is not None, s)):
+            hist = sorted(per_src[src].items())
+            n = sum(c for _, c in hist)
+            for q in qs:
+                rank = max(1, (q * n + 9999) // 10000)
+                cum = 0
+                for k, c in hist:
+                    cum += c
+                    if cum >= rank:
+                        out.append((src, q, n, k))
+                        break
+        return out
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
+            rows = (
+                batch_df.select(
+                    F.col(group_col).alias("_s"),
+                    token_count_expr(text_col).alias("_k"),
+                )
+                .groupBy("_s", "_k")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .collect()
+            )
+            for r in rows:
+                key = (r["_s"], int(r["_k"]))
+                state[key] = state.get(key, 0) + int(r["_c"])
+        sink(current(), batch_id)
+
+    process.counts = state
+    process.current = current
+    return process
+
+
+def prefix_modal_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    n_tokens: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/curate.prefix_modal — the
+    template-farm monitor over a live ingest: (source, prefix) counts
+    merge by SUM (state bounded by distinct prefixes per source),
+    then the modal argmax (max count, lexicographically smallest
+    prefix on ties) replays on the merged counts. Every prefix of
+    the stream equals the batch operator, for any slicing.
+    Replay-guarded; `sink(rows, batch_id)` receives the CURRENT
+    [(source, n_docs, n_prefixes, top_prefix, top_n, top_share_bp)]
+    sorted null-first by source; exposes `.counts` and
+    `.current()`."""
+    if n_tokens < 1:
+        raise ValueError(f"n_tokens must be >= 1, got {n_tokens}")
+    from webloghunter_spark.functions.text import tokens_expr
+
+    state: dict = {}  # (source, prefix) -> count
+    last_seen = [-1]
+
+    def current() -> list[tuple]:
+        per_src: dict = {}
+        for (src, p), c in state.items():
+            per_src.setdefault(src, {})
+            per_src[src][p] = per_src[src].get(p, 0) + c
+        out: list[tuple] = []
+        for src in sorted(per_src, key=lambda s: (s is not None, s)):
+            counts = per_src[src]
+            n_docs = sum(counts.values())
+            top_p, top_n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append(
+                (src, n_docs, len(counts), top_p, top_n,
+                 (top_n * 10000) // n_docs)
+            )
+        return out
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > last_seen[0]:
+            last_seen[0] = batch_id
+            prefix = F.array_join(
+                F.slice(tokens_expr(text_col), 1, n_tokens), " "
+            )
+            rows = (
+                batch_df.select(
+                    F.col(group_col).alias("_s"), prefix.alias("_p")
+                )
+                .groupBy("_s", "_p")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .collect()
+            )
+            for r in rows:
+                key = (r["_s"], r["_p"])
+                state[key] = state.get(key, 0) + int(r["_c"])
+        sink(current(), batch_id)
+
+    process.counts = state
+    process.current = current
+    return process
