@@ -680,3 +680,27 @@ def test_split_coherence_glued_vs_repetitive(spark):
     # too short for any shingle: union 0 -> bp 0
     assert out[2].n_union == 0 and out[2].coherence_bp == 0
     assert out[3].n_tokens == 0 and out[3].coherence_bp == 0
+
+
+def test_bm25_batch_matches_per_query_topk(spark):
+    """Each query's batch rows equal a standalone bm25_topk run with
+    the same terms (the shared-stats pass changes nothing), and rows
+    group per qid in (bm25 desc, id) order."""
+    from webloghunter_spark.functions.text import bm25_batch, bm25_topk
+
+    rows = [
+        (1, "spark query spark table"),
+        (2, "the dog ate the cat food"),
+        (3, "query plan for the big table join join join"),
+        (4, "table join table join"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = {"a": ["spark", "query"], "b": ["table", "join"]}
+    got = {}
+    for r in bm25_batch(df, queries, k=3).collect():
+        got.setdefault(r.qid, []).append((r.doc_id, r.dl, r.bm25))
+    for qid, terms in queries.items():
+        solo = [(r.doc_id, r.dl, r.bm25)
+                for r in bm25_topk(df, terms, k=3).collect()]
+        assert got[qid] == solo, qid

@@ -9437,10 +9437,102 @@ SQL_LEN_QUANTILES = r"""
 """
 
 
+BM25_BATCH_QUERIES = {
+    "q0": ["spark", "query"],
+    "q1": ["table", "join"],
+    "q2": ["slow", "fast"],
+}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Multi-query BM25 (the retrieval-eval harness): 3 named queries
+    share ONE tokenize+stats pass over the persisted narrow tf frame;
+    each query is a TakeOrderedAndProject over the cache, results
+    unioned plan-side."""
+    from webloghunter_spark.functions.text import bm25_batch
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return bm25_batch(docs, BM25_BATCH_QUERIES, k=10)
+
+
+def _bm25_batch_sql() -> str:
+    """Oracle BUILT FROM the same query table the Spark entry uses
+    (BM25_BATCH_QUERIES), so the two cannot drift: per query, the
+    score folds over ITS term list in declaration order with the
+    association bm25_topk's oracle pins."""
+    union_terms = sorted({t for ts in BM25_BATCH_QUERIES.values() for t in ts})
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}'))::BIGINT AS tf_{t}"
+        for t in union_terms
+    )
+    df_cols = ",\n               ".join(
+        f"sum((tf_{t} > 0)::BIGINT)::BIGINT AS df_{t}" for t in union_terms
+    )
+
+    def term(t):
+        return (
+            f"ln((s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)\n"
+            f"                   * (CAST(d.tf_{t} AS DOUBLE) * (1.2 + 1.0))\n"
+            f"                   / (CAST(d.tf_{t} AS DOUBLE)\n"
+            f"                      + 1.2 * ((1.0 - 0.75) + 0.75\n"
+            f"                               * (CAST(d.dl AS DOUBLE)\n"
+            f"                                  / (CAST(s.sdl AS DOUBLE)\n"
+            f"                                     / CAST(s.n AS DOUBLE)))))"
+        )
+
+    branches = []
+    for qid in sorted(BM25_BATCH_QUERIES):
+        score = "0.0\n                 + " + "\n                 + ".join(
+            term(t) for t in BM25_BATCH_QUERIES[qid]
+        )
+        branches.append(
+            f"""SELECT * FROM (
+        SELECT '{qid}' AS qid, d.doc_id, d.dl,
+               round({score}
+               , 4) AS bm25
+        FROM d CROSS JOIN s
+        WHERE round({score}
+               , 4) > 0
+        ORDER BY bm25 DESC, d.doc_id
+        LIMIT 10
+    )"""
+        )
+    return (
+        r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(t)::BIGINT AS dl,
+               """
+        + tf_cols
+        + r"""
+        FROM toks
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl,
+               """
+        + df_cols
+        + r"""
+        FROM d
+    )
+    """
+        + "\n    UNION ALL\n    ".join(branches)
+    )
+
+
+SQL_BM25_BATCH = _bm25_batch_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-9 front = the 23 round-9 additions
-    # (waves 1/3/4 + the session-2 twelve: bm25_topk .. len_quantiles),
+    # FIRST 50 entries. Round-9 front = the 24 round-9 additions
+    # (waves 1/3/4 + the session-2 thirteen: bm25_topk .. bm25_batch),
     # then the 17 round-5-cohort queries never re-sampled since round 5
     # (round 8 covered the other 33), then round-6 oldest-green
     # rechecks filling to exactly 50. Everything after slot 50 is
@@ -9469,6 +9561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_frac": q_dup_ngram_frac,
     "prefix_modal": q_prefix_modal,
     "len_quantiles": q_len_quantiles,
+    "bm25_batch": q_bm25_batch,
     # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
@@ -9806,6 +9899,7 @@ ORACLES: dict[str, str] = {
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
     "prefix_modal": SQL_PREFIX_MODAL,
     "len_quantiles": SQL_LEN_QUANTILES,
+    "bm25_batch": SQL_BM25_BATCH,
     "doc_fingerprint_fast": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints_fast": SQL_WINNOW,
     "knn_ivf": SQL_KNN_IVF,

@@ -1263,3 +1263,103 @@ def split_coherence(
         f"{id_col} long, n_tokens long, n_inter long, n_union long, "
         "coherence_bp long",
     )
+
+
+def bm25_batch(
+    df,
+    queries: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Multi-query BM25 — the retrieval-eval harness shape (knn_batch
+    for lexical search): a small batch of named queries scored
+    against ONE corpus pass. Returns (qid, id, dl, bm25) with each
+    query's top-k, ordered within a query by (bm25 desc, id).
+
+    Scale shape: the union of all query terms is computed row-locally
+    in a single narrow projection (2 + |union terms| longs per row)
+    which is PERSISTED — the corpus text is read and tokenized ONCE
+    regardless of batch size; one combinable stats aggregate (single
+    collected row) turns every query's idf/avgdl into plan literals;
+    each query then costs one TakeOrderedAndProject over the cached
+    narrow frame, and the per-query top-k results (k rows each) are
+    unioned plan-side. No window over corpus rows, no shuffle.
+
+    Float determinism follows bm25_topk: per-query scores fold
+    left-to-right over THAT query's term list with libm-computed idf
+    literals, so a SQL oracle writing the same association matches
+    bit-for-bit before the 1e-4 grid round.
+    """
+    import math
+
+    from pyspark.sql import functions as _F
+
+    from webloghunter_spark.functions.similarity import grid_round_expr
+    from webloghunter_spark.session import materialize
+
+    if not queries or any(not terms for terms in queries.values()):
+        raise ValueError("queries must map qid -> non-empty term list")
+    qnorm = {qid: [t.lower() for t in terms] for qid, terms in queries.items()}
+    union_terms = sorted({t for terms in qnorm.values() for t in terms})
+    idx = {t: i for i, t in enumerate(union_terms)}
+    toks = _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+
+    def _eq(term):
+        return lambda x: x == _F.lit(term)
+
+    base = materialize(
+        df.select(
+            _F.col(id_col),
+            _F.size(toks).cast("long").alias("dl"),
+            *[
+                _F.size(_F.filter(toks, _eq(t))).cast("long")
+                .alias(f"_tf{i}")
+                for i, t in enumerate(union_terms)
+            ],
+        )
+    )
+    stats = base.agg(
+        _F.count(_F.lit(1)).alias("n_docs"),
+        _F.sum("dl").alias("sum_dl"),
+        *[
+            _F.sum((_F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(union_terms))
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    sum_dl = int(stats["sum_dl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs and sum_dl else 1.0
+    idf = {
+        t: math.log(
+            (n_docs - int(stats[f"_df{idx[t]}"]) + 0.5)
+            / (int(stats[f"_df{idx[t]}"]) + 0.5) + 1.0
+        )
+        for t in union_terms
+    }
+    norm = _F.col("dl").cast("double") / _F.lit(avgdl)
+    denom_base = _F.lit(k1) * ((_F.lit(1.0) - _F.lit(b)) + _F.lit(b) * norm)
+    tops = []
+    for qid in sorted(qnorm):
+        score = _F.lit(0.0)
+        for t in qnorm[qid]:
+            tf = _F.col(f"_tf{idx[t]}").cast("double")
+            score = score + (
+                _F.lit(idf[t]) * (tf * (_F.lit(k1) + _F.lit(1.0)))
+                / (tf + denom_base)
+            )
+        scored = base.select(
+            _F.lit(qid).alias("qid"),
+            _F.col(id_col),
+            _F.col("dl"),
+            grid_round_expr(score, 4).alias("bm25"),
+        ).filter(_F.col("bm25") > 0)
+        tops.append(
+            scored.orderBy(_F.col("bm25").desc(), _F.col(id_col)).limit(k)
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out
