@@ -656,6 +656,8 @@ def test_char_entropy_known_values(spark):
         (2, ""),
         (3, None),
         (4, "  ab  "),      # trimmed -> 'ab'
+        (5, "\tab\n"),      # SQL trim() keeps tab/newline: 4 chars
+        (6, " \tab\n "),    # outer spaces stripped, inner \t\n kept
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in char_entropy(df).collect()}
@@ -665,6 +667,12 @@ def test_char_entropy_known_values(spark):
     assert (out[2].n_chars, out[2].entropy_nano) == (0, 0)
     assert (out[3].n_chars, out[3].entropy_nano) == (0, 0)
     assert out[4].n_chars == 2 and out[4].n_distinct == 2
+    # Parity with SQL trim(): space-only strip — tabs/newlines are
+    # characters in the histogram (duckdb length(trim(e'\tab\n')) = 4).
+    assert out[5].n_chars == 4 and out[5].n_distinct == 4
+    quarter = int(floor(-(0.25 * log(0.25)) * 1e9 + 0.5))
+    assert out[5].entropy_nano == 4 * quarter  # ~ln4, uniform over 4
+    assert out[6].n_chars == 4 and out[6].n_distinct == 4
 
 
 def test_split_coherence_glued_vs_repetitive(spark):

@@ -9459,21 +9459,50 @@ def _bm25_batch_sql() -> str:
     """Oracle BUILT FROM the same query table the Spark entry uses
     (BM25_BATCH_QUERIES), so the two cannot drift: per query, the
     score folds over ITS term list in declaration order with the
-    association bm25_topk's oracle pins."""
-    union_terms = sorted({t for ts in BM25_BATCH_QUERIES.values() for t in ts})
+    association bm25_topk's oracle pins.
+
+    Hardening (round-10 ADVICE): terms are lowercased HERE exactly as
+    bm25_batch lowercases them before matching (the oracle tokenizes
+    with lower(), so an uppercase registry term would match Spark-side
+    and miss oracle-side without this); tf_/df_ identifiers are
+    POSITIONAL indices over the sorted lowercased union (term-derived
+    identifiers collide when two terms normalize equal and break on
+    SQL metacharacters); and every term is asserted [a-z0-9]+ AFTER
+    lowering so a quote or regex metachar in a future registry edit
+    fails loudly at import instead of generating broken SQL.
+    """
+    import re as _re
+
+    qnorm = {
+        qid: [t.lower() for t in ts]
+        for qid, ts in BM25_BATCH_QUERIES.items()
+    }
+    for qid, ts in qnorm.items():
+        assert _re.fullmatch(r"[A-Za-z0-9_]+", qid), (
+            f"bm25_batch oracle: unsafe qid {qid!r}"
+        )
+        for t in ts:
+            assert _re.fullmatch(r"[a-z0-9]+", t), (
+                f"bm25_batch oracle: unsafe term {t!r} in query {qid!r} "
+                "(must be [a-z0-9]+ after lowercasing)"
+            )
+    union_terms = sorted({t for ts in qnorm.values() for t in ts})
+    tidx = {t: i for i, t in enumerate(union_terms)}
     tf_cols = ",\n               ".join(
-        f"len(list_filter(t, x -> x = '{t}'))::BIGINT AS tf_{t}"
-        for t in union_terms
+        f"len(list_filter(t, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(union_terms)
     )
     df_cols = ",\n               ".join(
-        f"sum((tf_{t} > 0)::BIGINT)::BIGINT AS df_{t}" for t in union_terms
+        f"sum((tf_{i} > 0)::BIGINT)::BIGINT AS df_{i}"
+        for i in range(len(union_terms))
     )
 
     def term(t):
+        i = tidx[t]
         return (
-            f"ln((s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)\n"
-            f"                   * (CAST(d.tf_{t} AS DOUBLE) * (1.2 + 1.0))\n"
-            f"                   / (CAST(d.tf_{t} AS DOUBLE)\n"
+            f"ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)\n"
+            f"                   * (CAST(d.tf_{i} AS DOUBLE) * (1.2 + 1.0))\n"
+            f"                   / (CAST(d.tf_{i} AS DOUBLE)\n"
             f"                      + 1.2 * ((1.0 - 0.75) + 0.75\n"
             f"                               * (CAST(d.dl AS DOUBLE)\n"
             f"                                  / (CAST(s.sdl AS DOUBLE)\n"
@@ -9481,9 +9510,9 @@ def _bm25_batch_sql() -> str:
         )
 
     branches = []
-    for qid in sorted(BM25_BATCH_QUERIES):
+    for qid in sorted(qnorm):
         score = "0.0\n                 + " + "\n                 + ".join(
-            term(t) for t in BM25_BATCH_QUERIES[qid]
+            term(t) for t in qnorm[qid]
         )
         branches.append(
             f"""SELECT * FROM (

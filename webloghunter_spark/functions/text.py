@@ -1138,7 +1138,12 @@ def char_entropy(
     engine's doubles bit-for-bit).
 
     Chars are the code points of trim(coalesce(text, '')) — matching
-    SQL length()/substr() semantics; empty/NULL text scores 0.
+    SQL length()/substr() semantics; empty/NULL text scores 0. The
+    trim is SPACE-ONLY on both sides of the parity: SQL trim() strips
+    U+0020 only, so the kernel uses str.strip(' ') — NOT bare
+    str.strip(), which eats tabs/newlines/NBSP and would diverge on
+    whitespace-padded docs (the longest_repeat convention,
+    'str.strip() eats ALL whitespace; F.trim eats only spaces').
 
     Scale shape: ROW-LOCAL Arrow mapInPandas, zero shuffle — the
     per-doc histogram never leaves the executor (an explode-to-
@@ -1155,7 +1160,9 @@ def char_entropy(
     from pyspark.sql import functions as _F
 
     def _one(text):
-        t = (text or "").strip()
+        # Space-only strip: parity with SQL trim(), which strips
+        # U+0020 but not tabs/newlines/NBSP.
+        t = (text or "").strip(" ")
         n = len(t)
         if n == 0:
             return 0, 0, 0

@@ -554,8 +554,10 @@ def boundary_leakage(
     carried through it (carry_cols), so the adjacency self-join on
     (shard_id, position+1) is equi-join co-partitioned on shard_id —
     a shuffle of hashed-shingle arrays, never raw text twice. Every
-    doc joins at most one successor; output is exactly
-    |docs| - |shards| rows.
+    doc joins at most one successor; output is |docs| minus the
+    number of NON-EMPTY shards (= |docs| - |shards| only when every
+    shard drew at least one doc — small corpora or n_shards > |docs|
+    leave some shards empty).
 
     Output: (shard_id, position, id_a, id_b, n_inter, n_union,
     jaccard_bp) where position is the LEFT doc's slot.
