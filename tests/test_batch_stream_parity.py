@@ -1827,6 +1827,104 @@ def test_readability_stream_stateless_parity(spark, tmp_path):
     assert got == expected
 
 
+def test_char_entropy_stream_stateless_parity(spark, tmp_path):
+    """Row-local char-histogram entropy: streaming through the twin
+    equals the batch kernel, any slicing — incl. whitespace-padded
+    and NULL rows."""
+    from webloghunter_spark.functions.text import char_entropy
+    from webloghunter_spark.streaming.gate import char_entropy_stream
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None),
+         (5, "  ab  "), (6, "\tab\n")],
+        "doc_id long, text string",
+    )
+    expected = sorted(tuple(r) for r in char_entropy(docs).collect())
+    got = _run_file_stream(
+        spark, tmp_path, "cent",
+        [docs.filter(F.col("doc_id") <= 3),
+         docs.filter(F.col("doc_id") > 3)],
+        docs.schema, char_entropy_stream,
+    )
+    assert got == expected
+
+
+def test_split_coherence_stream_stateless_parity(spark, tmp_path):
+    """Row-local half-vs-half shingle overlap: stream == batch."""
+    from webloghunter_spark.functions.text import split_coherence
+    from webloghunter_spark.streaming.gate import split_coherence_stream
+
+    rep = ("a b c d " * 8).strip()
+    glued = "a b c d e f g h q r s t u v w x"
+    docs = spark.createDataFrame(
+        [(1, rep), (2, glued), (3, "one two"), (4, None)],
+        "doc_id long, text string",
+    )
+    expected = sorted(tuple(r) for r in split_coherence(docs).collect())
+    got = _run_file_stream(
+        spark, tmp_path, "scoh",
+        [docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1)],
+        docs.schema, split_coherence_stream,
+    )
+    assert got == expected
+
+
+def test_bm25_frozen_stream_parity(spark, tmp_path):
+    """Frozen-stats BM25: (a) scoring the reference corpus under its
+    own model reproduces bm25_topk's scores (before filter/top-k);
+    (b) streaming a probe feed through the twin equals the batch
+    frozen scorer on the union, any slicing — stats pinned from the
+    reference, never from the probe batches."""
+    from webloghunter_spark.functions.text import (
+        bm25_model,
+        bm25_score_frozen,
+        bm25_topk,
+    )
+    from webloghunter_spark.streaming.gate import bm25_frozen_stream
+
+    ref = spark.createDataFrame(
+        [(1, "spark query spark table"),
+         (2, "the dog ate the cat food"),
+         (3, "query plan for the big table join join join"),
+         (4, "table join table join"),
+         (5, "")],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "QUERY"]  # mixed case: model lowercases
+    model = bm25_model(ref, terms)
+    # (a) self-scoring parity vs bm25_topk
+    topk = [(r.doc_id, r.dl, r.bm25)
+            for r in bm25_topk(ref, terms, k=10).collect()]
+    frozen = sorted(
+        ((r.doc_id, r.dl, r.bm25)
+         for r in bm25_score_frozen(ref, model).collect()
+         if r.bm25 > 0),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert frozen == topk
+    # (b) stream parity on a DIFFERENT probe feed
+    probe = spark.createDataFrame(
+        [(10, "spark spark spark"), (11, "query the table"),
+         (12, "nothing relevant"), (13, ""), (14, None)],
+        "doc_id long, text string",
+    )
+    expected = sorted(
+        tuple(r) for r in bm25_score_frozen(probe, model).collect()
+    )
+    got = _run_file_stream(
+        spark, tmp_path, "bm25f",
+        [probe.filter(F.col("doc_id") <= 11),
+         probe.filter(F.col("doc_id") > 11)],
+        probe.schema, lambda s: bm25_frozen_stream(s, model),
+    )
+    assert got == expected
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_model(ref, [])
+
+
 def test_containment_stream_matches_batch_any_slicing(spark):
     """Asymmetric probe-vs-corpus containment: the union of per-batch
     sink rows equals the one-shot batch operator over the union of

@@ -610,6 +610,66 @@ def test_bpe_apply_kernel_matches_expression(spark):
         for r in bpe_apply(docs, merges, kernel_threshold=0).collect()
     )
     assert expr == kern
+
+    # Adversarial fixtures for the pair-indexed fast path: same-symbol
+    # overlap runs (the shared-delimiter multi-pass case), duplicate
+    # pairs at two steps, separator-collision raw tokens, an
+    # EARLIER-step pair created only by a later merge (must NOT fire —
+    # the chain never revisits), and a chain where step k's output
+    # feeds step k+1 mid-table.
+    adv_docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a"),            # (a,a) overlap run
+            (2, "a a a"),                      # odd run
+            (3, "a b a b a b"),                # alternating
+            (4, "x y x y x y x y x y"),        # duplicate-pair steps
+            (5, "bad\x01tok a a"),             # separator collision
+            (6, "p q r"),                      # late (p,qr) after (q,r)
+            (7, "u v w u v w"),                # chain: uv then (uv,w)
+            (8, "c d"),                        # pair for a PASSED step
+        ],
+        "doc_id long, text string",
+    )
+    sep = "\x01"
+    adv_merges = [
+        (0, "a", "a"),
+        (1, "x", "y"),
+        (2, "q", "r"),
+        # step 3 pair (c,d) exists only if step 5 ran first — it can't:
+        # by step 5's turn, step 3 has passed
+        (3, "c", "d"),
+        (4, "u", "v"),
+        (5, f"u{sep}v", "w"),
+        (6, "x", "y"),                          # duplicate pair again
+        (7, "p", f"q{sep}r"),                   # uses step 2's output
+        (8, f"a{sep}a", f"a{sep}a"),            # merge of merged
+    ]
+    adv_expr = sorted(
+        tuple(r)
+        for r in bpe_apply(
+            adv_docs, adv_merges, kernel_threshold=10**9
+        ).collect()
+    )
+    adv_kern = sorted(
+        tuple(r)
+        for r in bpe_apply(adv_docs, adv_merges, kernel_threshold=0).collect()
+    )
+    assert adv_expr == adv_kern
+
+    # malformed table (symbol with an embedded space) falls back to
+    # the linear kernel and still matches the expression form exactly
+    bad_merges = [(0, "a b", "c"), (1, "a", "a")]
+    bad_expr = sorted(
+        tuple(r)
+        for r in bpe_apply(
+            adv_docs, bad_merges, kernel_threshold=10**9
+        ).collect()
+    )
+    bad_kern = sorted(
+        tuple(r)
+        for r in bpe_apply(adv_docs, bad_merges, kernel_threshold=0).collect()
+    )
+    assert bad_expr == bad_kern
     # 1k merges: expression form would not plan; the kernel just runs
     big = [(i, f"w{i}", f"w{i+1}") for i in range(1024)]
     out = {r.doc_id: r.n_symbols
@@ -1901,6 +1961,66 @@ def test_containment_pairs_finds_doc_in_doc(spark):
         containment_pairs(docs, threshold=1.5)
     with _pytest.raises(ValueError, match="max_df"):
         containment_pairs(docs, max_df=1)
+
+
+def test_containment_drop_policy(spark):
+    """The intervention form: a doc fully contained in a larger doc is
+    dropped; mutual same-size containment keeps the BEST (higher
+    quality_bp, tie -> lower id); the size-ratio gate suppresses drops
+    when the container is not big enough; empty/NULL docs survive."""
+    from webloghunter_spark.pipelines.dedup import containment_drop
+
+    short = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    filler = " ".join(f"w{j} x{j} y{j}" for j in range(12))
+    common = " ".join(f"c{j}" for j in range(20))           # 18 shingles
+    rows = [
+        (1, "s1", short),
+        (2, "s2", f"{filler} {short} more unique tail words"),  # contains 1
+        # mutual pair, same shingle count (20), X clean / Y punct-heavy
+        (3, "s1", f"{common} xx yy"),
+        (4, "s2", f"{common} zz... ww!!!"),
+        (5, "s1", ""),
+        (6, "s2", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in containment_drop(docs).collect()}
+    assert len(out) == 6
+    assert out[1].dropped == 1 and out[1].n_containers == 1   # 1 inside 2
+    assert out[2].dropped == 0
+    # mutual: quality decides — punctuation-heavy 4 loses to 3
+    assert out[3].quality_bp > out[4].quality_bp
+    assert out[3].dropped == 0 and out[4].dropped == 1
+    assert out[5].dropped == 0 and out[5].n_shingles == 0
+    assert out[6].dropped == 0 and out[6].n_shingles == 0
+
+    # mutual EXACT tie (identical text => same quality): lower id kept
+    twins = spark.createDataFrame(
+        [(10, "s1", common), (11, "s2", common)],
+        "doc_id long, source string, text string",
+    )
+    t = {r.doc_id: r for r in containment_drop(twins).collect()}
+    assert t[10].dropped == 0 and t[11].dropped == 1
+
+    # size-ratio gate: container must be >= 2x — no drop at 1.5x
+    gated = spark.createDataFrame(
+        [(20, "s1", short),
+         (21, "s2", f"{short} only three more")],  # 7 shingles vs 4: 1.75x
+        "doc_id long, source string, text string",
+    )
+    g = {r.doc_id: r for r in
+         containment_drop(gated, size_ratio_bp=20000).collect()}
+    assert g[20].dropped == 0 and g[21].dropped == 0
+    # same pair WITHOUT the gate: the contained doc is dropped
+    g1 = {r.doc_id: r for r in containment_drop(gated).collect()}
+    assert g1[20].dropped == 1 and g1[21].dropped == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold_bp"):
+        containment_drop(docs, threshold_bp=4000)
+    with _pytest.raises(ValueError, match="size_ratio_bp"):
+        containment_drop(docs, size_ratio_bp=5000)
+    with _pytest.raises(ValueError, match="max_df"):
+        containment_drop(docs, max_df=1)
 
 
 def test_host_suffixes_expr_edges(spark):

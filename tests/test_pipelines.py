@@ -1513,6 +1513,75 @@ def test_boundary_leakage_adjacency_and_jaccard(spark):
         assert r.jaccard_bp == ((inter * 10000) // uni if uni else 0)
 
 
+def test_batch_leakage_window_pairs(spark):
+    """batch_leakage(B) emits every within-shard pair at rank
+    distance 1..B-1 exactly once with a brute-force-exact integer
+    Jaccard; B=2 IS boundary_leakage; B covering the whole shard is
+    all within-shard pairs; bad B rejected."""
+    from webloghunter_spark.pipelines.shard import (
+        batch_leakage,
+        boundary_leakage,
+        train_order,
+    )
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),
+        (2, "x y z w v u"),
+        (3, "tiny"),
+        (4, "a b c q r s"),
+        (5, "m n o p q r"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    order = train_order(df, n_shards=2, seed="t").collect()
+    by_shard = {}
+    for r in order:
+        by_shard.setdefault(r.shard_id, []).append((r.position, r.doc_id))
+
+    def shingles(t):
+        ts = (t or "").split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    texts = dict(rows)
+    for b in (2, 3, 100):
+        got = {(r.shard_id, r.pos_a, r.pos_b): r
+               for r in batch_leakage(
+                   df, batch_size=b, n_shards=2, seed="t").collect()}
+        exp_pairs = {
+            (sh, p, q)
+            for sh, docs in by_shard.items()
+            for p, _ in docs for q, _ in docs
+            if p < q <= p + b - 1
+        }
+        assert set(got) == exp_pairs, b
+        for (sh, p, q), r in got.items():
+            sa, sb = shingles(texts[r.id_a]), shingles(texts[r.id_b])
+            inter, uni = len(sa & sb), len(sa | sb)
+            assert (r.dist, r.n_inter, r.n_union) == (q - p, inter, uni)
+            assert r.jaccard_bp == ((inter * 10000) // uni if uni else 0)
+
+    # B=2 == boundary_leakage (modulo the adjacency form's col names)
+    b2 = sorted(
+        (r.shard_id, r.pos_a, r.id_a, r.id_b, r.n_inter, r.n_union,
+         r.jaccard_bp)
+        for r in batch_leakage(df, batch_size=2, n_shards=2,
+                               seed="t").collect()
+    )
+    adj = sorted(
+        (r.shard_id, r.position, r.id_a, r.id_b, r.n_inter, r.n_union,
+         r.jaccard_bp)
+        for r in boundary_leakage(df, n_shards=2, seed="t").collect()
+    )
+    assert b2 == adj
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch_size"):
+        batch_leakage(df, batch_size=1)
+    with _pytest.raises(ValueError, match="batch_size"):
+        batch_leakage(df, batch_size=1025)
+
+
 def test_dup_ngram_frac_counts_shared_shingles(spark):
     """A doc fully contained in another scores 10000 bp; a disjoint
     doc scores 0; shingle-less docs emit (0, 0, 0)."""

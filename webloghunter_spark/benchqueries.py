@@ -1257,6 +1257,90 @@ SQL_CONTAINMENT_PAIRS = f"""
 """
 
 
+def q_containment_drop(spark, sf_dir):
+    """The intervention form of containment_pairs: drop a doc when it
+    is contained (>= 0.8 shingle containment, exact-integer bp rule)
+    in a not-smaller other doc; mutual same-size containment resolves
+    by dedup_keep_best's keep-best rule (higher quality_bp, tie ->
+    lower id). One shingle pass feeds pair machinery and per-doc
+    stats; output is the per-doc decision frame."""
+    from webloghunter_spark.pipelines.dedup import containment_drop
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return containment_drop(
+        docs, shingle_k=3, threshold_bp=8000, size_ratio_bp=10000, max_df=20
+    )
+
+
+# Oracle BUILT FROM SQL_CONTAINMENT_PAIRS (the dataset_diff /
+# dedup_sensitivity discipline): the pair machinery cannot drift. The
+# drop rules are exact-integer on the bp grid, so a drop event at
+# threshold_bp >= 5000 implies max-direction containment >= 0.5 and
+# every decided pair is guaranteed present in the 0.5-threshold pair
+# frame the two sides share.
+SQL_CONTAINMENT_DROP = f"""
+    WITH cont AS ({SQL_CONTAINMENT_PAIRS}),
+    {DOC_TOKENS_SQL},
+    dsh AS (SELECT doc_id, list_distinct(s) AS s FROM shingles),
+    qstats AS (
+        SELECT doc_id,
+               len(t)::DOUBLE AS ntokd,
+               greatest(length(text)::DOUBLE, 1.0) AS nchar,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))::DOUBLE AS npunct,
+               len(list_filter(t, x -> list_contains(
+                   ['the','a','an','of','to','in','and','is','on','for'],
+                   lower(x))))::DOUBLE AS nstop
+        FROM (SELECT d.doc_id, d.text, toks.t
+              FROM documents d JOIN toks ON d.doc_id = toks.doc_id)
+    ),
+    q AS (
+        SELECT doc_id,
+               coalesce(CAST(floor((least(ntokd / 100.0, 1.0) * 0.5
+                     + (1.0 - npunct / nchar) * 0.3
+                     + least((nstop / greatest(ntokd, 1.0)) * 5.0, 1.0) * 0.2)
+                     * 10000.0 + 0.5) AS BIGINT), 0) AS qbp
+        FROM qstats
+    ),
+    st AS (
+        SELECT d.doc_id, len(d.s)::BIGINT AS nsh, q.qbp
+        FROM dsh d JOIN q USING (doc_id)
+    ),
+    ex AS (
+        SELECT c.id_a, c.id_b, c.n_common,
+               a.nsh AS na, b.nsh AS nb, a.qbp AS qa, b.qbp AS qb
+        FROM cont c
+        JOIN st a ON a.doc_id = c.id_a
+        JOIN st b ON b.doc_id = c.id_b
+    ),
+    ev AS (
+        SELECT CASE
+            WHEN (n_common * 10000 >= 8000 * na AND nb * 10000 >= 10000 * na)
+                 AND (NOT (n_common * 10000 >= 8000 * nb
+                           AND na * 10000 >= 10000 * nb)
+                      OR qa < qb)
+            THEN id_a
+            WHEN (n_common * 10000 >= 8000 * nb AND na * 10000 >= 10000 * nb)
+                 AND (NOT (n_common * 10000 >= 8000 * na
+                           AND nb * 10000 >= 10000 * na)
+                      OR qa >= qb)
+            THEN id_b
+        END AS doc_id
+        FROM ex
+    ),
+    drops AS (
+        SELECT doc_id, count(*)::BIGINT AS n_containers
+        FROM ev WHERE doc_id IS NOT NULL GROUP BY doc_id
+    )
+    SELECT s.doc_id, d2.source, s.nsh AS n_shingles, s.qbp AS quality_bp,
+           coalesce(dr.n_containers, 0)::BIGINT AS n_containers,
+           (coalesce(dr.n_containers, 0) > 0)::BIGINT AS dropped
+    FROM st s
+    JOIN documents d2 USING (doc_id)
+    LEFT JOIN drops dr USING (doc_id)
+"""
+
+
 def q_dedup_sensitivity(spark, sf_dir):
     """Near-dup attrition vs threshold (0.7/0.8/0.9): ONE shared
     MinHash/LSH/exact-Jaccard pass, per-threshold pair counts and
@@ -9164,6 +9248,73 @@ def q_boundary_leakage(spark, sf_dir):
     return boundary_leakage(docs, n_shards=16, seed="lk")
 
 
+def q_batch_leakage(spark, sf_dir):
+    """All-pairs shingle overlap within an 8-row window of the seeded
+    training order — the general in-batch (contrastive-negative)
+    leakage audit; boundary_leakage is its batch_size=2 case. The
+    self-join keys on (shard_id, position div B) with a two-bucket
+    explode, so candidates stay <= 2B per doc instead of |shard|²."""
+    from webloghunter_spark.pipelines.shard import batch_leakage
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return batch_leakage(docs, batch_size=8, n_shards=16, seed="lk")
+
+
+SQL_BATCH_LEAKAGE = r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+               END AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+2], ' '))
+            END) AS s
+        FROM toks
+    ),
+    ordk AS (
+        SELECT doc_id, md5('lk|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16
+                    AS INTEGER) AS shard_id,
+               (row_number() OVER (
+                    PARTITION BY CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT)
+                                      % 16 AS INTEGER)
+                    ORDER BY h, doc_id) - 1)::BIGINT AS position
+        FROM ordk
+    ),
+    j AS (
+        SELECT a.shard_id, a.position AS pos_a, b.position AS pos_b,
+               a.doc_id AS id_a, b.doc_id AS id_b,
+               sa.s AS sa, sb.s AS sb
+        FROM pos a
+        JOIN pos b ON a.shard_id = b.shard_id
+                  AND b.position > a.position
+                  AND b.position <= a.position + 7
+        JOIN sh sa ON sa.doc_id = a.doc_id
+        JOIN sh sb ON sb.doc_id = b.doc_id
+    )
+    SELECT shard_id, pos_a, pos_b, (pos_b - pos_a)::BIGINT AS dist,
+           id_a, id_b,
+           len(list_intersect(sa, sb))::BIGINT AS n_inter,
+           (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+               AS n_union,
+           CASE WHEN (len(sa) + len(sb) - len(list_intersect(sa, sb))) > 0
+                THEN (len(list_intersect(sa, sb))::BIGINT * 10000)
+                     // (len(sa) + len(sb)
+                         - len(list_intersect(sa, sb)))::BIGINT
+                ELSE 0 END AS jaccard_bp
+    FROM j
+"""
+
+
 SQL_BOUNDARY_LEAKAGE = r"""
     WITH toks AS (
         SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
@@ -9559,14 +9710,68 @@ SQL_BM25_BATCH = _bm25_batch_sql()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-9 front = the 24 round-9 additions
-    # (waves 1/3/4 + the session-2 thirteen: bm25_topk .. bm25_batch),
-    # then the 17 round-5-cohort queries never re-sampled since round 5
-    # (round 8 covered the other 33), then round-6 oldest-green
-    # rechecks filling to exactly 50. Everything after slot 50 is
-    # covered by the committed full-registry HASHCHECK artifacts.
-    # -- round-9 additions --
+    # FIRST 50 entries. Round-10 front = the 2 round-10 additions
+    # (containment_drop, batch_leakage), then the 40-query cohort
+    # whose last driver sample was round 6 (the VERDICT r9 rotation
+    # ask), then the 8 oldest round-7-cohort rechecks filling to
+    # exactly 50. Everything after slot 50 is covered by the
+    # committed full-registry HASHCHECK artifacts.
+    # -- round-10 additions --
+    "containment_drop": q_containment_drop,
+    "batch_leakage": q_batch_leakage,
+    # -- round-6 cohort rotation (40) --
+    "chunk_sliding": q_chunk_sliding,
+    "clean_html": q_clean_html,
+    "corpus_stats": q_corpus_stats,
+    "decontam_bloom": q_decontam_bloom,
+    "decontaminate": q_decontaminate,
+    "dup_stats": q_dup_stats,
+    "funnel": q_funnel,
+    "fuzzy_match": q_fuzzy_match,
+    "gapfill_hourly": q_gapfill_hourly,
+    "hll_distinct": q_hll_distinct,
+    "jl_project": q_jl_project,
+    "kmeans_sizes": q_kmeans_sizes,
+    "kmeans_train": q_kmeans_train,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "knn_quantized": q_knn_quantized,
+    "lsh_recall": q_lsh_recall,
+    "mad_outliers": q_mad_outliers,
+    "mix_resample": q_mix_resample,
+    "near_dedup": q_near_dedup,
+    "near_dedup_cc": q_near_dedup_cc,
+    "pack_bins": q_pack_bins,
+    "pack_chunks": q_pack_chunks,
+    "pagerank": q_pagerank,
+    "pii_redact": q_pii_redact,
+    "pivot_counts": q_pivot_counts,
+    "quality_ecdf": q_quality_ecdf,
+    "quantize_emb": q_quantize_emb,
+    "referrer_hosts": q_referrer_hosts,
+    "rep_signals": q_rep_signals,
+    "returned_items": q_returned_items,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_fast": q_semantic_dedup_fast,
+    "shard_manifest": q_shard_manifest,
+    "simhash_pairs": q_simhash_pairs,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_topk": q_tfidf_topk,
+    "tfidf_topk_salted": q_tfidf_topk_salted,
+    "value_quantiles": q_value_quantiles,
+    "vocab_topk": q_vocab_topk,
+    "weighted_sample": q_weighted_sample,
+    # -- oldest round-7 rechecks (8) --
+    "bloom_audit": q_bloom_audit,
+    "bpe_encode": q_bpe_encode,
+    "bpe_merges": q_bpe_merges,
+    "budget_by_source": q_budget_by_source,
+    "cc_representatives": q_cc_representatives,
+    "cluster_purity": q_cluster_purity,
+    "cms_counts": q_cms_counts,
+    "contam_spans": q_contam_spans,
+    # -- remainder (committed full-registry HASHCHECK coverage) --
     "url_blocklist_big": q_url_blocklist_big,
     "bpe_roundtrip": q_bpe_roundtrip,
     "dataset_diff": q_dataset_diff,
@@ -9591,7 +9796,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_modal": q_prefix_modal,
     "len_quantiles": q_len_quantiles,
     "bm25_batch": q_bm25_batch,
-    # -- never re-sampled since round 5 (the remaining 17) --
     "doc_fingerprint_fast": q_doc_fingerprint_fast,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
     "knn_ivf": q_knn_ivf,
@@ -9609,7 +9813,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "charset_stats": q_charset_stats,
     "bigram_logprob": q_bigram_logprob,
-    # -- oldest-green rechecks (last driver-sampled round 6) --
     "quality_gate": q_quality_gate,
     "novelty_frac": q_novelty_frac,
     "source_overlap": q_source_overlap,
@@ -9619,31 +9822,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_sniff": q_media_sniff,
     "media_decode": q_media_decode,
     "shipping_priority": q_shipping_priority,
-    "dup_stats": q_dup_stats,
-    "returned_items": q_returned_items,
-    "vocab_topk": q_vocab_topk,
-    "tfidf_topk": q_tfidf_topk,
-    "tfidf_topk_salted": q_tfidf_topk_salted,
-    "corpus_stats": q_corpus_stats,
-    "quantize_emb": q_quantize_emb,
-    "knn_quantized": q_knn_quantized,
-    "simhash_pairs": q_simhash_pairs,
-    "referrer_hosts": q_referrer_hosts,
-    "funnel": q_funnel,
-    "pivot_counts": q_pivot_counts,
-    "clean_html": q_clean_html,
-    # -- below the driver window (full-registry hashcheck coverage) --
-    # (mad_outliers/pack_chunks/rep_signals/pii_redact/near_dedup/
-    # near_dedup_cc/stratified_sample yielded their r9 recheck slots
-    # to the wave-3/4 additions; next rotation)
-    "mad_outliers": q_mad_outliers,
-    "pack_chunks": q_pack_chunks,
-    "rep_signals": q_rep_signals,
-    "pii_redact": q_pii_redact,
-    "near_dedup": q_near_dedup,
-    "near_dedup_cc": q_near_dedup_cc,
-    "stratified_sample": q_stratified_sample,
-    "decontaminate": q_decontaminate,
     "topic_classify": q_topic_classify,
     "interleave_audit": q_interleave_audit,
     "lang_consistency": q_lang_consistency,
@@ -9694,28 +9872,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_fast": q_semantic_dedup_fast,
-    "kmeans_train": q_kmeans_train,
-    "kmeans_sizes": q_kmeans_sizes,
-    "mix_resample": q_mix_resample,
-    "chunk_sliding": q_chunk_sliding,
-    "jl_project": q_jl_project,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "shard_manifest": q_shard_manifest,
-    "quality_ecdf": q_quality_ecdf,
-    "hll_distinct": q_hll_distinct,
-    "pagerank": q_pagerank,
-    "pack_bins": q_pack_bins,
-    "lsh_recall": q_lsh_recall,
-    "gapfill_hourly": q_gapfill_hourly,
-    "fuzzy_match": q_fuzzy_match,
-    "value_quantiles": q_value_quantiles,
-    "decontam_bloom": q_decontam_bloom,
-    "weighted_sample": q_weighted_sample,
-    "bloom_audit": q_bloom_audit,
-    "cc_representatives": q_cc_representatives,
-    "contam_spans": q_contam_spans,
     "curate_pipeline": q_curate_pipeline,
     "dedup_normalized": q_dedup_normalized,
     "dist_drift": q_dist_drift,
@@ -9739,16 +9895,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_manifest": q_train_manifest,
     "padding_waste": q_padding_waste,
     "vocab_coverage": q_vocab_coverage,
-    "cms_counts": q_cms_counts,
     "source_divergence": q_source_divergence,
     "zipf_fit": q_zipf_fit,
     "quality_classifier": q_quality_classifier,
     "mix_solver": q_mix_solver,
-    "bpe_merges": q_bpe_merges,
-    "bpe_encode": q_bpe_encode,
     "mmr_select": q_mmr_select,
     "hard_negatives": q_hard_negatives,
-    "cluster_purity": q_cluster_purity,
     "dataset_card": q_dataset_card,
     "perplexity_filter": q_perplexity_filter,
     "curriculum_order": q_curriculum_order,
@@ -9758,7 +9910,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_contam": q_semantic_contam,
     "readability": q_readability,
     "fim_split": q_fim_split,
-    "budget_by_source": q_budget_by_source,
     "span_corruption": q_span_corruption,
     "triplet_mining": q_triplet_mining,
     "epoch_order": q_epoch_order,
@@ -9776,6 +9927,7 @@ ORACLES: dict[str, str] = {
     "bpe_roundtrip": SQL_BPE_ROUNDTRIP,
     "dataset_diff": SQL_DATASET_DIFF,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "containment_drop": SQL_CONTAINMENT_DROP,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "shard_balance": SQL_SHARD_BALANCE,
     "time_split": SQL_TIME_SPLIT,
@@ -9923,6 +10075,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "tail_index": SQL_TAIL_INDEX,
     "boundary_leakage": SQL_BOUNDARY_LEAKAGE,
+    "batch_leakage": SQL_BATCH_LEAKAGE,
     "char_entropy": SQL_CHAR_ENTROPY,
     "split_coherence": SQL_SPLIT_COHERENCE,
     "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,

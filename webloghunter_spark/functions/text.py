@@ -1370,3 +1370,140 @@ def bm25_batch(
     for t in tops[1:]:
         out = out.unionAll(t)
     return out
+
+
+def bm25_model(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Train-once FROZEN BM25 stats — the deployment shape of a live
+    retrieval probe (the `bigram_logprob_frozen` discipline,
+    functions/lm.py): corpus stats (idf per term, avgdl) are pinned
+    from a REFERENCE corpus once, then score arbitrary batches /
+    stream micro-batches without re-aggregating. Scoring the
+    reference corpus under its own model reproduces bm25_topk's
+    scores exactly (before its >0 filter and top-k) — the parity
+    surface the streaming twin tests.
+
+    The model is a plain dict of driver-side floats (|terms| idf
+    values + avgdl) — unlike the LM model there are no persisted
+    count frames to hold: the whole artifact is |q| scalars computed
+    by ONE combinable aggregate over the reference corpus.
+
+    Returns {"terms", "idf", "avgdl", "k1", "b", "n_docs"}.
+    """
+    import math
+
+    from pyspark.sql import functions as _F
+
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    uniq = sorted(set(terms))
+    toks = _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+
+    def _eq(term):
+        return lambda x: x == _F.lit(term)
+
+    stats = (
+        df.select(
+            _F.size(toks).cast("long").alias("dl"),
+            *[
+                (_F.size(_F.filter(toks, _eq(t))) > 0)
+                .cast("long")
+                .alias(f"_hit{i}")
+                for i, t in enumerate(uniq)
+            ],
+        )
+        .agg(
+            _F.count(_F.lit(1)).alias("n_docs"),
+            _F.sum("dl").alias("sum_dl"),
+            *[
+                _F.sum(f"_hit{i}").alias(f"_df{i}")
+                for i in range(len(uniq))
+            ],
+        )
+        .collect()[0]
+    )
+    n_docs = int(stats["n_docs"])
+    sum_dl = int(stats["sum_dl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs and sum_dl else 1.0
+    idf = {
+        t: math.log(
+            (n_docs - int(stats[f"_df{i}"]) + 0.5)
+            / (int(stats[f"_df{i}"]) + 0.5) + 1.0
+        )
+        for i, t in enumerate(uniq)
+    }
+    return {
+        "terms": terms,
+        "idf": idf,
+        "avgdl": float(avgdl),
+        "k1": float(k1),
+        "b": float(b),
+        "n_docs": n_docs,
+    }
+
+
+def bm25_score_frozen(
+    df,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score documents under a FROZEN BM25 model (bm25_model): tf is
+    computed ROW-LOCALLY with array filter() and the score is a fixed
+    left-to-right fold over the model's term list with idf/avgdl as
+    plan literals — a pure narrow projection, zero shuffle, zero
+    state, stream-safe as-is. Every input doc gets a row (zero scores
+    INCLUDED — a stream scores whatever arrives; dropping zeros and
+    ranking are the batch top-k's corpus-relative concerns).
+
+    Association order matches bm25_topk term-for-term, so scoring the
+    model's own training corpus reproduces its scores bit-for-bit
+    before the 1e-4 grid round.
+
+    Returns (id, dl, bm25).
+    """
+    from pyspark.sql import functions as _F
+
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    terms = model["terms"]
+    uniq = sorted(set(terms))
+    idx = {t: i for i, t in enumerate(uniq)}
+    k1 = float(model["k1"])
+    b = float(model["b"])
+    toks = _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+
+    def _eq(term):
+        return lambda x: x == _F.lit(term)
+
+    base = df.select(
+        _F.col(id_col),
+        _F.size(toks).cast("long").alias("dl"),
+        *[
+            _F.size(_F.filter(toks, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(uniq)
+        ],
+    )
+    norm = _F.col("dl").cast("double") / _F.lit(float(model["avgdl"]))
+    denom_base = _F.lit(k1) * (
+        (_F.lit(1.0) - _F.lit(b)) + _F.lit(b) * norm
+    )
+    score = _F.lit(0.0)
+    for t in terms:
+        tf = _F.col(f"_tf{idx[t]}").cast("double")
+        score = score + (
+            _F.lit(float(model["idf"][t])) * (tf * (_F.lit(k1) + _F.lit(1.0)))
+            / (tf + denom_base)
+        )
+    return base.select(
+        _F.col(id_col),
+        _F.col("dl"),
+        grid_round_expr(score, 4).alias("bm25"),
+    )

@@ -242,6 +242,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def _containment_ex(
+    sh: DataFrame,
+    id_col: str,
+    max_df: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared containment machinery: given a MATERIALIZED
+    (id, _sh distinct-shingle-array) frame, emit verified candidate
+    pairs (id_a < id_b, n_common, _na, _nb). Candidates come from the
+    df-bounded inverted-index join on discriminative shingles
+    (2 <= df <= max_df; Σ df² <= max_df · Σ df); verification is exact
+    array-intersect under shuffle_hash (the shingle table scales with
+    the corpus — never broadcast it). Used by containment_pairs (float
+    threshold + grid round) and containment_drop (integer bp rules).
+
+    `carry_cols` rides extra per-doc attributes (quality, source ...)
+    THROUGH the verify joins as <c>_a / <c>_b — the dup_source_matrix
+    lesson (measured 18.6x -> 8.88x there): a consumer joining them
+    back onto the pair frame afterwards pays pair-keyed shuffles of a
+    corpus-sized side, which dominate exactly when pair volume is
+    high."""
+    inv = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    rare = (
+        inv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_df)))
+        .select("_g")
+    )
+    rinv = inv.join(rare, "_g", "left_semi")
+    cand = (
+        rinv.alias("l")
+        .join(
+            rinv.alias("r"),
+            (F.col("l._g") == F.col("r._g"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
+    inter = F.size(F.array_intersect("a._sh", "b._sh")).cast("long")
+    return (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            F.size("a._sh").cast("long").alias("_na"),
+            F.size("b._sh").cast("long").alias("_nb"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -282,41 +342,7 @@ def containment_pairs(
             F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
         ).filter(F.size("_sh") > 0)
     )
-    inv = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
-    rare = (
-        inv.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_df)))
-        .select("_g")
-    )
-    rinv = inv.join(rare, "_g", "left_semi")
-    cand = (
-        rinv.alias("l")
-        .join(
-            rinv.alias("r"),
-            (F.col("l._g") == F.col("r._g"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    a = sh.alias("a").hint("shuffle_hash")
-    b = sh.alias("b").hint("shuffle_hash")
-    inter = F.size(F.array_intersect("a._sh", "b._sh")).cast("long")
-    ex = (
-        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
-        .join(b, cand.id_b == F.col(f"b.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            inter.alias("n_common"),
-            F.size("a._sh").cast("long").alias("_na"),
-            F.size("b._sh").cast("long").alias("_nb"),
-        )
-    )
+    ex = _containment_ex(sh, id_col, max_df)
     c_ab = F.col("n_common").cast("double") / F.col("_na")
     c_ba = F.col("n_common").cast("double") / F.col("_nb")
     from webloghunter_spark.functions.similarity import grid_round_expr
@@ -415,6 +441,134 @@ def containment_pairs_against(
             "n_common",
             grid_round_expr(c_ab, 4).alias("contain_ab"),
             grid_round_expr(c_ba, 4).alias("contain_ba"),
+        )
+    )
+
+
+def containment_drop(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_k: int = 3,
+    threshold_bp: int = 8000,
+    size_ratio_bp: int = 10000,
+    max_df: int = 20,
+) -> DataFrame:
+    """The INTERVENTION form of containment_pairs — the quote-farm /
+    wrapper-page removal policy: a doc is DROPPED when it is contained
+    in a (not-smaller) other doc, with dedup_keep_best's keep-best
+    discipline breaking mutual-containment ties. containment_pairs
+    *finds* doc-in-doc pairs; this decides who survives.
+
+    Per verified pair (A, B) with distinct-shingle counts n_a, n_b
+    (all rules EXACT-INTEGER on the bp grid — no float anywhere in
+    the decision):
+
+    - A is contained-in B iff n_common * 10000 >= threshold_bp * n_a
+      AND n_b * 10000 >= size_ratio_bp * n_a (B is at least
+      size_ratio_bp/10000 times A's size); symmetrically for B in A.
+    - One direction only -> drop the contained doc.
+    - Mutual (possible only when size_ratio_bp <= 10000, i.e. two
+      same-size near-identical docs both above threshold) -> keep the
+      BEST: higher quality_bp survives, ties keep the lower id (the
+      dedup_keep_best rule, dedup.py `dedup_keep_best`).
+
+    A doc is dropped iff ANY pair designates it the drop side — the
+    container itself surviving is NOT required (if B is itself inside
+    C, A's content still lives on through C), so the rule needs no
+    iteration and a SQL oracle expresses it as one EXISTS.
+
+    Output: one row per input doc —
+    (id, source, n_shingles, quality_bp, n_containers, dropped) with
+    n_containers = how many pairs designate this doc the drop side
+    and dropped = 0/1. Survivors are `dropped = 0`; per-source drop
+    counts are a groupBy away.
+
+    Scale shape: ONE shingle pass feeds both the pair machinery
+    (shared `_containment_ex`, df-bounded inverted index, shuffle_hash
+    verify) and the per-doc stats (size/quality computed in the same
+    map stage — text is read and tokenized ONCE); quality rides
+    THROUGH the verify joins as carry_cols (the dup_source_matrix
+    lesson — joining it back onto the pair frame afterwards costs two
+    pair-keyed shuffles of a corpus-sized side and measured 18.1x at
+    the 32x control probe; the carry form removes them); each pair
+    yields at most one drop event, folded by one groupBy on id; the
+    final left join puts decisions back on the NARROW per-doc stats
+    frame (n_shingles pre-computed, so the shingle arrays never move
+    through that join). The documented containment_pairs miss (pairs
+    sharing only df>max_df shingles) carries over unchanged.
+
+    Pinned at threshold_bp >= 5000: candidates come from the shared
+    pair pass at its max-direction-0.5 base threshold, so a weaker
+    drop threshold would need pairs this pass never surfaced.
+    """
+    if not 5000 <= threshold_bp <= 10000:
+        raise ValueError(
+            f"threshold_bp must be in [5000, 10000], got {threshold_bp}"
+        )
+    if size_ratio_bp < 10000:
+        raise ValueError(
+            f"size_ratio_bp must be >= 10000 (container not smaller), "
+            f"got {size_ratio_bp}"
+        )
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    from webloghunter_spark.functions.text import quality_bp_expr
+
+    base = materialize(
+        df.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            F.coalesce(quality_bp_expr(text_col), F.lit(0))
+            .cast("long")
+            .alias("_q"),
+        )
+    )
+    sh = base.filter(F.size("_sh") > 0).select(F.col(id_col), "_sh", "_q")
+    scored = _containment_ex(
+        sh, id_col, max_df, carry_cols=("_q",)
+    ).withColumnsRenamed({"_q_a": "_qa", "_q_b": "_qb"})
+    t = F.lit(int(threshold_bp))
+    r = F.lit(int(size_ratio_bp))
+    a_in_b = (F.col("n_common") * 10000 >= t * F.col("_na")) & (
+        F.col("_nb") * 10000 >= r * F.col("_na")
+    )
+    b_in_a = (F.col("n_common") * 10000 >= t * F.col("_nb")) & (
+        F.col("_na") * 10000 >= r * F.col("_nb")
+    )
+    # Mutually exclusive by construction: mutual containment resolves
+    # to exactly one drop side (worse quality; tie -> higher id, and
+    # id_a < id_b always, so a tie drops B).
+    drop_a = a_in_b & (~b_in_a | (F.col("_qa") < F.col("_qb")))
+    drop_b = b_in_a & (~a_in_b | (F.col("_qa") >= F.col("_qb")))
+    victim = F.when(drop_a, F.col("id_a")).when(drop_b, F.col("id_b"))
+    drops = (
+        scored.select(victim.alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_containers"))
+    )
+    stats = base.select(
+        F.col(id_col),
+        "source",
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.col("_q").alias("quality_bp"),
+    )
+    return (
+        stats.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            "source",
+            "n_shingles",
+            "quality_bp",
+            F.coalesce("n_containers", F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            (F.coalesce("n_containers", F.lit(0)) > 0)
+            .cast("long")
+            .alias("dropped"),
         )
     )
 

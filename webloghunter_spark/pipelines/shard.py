@@ -606,3 +606,106 @@ def boundary_leakage(
             F.col("n_union") > 0, F.expr("(n_inter * 10000) div n_union")
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def batch_leakage(
+    df: DataFrame,
+    batch_size: int = 8,
+    n_shards: int = 16,
+    seed: str = "train",
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL-pairs n-gram overlap within a `batch_size`-row window of
+    the seeded training order — the general in-batch leakage audit
+    boundary_leakage's adjacency form documents as its gap: in-batch
+    contrastive training (and in-batch-negative ranking losses) cares
+    about ANY two near-duplicate docs landing in the same batch of B
+    rows, not just rank-adjacent ones. The sliding-window form (every
+    pair at rank distance 1..B-1 within a shard) covers every
+    possible block alignment a loader could cut, so it is the
+    loader-agnostic guarantee; `batch_size=2` IS boundary_leakage
+    (asserted in tests).
+
+    Output: (shard_id, pos_a, pos_b, dist, id_a, id_b, n_inter,
+    n_union, jaccard_bp) — one row per in-window pair, Jaccard as
+    exact integer basis points ((inter * 10000) div union).
+
+    Scale shape: shingle arrays are computed BEFORE train_order's one
+    shuffle and carried through it (carry_cols), then the ordered
+    frame is materialized and self-joined. The join key is
+    (shard_id, position div B) with the RIGHT side exploded into its
+    own and the previous bucket — any pair at distance < B shares
+    exactly one of those two keys, so the join is a co-partitioned
+    equi-join emitting <= 2B candidate rows per doc and B·N pairs
+    after the distance filter. Joining on shard_id alone would be
+    |shard|² per shard — quadratic in corpus size at fixed n_shards —
+    which is exactly the blow-up the bucket key removes; n_shards
+    still only needs to keep a shard's (key, id) pairs sortable in
+    one executor (train_order's rule), not to bound the pair join.
+    batch_size is capped at 1024: pair volume is B·N rows, linear in
+    the corpus but linear in B too — an uncapped B silently turns the
+    audit quadratic-in-window.
+    """
+    if not 2 <= batch_size <= 1024:
+        raise ValueError(
+            f"batch_size must be in [2, 1024], got {batch_size}"
+        )
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    from webloghunter_spark.functions.text import shingles_expr
+    from webloghunter_spark.session import materialize
+
+    pre = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_s"),
+    )
+    ordered = materialize(
+        train_order(
+            pre, n_shards=n_shards, seed=seed, id_col=id_col,
+            carry_cols=("_s",),
+        )
+    )
+    bsz = F.lit(int(batch_size))
+    left = ordered.select(
+        F.col("shard_id"),
+        F.col("position").alias("pos_a"),
+        F.col(id_col).alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.expr(f"position div {int(batch_size)}").alias("_bucket"),
+    )
+    right = ordered.select(
+        F.col("shard_id"),
+        F.col("position").alias("pos_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.explode(
+            F.array(
+                F.expr(f"position div {int(batch_size)}"),
+                F.expr(f"position div {int(batch_size)} - 1"),
+            )
+        ).alias("_bucket"),
+    )
+    joined = left.join(right, ["shard_id", "_bucket"]).filter(
+        (F.col("pos_b") > F.col("pos_a"))
+        & (F.col("pos_b") - F.col("pos_a") <= bsz - 1)
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    uni = F.size("_sa") + F.size("_sb") - inter
+    base = joined.select(
+        "shard_id",
+        "pos_a",
+        "pos_b",
+        (F.col("pos_b") - F.col("pos_a")).cast("long").alias("dist"),
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_inter"),
+        uni.cast("long").alias("n_union"),
+    )
+    return base.withColumn(
+        "jaccard_bp",
+        F.when(
+            F.col("n_union") > 0, F.expr("(n_inter * 10000) div n_union")
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -200,6 +200,54 @@ def url_blocklist_stream(
     return url_blocklist_gate(stream, domains, url_col)
 
 
+def char_entropy_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless streaming twin of functions/text.char_entropy: the
+    character-histogram entropy is a ROW-LOCAL property (integer
+    nano-nat Arrow kernel over the doc's own chars — no corpus
+    stats), so the batch mapInPandas plan is stream-safe as-is."""
+    from webloghunter_spark.functions.text import char_entropy
+
+    return char_entropy(stream, text_col, id_col)
+
+
+def split_coherence_stream(
+    stream: DataFrame,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless streaming twin of functions/text.split_coherence:
+    first-half vs second-half shingle overlap is ROW-LOCAL (the
+    Arrow kernel sees only the doc's own JVM-tokenized array), so the
+    batch plan is stream-safe as-is."""
+    from webloghunter_spark.functions.text import split_coherence
+
+    return split_coherence(stream, shingle_k, text_col, id_col)
+
+
+def bm25_frozen_stream(
+    stream: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming BM25 scorer against FROZEN corpus stats — the form a
+    live retrieval probe actually runs: idf/avgdl are pinned from a
+    reference corpus batch-side (functions/text.bm25_model, |q|
+    driver-side scalars — no persisted frames), and each micro-batch
+    is scored by the pure row-local projection bm25_score_frozen.
+    Statelessness gives every-prefix parity for free: the union of
+    per-batch outputs equals the batch scorer on the union, any
+    slicing. Ranking/top-k stay batch-side (corpus-relative)."""
+    from webloghunter_spark.functions.text import bm25_score_frozen
+
+    return bm25_score_frozen(stream, model, text_col, id_col)
+
+
 def readability_stream(
     stream: DataFrame,
     text_col: str = "text",
