@@ -843,6 +843,47 @@ def test_cluster_label_purity_contingency(spark):
     assert (t.top_label, t.top_n, t.purity_bp) == (4, 1, 5000)
 
 
+def test_source_scorecard_cut_decision_row(spark):
+    """The which-source-do-we-cut screener: self vs cross near-dup
+    pair counts land on the right sources, containment attrition
+    rides containment_drop's keep-best decisions, NULL sources get a
+    row joined through the ''-bucket, and card hygiene columns come
+    through."""
+    from webloghunter_spark.pipelines.select import source_scorecard
+
+    long = " ".join(f"t{j}" for j in range(30))
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{j} x{j} y{j}" for j in range(12))
+    rows = [
+        # 3 identical docs: (1,2) self-s1 near-dup, (1,3)+(2,3) cross
+        (1, "s1", "en", long),
+        (2, "s1", "en", long),
+        (3, "s2", "en", long),
+        # containment: 4 (s2) inside 5 (s1)
+        (4, "s2", "en", short),
+        (5, "s1", "en", f"{filler} {short} unique tail words here"),
+        # NULL source, empty text
+        (6, None, None, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {r.source: r for r in source_scorecard(df).collect()}
+    assert set(out) == {"s1", "s2", None}
+    s1, s2, nul = out["s1"], out["s2"], out[None]
+    assert (s1.n_docs, s2.n_docs, nul.n_docs) == (3, 2, 1)
+    assert s1.self_dup_pairs == 1 and s2.self_dup_pairs == 0
+    assert s1.cross_dup_pairs == 2 and s2.cross_dup_pairs == 2
+    # exact-dup share: docs 1,2 both count in s1 -> 2/3
+    assert s1.dup_doc_bp == round(2 / 3 * 10000)
+    # containment keep-best on the identical trio drops 2 (s1) and
+    # 3 (s2); the doc-in-doc pair drops 4 (s2)
+    assert s1.contained_docs == 1 and s2.contained_docs == 2
+    assert s2.contained_bp == 10000
+    assert nul.empty_bp == 10000 and nul.contained_docs == 0
+    assert s1.top_lang == "en" and nul.top_lang is None
+
+
 def test_dataset_card_composition_and_hygiene(spark):
     """Dataset card: token totals, lang mix with NULL langs excluded
     from the mix but counted in totals, exact-dup share counts BOTH

@@ -690,6 +690,48 @@ def test_split_coherence_glued_vs_repetitive(spark):
     assert out[3].n_tokens == 0 and out[3].coherence_bp == 0
 
 
+def test_bm25_drift_frozen_vs_fresh(spark):
+    """Self-drift is zero: with ref == corpus the frozen and fresh
+    sides are the same model, so every row has rank_frozen ==
+    rank_fresh and equal scores. Under growth (ref = subset) the
+    frozen side still ranks, sentinels (0) mark docs missing from
+    one side, and the fresh side equals bm25_topk on the full
+    corpus."""
+    from webloghunter_spark.functions.text import bm25_drift, bm25_topk
+
+    rows = [
+        (1, "spark query spark table"),
+        (2, "the dog ate the cat food"),
+        (3, "query plan for the big table join join join"),
+        (4, "table join table join"),
+        (5, "spark spark spark spark"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "query"]
+
+    same = bm25_drift(df, df, terms, k=10).collect()
+    assert same and all(
+        r.rank_frozen == r.rank_fresh and r.bm25_frozen == r.bm25_fresh
+        for r in same
+    )
+
+    ref = df.filter(F.col("doc_id") <= 3)
+    out = {r.doc_id: r for r in bm25_drift(ref, df, terms, k=10).collect()}
+    fresh = bm25_topk(df, terms, k=10).collect()
+    for rank, r in enumerate(fresh, start=1):
+        assert out[r.doc_id].rank_fresh == rank
+        assert out[r.doc_id].bm25_fresh == r.bm25
+    # every row is in at least one top-k; sentinel 0 marks absence
+    for r in out.values():
+        assert r.rank_frozen > 0 or r.rank_fresh > 0
+        assert (r.rank_frozen == 0) == (r.bm25_frozen == 0.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_drift(ref, df, [])
+
+
 def test_bm25_batch_matches_per_query_topk(spark):
     """Each query's batch rows equal a standalone bm25_topk run with
     the same terms (the shared-stats pass changes nothing), and rows

@@ -6988,6 +6988,64 @@ SQL_DATASET_CARD = r"""
 """
 
 
+def q_source_scorecard(spark, sf_dir):
+    """Per-source contamination/dup one-screener ("which source do we
+    cut"): dataset_card composition/hygiene + near-dup matrix
+    exposure (self + cross pair counts) + containment_drop attrition,
+    one row per source. Composition operator: replays the three
+    pipelines and joins their |sources|-scale outputs broadcast-side."""
+    from webloghunter_spark.pipelines.select import source_scorecard
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return source_scorecard(
+        docs, neardup_threshold=0.8, num_hashes=4, band_size=2,
+        shingle_k=3, containment_threshold_bp=8000,
+        size_ratio_bp=10000, max_df=20,
+    )
+
+
+# Oracle BUILT FROM SQL_DATASET_CARD + SQL_DUP_SOURCE_MATRIX +
+# SQL_CONTAINMENT_DROP (the dataset_diff discipline): the three
+# pipelines replay their own frozen registry definitions, so none of
+# the machinery can drift from its individually-verified form. The
+# join key is coalesce(source, '') on the card side, mirroring the
+# matrix/containment aggregates' internal NULL->'' convention.
+SQL_SOURCE_SCORECARD = f"""
+    WITH card AS ({SQL_DATASET_CARD}),
+    mat AS ({SQL_DUP_SOURCE_MATRIX}),
+    cdrop AS ({SQL_CONTAINMENT_DROP}),
+    selfp AS (
+        SELECT source_lo AS s, n_pairs AS self_dup_pairs
+        FROM mat WHERE source_lo = source_hi
+    ),
+    crossp AS (
+        SELECT s, sum(n_pairs)::BIGINT AS cross_dup_pairs FROM (
+            SELECT source_lo AS s, n_pairs
+            FROM mat WHERE source_lo <> source_hi
+            UNION ALL
+            SELECT source_hi AS s, n_pairs
+            FROM mat WHERE source_lo <> source_hi
+        ) GROUP BY s
+    ),
+    cont AS (
+        SELECT coalesce(source, '') AS s,
+               sum(dropped)::BIGINT AS contained_docs
+        FROM cdrop GROUP BY 1
+    )
+    SELECT c.source, c.n_docs, c.n_tokens, c.n_langs, c.top_lang,
+           c.top_lang_bp, c.dup_doc_bp, c.empty_bp,
+           coalesce(sp.self_dup_pairs, 0)::BIGINT AS self_dup_pairs,
+           coalesce(cp.cross_dup_pairs, 0)::BIGINT AS cross_dup_pairs,
+           coalesce(ct.contained_docs, 0)::BIGINT AS contained_docs,
+           ((coalesce(ct.contained_docs, 0) * 20000 + c.n_docs)
+            // (2 * c.n_docs))::BIGINT AS contained_bp
+    FROM card c
+    LEFT JOIN selfp sp ON coalesce(c.source, '') = sp.s
+    LEFT JOIN crossp cp ON coalesce(c.source, '') = cp.s
+    LEFT JOIN cont ct ON coalesce(c.source, '') = ct.s
+"""
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive-training data prep: for query vectors 0-4, the 10
     most-similar store vectors with a DIFFERENT label (near-miss
@@ -8883,6 +8941,131 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
 
 
+def q_bm25_drift(spark, sf_dir):
+    """Frozen-vs-fresh BM25 ranking drift: stats pinned from the
+    even-doc_id reference snapshot score the FULL corpus, compared
+    against fresh full-corpus stats — the re-pin audit for the
+    frozen-stats streaming scorer. Full-outer join of the two top-20
+    lists; both scorings share one materialized narrow tf frame."""
+    from webloghunter_spark.functions.text import bm25_drift
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return bm25_drift(ref, docs, BM25_QUERY_TERMS, k=20)
+
+
+def _bm25_drift_sql() -> str:
+    """Oracle BUILT FROM the same term table as q_bm25_topk
+    (BM25_QUERY_TERMS, the _bm25_batch_sql hardening discipline:
+    lowercased terms, positional tf_/df_ identifiers, [a-z0-9]+
+    asserted) — the frozen side's stats CTE aggregates the even-id
+    reference subset, the fresh side the full corpus; both scores
+    fold in SQL_BM25_TOPK's exact association."""
+    import re as _re
+
+    terms = [t.lower() for t in BM25_QUERY_TERMS]
+    for t in terms:
+        assert _re.fullmatch(r"[a-z0-9]+", t), (
+            f"bm25_drift oracle: unsafe term {t!r}"
+        )
+    uniq = sorted(set(terms))
+    tidx = {t: i for i, t in enumerate(uniq)}
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(uniq)
+    )
+
+    def stats(name, where):
+        dfs = ",\n               ".join(
+            f"sum((tf_{i} > 0)::BIGINT)::BIGINT AS df_{i}"
+            for i in range(len(uniq))
+        )
+        return (
+            f"{name} AS (\n"
+            f"        SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl,\n"
+            f"               {dfs}\n"
+            f"        FROM d{where}\n"
+            f"    )"
+        )
+
+    def term(t, s):
+        i = tidx[t]
+        return (
+            f"ln(({s}.n - {s}.df_{i} + 0.5) / ({s}.df_{i} + 0.5) + 1.0)\n"
+            f"                   * (CAST(d.tf_{i} AS DOUBLE) * (1.2 + 1.0))\n"
+            f"                   / (CAST(d.tf_{i} AS DOUBLE)\n"
+            f"                      + 1.2 * ((1.0 - 0.75) + 0.75\n"
+            f"                               * (CAST(d.dl AS DOUBLE)\n"
+            f"                                  / (CAST({s}.sdl AS DOUBLE)\n"
+            f"                                     / CAST({s}.n AS DOUBLE)))))"
+        )
+
+    def scored(name, s):
+        sc = "0.0\n                 + " + "\n                 + ".join(
+            term(t, s) for t in terms
+        )
+        return (
+            f"{name} AS (\n"
+            f"        SELECT d.doc_id,\n"
+            f"               round({sc}\n"
+            f"               , 4) AS bm25\n"
+            f"        FROM d CROSS JOIN {s}\n"
+            f"    )"
+        )
+
+    return (
+        r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(t)::BIGINT AS dl,
+               """
+        + tf_cols
+        + r"""
+        FROM toks
+    ),
+    """
+        + stats("sref", " WHERE doc_id % 2 = 0")
+        + ",\n    "
+        + stats("sful", "")
+        + ",\n    "
+        + scored("fro", "sref")
+        + ",\n    "
+        + scored("fre", "sful")
+        + r""",
+    topf AS (
+        SELECT doc_id, bm25 AS bm25_frozen,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT
+                   AS rank_frozen
+        FROM fro WHERE bm25 > 0
+        QUALIFY rank_frozen <= 20
+    ),
+    topr AS (
+        SELECT doc_id, bm25 AS bm25_fresh,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT
+                   AS rank_fresh
+        FROM fre WHERE bm25 > 0
+        QUALIFY rank_fresh <= 20
+    )
+    SELECT coalesce(f.doc_id, g.doc_id) AS doc_id,
+           coalesce(f.rank_frozen, 0)::BIGINT AS rank_frozen,
+           coalesce(g.rank_fresh, 0)::BIGINT AS rank_fresh,
+           coalesce(f.bm25_frozen, 0.0) AS bm25_frozen,
+           coalesce(g.bm25_fresh, 0.0) AS bm25_fresh
+    FROM topf f FULL OUTER JOIN topr g ON f.doc_id = g.doc_id
+"""
+    )
+
+
+SQL_BM25_DRIFT = _bm25_drift_sql()
+
+
 SQL_BM25_TOPK = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -9721,6 +9904,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-10 additions --
     "containment_drop": q_containment_drop,
     "batch_leakage": q_batch_leakage,
+    "source_scorecard": q_source_scorecard,
+    "bm25_drift": q_bm25_drift,
     # -- round-6 cohort rotation (40) --
     "chunk_sliding": q_chunk_sliding,
     "clean_html": q_clean_html,
@@ -9928,6 +10113,8 @@ ORACLES: dict[str, str] = {
     "dataset_diff": SQL_DATASET_DIFF,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "containment_drop": SQL_CONTAINMENT_DROP,
+    "source_scorecard": SQL_SOURCE_SCORECARD,
+    "bm25_drift": SQL_BM25_DRIFT,
     "url_blocklist": SQL_URL_BLOCKLIST,
     "shard_balance": SQL_SHARD_BALANCE,
     "time_split": SQL_TIME_SPLIT,

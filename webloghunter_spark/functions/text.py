@@ -1507,3 +1507,137 @@ def bm25_score_frozen(
         _F.col("dl"),
         grid_round_expr(score, 4).alias("bm25"),
     )
+
+
+def bm25_drift(
+    ref,
+    corpus,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Probe-vs-batch ranking drift for the FROZEN-stats bm25 scorer
+    (the ann_recall discipline applied to lexical retrieval): stats
+    pinned from a reference snapshot keep serving as the corpus
+    grows, and this audit answers "has the frozen ranking drifted
+    enough to re-pin?". It scores the CURRENT corpus twice — once
+    under the frozen model (bm25_model on `ref`), once with fresh
+    stats (the bm25_topk aggregate on `corpus`) — and full-outer
+    joins the two top-k lists.
+
+    Output: one row per doc in EITHER top-k —
+    (id, rank_frozen, rank_fresh, bm25_frozen, bm25_fresh), ranks
+    1-based in (bm25 desc, id) order, NULL where the doc is missing
+    from that side. Overlap/recall and score deltas are one
+    aggregation away; emitting the per-doc join keeps the audit
+    actionable (WHICH docs moved, not just how many).
+
+    Scale shape: two stats aggregates (each ONE collected row — the
+    bm25_topk guard), two row-local scoring scans sharing ONE
+    materialized narrow tf frame (the corpus is read and tokenized
+    once for both scorings — only the plan literals differ), each
+    ranking a TakeOrderedAndProject top-k, and the final join/ranks
+    run on <= 2k rows (the bounded-window convention: row_number
+    over a k-row frame, never the corpus).
+
+    Float determinism: both scorings fold in bm25_topk's association
+    with driver-side libm idf/avgdl literals, so a SQL oracle
+    writing engine-side ln over the same restricted/full stats
+    matches bit-for-bit before the 1e-4 grid round.
+    """
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as _F
+
+    from webloghunter_spark.functions.similarity import grid_round_expr
+    from webloghunter_spark.session import materialize
+
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    uniq = sorted(set(terms))
+    idx = {t: i for i, t in enumerate(uniq)}
+    toks = _F.transform(tokens_expr(text_col), lambda t: _F.lower(t))
+
+    def _eq(term):
+        return lambda x: x == _F.lit(term)
+
+    base = materialize(
+        corpus.select(
+            _F.col(id_col),
+            _F.size(toks).cast("long").alias("dl"),
+            *[
+                _F.size(_F.filter(toks, _eq(t))).cast("long")
+                .alias(f"_tf{i}")
+                for i, t in enumerate(uniq)
+            ],
+        )
+    )
+    model = bm25_model(
+        ref, terms, text_col=text_col, id_col=id_col, k1=k1, b=b
+    )
+    fresh_stats = base.agg(
+        _F.count(_F.lit(1)).alias("n_docs"),
+        _F.sum("dl").alias("sum_dl"),
+        *[
+            _F.sum((_F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(uniq))
+        ],
+    ).collect()[0]
+    n_docs = int(fresh_stats["n_docs"])
+    sum_dl = int(fresh_stats["sum_dl"] or 0)
+    fresh_avgdl = sum_dl / n_docs if n_docs and sum_dl else 1.0
+    fresh_idf = {
+        t: math.log(
+            (n_docs - int(fresh_stats[f"_df{idx[t]}"]) + 0.5)
+            / (int(fresh_stats[f"_df{idx[t]}"]) + 0.5) + 1.0
+        )
+        for t in uniq
+    }
+
+    def _score(avgdl, idf):
+        norm = _F.col("dl").cast("double") / _F.lit(float(avgdl))
+        denom_base = _F.lit(k1) * (
+            (_F.lit(1.0) - _F.lit(b)) + _F.lit(b) * norm
+        )
+        score = _F.lit(0.0)
+        for t in terms:
+            tf = _F.col(f"_tf{idx[t]}").cast("double")
+            score = score + (
+                _F.lit(float(idf[t])) * (tf * (_F.lit(k1) + _F.lit(1.0)))
+                / (tf + denom_base)
+            )
+        return grid_round_expr(score, 4)
+
+    def _top(avgdl, idf, tag):
+        scored = base.select(
+            _F.col(id_col), _score(avgdl, idf).alias(f"bm25_{tag}")
+        ).filter(_F.col(f"bm25_{tag}") > 0)
+        lim = scored.orderBy(
+            _F.col(f"bm25_{tag}").desc(), _F.col(id_col)
+        ).limit(k)
+        # rank over the k-row limited frame only (bounded window)
+        w = W.orderBy(_F.col(f"bm25_{tag}").desc(), _F.col(id_col))
+        return lim.withColumn(
+            f"rank_{tag}", _F.row_number().over(w).cast("long")
+        )
+
+    fro = _top(float(model["avgdl"]), model["idf"], "frozen")
+    fre = _top(fresh_avgdl, fresh_idf, "fresh")
+    # absent-side sentinels (rank 0 / score 0.0, both impossible for
+    # a member of a top-k list): NULL doubles become NaN in Arrow
+    # hand-offs and NaN sort order is engine-dependent, exactly the
+    # instability a sorted-rows hash compare cannot tolerate
+    return fro.join(fre, id_col, "full_outer").select(
+        _F.col(id_col),
+        _F.coalesce("rank_frozen", _F.lit(0)).cast("long")
+        .alias("rank_frozen"),
+        _F.coalesce("rank_fresh", _F.lit(0)).cast("long")
+        .alias("rank_fresh"),
+        _F.coalesce("bm25_frozen", _F.lit(0.0)).alias("bm25_frozen"),
+        _F.coalesce("bm25_fresh", _F.lit(0.0)).alias("bm25_fresh"),
+    )

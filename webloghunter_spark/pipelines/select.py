@@ -938,6 +938,131 @@ def dataset_card(
     )
 
 
+def source_scorecard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    neardup_threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    containment_threshold_bp: int = 8000,
+    size_ratio_bp: int = 10000,
+    max_df: int = 20,
+) -> DataFrame:
+    """The per-source CONTAMINATION/DUP one-screener — "which source
+    do we cut": dataset_card's composition/hygiene row joined with
+    the source's near-duplicate exposure (dup_source_matrix diagonal
+    = within-source churn, off-diagonal sum = cross-source copying)
+    and its containment attrition (containment_drop's would-drop
+    count). A curator reads one row per source and decides whether
+    the source needs dedup scoping, gets its weight cut, or is a
+    mirror to drop outright.
+
+    Output per source: (source, n_docs, n_tokens, n_langs, top_lang,
+    top_lang_bp, dup_doc_bp, empty_bp, self_dup_pairs,
+    cross_dup_pairs, contained_docs, contained_bp) — contained_bp on
+    the exact half-up integer grid ((n*20000 + d) div (2*d)).
+
+    NULL-source convention: the matrix and containment aggregates
+    coalesce NULL sources to '' internally (their own documented
+    convention), so this card JOINS on coalesce(source, '') while
+    reporting dataset_card's raw source value; a corpus containing
+    BOTH a NULL and an '' source gets two card rows sharing the same
+    ''-bucket pair/containment aggregates — the oracle replays the
+    identical join, so the two engines agree even on that degenerate
+    input.
+
+    Scale shape: a composition operator (the dataset_diff
+    discipline) — it replays dataset_card (one narrow materialized
+    scan + three group-scale aggregates), the LSH near-dup matrix
+    (sources carried THROUGH the verify joins), and containment_drop
+    (df-bounded inverted index + carry-cols decision layer) and joins
+    their |sources|-scale outputs; the join spine never exceeds
+    |sources| + |sources|² rows, so the cost IS the three pipelines,
+    each individually scale-argued, text scanned once per pipeline
+    and never joined pairwise at doc scale here."""
+    from webloghunter_spark.pipelines.dedup import (
+        containment_drop,
+        dup_source_matrix,
+    )
+    from webloghunter_spark.session import materialize
+
+    card = dataset_card(
+        df, group_col=source_col, text_col=text_col, lang_col=lang_col
+    )
+    # the matrix feeds THREE consumers (diagonal + both union
+    # branches of the cross sum); without materialization the whole
+    # LSH pipeline re-executes per consumer — measured 30.6 s -> the
+    # pipeline-sum ~13 s at sf0.1 after pinning the |sources|²-row
+    # frame
+    mat = materialize(
+        dup_source_matrix(
+            df, text_col=text_col, id_col=id_col, source_col=source_col,
+            threshold=neardup_threshold, num_hashes=num_hashes,
+            band_size=band_size, shingle_k=shingle_k,
+        )
+    )
+    drops = containment_drop(
+        df, text_col=text_col, id_col=id_col, source_col=source_col,
+        shingle_k=shingle_k, threshold_bp=containment_threshold_bp,
+        size_ratio_bp=size_ratio_bp, max_df=max_df,
+    )
+    selfp = (
+        mat.filter(F.col("source_lo") == F.col("source_hi"))
+        .select(
+            F.col("source_lo").alias("_s"),
+            F.col("n_pairs").alias("self_dup_pairs"),
+        )
+    )
+    offd = mat.filter(F.col("source_lo") != F.col("source_hi"))
+    crossp = (
+        offd.select(F.col("source_lo").alias("_s"), "n_pairs")
+        .unionByName(
+            offd.select(F.col("source_hi").alias("_s"), "n_pairs")
+        )
+        .groupBy("_s")
+        .agg(F.sum("n_pairs").cast("long").alias("cross_dup_pairs"))
+    )
+    cont = (
+        drops.groupBy(
+            F.coalesce(F.col("source"), F.lit("")).alias("_s")
+        )
+        .agg(F.sum("dropped").cast("long").alias("contained_docs"))
+    )
+    key = F.coalesce(F.col(source_col).cast("string"), F.lit(""))
+    out = (
+        card.withColumn("_s", key)
+        .join(F.broadcast(selfp), "_s", "left")
+        .join(F.broadcast(crossp), "_s", "left")
+        .join(F.broadcast(cont), "_s", "left")
+    )
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "top_lang",
+        "top_lang_bp",
+        "dup_doc_bp",
+        "empty_bp",
+        F.coalesce("self_dup_pairs", F.lit(0)).cast("long")
+        .alias("self_dup_pairs"),
+        F.coalesce("cross_dup_pairs", F.lit(0)).cast("long")
+        .alias("cross_dup_pairs"),
+        F.coalesce("contained_docs", F.lit(0)).cast("long")
+        .alias("contained_docs"),
+        F.expr(
+            "(coalesce(contained_docs, 0) * 20000 + n_docs)"
+            " div (2 * n_docs)"
+        )
+        .cast("long")
+        .alias("contained_bp"),
+    )
+
+
 def rank_fusion(
     df: DataFrame,
     signal_cols: tuple[str, ...] | list[str],
