@@ -9895,12 +9895,14 @@ SQL_BM25_BATCH = _bm25_batch_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-10 front = the 2 round-10 additions
-    # (containment_drop, batch_leakage), then the 40-query cohort
-    # whose last driver sample was round 6 (the VERDICT r9 rotation
-    # ask), then the 8 oldest round-7-cohort rechecks filling to
-    # exactly 50. Everything after slot 50 is covered by the
-    # committed full-registry HASHCHECK artifacts.
+    # FIRST 50 entries. Round-10 front = the 4 round-10 additions
+    # (containment_drop, batch_leakage, source_scorecard, bm25_drift),
+    # then the 40-query cohort whose last driver sample was round 6
+    # (the VERDICT r9 rotation ask), then the oldest round-7-cohort
+    # rechecks filling to exactly 50 (cms_counts / contam_spans land
+    # at 51-52 and roll to next round's fill). Everything after slot
+    # 50 is covered by the committed full-registry HASHCHECK
+    # artifacts.
     # -- round-10 additions --
     "containment_drop": q_containment_drop,
     "batch_leakage": q_batch_leakage,
