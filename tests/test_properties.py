@@ -883,3 +883,49 @@ def test_bm25_matches_pure_reference(spark, docs, terms):
             exp.append((i, len(tk), bp))
     exp.sort(key=lambda t: (-t[2], t[0]))
     assert got == exp
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=14),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        max_size=10,
+    ),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_indexed_kernel_equals_replace_chain(toks, pair_picks, data):
+    """The present-pair-indexed merge chain (_kernel_apply_fn's fast
+    path) is bit-equal to the literal up-to-3-pass str.replace chain
+    on randomized CHAINED tables — merged symbols feed later merges,
+    duplicate pairs, same-symbol runs, and separator-colliding raw
+    tokens included. This is the development-time 0/4000 differential
+    test, pinned into the suite (no Spark needed: both sides are the
+    pure per-doc kernels)."""
+    from webloghunter_spark.pipelines.bpe import BPE_SEP, _kernel_apply_fn
+
+    # chained table: each step may reference any earlier symbol
+    symbols = ["a", "b", "c", "d"]
+    table = []
+    for stp, (i, j) in enumerate(pair_picks):
+        a = symbols[i % len(symbols)]
+        b = symbols[j % len(symbols)]
+        table.append((stp, a, b))
+        symbols.append(a + BPE_SEP + b)
+    # occasionally splice in a separator-colliding raw token
+    if data.draw(st.booleans()) and table:
+        toks = list(toks) + [table[-1][1] + BPE_SEP + table[-1][2]]
+
+    s0 = " " + " ".join(toks) + " " if toks else "  "
+
+    def replace_chain(s):
+        for _, a, b in sorted(table):
+            pat, rep = f" {a} {b} ", f" {a}{BPE_SEP}{b} "
+            for _ in range(3):
+                if pat not in s:
+                    break
+                s = s.replace(pat, rep)
+        return s
+
+    fast = _kernel_apply_fn(sorted(table))
+    assert fast(s0) == replace_chain(s0)
