@@ -1973,6 +1973,69 @@ def test_containment_stream_matches_batch_any_slicing(spark):
     assert any(r[0] == 10 and r[1] == 0 and r[3] == 1.0 for r in expected)
 
 
+def test_containment_drop_stream_matches_batch_any_slicing(spark):
+    """The incremental containment INTERVENTION: per-batch drop
+    decisions against a frozen corpus union to the one-shot
+    containment_drop_against over the union, for two slicings; a
+    same-size corpus container still drops the probe (corpus is
+    authoritative — no keep-best); replay re-emits identically."""
+    from webloghunter_spark.pipelines.dedup import containment_drop_against
+    from webloghunter_spark.streaming.incdedup import (
+        containment_drop_stream_writer,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{j} x{j} y{j}" for j in range(10))
+    same = " ".join(f"s{j}" for j in range(12))
+    corpus = spark.createDataFrame(
+        [(0, f"{filler} {short} unique container tail"),
+         (1, "another corpus document with different words entirely"),
+         (2, same)],
+        "doc_id long, text string",
+    )
+    probes = [
+        (10, short),                  # contained in 0 -> dropped
+        (11, "no overlap with anything here at all"),
+        (12, same),                   # SAME SIZE as corpus 2 -> dropped
+        (13, ""),
+        (14, None),
+    ]
+    pdf = spark.createDataFrame(probes, "doc_id long, text string")
+    batch = {r.doc_id: r for r in
+             containment_drop_against(pdf, corpus).collect()}
+    assert set(batch) == {10, 11, 12, 13, 14}
+    assert batch[10].dropped == 1 and batch[10].n_containers == 1
+    assert batch[11].dropped == 0
+    assert batch[12].dropped == 1          # no keep-best: corpus wins
+    assert batch[13].dropped == 0 and batch[13].n_shingles == 0
+    assert batch[14].dropped == 0
+
+    expected = sorted(
+        tuple(r) for r in containment_drop_against(pdf, corpus).collect()
+    )
+    for slicing in ([[10, 11], [12, 13, 14]], [[10], [11, 12], [13, 14]]):
+        got = []
+        fn = containment_drop_stream_writer(
+            lambda rows, bid: got.extend(rows), corpus
+        )
+        try:
+            for bid, ids in enumerate(slicing):
+                fn(pdf.filter(F.col("doc_id").isin(ids)), bid)
+            assert sorted(got) == expected
+            before = sorted(got)
+            fn(pdf.filter(F.col("doc_id").isin(slicing[0])), 0)
+            assert sorted(set(got)) == sorted(set(before))
+        finally:
+            fn.release()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold_bp"):
+        containment_drop_against(pdf, corpus, threshold_bp=100)
+    with _pytest.raises(ValueError, match="size_ratio_bp"):
+        containment_drop_stream_writer(
+            lambda r, b: None, corpus, size_ratio_bp=1)
+
+
 def test_unimax_alloc_batch_stream_parity_and_replay(spark, tmp_path):
     """Sum-merge + shared-waterfill twin: the re-planned allocation
     over any batch slicing equals the batch operator at EVERY prefix

@@ -445,6 +445,130 @@ def containment_pairs_against(
     )
 
 
+def containment_drop_against(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_bp: int = 8000,
+    size_ratio_bp: int = 10000,
+    max_df: int = 20,
+) -> DataFrame:
+    """The INCREMENTAL intervention form of containment: drop an
+    INCOMING probe doc when it is contained (exact-integer bp rules,
+    containment_drop's) in a not-smaller doc of an accepted FROZEN
+    corpus — the continuous-ingest quote-farm gate
+    (containment_pairs_against finds; this decides). The corpus is
+    AUTHORITATIVE (the incremental_near_dedup convention): there is
+    no keep-best tie-break — a probe contained in a same-size corpus
+    doc drops regardless of quality, because the corpus doc is
+    already committed and re-litigating it would make per-batch
+    results depend on what else arrived in the batch.
+
+    Because probes are only compared against the corpus — never each
+    other — the union of per-batch decisions over ANY slicing equals
+    the one-shot run exactly; the streaming twin
+    (streaming/incdedup.containment_drop_stream_writer) gets parity
+    for free.
+
+    Output: one row per probe doc —
+    (id, n_shingles, n_containers, dropped 0/1).
+
+    Scale shape: frozen-corpus discriminative inverted index (corpus
+    df <= max_df — the probe side never contributes, so batch
+    slicing cannot change candidates), candidates joined per batch,
+    exact verify with sizes carried THROUGH the verify joins (the
+    containment_drop carry lesson — no join-back of a corpus-sized
+    side onto the pair frame), one drop-event fold, one left join
+    onto the narrow per-probe stats frame.
+    """
+    if not 5000 <= threshold_bp <= 10000:
+        raise ValueError(
+            f"threshold_bp must be in [5000, 10000], got {threshold_bp}"
+        )
+    if size_ratio_bp < 10000:
+        raise ValueError(
+            f"size_ratio_bp must be >= 10000 (container not smaller), "
+            f"got {size_ratio_bp}"
+        )
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    csh = materialize(
+        corpus.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
+    cinv = csh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    keep = (
+        cinv.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= int(max_df))
+        .select("_g")
+    )
+    rcinv = cinv.join(keep, "_g", "left_semi")
+    pbase = materialize(
+        probe.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        )
+    )
+    psh = pbase.filter(F.size("_sh") > 0)
+    pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    cand = (
+        pinv.alias("p")
+        .join(rcinv.alias("c"), F.col("p._g") == F.col("c._g"))
+        .select(
+            F.col(f"p.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = psh.alias("a").hint("shuffle_hash")
+    b = csh.alias("b").hint("shuffle_hash")
+    ex = (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            F.size(F.array_intersect("a._sh", "b._sh"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("a._sh").cast("long").alias("_na"),
+            F.size("b._sh").cast("long").alias("_nb"),
+        )
+    )
+    t = F.lit(int(threshold_bp))
+    r = F.lit(int(size_ratio_bp))
+    a_in_b = (F.col("n_common") * 10000 >= t * F.col("_na")) & (
+        F.col("_nb") * 10000 >= r * F.col("_na")
+    )
+    drops = (
+        ex.filter(a_in_b)
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_containers"))
+        .withColumnRenamed("id_a", id_col)
+    )
+    stats = pbase.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("n_shingles"),
+    )
+    return (
+        stats.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce("n_containers", F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            (F.coalesce("n_containers", F.lit(0)) > 0)
+            .cast("long")
+            .alias("dropped"),
+        )
+    )
+
+
 def containment_drop(
     df: DataFrame,
     text_col: str = "text",

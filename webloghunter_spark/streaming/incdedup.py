@@ -237,3 +237,125 @@ def containment_stream_writer(
 
     process.release = release
     return process
+
+
+def containment_drop_stream_writer(
+    sink: Callable[[list[tuple], int], None],
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_bp: int = 8000,
+    size_ratio_bp: int = 10000,
+    max_df: int = 20,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of pipelines/dedup.containment_drop_against —
+    the continuous-ingest quote-farm GATE (the pairs twin above
+    finds; this decides). The frozen index is the same corpus
+    shingle-set + discriminative-inverted-index pair as
+    containment_stream_writer; the corpus is authoritative (no
+    keep-best), the probe side never contributes to df, and probes
+    are never compared to each other — so the union of per-batch
+    decisions over ANY slicing equals the one-shot batch operator,
+    parity for free, zero cross-batch state, and at-least-once
+    replays re-emit deterministically. Index persisted in the
+    closure (never session.materialize()); `.release` frees it."""
+    from webloghunter_spark.functions.text import shingles_expr
+
+    if not 5000 <= threshold_bp <= 10000:
+        raise ValueError(
+            f"threshold_bp must be in [5000, 10000], got {threshold_bp}"
+        )
+    if size_ratio_bp < 10000:
+        raise ValueError(
+            f"size_ratio_bp must be >= 10000, got {size_ratio_bp}"
+        )
+    csh = (
+        corpus.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
+    cinv = csh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    rcinv = (
+        cinv.join(
+            cinv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= int(max_df))
+            .select("_g"),
+            "_g",
+            "left_semi",
+        )
+        .persist()
+    )
+    csh.count(), rcinv.count()  # settle the frozen index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pbase = batch_df.select(
+            F.col(id_col),
+            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        )
+        psh = pbase.filter(F.size("_sh") > 0)
+        pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+        cand = (
+            pinv.alias("p")
+            .join(rcinv.alias("c"), F.col("p._g") == F.col("c._g"))
+            .select(
+                F.col(f"p.{id_col}").alias("id_a"),
+                F.col(f"c.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        a = psh.alias("a")
+        b = csh.alias("b")
+        ex = (
+            cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+            .join(b, cand.id_b == F.col(f"b.{id_col}"))
+            .select(
+                "id_a",
+                F.size(F.array_intersect("a._sh", "b._sh"))
+                .cast("long")
+                .alias("n_common"),
+                F.size("a._sh").cast("long").alias("_na"),
+                F.size("b._sh").cast("long").alias("_nb"),
+            )
+        )
+        t = F.lit(int(threshold_bp))
+        r = F.lit(int(size_ratio_bp))
+        a_in_b = (F.col("n_common") * 10000 >= t * F.col("_na")) & (
+            F.col("_nb") * 10000 >= r * F.col("_na")
+        )
+        drops = (
+            ex.filter(a_in_b)
+            .groupBy("id_a")
+            .agg(F.count(F.lit(1)).alias("n_containers"))
+            .withColumnRenamed("id_a", id_col)
+        )
+        stats = pbase.select(
+            F.col(id_col), F.size("_sh").cast("long").alias("n_shingles")
+        )
+        rows = (
+            stats.join(drops, id_col, "left")
+            .select(
+                F.col(id_col),
+                "n_shingles",
+                F.coalesce("n_containers", F.lit(0))
+                .cast("long")
+                .alias("n_containers"),
+                (F.coalesce("n_containers", F.lit(0)) > 0)
+                .cast("long")
+                .alias("dropped"),
+            )
+            .collect()
+        )
+        rows.sort(key=lambda rr: (rr[0] is not None, rr[0]))
+        sink([tuple(rr) for rr in rows], batch_id)
+
+    def release() -> None:
+        csh.unpersist()
+        rcinv.unpersist()
+
+    process.release = release
+    return process
