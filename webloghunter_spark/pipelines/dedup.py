@@ -475,6 +475,14 @@ def containment_drop_against(
     Output: one row per probe doc —
     (id, n_shingles, n_containers, dropped 0/1).
 
+    Documented miss (containment_pairs', restated for gate consumers):
+    candidates need >= 1 shared shingle with corpus df <= max_df, so a
+    probe fully contained in a corpus doc can still SURVIVE when every
+    shared shingle is heavily duplicated across the corpus
+    (df > max_df) — n_shingles is reported for every probe row, but
+    candidate generation saw only the discriminative subset. Raise
+    max_df (cost: candidate volume) if the corpus is boilerplate-heavy.
+
     Scale shape: frozen-corpus discriminative inverted index (corpus
     df <= max_df — the probe side never contributes, so batch
     slicing cannot change candidates), candidates joined per batch,

@@ -161,6 +161,12 @@ def containment_stream_writer(
     from webloghunter_spark.functions.similarity import grid_round_expr
     from webloghunter_spark.functions.text import shingles_expr
 
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_df < 1:
+        # max_df <= 0 silently freezes an EMPTY inverted index — every
+        # probe passes with no error (batch twin's guard, mirrored)
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
     csh = (
         corpus.select(
             F.col(id_col),
@@ -198,8 +204,11 @@ def containment_stream_writer(
             )
             .distinct()
         )
-        a = psh.alias("a")
-        b = csh.alias("b")
+        # shuffle_hash on BOTH verify sides (the batch twins' hint):
+        # the corpus shingle table scales with the corpus — without the
+        # hint the planner may broadcast csh for a large frozen corpus
+        a = psh.alias("a").hint("shuffle_hash")
+        b = csh.alias("b").hint("shuffle_hash")
         ex = (
             cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
             .join(b, cand.id_b == F.col(f"b.{id_col}"))
@@ -270,6 +279,11 @@ def containment_drop_stream_writer(
         raise ValueError(
             f"size_ratio_bp must be >= 10000, got {size_ratio_bp}"
         )
+    if max_df < 1:
+        # max_df <= 0 silently freezes an EMPTY inverted index — the
+        # gate would pass every probe with no error (batch twin's guard,
+        # containment_drop_against, mirrored)
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
     csh = (
         corpus.select(
             F.col(id_col),
@@ -308,8 +322,11 @@ def containment_drop_stream_writer(
             )
             .distinct()
         )
-        a = psh.alias("a")
-        b = csh.alias("b")
+        # shuffle_hash on BOTH verify sides (the batch twins' hint):
+        # the corpus shingle table scales with the corpus — without the
+        # hint the planner may broadcast csh for a large frozen corpus
+        a = psh.alias("a").hint("shuffle_hash")
+        b = csh.alias("b").hint("shuffle_hash")
         ex = (
             cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
             .join(b, cand.id_b == F.col(f"b.{id_col}"))
