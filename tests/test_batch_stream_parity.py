@@ -2225,3 +2225,56 @@ def test_prefix_modal_batch_stream_parity(spark):
     # after batch 1 'a a a' wins outright at 3/4
     t_row = [r for r in fn.current() if r[0] == "t"][0]
     assert t_row[3] == "a a a" and t_row[4] == 3 and t_row[5] == 7500
+
+
+def test_containment_drop_twin_every_prefix_vs_registry(spark):
+    """The foreachBatch twin asserted against the REGISTRY query
+    itself (benchqueries.q_containment_drop_against on the sf0.001
+    documents fixture, odd probes vs even frozen corpus): after EVERY
+    batch, the union of emissions so far equals the registry operator
+    restricted to the probes streamed so far — and after the final
+    batch, the full registry output exactly."""
+    from webloghunter_spark.benchqueries import q_containment_drop_against
+    from webloghunter_spark.pipelines.dedup import containment_drop_against
+    from webloghunter_spark.streaming.incdedup import (
+        containment_drop_stream_writer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r.doc_id: tuple(r)
+        for r in q_containment_drop_against(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    cuts = [170, 340, 10**9]   # three uneven batches by doc_id
+    got: list[tuple] = []
+    fn = containment_drop_stream_writer(
+        lambda rows, bid: got.extend(rows), corpus
+    )
+    try:
+        lo = -1
+        for bid, hi in enumerate(cuts):
+            fn(
+                probe.filter(
+                    (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+                ),
+                bid,
+            )
+            seen = {r[0] for r in got}
+            # every-prefix parity: emissions so far == the one-shot
+            # batch operator over exactly the probes streamed so far
+            exp = {
+                r.doc_id: tuple(r)
+                for r in containment_drop_against(
+                    probe.filter(F.col("doc_id") <= hi), corpus
+                ).collect()
+            }
+            assert {r[0]: r for r in got} == exp
+            assert all(full[i] == exp[i] for i in seen)
+            lo = hi
+    finally:
+        fn.release()
+    assert {r[0]: tuple(r) for r in got} == full
+    assert sum(r[3] for r in got) > 0   # fixture exercises real drops

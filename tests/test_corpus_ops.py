@@ -1808,7 +1808,8 @@ def test_filter_track_attrition_by_band(spark):
     rows_out = out.collect()
     assert sum(r.n_raw for r in rows_out) == 4
     for r in rows_out:
-        assert r.n_raw >= r.n_gate >= r.n_exact >= r.n_near >= r.n_clean
+        assert (r.n_raw >= r.n_gate >= r.n_exact >= r.n_near
+                >= r.n_contain >= r.n_clean)
     a = {r.quality_band: r for r in rows_out if r.source == "a"}
     band_of_dup = [b for b, r in a.items() if r.n_gate >= 2]
     assert band_of_dup, "docs 1+2 share a band and both pass the gate"
@@ -1928,13 +1929,14 @@ def test_dataset_diff_status_and_stage_transitions(spark):
                old, new, min_quality_bp=1000, min_tokens=5,
                near_dedup_threshold=0.8,
            ).collect()}
-    # no eval_df -> stage 4 == stage 3 survivors (decontam skipped
-    # means s4 = s3, so survivors tag 4)
-    assert out[("unchanged", 4, 4)] == 2        # docs 1, 4
-    assert out[("removed", 4, -1)] == 1         # doc 2
-    assert out[("changed", 0, 4)] == 1          # doc 3 rewrite
+    # no eval_df -> decontam skipped, and nothing here is contained
+    # in a not-smaller doc -> survivors carry the top tag 5 (a skipped
+    # stage drops nothing; tags advance through it)
+    assert out[("unchanged", 5, 5)] == 2        # docs 1, 4
+    assert out[("removed", 5, -1)] == 1         # doc 2
+    assert out[("changed", 0, 5)] == 1          # doc 3 rewrite
     assert out[("added", -1, 0)] == 1           # doc 5 stub
-    assert out[("added", -1, 4)] == 1           # doc 6
+    assert out[("added", -1, 5)] == 1           # doc 6
     assert sum(out.values()) == 6
 
 

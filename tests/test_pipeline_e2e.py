@@ -114,7 +114,7 @@ def test_curate_corpus_full_funnel(spark):
     )
     stages = [s for s, _, _ in funnel]
     assert stages == ["quality_gate", "normalized_dedup", "near_dedup",
-                      "decontaminate"]
+                      "containment_drop", "decontaminate"]
     # monotone attrition, rows_in chains
     for (s1, i1, o1), (s2, i2, o2) in zip(funnel, funnel[1:]):
         assert o1 == i2 and o1 <= i1
@@ -128,6 +128,7 @@ def test_curate_corpus_full_funnel(spark):
     # skipping every stage is identity with an empty funnel
     out2, f2 = curate_corpus(
         docs, min_quality_bp=None, near_dedup_threshold=None,
+        containment_threshold_bp=None,
     )
     assert f2 == [] and out2.count() == docs.count()
 

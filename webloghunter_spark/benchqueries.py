@@ -1341,6 +1341,102 @@ SQL_CONTAINMENT_DROP = f"""
 """
 
 
+def q_containment_pairs_against(spark, sf_dir):
+    """Asymmetric PROBE-vs-CORPUS containment pairs (the
+    continuous-ingest sibling of containment_pairs): odd doc_ids are
+    the incoming batch, even doc_ids the accepted frozen corpus.
+    Candidates share >= 1 shingle whose CORPUS df is <= 20 (the probe
+    side never contributes to df, so per-batch results are
+    slicing-independent); exact verify on distinct shingle arrays,
+    max-direction threshold 0.5."""
+    from webloghunter_spark.pipelines.dedup import containment_pairs_against
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return containment_pairs_against(
+        probe, corpus, shingle_k=3, threshold=0.5, max_df=20
+    )
+
+
+SQL_CONTAINMENT_PAIRS_AGAINST = f"""
+    WITH {DOC_TOKENS_SQL},
+    dsh AS (
+        SELECT doc_id, list_distinct(s) AS s FROM shingles WHERE len(s) > 0
+    ),
+    csh AS (SELECT doc_id, s FROM dsh WHERE doc_id % 2 = 0),
+    psh AS (SELECT doc_id, s FROM dsh WHERE doc_id % 2 = 1),
+    cinv AS (SELECT doc_id, unnest(s) AS g FROM csh),
+    rare AS (SELECT g FROM cinv GROUP BY g HAVING count(*) <= 20),
+    rcinv AS (SELECT i.doc_id, i.g FROM cinv i JOIN rare USING (g)),
+    pinv AS (SELECT doc_id, unnest(s) AS g FROM psh),
+    cand AS (
+        SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
+        FROM pinv p JOIN rcinv c ON p.g = c.g
+    ),
+    ex AS (
+        SELECT id_a, id_b,
+               len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+               len(a.s)::BIGINT AS na, len(b.s)::BIGINT AS nb
+        FROM cand
+        JOIN psh a ON a.doc_id = cand.id_a
+        JOIN csh b ON b.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common::DOUBLE / na, 4) AS contain_ab,
+           round(n_common::DOUBLE / nb, 4) AS contain_ba
+    FROM ex
+    WHERE greatest(n_common::DOUBLE / na, n_common::DOUBLE / nb) >= 0.5
+"""
+
+
+def q_containment_drop_against(spark, sf_dir):
+    """The incremental containment INTERVENTION: drop an incoming
+    probe doc (odd doc_ids) contained >= 0.8 (exact-integer bp rule)
+    in a not-smaller doc of the accepted frozen corpus (even doc_ids).
+    The corpus is authoritative — no keep-best re-litigation — so
+    per-batch decisions are slicing-independent by construction and
+    the foreachBatch twin gets parity for free. One row per probe doc:
+    (doc_id, n_shingles, n_containers, dropped)."""
+    from webloghunter_spark.pipelines.dedup import containment_drop_against
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return containment_drop_against(
+        probe, corpus, shingle_k=3, threshold_bp=8000,
+        size_ratio_bp=10000, max_df=20,
+    )
+
+
+# Oracle BUILT FROM SQL_CONTAINMENT_PAIRS_AGAINST (the
+# SQL_CONTAINMENT_DROP discipline): the frozen-index pair machinery
+# cannot drift. A drop event needs contain_ab >= 0.8 on the exact
+# integer grid, so every decided pair is present in the 0.5-threshold
+# against-pair frame the two sides share. The final per-probe frame is
+# UNFILTERED (dsh without the len>0 guard), mirroring the operator's
+# pbase: empty-shingle probes report n_shingles=0, dropped=0.
+SQL_CONTAINMENT_DROP_AGAINST = f"""
+    WITH cont AS ({SQL_CONTAINMENT_PAIRS_AGAINST}),
+    {DOC_TOKENS_SQL},
+    dsh AS (SELECT doc_id, list_distinct(s) AS s FROM shingles),
+    drops AS (
+        SELECT c.id_a AS doc_id, count(*)::BIGINT AS n_containers
+        FROM cont c
+        JOIN dsh a ON a.doc_id = c.id_a
+        JOIN dsh b ON b.doc_id = c.id_b
+        WHERE c.n_common * 10000 >= 8000 * len(a.s)
+          AND len(b.s) * 10000 >= 10000 * len(a.s)
+        GROUP BY c.id_a
+    )
+    SELECT p.doc_id, len(p.s)::BIGINT AS n_shingles,
+           coalesce(d.n_containers, 0)::BIGINT AS n_containers,
+           (coalesce(d.n_containers, 0) > 0)::BIGINT AS dropped
+    FROM dsh p LEFT JOIN drops d USING (doc_id)
+    WHERE p.doc_id % 2 = 1
+"""
+
+
 def q_dedup_sensitivity(spark, sf_dir):
     """Near-dup attrition vs threshold (0.7/0.8/0.9): ONE shared
     MinHash/LSH/exact-Jaccard pass, per-threshold pair counts and
@@ -2972,6 +3068,9 @@ def q_dataset_diff(spark, sf_dir):
         near_dedup_threshold=0.8,
         dedup_num_hashes=4,
         dedup_band_size=2,
+        containment_threshold_bp=8000,
+        containment_size_ratio_bp=10000,
+        containment_max_df=20,
         decontam_n=4,
     )
 
@@ -7046,6 +7145,76 @@ SQL_SOURCE_SCORECARD = f"""
 """
 
 
+def q_scorecard_budget(spark, sf_dir):
+    """Audit-driven budget allocation (closes source_scorecard's
+    loop): each source's share of a 20k-token budget is proportional
+    to its EFFECTIVE clean token mass — n_tokens scaled by
+    (10000 - min(dup_doc_bp + contained_bp, 10000)) on the exact
+    integer grid — then every source admits its highest-quality docs
+    until its budget is spent (the budget_by_source walk). Mirror
+    sources de-budget themselves instead of being hand-excluded."""
+    from webloghunter_spark.pipelines.select import scorecard_budget
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return scorecard_budget(
+        docs, total_budget=20_000, neardup_threshold=0.8, num_hashes=4,
+        band_size=2, shingle_k=3, containment_threshold_bp=8000,
+        size_ratio_bp=10000, max_df=20,
+    )
+
+
+def _scorecard_budget_sql() -> str:
+    """SQL_BUDGET_BY_SOURCE's selection walk re-budgeted FROM the
+    scorecard (the dataset_diff string-surgery discipline): the
+    mix_temperature budget CTEs (per/tot/r/z/bud) are swapped for the
+    scorecard-effective-token allocation; the per-doc quality frame,
+    histogram-cutoff walk, and boundary recursion stay byte-identical
+    to the individually-verified budget_by_source oracle. Import-time
+    asserts pin the anchor so drift fails loudly."""
+    old = """    per AS (SELECT source, sum(ntok)::BIGINT AS n_tokens FROM d GROUP BY source),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+    r AS (
+        SELECT source, n_tokens,
+               CASE WHEN tot > 0 THEN n_tokens / tot ELSE 0.0 END AS raw
+        FROM per, tot
+    ),
+    z AS (SELECT sum(CAST(floor(pow(raw, 0.7) * 1000000000.0 + 0.5)
+                          AS BIGINT))::DOUBLE / 1000000000.0 AS z
+          FROM r),
+    bud AS (
+        SELECT source,
+               (20000 * CAST(floor(CASE WHEN z > 0 THEN pow(raw, 0.7) / z
+                                        ELSE 0.0 END * 10000.0 + 0.5)
+                             AS BIGINT)) // 10000 AS budget
+        FROM r, z
+    ),
+"""
+    assert SQL_BUDGET_BY_SOURCE.count(old) == 1, (
+        "budget_by_source allocation anchor drifted"
+    )
+    new = f"""    sc AS ({SQL_SOURCE_SCORECARD}),
+    eff AS (
+        SELECT source,
+               (n_tokens * (10000 - least(dup_doc_bp + contained_bp, 10000)))
+                   // 10000 AS eff
+        FROM sc
+    ),
+    tote AS (SELECT sum(eff)::BIGINT AS tot FROM eff),
+    bud AS (
+        SELECT source,
+               CASE WHEN tot > 0 THEN (20000 * eff) // tot
+                    ELSE 0 END AS budget
+        FROM eff, tote
+    ),
+"""
+    return SQL_BUDGET_BY_SOURCE.replace(old, new)
+
+
+SQL_SCORECARD_BUDGET = _scorecard_budget_sql()
+assert "sc AS (" in SQL_SCORECARD_BUDGET
+assert "pow(raw, 0.7)" not in SQL_SCORECARD_BUDGET
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive-training data prep: for query vectors 0-4, the 10
     most-similar store vectors with a DIFFERENT label (near-miss
@@ -7625,7 +7794,8 @@ SQL_TOKENIZER_FERTILITY = r"""
 def q_curate_pipeline(spark, sf_dir):
     """THE END-TO-END FUNNEL under one oracle: quality gate (length /
     encoding / quality rules, LM off) -> normalized-key exact dedup ->
-    MinHash-LSH near-dedup (>=0.8, 4 hashes / 2 bands) ->
+    MinHash-LSH near-dedup (>=0.8, 4 hashes / 2 bands) -> containment
+    drop (>=0.8 bp, not-smaller container, keep-best ties) ->
     4-gram decontamination against the every-50th-doc eval set —
     composed by pipelines/curate.curate_corpus exactly as a user runs
     it, with survivors materialized between stages. Each stage is
@@ -7646,6 +7816,9 @@ def q_curate_pipeline(spark, sf_dir):
         near_dedup_threshold=0.8,
         dedup_num_hashes=4,
         dedup_band_size=2,
+        containment_threshold_bp=8000,
+        containment_size_ratio_bp=10000,
+        containment_max_df=20,
         decontam_n=4,
     )
     return out.select("doc_id", "lang", "source")
@@ -7729,6 +7902,48 @@ SQL_CURATE_PIPELINE = r"""
         SELECT doc_id FROM s2
         WHERE doc_id NOT IN (SELECT id_b FROM dropped)
     ),
+    cinv2 AS (
+        SELECT d.doc_id, unnest(d.sh) AS g
+        FROM dsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
+    ),
+    crare AS (
+        SELECT g FROM cinv2 GROUP BY g HAVING count(*) BETWEEN 2 AND 20
+    ),
+    crinv AS (SELECT i.doc_id, i.g FROM cinv2 i JOIN crare USING (g)),
+    ccand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM crinv l JOIN crinv r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    cex AS (
+        SELECT id_a, id_b,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+               len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb,
+               ga.qbp AS qa, gb.qbp AS qb
+        FROM ccand
+        JOIN dsh a ON a.doc_id = ccand.id_a
+        JOIN dsh b ON b.doc_id = ccand.id_b
+        JOIN gate ga ON ga.doc_id = ccand.id_a
+        JOIN gate gb ON gb.doc_id = ccand.id_b
+    ),
+    cev AS (
+        SELECT CASE
+            WHEN (n_common * 10000 >= 8000 * na AND nb * 10000 >= 10000 * na)
+                 AND (NOT (n_common * 10000 >= 8000 * nb
+                           AND na * 10000 >= 10000 * nb)
+                      OR qa < qb)
+            THEN id_a
+            WHEN (n_common * 10000 >= 8000 * nb AND na * 10000 >= 10000 * nb)
+                 AND (NOT (n_common * 10000 >= 8000 * na
+                           AND nb * 10000 >= 10000 * na)
+                      OR qa >= qb)
+            THEN id_b
+        END AS doc_id
+        FROM cex
+    ),
+    s4 AS (
+        SELECT doc_id FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM cev WHERE doc_id IS NOT NULL)
+    ),
     evt AS (
         SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
                THEN CAST([] AS VARCHAR[])
@@ -7748,11 +7963,11 @@ SQL_CURATE_PIPELINE = r"""
                THEN CAST([] AS VARCHAR[])
                ELSE list_transform(generate_series(1, len(t.t) - 3),
                    i -> array_to_string(t.t[i:i+3], ' ')) END) AS g
-        FROM toks t JOIN s3 USING (doc_id)
+        FROM toks t JOIN s4 USING (doc_id)
     ),
     bad AS (SELECT DISTINCT tr4.doc_id FROM tr4 JOIN ev USING (g))
     SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN s3 USING (doc_id)
+    FROM documents d JOIN s4 USING (doc_id)
     WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
@@ -7760,10 +7975,11 @@ SQL_CURATE_PIPELINE = r"""
 def q_filter_track(spark, sf_dir):
     """DataComp-style attrition matrix over the SAME funnel (and the
     same split/parameters) as curate_pipeline: per (source, quality
-    band), how many documents survive the gate, each dedup tier, and
-    decontamination — the report that shows WHERE a source's data
-    dies. The oracle shares curate_pipeline's stage CTEs verbatim
-    (built from the same string), so the two rows can never drift."""
+    band), how many documents survive the gate, each dedup tier, the
+    containment intervention, and decontamination — the report that
+    shows WHERE a source's data dies. The oracle shares
+    curate_pipeline's stage CTEs verbatim (built from the same
+    string), so the two rows can never drift."""
     from webloghunter_spark.pipelines.curate import filter_track
 
     docs = _fan(_t(spark, sf_dir, "documents"))
@@ -7778,16 +7994,19 @@ def q_filter_track(spark, sf_dir):
         near_dedup_threshold=0.8,
         dedup_num_hashes=4,
         dedup_band_size=2,
+        containment_threshold_bp=8000,
+        containment_size_ratio_bp=10000,
+        containment_max_df=20,
         decontam_n=4,
     )
 
 
 SQL_FILTER_TRACK = SQL_CURATE_PIPELINE.replace(
     """    SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN s3 USING (doc_id)
+    FROM documents d JOIN s4 USING (doc_id)
     WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""",
     """    , clean AS (
-        SELECT doc_id FROM s3
+        SELECT doc_id FROM s4
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
     )
     SELECT d.source,
@@ -7799,6 +8018,8 @@ SQL_FILTER_TRACK = SQL_CURATE_PIPELINE.replace(
                AS n_exact,
            sum((d.doc_id IN (SELECT doc_id FROM s3))::INT)::BIGINT
                AS n_near,
+           sum((d.doc_id IN (SELECT doc_id FROM s4))::INT)::BIGINT
+               AS n_contain,
            sum((d.doc_id IN (SELECT doc_id FROM clean))::INT)::BIGINT
                AS n_clean,
            ((sum((d.doc_id IN (SELECT doc_id FROM clean))::INT)::BIGINT
@@ -7824,7 +8045,7 @@ def _curate_stage_chain(prefix: str, src: str) -> str:
 
     body = SQL_CURATE_PIPELINE
     tail = """    SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN s3 USING (doc_id)
+    FROM documents d JOIN s4 USING (doc_id)
     WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
     assert tail in body, "curate final SELECT drifted"
@@ -7841,7 +8062,8 @@ def _curate_stage_chain(prefix: str, src: str) -> str:
     # longer names BEFORE their prefixes (evt before ev)
     names = (
         "toks|gate|keyed|sh3|hashed|sig|banded|cand|dsh|dropped"
-        "|evt|ev|tr4|bad|s1|s2|s3"
+        "|cinv2|crare|crinv|ccand|cex|cev"
+        "|evt|ev|tr4|bad|s1|s2|s3|s4"
     )
     return _re.sub(
         rf"\b({names})\b", lambda m: prefix + m.group(1), body
@@ -7853,8 +8075,9 @@ def _curate_stage_case(prefix: str) -> str:
     p = prefix
     return f"""(
         SELECT t.doc_id,
-               CASE WHEN t.doc_id IN (SELECT doc_id FROM {p}s3)
-                     AND t.doc_id NOT IN (SELECT doc_id FROM {p}bad) THEN 4
+               CASE WHEN t.doc_id IN (SELECT doc_id FROM {p}s4)
+                     AND t.doc_id NOT IN (SELECT doc_id FROM {p}bad) THEN 5
+                    WHEN t.doc_id IN (SELECT doc_id FROM {p}s4) THEN 4
                     WHEN t.doc_id IN (SELECT doc_id FROM {p}s3) THEN 3
                     WHEN t.doc_id IN (SELECT doc_id FROM {p}s2) THEN 2
                     WHEN t.doc_id IN (SELECT doc_id FROM {p}s1) THEN 1
@@ -9895,20 +10118,72 @@ SQL_BM25_BATCH = _bm25_batch_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-10 front = the 4 round-10 additions
-    # (containment_drop, batch_leakage, source_scorecard, bm25_drift),
-    # then the 40-query cohort whose last driver sample was round 6
-    # (the VERDICT r9 rotation ask), then the oldest round-7-cohort
-    # rechecks filling to exactly 50 (cms_counts / contam_spans land
-    # at 51-52 and roll to next round's fill). Everything after slot
+    # FIRST 50 entries. Round-11 front = the 3 round-11 additions
+    # (containment_drop_against, containment_pairs_against,
+    # scorecard_budget), the curate-family queries whose oracles
+    # gained the containment funnel stage this round (filter_track,
+    # dataset_diff; curate_pipeline sits in the cohort below) plus
+    # source_scorecard (now consumed by scorecard_budget), then the
+    # 44-query cohort whose last driver sample was round 7 (the
+    # VERDICT r10 rotation ask) — exactly 50. Everything after slot
     # 50 is covered by the committed full-registry HASHCHECK
     # artifacts.
-    # -- round-10 additions --
+    # -- round-11 additions + containment-stage oracle changes --
+    "containment_drop_against": q_containment_drop_against,
+    "containment_pairs_against": q_containment_pairs_against,
+    "scorecard_budget": q_scorecard_budget,
+    "filter_track": q_filter_track,
+    "dataset_diff": q_dataset_diff,
+    "source_scorecard": q_source_scorecard,
+    # -- round-7 cohort rotation (44) --
+    "cms_counts": q_cms_counts,
+    "contam_spans": q_contam_spans,
+    "curate_pipeline": q_curate_pipeline,
+    "curriculum_order": q_curriculum_order,
+    "dataset_card": q_dataset_card,
+    "dedup_normalized": q_dedup_normalized,
+    "dist_drift": q_dist_drift,
+    "dsir_weights": q_dsir_weights,
+    "emb_drift": q_emb_drift,
+    "emb_outliers": q_emb_outliers,
+    "epoch_order": q_epoch_order,
+    "fim_split": q_fim_split,
+    "group_split": q_group_split,
+    "hard_negatives": q_hard_negatives,
+    "incremental_dedup": q_incremental_dedup,
+    "interval_join": q_interval_join,
+    "label_propagation": q_label_propagation,
+    "local_volume": q_local_volume,
+    "mix_solver": q_mix_solver,
+    "mix_temperature": q_mix_temperature,
+    "mmr_select": q_mmr_select,
+    "oov_rate": q_oov_rate,
+    "order_priority": q_order_priority,
+    "padding_waste": q_padding_waste,
+    "perplexity_filter": q_perplexity_filter,
+    "pmi_collocations": q_pmi_collocations,
+    "quality_calibration": q_quality_calibration,
+    "quality_classifier": q_quality_classifier,
+    "readability": q_readability,
+    "semantic_contam": q_semantic_contam,
+    "snapshot_diff": q_snapshot_diff,
+    "source_divergence": q_source_divergence,
+    "span_corruption": q_span_corruption,
+    "substring_dedup": q_substring_dedup,
+    "substring_remove": q_substring_remove,
+    "token_budget": q_token_budget,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "train_manifest": q_train_manifest,
+    "train_order": q_train_order,
+    "triplet_mining": q_triplet_mining,
+    "upsample_epochs": q_upsample_epochs,
+    "url_normalize": q_url_normalize,
+    "vocab_coverage": q_vocab_coverage,
+    "zipf_fit": q_zipf_fit,
+    # -- remainder (committed full-registry HASHCHECK coverage) --
     "containment_drop": q_containment_drop,
     "batch_leakage": q_batch_leakage,
-    "source_scorecard": q_source_scorecard,
     "bm25_drift": q_bm25_drift,
-    # -- round-6 cohort rotation (40) --
     "chunk_sliding": q_chunk_sliding,
     "clean_html": q_clean_html,
     "corpus_stats": q_corpus_stats,
@@ -9949,19 +10224,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles": q_value_quantiles,
     "vocab_topk": q_vocab_topk,
     "weighted_sample": q_weighted_sample,
-    # -- oldest round-7 rechecks (8) --
     "bloom_audit": q_bloom_audit,
     "bpe_encode": q_bpe_encode,
     "bpe_merges": q_bpe_merges,
     "budget_by_source": q_budget_by_source,
     "cc_representatives": q_cc_representatives,
     "cluster_purity": q_cluster_purity,
-    "cms_counts": q_cms_counts,
-    "contam_spans": q_contam_spans,
-    # -- remainder (committed full-registry HASHCHECK coverage) --
     "url_blocklist_big": q_url_blocklist_big,
     "bpe_roundtrip": q_bpe_roundtrip,
-    "dataset_diff": q_dataset_diff,
     "containment_pairs": q_containment_pairs,
     "unimax_alloc": q_unimax_alloc,
     "dup_source_matrix": q_dup_source_matrix,
@@ -10020,7 +10290,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments": q_boilerplate_segments,
     "density_sample": q_density_sample,
     "bpe_apply": q_bpe_apply,
-    "filter_track": q_filter_track,
     "longest_repeat": q_longest_repeat,
     "url_blocklist": q_url_blocklist,
     "shard_balance": q_shard_balance,
@@ -10059,48 +10328,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": q_knn_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
-    "curate_pipeline": q_curate_pipeline,
-    "dedup_normalized": q_dedup_normalized,
-    "dist_drift": q_dist_drift,
-    "dsir_weights": q_dsir_weights,
-    "emb_drift": q_emb_drift,
-    "emb_outliers": q_emb_outliers,
-    "group_split": q_group_split,
-    "incremental_dedup": q_incremental_dedup,
-    "interval_join": q_interval_join,
-    "local_volume": q_local_volume,
-    "mix_temperature": q_mix_temperature,
-    "oov_rate": q_oov_rate,
-    "order_priority": q_order_priority,
-    "quality_calibration": q_quality_calibration,
-    "substring_dedup": q_substring_dedup,
-    "token_budget": q_token_budget,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "url_normalize": q_url_normalize,
-    "substring_remove": q_substring_remove,
-    "train_order": q_train_order,
-    "train_manifest": q_train_manifest,
-    "padding_waste": q_padding_waste,
-    "vocab_coverage": q_vocab_coverage,
-    "source_divergence": q_source_divergence,
-    "zipf_fit": q_zipf_fit,
-    "quality_classifier": q_quality_classifier,
-    "mix_solver": q_mix_solver,
-    "mmr_select": q_mmr_select,
-    "hard_negatives": q_hard_negatives,
-    "dataset_card": q_dataset_card,
-    "perplexity_filter": q_perplexity_filter,
-    "curriculum_order": q_curriculum_order,
-    "upsample_epochs": q_upsample_epochs,
-    "pmi_collocations": q_pmi_collocations,
-    "label_propagation": q_label_propagation,
-    "semantic_contam": q_semantic_contam,
-    "readability": q_readability,
-    "fim_split": q_fim_split,
-    "span_corruption": q_span_corruption,
-    "triplet_mining": q_triplet_mining,
-    "epoch_order": q_epoch_order,
-    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -10115,6 +10342,9 @@ ORACLES: dict[str, str] = {
     "dataset_diff": SQL_DATASET_DIFF,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "containment_drop": SQL_CONTAINMENT_DROP,
+    "containment_pairs_against": SQL_CONTAINMENT_PAIRS_AGAINST,
+    "containment_drop_against": SQL_CONTAINMENT_DROP_AGAINST,
+    "scorecard_budget": SQL_SCORECARD_BUDGET,
     "source_scorecard": SQL_SOURCE_SCORECARD,
     "bm25_drift": SQL_BM25_DRIFT,
     "url_blocklist": SQL_URL_BLOCKLIST,

@@ -7,8 +7,15 @@ the expensive corpus-wide joins see the smallest survivor set):
     1. quality gate      row-local rule stack (pipelines/gate.py)
     2. normalized dedup  canonical-key exact families (cheap tier)
     3. near dedup        MinHash-LSH drop-first (pipelines/dedup.py)
-    4. decontamination   eval n-gram overlap (pipelines/decontam.py)
-    5. token budget      quality-ranked selection (pipelines/select.py)
+    4. containment drop  doc-in-doc intervention (pipelines/dedup.py)
+    5. decontamination   eval n-gram overlap (pipelines/decontam.py)
+    6. token budget      quality-ranked selection (pipelines/select.py)
+
+The containment stage removes quote-farm / wrapper-page mirrors the
+Jaccard-based near-dedup tier structurally misses (a small doc fully
+embedded in a large one has Jaccard ~0, containment 1.0); it runs
+AFTER near-dedup so the expensive pair verify sees the post-dedup
+survivor set.
 
 Each stage is optional (None/0 disables it and its jobs entirely).
 Returns (survivors, funnel) where `funnel` is one row per stage with
@@ -45,6 +52,9 @@ def curate_corpus(
     dedup_num_hashes: int = 8,
     dedup_band_size: int = 2,
     dedup_shingle_k: int = 3,
+    containment_threshold_bp: int | None = 8000,
+    containment_size_ratio_bp: int = 10000,
+    containment_max_df: int = 20,
     decontam_n: int = 8,
     token_budget: int | None = None,
     score_col: str | None = None,
@@ -53,7 +63,8 @@ def curate_corpus(
     [(stage, rows_in, rows_out), ...] for every ENABLED stage.
 
     - `min_quality_bp=None` skips the gate; `near_dedup_threshold=None`
-      skips both dedup tiers; `eval_df=None` skips decontamination;
+      skips both dedup tiers; `containment_threshold_bp=None` skips the
+      containment intervention; `eval_df=None` skips decontamination;
       `token_budget=None` skips selection. `score_col` names the
       integer score column for selection; when None, a quality_bp
       score is derived on the fly from `text_col` — whether or not
@@ -116,6 +127,28 @@ def curate_corpus(
         )
         m = cur.count()
         funnel.append(("near_dedup", n, m))
+        n = m
+
+    if containment_threshold_bp is not None:
+        from webloghunter_spark.pipelines.dedup import containment_drop
+
+        # the intervention form: drop docs contained in a not-smaller
+        # survivor (quote farms / wrapper pages the Jaccard tier
+        # misses); keep-best tie-break is containment_drop's
+        dec = containment_drop(
+            cur,
+            text_col=text_col,
+            id_col=id_col,
+            source_col=None,
+            shingle_k=dedup_shingle_k,
+            threshold_bp=containment_threshold_bp,
+            size_ratio_bp=containment_size_ratio_bp,
+            max_df=containment_max_df,
+        )
+        keep = dec.filter(F.col("dropped") == 0).select(id_col)
+        cur = materialize(cur.join(keep, id_col, "left_semi"))
+        m = cur.count()
+        funnel.append(("containment_drop", n, m))
         n = m
 
     if eval_df is not None:
@@ -229,21 +262,27 @@ def funnel_stage_tags(
     dedup_num_hashes: int = 4,
     dedup_band_size: int = 2,
     dedup_shingle_k: int = 3,
+    containment_threshold_bp: int | None = 8000,
+    containment_size_ratio_bp: int = 10000,
+    containment_max_df: int = 20,
     decontam_n: int = 4,
 ) -> DataFrame:
     """The LAST curate-funnel stage each document survives — (id,
     last_stage) with 1=gate, 2=exact dedup, 3=near dedup,
-    4=decontamination; gate-dead docs are ABSENT (callers coalesce to
-    0). This is filter_track's survivor computation factored out so
-    dataset_diff can run it on two snapshots without drift — one code
-    path, one oracle CTE chain.
+    4=containment drop, 5=decontamination; gate-dead docs are ABSENT
+    (callers coalesce to 0). `containment_threshold_bp=None` skips the
+    containment stage — a skipped stage drops nothing, so every
+    near-dedup survivor carries the containment tag too (stage
+    numbering stays stable for consumers). This is filter_track's survivor
+    computation factored out so dataset_diff can run it on two
+    snapshots without drift — one code path, one oracle CTE chain.
 
     Scale: stage frames carry (id, text) only until the dedup tiers
-    need the text, then id-only; survivor sets are NESTED so the four
+    need the text, then id-only; survivor sets are NESTED so the
     membership flags collapse to ONE union + max(stage) aggregate
     (the filter_track lesson: 4.2x -> 2.82x at the 32x control)."""
     from webloghunter_spark.functions.text import normalized_text_expr
-    from webloghunter_spark.pipelines.dedup import near_dedup
+    from webloghunter_spark.pipelines.dedup import containment_drop, near_dedup
     from webloghunter_spark.pipelines.decontam import decontaminate
     from webloghunter_spark.pipelines.gate import quality_gate
 
@@ -288,28 +327,50 @@ def funnel_stage_tags(
             "left_semi",
         )
     )
+    if containment_threshold_bp is not None:
+        s4 = materialize(
+            s3.join(
+                containment_drop(
+                    s3,
+                    text_col="_txt",
+                    id_col=id_col,
+                    source_col=None,
+                    shingle_k=dedup_shingle_k,
+                    threshold_bp=containment_threshold_bp,
+                    size_ratio_bp=containment_size_ratio_bp,
+                    max_df=containment_max_df,
+                )
+                .filter(F.col("dropped") == 0)
+                .select(id_col),
+                id_col,
+                "left_semi",
+            )
+        )
+    else:
+        s4 = s3
     if eval_df is not None:
         # decontaminate shingles BOTH frames on text_col — mirror the
         # rename on the eval side
         ev = eval_df.select(F.col(id_col), F.col(text_col).alias("_txt"))
-        s4 = decontaminate(
-            s3, ev, id_col=id_col, text_col="_txt", n=decontam_n
+        s5 = decontaminate(
+            s4, ev, id_col=id_col, text_col="_txt", n=decontam_n
         ).select(id_col)
     else:
-        s4 = s3.select(id_col)
+        s5 = s4.select(id_col)
     # Settle the staged persists BEFORE the fan-out union, so the
     # branches hit cache instead of recomputing shared funnel lineage.
-    for st in (s1, s2, s3):
+    for st in (s1, s2, s3, s4):
         st.count()
-    # Survivor sets are NESTED (clean ⊆ near ⊆ exact ⊆ gate), so the
-    # four membership flags collapse to ONE number — the last stage a
-    # doc survived: union the id sets with a stage tag, take max(tag),
-    # join ONCE. One exchange + one join instead of four id joins.
+    # Survivor sets are NESTED (clean ⊆ contain ⊆ near ⊆ exact ⊆
+    # gate), so the membership flags collapse to ONE number — the last
+    # stage a doc survived: union the id sets with a stage tag, take
+    # max(tag), join ONCE. One exchange + one join instead of five.
     return (
         s1.select(F.col(id_col), F.lit(1).alias("_st"))
         .unionByName(s2.select(F.col(id_col), F.lit(2).alias("_st")))
         .unionByName(s3.select(F.col(id_col), F.lit(3).alias("_st")))
         .unionByName(s4.select(F.col(id_col), F.lit(4).alias("_st")))
+        .unionByName(s5.select(F.col(id_col), F.lit(5).alias("_st")))
         .groupBy(id_col)
         .agg(F.max("_st").alias("last_stage"))
     )
@@ -328,12 +389,16 @@ def filter_track(
     dedup_num_hashes: int = 4,
     dedup_band_size: int = 2,
     dedup_shingle_k: int = 3,
+    containment_threshold_bp: int | None = 8000,
+    containment_size_ratio_bp: int = 10000,
+    containment_max_df: int = 20,
     decontam_n: int = 4,
     band_width_bp: int = 2500,
 ) -> DataFrame:
     """DataComp-style attrition report: the curate_corpus funnel
     (gate -> normalized exact dedup -> MinHash-LSH near-dedup ->
-    n-gram decontamination, identical stage exprs and parameters),
+    containment drop -> n-gram decontamination, identical stage exprs
+    and parameters),
     tracked per (group, quality band) instead of collapsed to global
     funnel counts — the table that shows WHERE a source's data dies
     and whether the gate and the dedup tiers hit the same quality
@@ -341,9 +406,9 @@ def filter_track(
     (band = min(qbp div band_width_bp, 10000 div band_width_bp - 1),
     so 2500 -> 4 bands), assigned to every RAW document, survivors or
     not. Returns one row per observed (group, band):
-    (group, quality_band, n_raw, n_gate, n_exact, n_near, n_clean,
-    survived_bp) with survived_bp = n_clean/n_raw on the exact
-    integer cross-multiply grid.
+    (group, quality_band, n_raw, n_gate, n_exact, n_near, n_contain,
+    n_clean, survived_bp) with survived_bp = n_clean/n_raw on the
+    exact integer cross-multiply grid.
 
     Scale: the stage costs ARE curate_corpus's (each stage is the
     same operator on the same survivor sets, via funnel_stage_tags —
@@ -383,6 +448,9 @@ def filter_track(
         dedup_num_hashes=dedup_num_hashes,
         dedup_band_size=dedup_band_size,
         dedup_shingle_k=dedup_shingle_k,
+        containment_threshold_bp=containment_threshold_bp,
+        containment_size_ratio_bp=containment_size_ratio_bp,
+        containment_max_df=containment_max_df,
         decontam_n=decontam_n,
     ).withColumnRenamed("last_stage", "_last")
     flags = base.select(id_col, "_grp", "quality_band").join(
@@ -398,7 +466,8 @@ def filter_track(
             cnt(1).alias("n_gate"),
             cnt(2).alias("n_exact"),
             cnt(3).alias("n_near"),
-            cnt(4).alias("n_clean"),
+            cnt(4).alias("n_contain"),
+            cnt(5).alias("n_clean"),
         )
         .withColumn(
             "survived_bp",
@@ -420,7 +489,8 @@ def dataset_diff(
     either snapshot is classified added/removed/changed/unchanged by
     content fingerprint, and BOTH snapshots get funnel_stage_tags'
     last-survived-stage (-1=absent from that snapshot, 0=gate-dead ..
-    4=clean — integral, never NULL, so the column survives
+    5=clean, 4=containment survivor — integral, never NULL, so the
+    column survives
     Arrow/pandas round-trips without NaN-float coercion). Returns one
     row per observed
     (status, old_stage, new_stage) with its count n — the table that
@@ -431,7 +501,7 @@ def dataset_diff(
     Scale: snapshot_diff is one full-outer join on 16-byte digests;
     each funnel pass is filter_track's machinery (same code path via
     funnel_stage_tags — id sets move, never text, one union+max(stage)
-    aggregate per snapshot); the final rollup is a |statuses x 5 x 5|
+    aggregate per snapshot); the final rollup is a |statuses x 7 x 7|
     aggregate. Nothing here exceeds what two curate runs already
     cost."""
     ds = snapshot_diff(old, new, id_col=id_col, text_col=text_col)

@@ -581,7 +581,7 @@ def containment_drop(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    source_col: str = "source",
+    source_col: str | None = "source",
     shingle_k: int = 3,
     threshold_bp: int = 8000,
     size_ratio_bp: int = 10000,
@@ -613,6 +613,8 @@ def containment_drop(
 
     Output: one row per input doc —
     (id, source, n_shingles, quality_bp, n_containers, dropped) with
+    the `source` column omitted when `source_col=None` (the
+    curate-funnel internal form — stage frames carry no source), and
     n_containers = how many pairs designate this doc the drop side
     and dropped = 0/1. Survivors are `dropped = 0`; per-source drop
     counts are a groupBy away.
@@ -648,10 +650,13 @@ def containment_drop(
         raise ValueError(f"max_df must be >= 2, got {max_df}")
     from webloghunter_spark.functions.text import quality_bp_expr
 
+    src = (
+        [F.col(source_col).alias("source")] if source_col is not None else []
+    )
     base = materialize(
         df.select(
             F.col(id_col),
-            F.col(source_col).alias("source"),
+            *src,
             F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
             F.coalesce(quality_bp_expr(text_col), F.lit(0))
             .cast("long")
@@ -682,9 +687,10 @@ def containment_drop(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_containers"))
     )
+    srcname = ["source"] if source_col is not None else []
     stats = base.select(
         F.col(id_col),
-        "source",
+        *srcname,
         F.size("_sh").cast("long").alias("n_shingles"),
         F.col("_q").alias("quality_bp"),
     )
@@ -692,7 +698,7 @@ def containment_drop(
         stats.join(drops, id_col, "left")
         .select(
             F.col(id_col),
-            "source",
+            *srcname,
             "n_shingles",
             "quality_bp",
             F.coalesce("n_containers", F.lit(0))

@@ -1063,6 +1063,95 @@ def source_scorecard(
     )
 
 
+def scorecard_budget(
+    df: DataFrame,
+    total_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    neardup_threshold: float = 0.8,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    containment_threshold_bp: int = 8000,
+    size_ratio_bp: int = 10000,
+    max_df: int = 20,
+) -> DataFrame:
+    """Audit-driven budget allocation — the intervention that CLOSES
+    source_scorecard's loop (the scorecard says which sources are
+    dup/containment-heavy; this cuts their budget accordingly, the
+    same way containment_drop closed containment_pairs'): each
+    source's share of `total_budget` is proportional to its
+    EFFECTIVE clean token mass
+
+        eff = (n_tokens * (10000 - min(dup_doc_bp + contained_bp,
+                                       10000))) div 10000
+        budget = (total_budget * eff) div sum(eff)
+
+    — exact-integer all the way (dup_doc_bp = the source's exact-dup
+    exposure from dataset_card, contained_bp = its containment-drop
+    attrition; both already on the bp grid) — then every source
+    independently admits its highest-quality documents until its
+    budget is spent (token_budget_by_group's histogram-cutoff walk:
+    highest quality_bp first, lowest id on ties, greedy-skip at the
+    boundary). A mirror source that near-entirely duplicates another
+    gets eff ~ 0 and is de-budgeted instead of hand-excluded.
+
+    Output: (id, source, quality_bp, ntok, selected) — one row per
+    input doc, budget_by_source's shape.
+
+    Scale shape: the cost IS source_scorecard's (three individually
+    scale-argued pipelines joined at |sources| rows) plus
+    token_budget_by_group's (one combinable histogram + driver walk
+    on a |sources| x bp grid + codegen'd final compare) — the
+    scorecard collapses to |sources| driver rows before any budget
+    math, so the allocation itself is driver integer arithmetic,
+    and no doc-scale frame is ever joined against another here."""
+    if total_budget < 0:
+        raise ValueError(
+            f"total_budget must be >= 0, got {total_budget}"
+        )
+    from webloghunter_spark.functions.text import quality_bp_expr
+
+    card = source_scorecard(
+        df, text_col=text_col, id_col=id_col, source_col=source_col,
+        lang_col=lang_col, neardup_threshold=neardup_threshold,
+        num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k,
+        containment_threshold_bp=containment_threshold_bp,
+        size_ratio_bp=size_ratio_bp, max_df=max_df,
+    )
+    rows = card.select(
+        source_col, "n_tokens", "dup_doc_bp", "contained_bp"
+    ).collect()
+    eff = {
+        r[source_col]: (
+            int(r["n_tokens"])
+            * (10000 - min(int(r["dup_doc_bp"])
+                           + int(r["contained_bp"]), 10000))
+        ) // 10000
+        for r in rows
+    }
+    tot = sum(eff.values())
+    budgets = {
+        s: ((int(total_budget) * e) // tot) if tot > 0 else 0
+        for s, e in eff.items()
+    }
+    scored = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(text_col),
+        F.coalesce(quality_bp_expr(text_col), F.lit(0))
+        .cast("long")
+        .alias("quality_bp"),
+    )
+    out = token_budget_by_group(
+        scored, budgets, group_col=source_col, score_col="quality_bp",
+        id_col=id_col,
+    )
+    return out.select(id_col, source_col, "quality_bp", "ntok", "selected")
+
+
 def rank_fusion(
     df: DataFrame,
     signal_cols: tuple[str, ...] | list[str],
