@@ -122,3 +122,15 @@ def test_scorecard_budget_debudgets_mirror_source(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="total_budget"):
         scorecard_budget(docs, total_budget=-1)
+
+    # non-default text_col regression (r11 ADVICE): the default ntok
+    # expression used to hardcode "text" and unresolve for any other
+    # text column name — results must match the default-named run
+    renamed = docs.withColumnRenamed("text", "body")
+    out2 = scorecard_budget(
+        renamed, total_budget=300, text_col="body",
+        num_hashes=4, band_size=2,
+    ).collect()
+    assert {(r.doc_id, r.selected, int(r.ntok)) for r in out2} == {
+        (r.doc_id, r.selected, int(r.ntok)) for r in out
+    }

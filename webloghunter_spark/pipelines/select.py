@@ -1148,6 +1148,10 @@ def scorecard_budget(
     out = token_budget_by_group(
         scored, budgets, group_col=source_col, score_col="quality_bp",
         id_col=id_col,
+        # thread text_col through: token_budget_by_group's default
+        # ntok derives from a hardcoded "text" column, which
+        # unresolves for any non-default text_col
+        ntok_col=token_count_expr(text_col),
     )
     return out.select(id_col, source_col, "quality_bp", "ntok", "selected")
 
