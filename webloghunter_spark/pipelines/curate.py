@@ -21,10 +21,19 @@ Each stage is optional (None/0 disables it and its jobs entirely).
 Returns (survivors, funnel) where `funnel` is one row per stage with
 rows-in/rows-out — the attrition report every curation run gets
 audited by. The funnel numbers cost one count per stage boundary
-(cheap aggregates over materialized survivor sets; the stages
-themselves each materialize once anyway at 100 TB — write survivors
-between stages rather than fusing five corpus-wide joins into one
-plan whose failure loses everything).
+(cheap aggregates over settled survivor sets; the stages themselves
+each materialize once anyway at 100 TB — write survivors between
+stages rather than fusing six corpus-wide joins into one plan whose
+failure loses everything).
+
+Stage boundaries use session.settle() (eager localCheckpoint), NOT
+persist(): persist caches rows but keeps the nested logical plan, so
+per-action DRIVER planning grows multiplicatively with funnel depth
+(measured 16.05 s per action on the fully-cached 6-stage funnel,
+0.27 s after the lineage cut — SCALING.md round-11 note). The cut is
+the local analogue of the between-stage durable write above; it is
+what lets a funnel consumer run many actions (counts, tag unions,
+diff replays) without re-paying the whole funnel's plan each time.
 
 This is deliberately a COMPOSITION, not new semantics: every stage's
 exact behavior is pinned by its own DuckDB oracle and tests; the
@@ -37,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webloghunter_spark.session import materialize
+from webloghunter_spark.session import settle
 
 
 def curate_corpus(
@@ -78,7 +87,7 @@ def curate_corpus(
     )
 
     funnel: list[tuple[str, int, int]] = []
-    cur = materialize(docs)
+    cur = settle(docs)
     n = cur.count()
 
     if min_quality_bp is not None:
@@ -93,7 +102,7 @@ def curate_corpus(
             min_quality_bp=min_quality_bp,
         )
         keep = verdicts.filter(F.col("keep")).select(id_col)
-        cur = materialize(cur.join(keep, id_col, "left_semi"))
+        cur = settle(cur.join(keep, id_col, "left_semi"))
         m = cur.count()
         funnel.append(("quality_gate", n, m))
         n = m
@@ -107,14 +116,14 @@ def curate_corpus(
         keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col)).select(
             id_col
         )
-        cur = materialize(cur.join(keep, id_col, "left_semi"))
+        cur = settle(cur.join(keep, id_col, "left_semi"))
         m = cur.count()
         funnel.append(("normalized_dedup", n, m))
         n = m
 
         from webloghunter_spark.pipelines.dedup import near_dedup
 
-        cur = materialize(
+        cur = settle(
             near_dedup(
                 cur,
                 text_col=text_col,
@@ -146,7 +155,7 @@ def curate_corpus(
             max_df=containment_max_df,
         )
         keep = dec.filter(F.col("dropped") == 0).select(id_col)
-        cur = materialize(cur.join(keep, id_col, "left_semi"))
+        cur = settle(cur.join(keep, id_col, "left_semi"))
         m = cur.count()
         funnel.append(("containment_drop", n, m))
         n = m
@@ -154,7 +163,7 @@ def curate_corpus(
     if eval_df is not None:
         from webloghunter_spark.pipelines.decontam import decontaminate
 
-        cur = materialize(
+        cur = settle(
             decontaminate(
                 cur, eval_df, id_col=id_col, text_col=text_col, n=decontam_n
             )
@@ -184,7 +193,7 @@ def curate_corpus(
             # ntok derives from a hardcoded "text" column
             ntok_col=token_count_expr(text_col),
         )
-        cur = materialize(
+        cur = settle(
             sel.filter(F.col("selected")).drop("selected", "ntok", "_score")
         )
         m = cur.count()
@@ -280,13 +289,16 @@ def funnel_stage_tags(
     Scale: stage frames carry (id, text) only until the dedup tiers
     need the text, then id-only; survivor sets are NESTED so the
     membership flags collapse to ONE union + max(stage) aggregate
-    (the filter_track lesson: 4.2x -> 2.82x at the 32x control)."""
+    (the filter_track lesson: 4.2x -> 2.82x at the 32x control).
+    Stage boundaries settle() (eager localCheckpoint — lineage cut),
+    so the union's plan is five LogicalRDD scans, not five nested
+    replays of the whole funnel; see curate_corpus's docstring."""
     from webloghunter_spark.functions.text import normalized_text_expr
     from webloghunter_spark.pipelines.dedup import containment_drop, near_dedup
     from webloghunter_spark.pipelines.decontam import decontaminate
     from webloghunter_spark.pipelines.gate import quality_gate
 
-    s1 = materialize(
+    s1 = settle(
         docs.select(F.col(id_col), F.col(text_col).alias("_txt")).join(
             quality_gate(
                 docs,
@@ -305,14 +317,14 @@ def funnel_stage_tags(
     keyed = s1.select(
         F.col(id_col), F.md5(normalized_text_expr("_txt")).alias("_k")
     )
-    s2 = materialize(
+    s2 = settle(
         s1.join(
             keyed.groupBy("_k").agg(F.min(id_col).alias(id_col)).select(id_col),
             id_col,
             "left_semi",
         )
     )
-    s3 = materialize(
+    s3 = settle(
         s2.join(
             near_dedup(
                 s2,
@@ -328,7 +340,7 @@ def funnel_stage_tags(
         )
     )
     if containment_threshold_bp is not None:
-        s4 = materialize(
+        s4 = settle(
             s3.join(
                 containment_drop(
                     s3,
@@ -357,10 +369,10 @@ def funnel_stage_tags(
         ).select(id_col)
     else:
         s5 = s4.select(id_col)
-    # Settle the staged persists BEFORE the fan-out union, so the
-    # branches hit cache instead of recomputing shared funnel lineage.
-    for st in (s1, s2, s3, s4):
-        st.count()
+    # settle() is eager, so s1..s4 are already materialized AND their
+    # plans cut to LogicalRDD scans before the fan-out union below —
+    # the branches hit checkpointed blocks instead of recomputing (or
+    # re-planning) shared funnel lineage.
     # Survivor sets are NESTED (clean ⊆ contain ⊆ near ⊆ exact ⊆
     # gate), so the membership flags collapse to ONE number — the last
     # stage a doc survived: union the id sets with a stage tag, take
@@ -419,7 +431,7 @@ def filter_track(
     from webloghunter_spark.functions.text import quality_bp_expr
 
     n_bands = max(10000 // band_width_bp, 1)
-    base = materialize(
+    base = settle(
         docs.select(
             F.col(id_col),
             F.col(group_col).alias("_grp"),
@@ -435,7 +447,6 @@ def filter_track(
             ).alias("quality_band"),
         )
     )
-    base.count()  # settle before the stage fan-out below
     stages = funnel_stage_tags(
         docs,
         eval_df,

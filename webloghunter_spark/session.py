@@ -46,6 +46,37 @@ def materialize(df: DataFrame, memory: bool = True) -> DataFrame:
     return df
 
 
+def settle(df: DataFrame) -> DataFrame:
+    """Stage-boundary materialization + LINEAGE CUT for deep pipelines.
+
+    materialize()/persist() caches rows but KEEPS the nested logical
+    plan, so in a multi-stage funnel every downstream action
+    re-canonicalizes a plan tree that grows multiplicatively with
+    stage depth — a driver-side, single-threaded cost no executor
+    count fixes (measured: 16.05 s per action on a fully-cached
+    6-stage funnel, 0.27 s after the cut; see SCALING.md round-11
+    note). settle() is an EAGER localCheckpoint: it runs the stage
+    now and replaces the plan with a LogicalRDD scan of the result.
+
+    Trade-off vs materialize(): checkpointed blocks are executor-local
+    and NOT recomputable from lineage after an executor loss. That is
+    the right trade at a stage boundary of a corpus-wide funnel — the
+    100 TB deployment writes survivors to durable storage between
+    stages anyway (rerunning six fused corpus joins on any failure
+    loses more than re-running one stage), and locally the eager
+    checkpoint IS that between-stage materialization. Keep
+    materialize() for within-operator self-join barriers where the
+    intermediate is consumed inside one plan.
+
+    The frame is registered for release_materialized(), whose
+    _unpersist_any already frees checkpointed RDDs via the LogicalRDD
+    path.
+    """
+    df = df.localCheckpoint(eager=True)
+    _MATERIALIZED.append(df)
+    return df
+
+
 def swap_materialized(old: DataFrame, new: DataFrame) -> None:
     """Replace `old` with `new` in the registry — for iterative
     operators that persist a frame per round and eagerly unpersist the
