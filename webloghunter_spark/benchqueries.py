@@ -10118,27 +10118,74 @@ SQL_BM25_BATCH = _bm25_batch_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-11 front = the 3 round-11 additions
-    # (containment_drop_against, containment_pairs_against,
-    # scorecard_budget), the curate-family queries whose oracles
-    # gained the containment funnel stage this round (filter_track,
-    # dataset_diff; curate_pipeline sits in the cohort below) plus
-    # source_scorecard (now consumed by scorecard_budget), then the
-    # 44-query cohort whose last driver sample was round 7 (the
-    # VERDICT r10 rotation ask) — exactly 50. Everything after slot
-    # 50 is covered by the committed full-registry HASHCHECK
-    # artifacts.
-    # -- round-11 additions + containment-stage oracle changes --
+    # FIRST 50 entries. Round-12 front = curate_pipeline (its plan
+    # changed this round: settle() lineage cuts at every funnel
+    # stage boundary) plus the 49-query cohort whose last driver
+    # sample was round 8 (the VERDICT r11 rotation ask) — exactly
+    # 50, re-sampling most SURVEY §2 anchors (sigma_rules,
+    # tool_scan, sessionize, burst_success, cidr_filter,
+    # parse_roundtrip) through the driver. Everything after slot 50
+    # is covered by the committed full-registry HASHCHECK artifacts.
+    # -- settle()-touched funnel entry + round-8 cohort (50) --
+    "curate_pipeline": q_curate_pipeline,
+    "boilerplate_segments": q_boilerplate_segments,
+    "bpe_apply": q_bpe_apply,
+    "burst_detect": q_burst_detect,
+    "burst_success": q_burst_success,
+    "cidr_filter": q_cidr_filter,
+    "contam_matrix": q_contam_matrix,
+    "contam_sensitivity": q_contam_sensitivity,
+    "dedup_cross_source": q_dedup_cross_source,
+    "dedup_exact": q_dedup_exact,
+    "density_sample": q_density_sample,
+    "doc_fingerprint": q_doc_fingerprint,
+    "event_risk": q_event_risk,
+    "filter_api": q_filter_api,
+    "first_last": q_first_last,
+    "gopher_rules": q_gopher_rules,
+    "interleave_audit": q_interleave_audit,
+    "jaccard_pairs": q_jaccard_pairs,
+    "json_agg": q_json_agg,
+    "knn_bruteforce": q_knn,
+    "knn_lsh": q_knn_lsh,
+    "lag_delta": q_lag_delta,
+    "lang_consistency": q_lang_consistency,
+    "lang_id": q_lang_id,
+    "longest_repeat": q_longest_repeat,
+    "lsh_pairs": q_lsh_pairs,
+    "minhash_signatures": q_minhash,
+    "neardup_embeddings": q_neardup_embeddings,
+    "parse_roundtrip": q_parse_roundtrip,
+    "pricing_summary": q_pricing_summary,
+    "quality_score": q_quality,
+    "rank_fusion": q_rank_fusion,
+    "request_count": q_request_count,
+    "sample_exact_k": q_sample_exact_k,
+    "session_stats": q_session_stats,
+    "sessionize": q_sessionize,
+    "shard_balance": q_shard_balance,
+    "sigma_rules": q_sigma_rules,
+    "simhash": q_simhash,
+    "text_normalize": q_text_normalize,
+    "time_split": q_time_split,
+    "token_stats": q_token_stats,
+    "tool_scan": q_tool_scan,
+    "tool_scan_single": q_tool_scan_single,
+    "tool_scan_windowed": q_tool_scan_windowed,
+    "top_revenue": q_top_revenue,
+    "topic_classify": q_topic_classify,
+    "topk_per_group": q_topk_per_group,
+    "url_blocklist": q_url_blocklist,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    # -- remainder (committed full-registry HASHCHECK coverage) --
     "containment_drop_against": q_containment_drop_against,
     "containment_pairs_against": q_containment_pairs_against,
     "scorecard_budget": q_scorecard_budget,
     "filter_track": q_filter_track,
     "dataset_diff": q_dataset_diff,
     "source_scorecard": q_source_scorecard,
-    # -- round-7 cohort rotation (44) --
     "cms_counts": q_cms_counts,
     "contam_spans": q_contam_spans,
-    "curate_pipeline": q_curate_pipeline,
     "curriculum_order": q_curriculum_order,
     "dataset_card": q_dataset_card,
     "dedup_normalized": q_dedup_normalized,
@@ -10180,7 +10227,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "vocab_coverage": q_vocab_coverage,
     "zipf_fit": q_zipf_fit,
-    # -- remainder (committed full-registry HASHCHECK coverage) --
     "containment_drop": q_containment_drop,
     "batch_leakage": q_batch_leakage,
     "bm25_drift": q_bm25_drift,
@@ -10279,55 +10325,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_sniff": q_media_sniff,
     "media_decode": q_media_decode,
     "shipping_priority": q_shipping_priority,
-    "topic_classify": q_topic_classify,
-    "interleave_audit": q_interleave_audit,
-    "lang_consistency": q_lang_consistency,
-    "contam_matrix": q_contam_matrix,
-    "text_normalize": q_text_normalize,
-    "sample_exact_k": q_sample_exact_k,
-    "gopher_rules": q_gopher_rules,
-    "rank_fusion": q_rank_fusion,
-    "boilerplate_segments": q_boilerplate_segments,
-    "density_sample": q_density_sample,
-    "bpe_apply": q_bpe_apply,
-    "longest_repeat": q_longest_repeat,
-    "url_blocklist": q_url_blocklist,
-    "shard_balance": q_shard_balance,
-    "time_split": q_time_split,
-    "contam_sensitivity": q_contam_sensitivity,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue": q_top_revenue,
-    "sessionize": q_sessionize,
-    "session_stats": q_session_stats,
-    "request_count": q_request_count,
-    "lag_delta": q_lag_delta,
-    "burst_detect": q_burst_detect,
-    "first_last": q_first_last,
-    "event_risk": q_event_risk,
-    "sigma_rules": q_sigma_rules,
-    "filter_api": q_filter_api,
-    "cidr_filter": q_cidr_filter,
-    "topk_per_group": q_topk_per_group,
-    "json_agg": q_json_agg,
-    "dedup_exact": q_dedup_exact,
-    "dedup_cross_source": q_dedup_cross_source,
-    "token_stats": q_token_stats,
-    "quality_score": q_quality,
-    "lang_id": q_lang_id,
-    "minhash_signatures": q_minhash,
-    "lsh_pairs": q_lsh_pairs,
-    "knn_bruteforce": q_knn,
-    "parse_roundtrip": q_parse_roundtrip,
-    "jaccard_pairs": q_jaccard_pairs,
-    "simhash": q_simhash,
-    "neardup_embeddings": q_neardup_embeddings,
-    "burst_success": q_burst_success,
-    "tool_scan": q_tool_scan,
-    "tool_scan_single": q_tool_scan_single,
-    "tool_scan_windowed": q_tool_scan_windowed,
-    "knn_lsh": q_knn_lsh,
-    "doc_fingerprint": q_doc_fingerprint,
-    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
