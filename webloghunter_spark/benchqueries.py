@@ -2023,6 +2023,86 @@ def q_winnow_fingerprints_fast(spark, sf_dir):
     return fps.select("doc_id", F.explode("winnow_fps").alias("fp")).distinct()
 
 
+def q_winnow_containment_drop(spark, sf_dir):
+    """containment_drop's intervention on WINNOWED fingerprints — the
+    MOSS candidate generator (~1/((window+1)/2) the shingle index
+    density) feeding the same exact-integer drop rules (contained at
+    >= 0.8 in a not-smaller doc -> dropped; mutual containment ->
+    keep-best). Oracle BUILT FROM the frozen pieces: pair machinery
+    from SQL_WINNOW_PAIRS (tail-surgered to expose n_common/na/nb
+    without the min_shared filter), quality + decision CTEs lifted
+    VERBATIM from SQL_CONTAINMENT_DROP by anchored slicing — neither
+    the fingerprint definition nor the drop rules can drift."""
+    from webloghunter_spark.pipelines.dedup import winnow_containment_drop
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    return winnow_containment_drop(
+        docs, kgram=8, window=4,
+        threshold_bp=8000, size_ratio_bp=10000, max_df=20,
+    )
+
+
+def _winnow_containment_drop_sql() -> str:
+    # pair machinery: SQL_WINNOW_PAIRS minus its n_shared >= 2 tail
+    # (a drop event needs n_common >= ceil(threshold_bp * na / 10000),
+    # which is 1 for a single-fingerprint contained doc)
+    tail = (
+        "    SELECT id_a, id_b, n_shared,\n"
+        "           (n_shared * 10000 // least(na, nb))::BIGINT AS overlap_bp\n"
+        "    FROM ex WHERE n_shared >= 2\n"
+    )
+    assert SQL_WINNOW_PAIRS.count(tail) == 1, "winnow_pairs tail anchor moved"
+    wp = SQL_WINNOW_PAIRS.replace(
+        tail, "    SELECT id_a, id_b, n_shared AS n_common, na, nb FROM ex\n"
+    )
+    # quality CTEs (qstats, q) and the decision CASE (ev), verbatim
+    # from the shingle drop oracle
+    q0, q1 = "    qstats AS (", "    st AS ("
+    qblock = SQL_CONTAINMENT_DROP[
+        SQL_CONTAINMENT_DROP.index(q0):SQL_CONTAINMENT_DROP.index(q1)
+    ]
+    assert qblock.rstrip().endswith("),"), "quality block anchor moved"
+    e0, e1 = "    ev AS (", "    drops AS ("
+    evblock = SQL_CONTAINMENT_DROP[
+        SQL_CONTAINMENT_DROP.index(e0):SQL_CONTAINMENT_DROP.index(e1)
+    ]
+    assert "n_common * 10000 >= 8000" in evblock, "decision anchor moved"
+    return f"""
+    WITH wp AS ({wp}),
+    w0 AS ({SQL_WINNOW}),
+    fstats AS (
+        SELECT doc_id, count(*)::BIGINT AS nfp FROM w0 GROUP BY doc_id
+    ),
+    {DOC_TOKENS_SQL.strip().rstrip()},
+    {qblock}
+    st AS (
+        SELECT d.doc_id, coalesce(f.nfp, 0)::BIGINT AS nfp, q.qbp
+        FROM documents d
+        LEFT JOIN fstats f USING (doc_id)
+        JOIN q USING (doc_id)
+    ),
+    ex AS (
+        SELECT w.id_a, w.id_b, w.n_common,
+               w.na, w.nb, a.qbp AS qa, b.qbp AS qb
+        FROM wp w
+        JOIN st a ON a.doc_id = w.id_a
+        JOIN st b ON b.doc_id = w.id_b
+    ),
+    {evblock}
+    drops AS (
+        SELECT doc_id, count(*)::BIGINT AS n_containers
+        FROM ev WHERE doc_id IS NOT NULL GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.nfp AS n_fps, s.qbp AS quality_bp,
+           coalesce(dr.n_containers, 0)::BIGINT AS n_containers,
+           (coalesce(dr.n_containers, 0) > 0)::BIGINT AS dropped
+    FROM st s LEFT JOIN drops dr USING (doc_id)
+    """
+
+
+SQL_WINNOW_CONTAINMENT_DROP = _winnow_containment_drop_sql()
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF approximate kNN: nearest-centroid assignment, probe top-2
     lists. Centroids are the lowest-id non-query vectors (ids 1..7) —
@@ -7972,6 +8052,220 @@ SQL_CURATE_PIPELINE = r"""
 """
 
 
+def q_curate_incremental(spark, sf_dir):
+    """The INCREMENTAL funnel under one oracle: every 5th non-eval doc
+    is the ingest BATCH, the rest the FROZEN accepted corpus, every
+    50th doc the eval set — gate -> exact-against (corpus normalized
+    keys) -> near-against (incremental_near_dedup, LSH candidates
+    batch x corpus) -> containment-against (containment_drop_against,
+    frozen-corpus df-capped index) -> 4-gram decontamination, composed
+    by pipelines/curate.curate_against. Batch docs are never compared
+    with each other, so the union of per-batch survivor sets over any
+    slicing equals the one-shot run — the slicing-independence the
+    *_against stages were built for. Each stage is individually
+    oracled elsewhere; this row pins the COMPOSITION."""
+    from webloghunter_spark.pipelines.curate import curate_against
+
+    docs = _fan(_t(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    # multiples of 50 are multiples of 5, so % 5 != 0 already
+    # excludes the eval docs from the corpus side
+    batch = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 50 != 0))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out, _funnel = curate_against(
+        batch,
+        corpus,
+        eval_df=ev,
+        min_quality_bp=3000,
+        min_tokens=10,
+        max_tokens=5000,
+        near_dedup_threshold=0.8,
+        dedup_num_hashes=4,
+        dedup_band_size=2,
+        containment_threshold_bp=8000,
+        containment_size_ratio_bp=10000,
+        containment_max_df=20,
+        decontam_n=4,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_CURATE_INCREMENTAL = r"""
+    WITH btoks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 50 != 0
+    ),
+    ctoks AS (
+        SELECT doc_id, text, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents WHERE doc_id % 5 != 0
+    ),
+    gate AS (
+        SELECT doc_id,
+               coalesce(len(t), 0)::BIGINT AS ntok,
+               greatest(coalesce(length(text), 0), 1)::BIGINT AS nc,
+               coalesce(length(text) - length(regexp_replace(
+                   text, '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')), 0)::BIGINT
+                   AS npr,
+               coalesce(CAST(floor((least(len(t)::DOUBLE / 100.0, 1.0) * 0.5
+                   + (1.0 - (length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE
+                       / greatest(length(text)::DOUBLE, 1.0)) * 0.3
+                   + least((len(list_filter(t, x -> list_contains(
+                       ['the','a','an','of','to','in','and','is','on','for'],
+                       lower(x))))::DOUBLE
+                       / greatest(len(t)::DOUBLE, 1.0)) * 5.0, 1.0) * 0.2)
+                   * 10000.0 + 0.5) AS BIGINT), 0) AS qbp
+        FROM btoks
+    ),
+    s1 AS (
+        SELECT doc_id FROM gate
+        WHERE ntok >= 10 AND ntok <= 5000
+          AND npr * 10000 <= 1000 * nc AND qbp >= 3000
+    ),
+    bkey AS (
+        SELECT b.doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(b.text),
+                       '[.,;:!?''"()\[\]{}-]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS k
+        FROM btoks b JOIN s1 USING (doc_id)
+    ),
+    ckey AS (
+        SELECT DISTINCT md5(trim(regexp_replace(
+                   regexp_replace(lower(c.text),
+                       '[.,;:!?''"()\[\]{}-]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS k
+        FROM ctoks c
+    ),
+    s2 AS (
+        -- NULL corpus keys (NULL text) never match anything, exactly
+        -- like Spark's null-keyed left_semi; keep them out of NOT IN
+        SELECT doc_id FROM bkey
+        WHERE k NOT IN (SELECT k FROM ckey WHERE k IS NOT NULL)
+    ),
+    bsh AS (
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - 2),
+                   i -> array_to_string(t.t[i:i+2], ' ')) END AS s
+        FROM btoks t JOIN s2 USING (doc_id)
+    ),
+    csh AS (
+        SELECT t.doc_id,
+               CASE WHEN len(t.t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - 2),
+                   i -> array_to_string(t.t[i:i+2], ' ')) END AS s
+        FROM ctoks t
+    ),
+    bhashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM bsh WHERE len(s) > 0
+    ),
+    chashed AS (
+        SELECT doc_id, list_transform(s, x -> md5('0|' || x)) AS h
+        FROM csh WHERE len(s) > 0
+    ),
+    bsig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM bhashed
+    ),
+    csig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 3),
+                   seed -> list_min(list_transform(h,
+                       x -> substr(x, 1 + 8 * seed, 8)))) AS mh
+        FROM chashed
+    ),
+    bbanded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM bsig, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    cbanded AS (
+        SELECT doc_id, band, md5(mh[2*band+1] || '|' || mh[2*band+2]) AS bh
+        FROM csig, (SELECT unnest(generate_series(0, 1)) AS band)
+    ),
+    ncand AS (
+        SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+        FROM bbanded b JOIN cbanded c
+          ON b.band = c.band AND b.bh = c.bh
+    ),
+    bdsh AS (SELECT doc_id, list_distinct(s) AS sh FROM bsh),
+    cdsh AS (SELECT doc_id, list_distinct(s) AS sh FROM csh),
+    ndrop AS (
+        SELECT DISTINCT id_a FROM ncand
+        JOIN bdsh a ON a.doc_id = ncand.id_a
+        JOIN cdsh b ON b.doc_id = ncand.id_b
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ),
+    s3 AS (
+        SELECT doc_id FROM s2
+        WHERE doc_id NOT IN (SELECT id_a FROM ndrop)
+    ),
+    cinv AS (
+        SELECT d.doc_id, unnest(d.sh) AS g FROM cdsh d WHERE len(d.sh) > 0
+    ),
+    ckeep AS (SELECT g FROM cinv GROUP BY g HAVING count(*) <= 20),
+    crinv AS (SELECT i.doc_id, i.g FROM cinv i JOIN ckeep USING (g)),
+    pinv AS (
+        SELECT d.doc_id, unnest(d.sh) AS g
+        FROM bdsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
+    ),
+    ccand AS (
+        SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
+        FROM pinv p JOIN crinv c USING (g)
+    ),
+    cex AS (
+        SELECT id_a,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+               len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb
+        FROM ccand
+        JOIN bdsh a ON a.doc_id = ccand.id_a
+        JOIN cdsh b ON b.doc_id = ccand.id_b
+    ),
+    cdrop AS (
+        SELECT DISTINCT id_a FROM cex
+        WHERE n_common * 10000 >= 8000 * na AND nb * 10000 >= 10000 * na
+    ),
+    s4 AS (
+        SELECT doc_id FROM s3
+        WHERE doc_id NOT IN (SELECT id_a FROM cdrop)
+    ),
+    evt AS (
+        SELECT doc_id, CASE WHEN length(trim(coalesce(text, ''))) = 0
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS t
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(CASE WHEN len(t) < 4
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t) - 3),
+                   i -> array_to_string(t[i:i+3], ' ')) END) AS g
+        FROM evt
+    ),
+    tr4 AS (
+        SELECT DISTINCT t.doc_id,
+               unnest(CASE WHEN len(t.t) < 4
+               THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t.t) - 3),
+                   i -> array_to_string(t.t[i:i+3], ' ')) END) AS g
+        FROM btoks t JOIN s4 USING (doc_id)
+    ),
+    bad AS (SELECT DISTINCT tr4.doc_id FROM tr4 JOIN ev USING (g))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN s4 USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def q_filter_track(spark, sf_dir):
     """DataComp-style attrition matrix over the SAME funnel (and the
     same split/parameters) as curate_pipeline: per (source, quality
@@ -10126,7 +10420,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tool_scan, sessionize, burst_success, cidr_filter,
     # parse_roundtrip) through the driver. Everything after slot 50
     # is covered by the committed full-registry HASHCHECK artifacts.
-    # -- settle()-touched funnel entry + round-8 cohort (50) --
+    # -- round-12 additions + settle()-touched funnel entry +
+    # round-8 cohort (50; the cohort's tail spills past slot 50 and
+    # keeps committed full-registry HASHCHECK coverage) --
+    "winnow_containment_drop": q_winnow_containment_drop,
+    "curate_incremental": q_curate_incremental,
     "curate_pipeline": q_curate_pipeline,
     "boilerplate_segments": q_boilerplate_segments,
     "bpe_apply": q_bpe_apply,
@@ -10332,6 +10630,7 @@ ORACLES: dict[str, str] = {
     "cc_representatives": SQL_CC_REPRESENTATIVES,
     "contam_spans": SQL_CONTAM_SPANS,
     "curate_pipeline": SQL_CURATE_PIPELINE,
+    "curate_incremental": SQL_CURATE_INCREMENTAL,
     "filter_track": SQL_FILTER_TRACK,
     "longest_repeat": SQL_LONGEST_REPEAT,
     "url_blocklist_big": SQL_URL_BLOCKLIST_BIG,
@@ -10482,6 +10781,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnow_fingerprints": SQL_WINNOW,
     "winnow_pairs": SQL_WINNOW_PAIRS,
+    "winnow_containment_drop": SQL_WINNOW_CONTAINMENT_DROP,
     "quantize_recall": SQL_QUANTIZE_RECALL,
     "padding_curve": SQL_PADDING_CURVE,
     "bm25_topk": SQL_BM25_TOPK,

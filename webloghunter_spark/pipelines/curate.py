@@ -203,6 +203,154 @@ def curate_corpus(
     return cur, funnel
 
 
+def curate_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_bp: int | None = 5000,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    near_dedup_threshold: float | None = 0.8,
+    dedup_num_hashes: int = 8,
+    dedup_band_size: int = 2,
+    dedup_shingle_k: int = 3,
+    containment_threshold_bp: int | None = 8000,
+    containment_size_ratio_bp: int = 10000,
+    containment_max_df: int = 20,
+    decontam_n: int = 8,
+) -> tuple[DataFrame, list[tuple[str, int, int]]]:
+    """The INCREMENTAL curate funnel — curate_corpus's stages run on
+    an ingest BATCH against a FROZEN accepted corpus (the
+    continuous-ingest production shape: the corpus was curated when
+    it was admitted; re-curating 100 TB per daily batch is the thing
+    this exists to avoid):
+
+        1. quality gate        row-local, batch only (pipelines/gate)
+        2. exact-against       drop batch docs whose normalized key
+                               exists in the corpus (anti-join on
+                               16-byte digests — no text moves)
+        3. near-against        incremental_near_dedup: LSH candidates
+                               batch x corpus, exact Jaccard verify
+        4. containment-against containment_drop_against: frozen-
+                               corpus discriminative inverted index
+        5. decontamination     eval n-gram overlap (already an
+                               against-form: eval set is frozen)
+
+    Every stage compares batch docs against FROZEN state only — batch
+    docs are never compared with each other (the incremental_near_dedup
+    / containment_drop_against convention), so the union of per-batch
+    survivor sets over ANY batch slicing equals the one-shot run on
+    the concatenated batches, and each stage's existing streaming twin
+    composes into an incremental funnel with parity for free.
+    Batch-internal duplicates deliberately SURVIVE — run curate_corpus
+    on the batch first if ingest batches self-duplicate.
+
+    Same stage-skip semantics and (survivors, funnel) return shape as
+    curate_corpus; stage boundaries settle() (eager localCheckpoint)
+    for the same driver-side planning reason.
+
+    Scale shape: the corpus-side artifacts (normalized-key digests,
+    LSH band signatures, the df-capped shingle inverted index) are
+    written ONCE per corpus freeze and reused across batches; each
+    batch pays |batch| scans plus candidate-bounded joins — never a
+    corpus re-scan. At 100 TB the corpus sides here are the persisted
+    indexes the streaming twins already maintain."""
+    from webloghunter_spark.functions.text import normalized_text_expr
+
+    funnel: list[tuple[str, int, int]] = []
+    cur = settle(batch)
+    n = cur.count()
+
+    if min_quality_bp is not None:
+        from webloghunter_spark.pipelines.gate import quality_gate
+
+        keep = (
+            quality_gate(
+                cur,
+                text_col=text_col,
+                id_col=id_col,
+                min_tokens=min_tokens,
+                max_tokens=max_tokens,
+                min_quality_bp=min_quality_bp,
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        cur = settle(cur.join(keep, id_col, "left_semi"))
+        m = cur.count()
+        funnel.append(("quality_gate", n, m))
+        n = m
+
+    if near_dedup_threshold is not None:
+        # exact-against: the corpus is authoritative — a batch doc
+        # whose canonical key is already accepted drops; batch docs
+        # never key-match each other
+        ckeys = corpus.select(
+            F.md5(normalized_text_expr(text_col)).alias("_k")
+        ).distinct()
+        keyed = cur.select(
+            F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("_k")
+        )
+        hit = keyed.join(ckeys, "_k", "left_semi").select(id_col)
+        cur = settle(cur.join(hit, id_col, "left_anti"))
+        m = cur.count()
+        funnel.append(("exact_against", n, m))
+        n = m
+
+        from webloghunter_spark.pipelines.dedup import incremental_near_dedup
+
+        cur = settle(
+            incremental_near_dedup(
+                cur,
+                corpus,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=near_dedup_threshold,
+                num_hashes=dedup_num_hashes,
+                band_size=dedup_band_size,
+                shingle_k=dedup_shingle_k,
+            )
+        )
+        m = cur.count()
+        funnel.append(("near_against", n, m))
+        n = m
+
+    if containment_threshold_bp is not None:
+        from webloghunter_spark.pipelines.dedup import containment_drop_against
+
+        dec = containment_drop_against(
+            cur,
+            corpus,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=dedup_shingle_k,
+            threshold_bp=containment_threshold_bp,
+            size_ratio_bp=containment_size_ratio_bp,
+            max_df=containment_max_df,
+        )
+        keep = dec.filter(F.col("dropped") == 0).select(id_col)
+        cur = settle(cur.join(keep, id_col, "left_semi"))
+        m = cur.count()
+        funnel.append(("containment_against", n, m))
+        n = m
+
+    if eval_df is not None:
+        from webloghunter_spark.pipelines.decontam import decontaminate
+
+        cur = settle(
+            decontaminate(
+                cur, eval_df, id_col=id_col, text_col=text_col, n=decontam_n
+            )
+        )
+        m = cur.count()
+        funnel.append(("decontaminate", n, m))
+        n = m
+
+    return cur, funnel
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1808,6 +1808,136 @@ def winnow_pairs(
     )
 
 
+def winnow_containment_drop(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 4,
+    threshold_bp: int = 8000,
+    size_ratio_bp: int = 10000,
+    max_df: int = 20,
+) -> DataFrame:
+    """containment_drop's intervention on WINNOWED fingerprints
+    (Schleimer et al., SIGMOD 2003) instead of full shingle sets —
+    the same quote-farm / wrapper-page removal policy at
+    ~1/((window+1)/2) the index density: a doc's fingerprint set is
+    the winnow-selected subsample of its k-gram hashes, so the
+    inverted index the candidate join rides, the per-doc arrays the
+    exact verify intersects, and the stats frame are all an order of
+    magnitude smaller than the shingle forms'.
+
+    Decision rules are containment_drop's, verbatim, on fingerprint
+    counts (n_a, n_b = distinct selected fingerprints, n_common =
+    shared ones; all EXACT-INTEGER on the bp grid):
+
+    - A contained-in B iff n_common * 10000 >= threshold_bp * n_a
+      AND n_b * 10000 >= size_ratio_bp * n_a;
+    - one direction -> drop the contained doc; mutual -> keep-best
+      (higher quality_bp survives, ties keep the lower id —
+      dedup_keep_best's rule);
+    - dropped iff ANY pair designates the doc the drop side (the
+      container itself surviving is NOT required, so no iteration;
+      a SQL oracle expresses it as one EXISTS).
+
+    Semantics caveat vs the shingle form: winnowing guarantees shared
+    fingerprints only for matches >= kgram + window - 1 chars, and a
+    contained doc loses window-boundary fingerprints at its edges —
+    threshold_bp absorbs the boundary loss, but a doc SHORTER than
+    kgram + window - 1 normalized chars (empty fingerprint set) can
+    never be dropped. The df-bounded candidate miss (pairs sharing
+    only df > max_df fingerprints) carries over from containment_drop.
+
+    Output: one row per input doc — (id, n_fps, quality_bp,
+    n_containers, dropped), n_fps = 0 for too-short docs.
+
+    Scale shape: ONE text pass (the Arrow winnow twin — the 100 TB
+    scan path) computes fingerprints AND quality; quality rides
+    through the verify joins as carry_cols (the containment_drop /
+    dup_source_matrix lesson); candidates come from discriminative
+    fingerprints (2 <= df <= max_df: sum df^2 <= max_df * sum df,
+    never all-pairs); verification is exact array-intersect under
+    shuffle_hash (the fingerprint table scales with the corpus —
+    never broadcast it)."""
+    if not 5000 <= threshold_bp <= 10000:
+        raise ValueError(
+            f"threshold_bp must be in [5000, 10000], got {threshold_bp}"
+        )
+    if size_ratio_bp < 10000:
+        raise ValueError(
+            f"size_ratio_bp must be >= 10000 (container not smaller), "
+            f"got {size_ratio_bp}"
+        )
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    from webloghunter_spark.functions.text import (
+        quality_bp_expr,
+        with_winnowed_fingerprints_fast,
+    )
+
+    # one text pass: winnowed fingerprints (already distinct-sorted
+    # from the Arrow twin) and quality in the same scan; materialize
+    # is the pushdown barrier the winnow twins need (explode-inferred
+    # size filters would re-run the Arrow UDF below the projection)
+    base = materialize(
+        with_winnowed_fingerprints_fast(
+            df.select(
+                F.col(id_col),
+                F.col(text_col),
+                F.coalesce(quality_bp_expr(text_col), F.lit(0))
+                .cast("long")
+                .alias("_q"),
+            ),
+            text_col,
+            out_col="_sh",
+            kgram=kgram,
+            window=window,
+        ).select(F.col(id_col), "_sh", "_q")
+    )
+    sh = base.filter(F.size("_sh") > 0)
+    scored = _containment_ex(
+        sh, id_col, max_df, carry_cols=("_q",)
+    ).withColumnsRenamed({"_q_a": "_qa", "_q_b": "_qb"})
+    t = F.lit(int(threshold_bp))
+    r = F.lit(int(size_ratio_bp))
+    a_in_b = (F.col("n_common") * 10000 >= t * F.col("_na")) & (
+        F.col("_nb") * 10000 >= r * F.col("_na")
+    )
+    b_in_a = (F.col("n_common") * 10000 >= t * F.col("_nb")) & (
+        F.col("_na") * 10000 >= r * F.col("_nb")
+    )
+    # mutually exclusive by construction (containment_drop's rule):
+    # mutual containment resolves to exactly one drop side
+    drop_a = a_in_b & (~b_in_a | (F.col("_qa") < F.col("_qb")))
+    drop_b = b_in_a & (~a_in_b | (F.col("_qa") >= F.col("_qb")))
+    victim = F.when(drop_a, F.col("id_a")).when(drop_b, F.col("id_b"))
+    drops = (
+        scored.select(victim.alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_containers"))
+    )
+    stats = base.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("n_fps"),
+        F.col("_q").alias("quality_bp"),
+    )
+    return (
+        stats.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_fps",
+            "quality_bp",
+            F.coalesce("n_containers", F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            (F.coalesce("n_containers", F.lit(0)) > 0)
+            .cast("long")
+            .alias("dropped"),
+        )
+    )
+
+
 def dedup_keep_best(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
