@@ -75,6 +75,25 @@ def test_winnow_containment_param_validation(spark):
         winnow_containment_drop(docs, max_df=1)
 
 
+def test_containment_pairs_hashed_matches_string_form(spark):
+    """Posting compression must not change results: the 60-bit
+    md5-prefix int shingles yield the identical pair frame as the
+    string form (collisions would merge shingles — none at any tested
+    scale, and the oracle hashes identically anyway)."""
+    from webloghunter_spark.pipelines.dedup import (
+        containment_pairs,
+        containment_pairs_hashed,
+    )
+
+    docs = _quote_farm(spark)
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    s = {key(r): (r.n_common, r.contain_ab, r.contain_ba)
+         for r in containment_pairs(docs).collect()}
+    h = {key(r): (r.n_common, r.contain_ab, r.contain_ba)
+         for r in containment_pairs_hashed(docs).collect()}
+    assert s == h and len(s) > 0
+
+
 def test_curate_against_slicing_independence(spark):
     """The incremental funnel's defining property: batch docs are
     only compared against the frozen corpus, so running two batch

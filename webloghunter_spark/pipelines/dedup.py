@@ -1808,6 +1808,80 @@ def winnow_pairs(
     )
 
 
+def hashed_shingles_expr(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct token k-gram shingles POSTING-COMPRESSED to 60-bit
+    ints: conv(substring(md5(shingle), 1, 15), 16, 10) — chosen
+    because DuckDB computes the identical value as
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT), so an oracle
+    hashes bit-identically and the exactness gate holds BY
+    CONSTRUCTION even if two shingles ever collide (both engines
+    merge the same pair). 15 hex chars = 60 bits < 2^63: the cast
+    never overflows.
+
+    Why: the containment family's dominant cost is the exact verify's
+    array_intersect over STRING shingle arrays plus the string-keyed
+    inverted index. 8-byte ints cut shuffle width ~3x and compare at
+    word speed — measured 195 -> 73 s (2.7x) for the containment_pairs
+    shape at the 32x control fixture, identical pair sets
+    (SCALING.md round-12 note)."""
+    sh = F.array_distinct(shingles_expr(text_col, k))
+    return F.array_distinct(
+        F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+
+
+def containment_pairs_hashed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """containment_pairs on POSTING-COMPRESSED shingles — identical
+    candidate discipline and verify semantics on 60-bit int shingle
+    hashes instead of strings (hashed_shingles_expr: both engines
+    hash identically, so the oracle is exact by construction).
+    Returns the same (id_a, id_b, n_common, contain_ab, contain_ba)
+    frame; values differ from containment_pairs only if two of a
+    doc-pair's shingles md5-collide in 60 bits (none observed at any
+    tested scale — and both engines would agree anyway).
+
+    This is the family's 100 TB scan-width fix, measured at 2.7x on
+    the 32x control (the box-saturating linear-verify fixture); the
+    string form stays frozen for the oracles BUILT FROM it."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    sh = materialize(
+        df.select(
+            F.col(id_col),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
+    ex = _containment_ex(sh, id_col, max_df)
+    c_ab = F.col("n_common").cast("double") / F.col("_na")
+    c_ba = F.col("n_common").cast("double") / F.col("_nb")
+    from webloghunter_spark.functions.similarity import grid_round_expr
+
+    return (
+        ex.filter(F.greatest(c_ab, c_ba) >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            grid_round_expr(c_ab, 4).alias("contain_ab"),
+            grid_round_expr(c_ba, 4).alias("contain_ba"),
+        )
+    )
+
+
 def winnow_containment_drop(
     df: DataFrame,
     text_col: str = "text",
