@@ -134,3 +134,27 @@ def test_scorecard_budget_debudgets_mirror_source(spark):
     assert {(r.doc_id, r.selected, int(r.ntok)) for r in out2} == {
         (r.doc_id, r.selected, int(r.ntok)) for r in out
     }
+
+
+def test_settle_lineage_switch(spark):
+    """ADVICE r12: settle(lineage=True) (or SETTLE_LINEAGE=True) must
+    fall back to persist()-based boundaries — plan kept (no LogicalRDD
+    swap), rows correct — while the default stays the eager
+    localCheckpoint lineage cut."""
+    from webloghunter_spark import session as S
+
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    try:
+        kept = S.settle(df, lineage=True)
+        assert "LogicalRDD" not in (
+            kept._jdf.queryExecution().analyzed().toString()
+        )
+        assert kept.count() == 10
+
+        cut = S.settle(df)
+        assert "LogicalRDD" in (
+            cut._jdf.queryExecution().analyzed().toString()
+        )
+        assert cut.count() == 10
+    finally:
+        S.release_materialized()

@@ -1282,7 +1282,10 @@ def _containment_pairs_hashed_sql() -> str:
         " WHERE len(s) > 0\n"
         "    ),"
     )
-    assert SQL_CONTAINMENT_PAIRS.count(anchor) == 1, "dsh anchor moved"
+    if SQL_CONTAINMENT_PAIRS.count(anchor) != 1:
+        # not assert: `python -O` strips asserts and the surgery would
+        # silently yield a wrong/unmodified oracle on anchor drift
+        raise RuntimeError("containment_pairs dsh anchor moved")
     hashed = (
         "    dsh AS (\n"
         "        SELECT doc_id,\n"
@@ -2092,7 +2095,9 @@ def _winnow_containment_drop_sql() -> str:
         "           (n_shared * 10000 // least(na, nb))::BIGINT AS overlap_bp\n"
         "    FROM ex WHERE n_shared >= 2\n"
     )
-    assert SQL_WINNOW_PAIRS.count(tail) == 1, "winnow_pairs tail anchor moved"
+    if SQL_WINNOW_PAIRS.count(tail) != 1:
+        # raise, not assert: anchored surgery must fail loudly under -O
+        raise RuntimeError("winnow_pairs tail anchor moved")
     wp = SQL_WINNOW_PAIRS.replace(
         tail, "    SELECT id_a, id_b, n_shared AS n_common, na, nb FROM ex\n"
     )
@@ -2102,12 +2107,14 @@ def _winnow_containment_drop_sql() -> str:
     qblock = SQL_CONTAINMENT_DROP[
         SQL_CONTAINMENT_DROP.index(q0):SQL_CONTAINMENT_DROP.index(q1)
     ]
-    assert qblock.rstrip().endswith("),"), "quality block anchor moved"
+    if not qblock.rstrip().endswith("),"):
+        raise RuntimeError("quality block anchor moved")
     e0, e1 = "    ev AS (", "    drops AS ("
     evblock = SQL_CONTAINMENT_DROP[
         SQL_CONTAINMENT_DROP.index(e0):SQL_CONTAINMENT_DROP.index(e1)
     ]
-    assert "n_common * 10000 >= 8000" in evblock, "decision anchor moved"
+    if "n_common * 10000 >= 8000" not in evblock:
+        raise RuntimeError("decision anchor moved")
     return f"""
     WITH wp AS ({wp}),
     w0 AS ({SQL_WINNOW}),
@@ -7310,9 +7317,9 @@ def _scorecard_budget_sql() -> str:
         FROM r, z
     ),
 """
-    assert SQL_BUDGET_BY_SOURCE.count(old) == 1, (
-        "budget_by_source allocation anchor drifted"
-    )
+    if SQL_BUDGET_BY_SOURCE.count(old) != 1:
+        # raise, not assert: loud under `python -O`
+        raise RuntimeError("budget_by_source allocation anchor drifted")
     new = f"""    sc AS ({SQL_SOURCE_SCORECARD}),
     eff AS (
         SELECT source,
@@ -7332,8 +7339,10 @@ def _scorecard_budget_sql() -> str:
 
 
 SQL_SCORECARD_BUDGET = _scorecard_budget_sql()
-assert "sc AS (" in SQL_SCORECARD_BUDGET
-assert "pow(raw, 0.7)" not in SQL_SCORECARD_BUDGET
+if "sc AS (" not in SQL_SCORECARD_BUDGET:
+    raise RuntimeError("scorecard_budget surgery lost the scorecard CTE")
+if "pow(raw, 0.7)" in SQL_SCORECARD_BUDGET:
+    raise RuntimeError("scorecard_budget surgery left the old allocation")
 
 
 def q_hard_negatives(spark, sf_dir):
@@ -8366,8 +8375,11 @@ SQL_FILTER_TRACK = SQL_CURATE_PIPELINE.replace(
 )
 # a silent .replace() no-op (anchor drift in SQL_CURATE_PIPELINE) would
 # leave filter_track with curate_pipeline's oracle - fail at import
-assert SQL_FILTER_TRACK != SQL_CURATE_PIPELINE
-assert "quality_band" in SQL_FILTER_TRACK
+# (raise, not assert: must fail loudly under `python -O` too)
+if SQL_FILTER_TRACK == SQL_CURATE_PIPELINE:
+    raise RuntimeError("filter_track tail anchor drifted (replace no-op)")
+if "quality_band" not in SQL_FILTER_TRACK:
+    raise RuntimeError("filter_track surgery lost the quality_band tail")
 
 
 def _curate_stage_chain(prefix: str, src: str) -> str:
@@ -8383,16 +8395,20 @@ def _curate_stage_chain(prefix: str, src: str) -> str:
     FROM documents d JOIN s4 USING (doc_id)
     WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
-    assert tail in body, "curate final SELECT drifted"
+    if tail not in body:  # raise, not assert: loud under `python -O`
+        raise RuntimeError("curate final SELECT drifted")
     body = body.replace(tail, "")
     old_src = "FROM documents WHERE doc_id % 50 != 0"
-    assert body.count(old_src) == 1, "curate train-split anchor drifted"
+    if body.count(old_src) != 1:
+        raise RuntimeError("curate train-split anchor drifted")
     body = body.replace(old_src, f"FROM {src}")
     old_keyed = "FROM documents d JOIN s1 USING (doc_id)"
-    assert body.count(old_keyed) == 1, "curate keyed anchor drifted"
+    if body.count(old_keyed) != 1:
+        raise RuntimeError("curate keyed anchor drifted")
     body = body.replace(old_keyed, f"FROM {src} d JOIN s1 USING (doc_id)")
     body = body.strip()
-    assert body.startswith("WITH "), "curate chain shape drifted"
+    if not body.startswith("WITH "):
+        raise RuntimeError("curate chain shape drifted")
     body = body[len("WITH "):]
     # longer names BEFORE their prefixes (evt before ev)
     names = (

@@ -251,6 +251,19 @@ def curate_against(
     curate_corpus; stage boundaries settle() (eager localCheckpoint)
     for the same driver-side planning reason.
 
+    PRECONDITION — globally unique ids: `id_col` must be unique across
+    batch AND corpus combined (inherited from incremental_near_dedup /
+    containment_drop_against, whose candidate-prune unions and pair
+    joins silently corrupt on a batch/corpus id collision). Ingest
+    pipelines that re-key per batch must offset into a disjoint range
+    before calling this.
+
+    Stage-flag coupling (curate_corpus's convention, stated
+    explicitly): `near_dedup_threshold=None` skips BOTH stage 2
+    (exact-against) and stage 3 (near-against) — the two dedup tiers
+    share the flag. `containment_threshold_bp=None` skips only the
+    containment stage; `eval_df=None` skips only decontamination.
+
     Scale shape: the corpus-side artifacts (normalized-key digests,
     LSH band signatures, the df-capped shingle inverted index) are
     written ONCE per corpus freeze and reused across batches; each

@@ -46,7 +46,15 @@ def materialize(df: DataFrame, memory: bool = True) -> DataFrame:
     return df
 
 
-def settle(df: DataFrame) -> DataFrame:
+# Module switch for settle(): True -> persist()-based stage boundaries
+# (lineage kept, recomputable after executor loss — for multi-executor
+# cluster deployments that prefer recoverability over the driver-side
+# planning cut). Default False = eager localCheckpoint (the measured
+# 340x per-action planning win on deep funnels; see settle()).
+SETTLE_LINEAGE = False
+
+
+def settle(df: DataFrame, lineage: bool | None = None) -> DataFrame:
     """Stage-boundary materialization + LINEAGE CUT for deep pipelines.
 
     materialize()/persist() caches rows but KEEPS the nested logical
@@ -71,7 +79,18 @@ def settle(df: DataFrame) -> DataFrame:
     The frame is registered for release_materialized(), whose
     _unpersist_any already frees checkpointed RDDs via the LogicalRDD
     path.
+
+    `lineage` (default: module-level SETTLE_LINEAGE) opts a call — or,
+    via the module switch, a whole deployment — back into persist()'d
+    boundaries: rows cached but the logical plan kept, so an executor
+    loss recomputes from lineage instead of failing the job. The cost
+    is the multiplicative per-action driver planning this function
+    exists to cut; prefer it only where executor churn is expected and
+    funnels are shallow.
     """
+    use_lineage = SETTLE_LINEAGE if lineage is None else lineage
+    if use_lineage:
+        return materialize(df)  # lazy persist: lineage-recoverable
     df = df.localCheckpoint(eager=True)
     _MATERIALIZED.append(df)
     return df
