@@ -2278,3 +2278,66 @@ def test_containment_drop_twin_every_prefix_vs_registry(spark):
         fn.release()
     assert {r[0]: tuple(r) for r in got} == full
     assert sum(r[3] for r in got) > 0   # fixture exercises real drops
+
+
+def test_curate_against_twin_every_prefix_vs_registry(spark):
+    """The COMPOSED foreachBatch twin of curate_against (gate ->
+    exact-against -> near-against -> containment-against -> decontam,
+    one closure of frozen per-stage artifacts) asserted against the
+    REGISTRY query itself (benchqueries.q_curate_incremental's split
+    on the sf0.001 documents fixture): after EVERY batch, the union
+    of survivor emissions equals the one-shot curate_against over the
+    batches streamed so far — the slicing-independence the *_against
+    stages guarantee — and after the final batch, the registry
+    output's id set exactly."""
+    from webloghunter_spark.benchqueries import q_curate_incremental
+    from webloghunter_spark.pipelines.curate import curate_against
+    from webloghunter_spark.session import release_materialized
+    from webloghunter_spark.streaming.curate import (
+        curate_against_stream_writer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {r.doc_id for r in q_curate_incremental(spark, sf).collect()}
+    release_materialized()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    batch = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 50 != 0)
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    params = dict(
+        min_quality_bp=3000, min_tokens=10, max_tokens=5000,
+        near_dedup_threshold=0.8, dedup_num_hashes=4, dedup_band_size=2,
+        containment_threshold_bp=8000, containment_size_ratio_bp=10000,
+        containment_max_df=20, decontam_n=4,
+    )
+    got: list[tuple] = []
+    fn = curate_against_stream_writer(
+        lambda rows, bid: got.extend(rows), corpus, eval_df=ev, **params
+    )
+    try:
+        cuts = [170, 340, 10**9]  # three uneven batches by doc_id
+        lo = -1
+        for bid, hi in enumerate(cuts):
+            fn(
+                batch.filter(
+                    (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+                ),
+                bid,
+            )
+            exp, _funnel = curate_against(
+                batch.filter(F.col("doc_id") <= hi), corpus,
+                eval_df=ev, **params,
+            )
+            exp_ids = sorted(
+                r.doc_id for r in exp.select("doc_id").collect()
+            )
+            release_materialized()  # curate_against settle()s stages
+            assert sorted(r[0] for r in got) == exp_ids
+            lo = hi
+    finally:
+        fn.release()
+        release_materialized()
+    assert {r[0] for r in got} == full
+    assert 0 < len(got) < batch.count()  # stages actually dropped docs

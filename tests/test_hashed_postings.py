@@ -1,0 +1,225 @@
+"""Round-13 hashed-postings migration: containment_drop,
+containment_pairs_against, and containment_drop_against now scan
+60-bit md5-prefix int shingles (pipelines/dedup.hashed_shingles_expr)
+instead of strings. These tests pin the migration's core claim — the
+hashed operators produce IDENTICAL pair/drop sets to string-shingle
+semantics — by recomputing every expected frame from an independent
+pure-Python STRING-shingle reference (tokenize, k-gram, df-bounded
+candidates, exact intersect, the documented decision rules) and
+asserting exact equality. A 60-bit collision inside any fixture doc
+pair would fail these; none exists (and the paired DuckDB oracles
+hash identically anyway, so the registry gate is collision-proof by
+construction)."""
+
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+
+def _py_shingles(text, k=3):
+    """Pure-Python mirror of functions/text.shingles_expr semantics:
+    F.trim strips SPACES only; split on \\s+; space-joined k-grams;
+    empty set below k tokens / blank / NULL."""
+    if text is None:
+        return set()
+    t = text.strip(" ")
+    if not t:
+        return set()
+    toks = re.split(r"\s+", t)
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _grid4(x):
+    """grid_round_expr(x, 4) mirror: floor(x * 1e4 + 0.5) / 1e4 in
+    double — identical FP steps to the Column form."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _fixture_rows():
+    small = " ".join(f"q{j} r{j}" for j in range(15))
+    wrapper = (
+        " ".join(f"pre{j} nav{j}" for j in range(20))
+        + " " + small + " "
+        + " ".join(f"post{j} foot{j}" for j in range(20))
+    )
+    twin = " ".join(f"tw{j} the of and is on" for j in range(6))
+    rows = [
+        (1, small, "farm"),           # contained in 2 -> dropped
+        (2, wrapper, "s0"),           # container
+        (3, twin, "s0"),              # mutual twins: keep-best
+        (4, twin + " ", "s1"),        # trailing space: same shingles
+        (5, "too short", "s1"),       # < 3 tokens: empty shingle set
+        (6, None, "s1"),              # NULL text
+    ] + [
+        (10 + i,
+         " ".join(f"u{i}w{j} the of and is on" for j in range(8)),
+         "s0")
+        for i in range(6)
+    ]
+    return rows
+
+
+def _ref_machinery(sh, cand_pairs):
+    """Exact verify on string shingle sets for given candidate pairs:
+    (a, b) -> (n_common, na, nb)."""
+    return {
+        (a, b): (len(sh[a] & sh[b]), len(sh[a]), len(sh[b]))
+        for a, b in cand_pairs
+    }
+
+
+def _ref_self_pairs(rows, k=3, max_df=20):
+    """containment_pairs' candidate discipline on STRING shingles:
+    inverted index over discriminative grams (2 <= df <= max_df),
+    id_a < id_b."""
+    sh = {i: _py_shingles(t, k) for i, t, _ in rows}
+    sh = {i: s for i, s in sh.items() if s}
+    df = Counter(g for s in sh.values() for g in s)
+    disc = {g for g, c in df.items() if 2 <= c <= max_df}
+    byg = defaultdict(list)
+    for i, s in sh.items():
+        for g in s & disc:
+            byg[g].append(i)
+    cand = {
+        (a, b)
+        for ids in byg.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    return sh, _ref_machinery(sh, cand)
+
+
+def _quality_bp(spark, rows):
+    """quality_bp_expr is text-based (migration-independent); use the
+    engine's own values as the reference's quality input."""
+    from webloghunter_spark.functions.text import quality_bp_expr
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = docs.select(
+        "doc_id",
+        F.coalesce(quality_bp_expr("text"), F.lit(0))
+        .cast("long")
+        .alias("q"),
+    ).collect()
+    return {r.doc_id: r.q for r in out}
+
+
+def test_hashed_pairs_variant_matches_string_pairs(spark):
+    """containment_pairs (string, frozen) and containment_pairs_hashed
+    (the migrated representation) emit identical frames on a fixture
+    with containment + twins + boilerplate grams."""
+    from webloghunter_spark.pipelines.dedup import (
+        containment_pairs,
+        containment_pairs_hashed,
+    )
+
+    docs = spark.createDataFrame(
+        _fixture_rows(), "doc_id long, text string, source string"
+    )
+    s = sorted(map(tuple, containment_pairs(docs).collect()))
+    h = sorted(map(tuple, containment_pairs_hashed(docs).collect()))
+    assert s == h
+    assert len(s) > 0
+
+
+def test_containment_drop_matches_string_reference(spark):
+    """The hashed containment_drop reproduces the STRING-shingle
+    decision frame exactly: pair machinery, bp drop rules, keep-best
+    mutual resolution, per-doc stats (incl. empty/NULL-text rows)."""
+    from webloghunter_spark.pipelines.dedup import containment_drop
+
+    rows = _fixture_rows()
+    sh_all = {i: _py_shingles(t) for i, t, _ in rows}
+    sh, ex = _ref_self_pairs(rows)
+    q = _quality_bp(spark, rows)
+
+    n_containers = Counter()
+    for (a, b), (n, na, nb) in ex.items():
+        a_in_b = n * 10000 >= 8000 * na and nb * 10000 >= 10000 * na
+        b_in_a = n * 10000 >= 8000 * nb and na * 10000 >= 10000 * nb
+        if a_in_b and (not b_in_a or q[a] < q[b]):
+            n_containers[a] += 1
+        elif b_in_a and (not a_in_b or q[a] >= q[b]):
+            n_containers[b] += 1
+    expected = sorted(
+        (i, src, len(sh_all[i]), q[i], n_containers[i],
+         int(n_containers[i] > 0))
+        for i, t, src in rows
+    )
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = sorted(map(tuple, containment_drop(docs).collect()))
+    assert got == expected
+    # the fixture actually exercises the interesting rows
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][5] == 1          # contained small doc dropped
+    assert by_id[2][5] == 0          # container survives
+    assert by_id[3][5] != by_id[4][5]  # twins: exactly one survives
+    assert by_id[5][2] == 0 and by_id[6][2] == 0  # empty shingle rows
+
+
+def test_containment_against_matches_string_reference(spark):
+    """The hashed *_against forms reproduce the STRING-shingle
+    frozen-corpus results exactly: corpus-df discipline (probe never
+    contributes), pairs frame, and the authoritative drop gate."""
+    from webloghunter_spark.pipelines.dedup import (
+        containment_drop_against,
+        containment_pairs_against,
+    )
+
+    rows = _fixture_rows()
+    probe_rows = [r for r in rows if r[0] % 2 == 1]
+    corpus_rows = [r for r in rows if r[0] % 2 == 0]
+    psh = {i: _py_shingles(t) for i, t, _ in probe_rows}
+    csh = {i: _py_shingles(t) for i, t, _ in corpus_rows}
+    cdf = Counter(g for s in csh.values() if s for g in s)
+    disc = {g for g, c in cdf.items() if c <= 20}
+    cand = {
+        (a, b)
+        for a, sa in psh.items()
+        if sa
+        for b, sb in csh.items()
+        if sb and (sa & sb & disc)
+    }
+    ex = {
+        (a, b): (len(psh[a] & csh[b]), len(psh[a]), len(csh[b]))
+        for a, b in cand
+    }
+    exp_pairs = sorted(
+        (a, b, n, _grid4(n / na), _grid4(n / nb))
+        for (a, b), (n, na, nb) in ex.items()
+        if max(n / na, n / nb) >= 0.5
+    )
+    drops = Counter()
+    for (a, b), (n, na, nb) in ex.items():
+        if n * 10000 >= 8000 * na and nb * 10000 >= 10000 * na:
+            drops[a] += 1
+    exp_drop = sorted(
+        (i, len(psh[i]), drops[i], int(drops[i] > 0))
+        for i, _, _ in probe_rows
+    )
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    got_pairs = sorted(
+        map(tuple, containment_pairs_against(probe, corpus).collect())
+    )
+    assert got_pairs == exp_pairs
+    got_drop = sorted(
+        map(tuple, containment_drop_against(probe, corpus).collect())
+    )
+    assert got_drop == exp_drop
+    assert any(r[3] == 1 for r in got_drop)  # the gate actually fires

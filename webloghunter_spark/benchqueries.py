@@ -1316,16 +1316,25 @@ def q_containment_drop(spark, sf_dir):
     )
 
 
-# Oracle BUILT FROM SQL_CONTAINMENT_PAIRS (the dataset_diff /
+# Oracle BUILT FROM SQL_CONTAINMENT_PAIRS_HASHED (the dataset_diff /
 # dedup_sensitivity discipline): the pair machinery cannot drift. The
 # drop rules are exact-integer on the bp grid, so a drop event at
 # threshold_bp >= 5000 implies max-direction containment >= 0.5 and
 # every decided pair is guaranteed present in the 0.5-threshold pair
-# frame the two sides share.
+# frame the two sides share. Round 13: the operator migrated to
+# 60-bit hashed postings, so the pair machinery AND the stats dsh
+# below hash shingles exactly like Spark's hashed_shingles_expr —
+# exactness by construction even under a 60-bit collision.
 SQL_CONTAINMENT_DROP = f"""
-    WITH cont AS ({SQL_CONTAINMENT_PAIRS}),
+    WITH cont AS ({SQL_CONTAINMENT_PAIRS_HASHED}),
     {DOC_TOKENS_SQL},
-    dsh AS (SELECT doc_id, list_distinct(s) AS s FROM shingles),
+    dsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS s
+        FROM shingles
+    ),
     qstats AS (
         SELECT doc_id,
                len(t)::DOUBLE AS ntokd,
@@ -1403,10 +1412,17 @@ def q_containment_pairs_against(spark, sf_dir):
     )
 
 
+# round 13: dsh hashed to 60-bit md5-prefix ints, mirroring the
+# operator's hashed_shingles_expr (SQL_CONTAINMENT_PAIRS_HASHED's dsh
+# form) — exact by construction under any collision
 SQL_CONTAINMENT_PAIRS_AGAINST = f"""
     WITH {DOC_TOKENS_SQL},
     dsh AS (
-        SELECT doc_id, list_distinct(s) AS s FROM shingles WHERE len(s) > 0
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS s
+        FROM shingles WHERE len(s) > 0
     ),
     csh AS (SELECT doc_id, s FROM dsh WHERE doc_id % 2 = 0),
     psh AS (SELECT doc_id, s FROM dsh WHERE doc_id % 2 = 1),
@@ -1463,7 +1479,13 @@ def q_containment_drop_against(spark, sf_dir):
 SQL_CONTAINMENT_DROP_AGAINST = f"""
     WITH cont AS ({SQL_CONTAINMENT_PAIRS_AGAINST}),
     {DOC_TOKENS_SQL},
-    dsh AS (SELECT doc_id, list_distinct(s) AS s FROM shingles),
+    dsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS s
+        FROM shingles
+    ),
     drops AS (
         SELECT c.id_a AS doc_id, count(*)::BIGINT AS n_containers
         FROM cont c
@@ -8032,9 +8054,16 @@ SQL_CURATE_PIPELINE = r"""
         SELECT doc_id FROM s2
         WHERE doc_id NOT IN (SELECT id_b FROM dropped)
     ),
+    hdsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(sh,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS sh
+        FROM dsh
+    ),
     cinv2 AS (
         SELECT d.doc_id, unnest(d.sh) AS g
-        FROM dsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
+        FROM hdsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
     ),
     crare AS (
         SELECT g FROM cinv2 GROUP BY g HAVING count(*) BETWEEN 2 AND 20
@@ -8050,8 +8079,8 @@ SQL_CURATE_PIPELINE = r"""
                len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb,
                ga.qbp AS qa, gb.qbp AS qb
         FROM ccand
-        JOIN dsh a ON a.doc_id = ccand.id_a
-        JOIN dsh b ON b.doc_id = ccand.id_b
+        JOIN hdsh a ON a.doc_id = ccand.id_a
+        JOIN hdsh b ON b.doc_id = ccand.id_b
         JOIN gate ga ON ga.doc_id = ccand.id_a
         JOIN gate gb ON gb.doc_id = ccand.id_b
     ),
@@ -8259,14 +8288,28 @@ SQL_CURATE_INCREMENTAL = r"""
         SELECT doc_id FROM s2
         WHERE doc_id NOT IN (SELECT id_a FROM ndrop)
     ),
+    bhdsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(sh,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS sh
+        FROM bdsh
+    ),
+    chdsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(sh,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS sh
+        FROM cdsh
+    ),
     cinv AS (
-        SELECT d.doc_id, unnest(d.sh) AS g FROM cdsh d WHERE len(d.sh) > 0
+        SELECT d.doc_id, unnest(d.sh) AS g FROM chdsh d WHERE len(d.sh) > 0
     ),
     ckeep AS (SELECT g FROM cinv GROUP BY g HAVING count(*) <= 20),
     crinv AS (SELECT i.doc_id, i.g FROM cinv i JOIN ckeep USING (g)),
     pinv AS (
         SELECT d.doc_id, unnest(d.sh) AS g
-        FROM bdsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
+        FROM bhdsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
     ),
     ccand AS (
         SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
@@ -8277,8 +8320,8 @@ SQL_CURATE_INCREMENTAL = r"""
                len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
                len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb
         FROM ccand
-        JOIN bdsh a ON a.doc_id = ccand.id_a
-        JOIN cdsh b ON b.doc_id = ccand.id_b
+        JOIN bhdsh a ON a.doc_id = ccand.id_a
+        JOIN chdsh b ON b.doc_id = ccand.id_b
     ),
     cdrop AS (
         SELECT DISTINCT id_a FROM cex
@@ -8412,7 +8455,7 @@ def _curate_stage_chain(prefix: str, src: str) -> str:
     body = body[len("WITH "):]
     # longer names BEFORE their prefixes (evt before ev)
     names = (
-        "toks|gate|keyed|sh3|hashed|sig|banded|cand|dsh|dropped"
+        "toks|gate|keyed|sh3|hashed|sig|banded|cand|hdsh|dsh|dropped"
         "|cinv2|crare|crinv|ccand|cex|cev"
         "|evt|ev|tr4|bad|s1|s2|s3|s4"
     )
@@ -10467,19 +10510,75 @@ SQL_BM25_BATCH = _bm25_batch_sql()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-12 front = curate_pipeline (its plan
-    # changed this round: settle() lineage cuts at every funnel
-    # stage boundary) plus the 49-query cohort whose last driver
-    # sample was round 8 (the VERDICT r11 rotation ask) — exactly
-    # 50, re-sampling most SURVEY §2 anchors (sigma_rules,
-    # tool_scan, sessionize, burst_success, cidr_filter,
-    # parse_roundtrip) through the driver. Everything after slot 50
-    # is covered by the committed full-registry HASHCHECK artifacts.
-    # -- round-12 additions + settle()-touched funnel entry +
-    # round-8 cohort (50; the cohort's tail spills past slot 50 and
-    # keeps committed full-registry HASHCHECK coverage) --
+    # FIRST 50 entries. Round-13 front = the staleness tail (the
+    # VERDICT r12 rotation ask): the 3 queries last sampled round 8
+    # (topk_per_group, url_blocklist, winnow_fingerprints) + 47 of
+    # the 49-query round-9 cohort — incl. uri_risk (§2 anchor R1),
+    # containment_pairs + winnow_pairs (their family migrated to
+    # hashed postings this round), dedup_keep_best, dedup_sensitivity,
+    # dup_source_matrix, dup_ngram_frac, media_sniff/decode,
+    # ewma_alerts, bm25_topk/batch, knn_ivf, quantize_recall,
+    # asof_join, rollup_counts, salted_join. The two round-9 rows
+    # deferred to slots 51-52 (doc_fingerprint_fast,
+    # url_blocklist_big) are the fast/big variants of freshly-sampled
+    # siblings. Everything after slot 50 is covered by the committed
+    # full-registry HASHCHECK artifacts.
+    # -- round-8/9 staleness cohort (50) --
+    "topk_per_group": q_topk_per_group,
+    "url_blocklist": q_url_blocklist,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "ann_recall": q_ann_recall,
+    "asof_join": q_asof_join,
+    "bigram_logprob": q_bigram_logprob,
+    "bm25_batch": q_bm25_batch,
+    "bm25_topk": q_bm25_topk,
+    "boundary_leakage": q_boundary_leakage,
+    "bpe_roundtrip": q_bpe_roundtrip,
+    "bpe_tokens": q_bpe_tokens,
+    "char_entropy": q_char_entropy,
+    "charset_stats": q_charset_stats,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "containment_pairs": q_containment_pairs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_sensitivity": q_dedup_sensitivity,
+    "domain_mix": q_domain_mix,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "dup_source_matrix": q_dup_source_matrix,
+    "effective_data": q_effective_data,
+    "ewma_alerts": q_ewma_alerts,
+    "heaps_fit": q_heaps_fit,
+    "ivf_probe_curve": q_ivf_probe_curve,
+    "knn_batch": q_knn_batch,
+    "knn_ivf": q_knn_ivf,
+    "len_quantiles": q_len_quantiles,
+    "media_decode": q_media_decode,
+    "media_sniff": q_media_sniff,
+    "novelty_frac": q_novelty_frac,
+    "padding_curve": q_padding_curve,
+    "prefix_modal": q_prefix_modal,
+    "quality_gate": q_quality_gate,
+    "quantize_recall": q_quantize_recall,
+    "rollup_counts": q_rollup_counts,
+    "salted_collect": q_salted_collect,
+    "salted_join": q_salted_join,
+    "segment_dedup": q_segment_dedup,
+    "shipping_priority": q_shipping_priority,
+    "source_overlap": q_source_overlap,
+    "split_coherence": q_split_coherence,
+    "tail_index": q_tail_index,
+    "token_entropy": q_token_entropy,
+    "tool_focus": q_tool_focus,
+    "trailing_rate": q_trailing_rate,
+    "train_split": q_train_split,
+    "unimax_alloc": q_unimax_alloc,
+    "uri_risk": q_uri_risk,
+    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
+    "winnow_pairs": q_winnow_pairs,
+    # -- deferred round-9 fast/big variants, then the remainder
+    # (committed full-registry HASHCHECK coverage) --
+    "doc_fingerprint_fast": q_doc_fingerprint_fast,
+    "url_blocklist_big": q_url_blocklist_big,
     "winnow_containment_drop": q_winnow_containment_drop,
     "curate_incremental": q_curate_incremental,
     "containment_pairs_hashed": q_containment_pairs_hashed,
@@ -10530,10 +10629,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_scan_windowed": q_tool_scan_windowed,
     "top_revenue": q_top_revenue,
     "topic_classify": q_topic_classify,
-    "topk_per_group": q_topk_per_group,
-    "url_blocklist": q_url_blocklist,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    # -- remainder (committed full-registry HASHCHECK coverage) --
     "containment_drop_against": q_containment_drop_against,
     "containment_pairs_against": q_containment_pairs_against,
     "scorecard_budget": q_scorecard_budget,
@@ -10632,55 +10727,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_by_source": q_budget_by_source,
     "cc_representatives": q_cc_representatives,
     "cluster_purity": q_cluster_purity,
-    "url_blocklist_big": q_url_blocklist_big,
-    "bpe_roundtrip": q_bpe_roundtrip,
-    "containment_pairs": q_containment_pairs,
-    "unimax_alloc": q_unimax_alloc,
-    "dup_source_matrix": q_dup_source_matrix,
-    "dedup_sensitivity": q_dedup_sensitivity,
-    "ivf_probe_curve": q_ivf_probe_curve,
-    "winnow_pairs": q_winnow_pairs,
-    "quantize_recall": q_quantize_recall,
-    "padding_curve": q_padding_curve,
-    "bm25_topk": q_bm25_topk,
-    "ewma_alerts": q_ewma_alerts,
-    "heaps_fit": q_heaps_fit,
-    "effective_data": q_effective_data,
-    "dedup_keep_best": q_dedup_keep_best,
-    "tail_index": q_tail_index,
-    "boundary_leakage": q_boundary_leakage,
-    "char_entropy": q_char_entropy,
-    "split_coherence": q_split_coherence,
-    "dup_ngram_frac": q_dup_ngram_frac,
-    "prefix_modal": q_prefix_modal,
-    "len_quantiles": q_len_quantiles,
-    "bm25_batch": q_bm25_batch,
-    "doc_fingerprint_fast": q_doc_fingerprint_fast,
-    "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
-    "knn_ivf": q_knn_ivf,
-    "tool_focus": q_tool_focus,
-    "uri_risk": q_uri_risk,
-    "bpe_tokens": q_bpe_tokens,
-    "salted_join": q_salted_join,
-    "salted_collect": q_salted_collect,
-    "rollup_counts": q_rollup_counts,
-    "trailing_rate": q_trailing_rate,
-    "asof_join": q_asof_join,
-    "train_split": q_train_split,
-    "domain_mix": q_domain_mix,
-    "segment_dedup": q_segment_dedup,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "charset_stats": q_charset_stats,
-    "bigram_logprob": q_bigram_logprob,
-    "quality_gate": q_quality_gate,
-    "novelty_frac": q_novelty_frac,
-    "source_overlap": q_source_overlap,
-    "token_entropy": q_token_entropy,
-    "knn_batch": q_knn_batch,
-    "ann_recall": q_ann_recall,
-    "media_sniff": q_media_sniff,
-    "media_decode": q_media_decode,
-    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES: dict[str, str] = {

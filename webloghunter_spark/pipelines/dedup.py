@@ -381,7 +381,9 @@ def containment_pairs_against(
     the corpus — never each other — the union of per-batch results
     over any slicing equals the one-shot run exactly; the streaming
     twin (streaming/incdedup.containment_stream_writer) gets parity
-    for free."""
+    for free. Shingles are posting-compressed to 60-bit md5-prefix
+    ints (hashed_shingles_expr; oracle exact by construction — see
+    containment_drop's note)."""
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     if max_df < 1:
@@ -389,7 +391,7 @@ def containment_pairs_against(
     csh = materialize(
         corpus.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         ).filter(F.size("_sh") > 0)
     )
     cinv = csh.select(F.col(id_col), F.explode("_sh").alias("_g"))
@@ -402,7 +404,7 @@ def containment_pairs_against(
     rcinv = cinv.join(keep, "_g", "left_semi")
     psh = probe.select(
         F.col(id_col),
-        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
     cand = (
@@ -489,7 +491,10 @@ def containment_drop_against(
     exact verify with sizes carried THROUGH the verify joins (the
     containment_drop carry lesson — no join-back of a corpus-sized
     side onto the pair frame), one drop-event fold, one left join
-    onto the narrow per-probe stats frame.
+    onto the narrow per-probe stats frame. Shingles are
+    posting-compressed to 60-bit md5-prefix ints
+    (hashed_shingles_expr; oracle exact by construction — see
+    containment_drop's note).
     """
     if not 5000 <= threshold_bp <= 10000:
         raise ValueError(
@@ -505,7 +510,7 @@ def containment_drop_against(
     csh = materialize(
         corpus.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         ).filter(F.size("_sh") > 0)
     )
     cinv = csh.select(F.col(id_col), F.explode("_sh").alias("_g"))
@@ -519,7 +524,7 @@ def containment_drop_against(
     pbase = materialize(
         probe.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         )
     )
     psh = pbase.filter(F.size("_sh") > 0)
@@ -636,6 +641,14 @@ def containment_drop(
     Pinned at threshold_bp >= 5000: candidates come from the shared
     pair pass at its max-direction-0.5 base threshold, so a weaker
     drop threshold would need pairs this pass never surfaced.
+
+    Shingles are POSTING-COMPRESSED to 60-bit md5-prefix ints
+    (hashed_shingles_expr — migrated round 13, measured 1.9x at the
+    32x control when the verify saturates the box): n_shingles /
+    n_common count distinct hashed shingles, equal to distinct string
+    shingles unless two of a doc's shingles md5-collide in 60 bits
+    (none observed at any tested scale; the paired oracle hashes
+    identically, so exactness holds by construction regardless).
     """
     if not 5000 <= threshold_bp <= 10000:
         raise ValueError(
@@ -657,7 +670,7 @@ def containment_drop(
         df.select(
             F.col(id_col),
             *src,
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
             F.coalesce(quality_bp_expr(text_col), F.lit(0))
             .cast("long")
             .alias("_q"),

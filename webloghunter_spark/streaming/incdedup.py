@@ -145,7 +145,9 @@ def containment_stream_writer(
 ) -> Callable[[DataFrame, int], None]:
     """Streaming twin of pipelines/dedup.containment_pairs_against —
     the continuous-ingest doc-in-doc gate. The FROZEN index is the
-    corpus's distinct shingle sets plus its discriminative inverted
+    corpus's distinct shingle sets (posting-compressed to 60-bit
+    hashed ints like the batch twin — hashed_shingles_expr) plus its
+    discriminative inverted
     index (corpus df <= max_df; the probe side never contributes to
     df, so results are independent of batch slicing). Asymmetric, so
     the union of per-batch sink rows over ANY slicing equals the
@@ -159,7 +161,7 @@ def containment_stream_writer(
     would LOSE rows when Spark replays a batch whose sink failed
     mid-write)."""
     from webloghunter_spark.functions.similarity import grid_round_expr
-    from webloghunter_spark.functions.text import shingles_expr
+    from webloghunter_spark.pipelines.dedup import hashed_shingles_expr
 
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
@@ -170,7 +172,7 @@ def containment_stream_writer(
     csh = (
         corpus.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
         .persist()
@@ -192,7 +194,7 @@ def containment_stream_writer(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         psh = batch_df.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         ).filter(F.size("_sh") > 0)
         pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
         cand = (
@@ -261,7 +263,8 @@ def containment_drop_stream_writer(
     """Streaming twin of pipelines/dedup.containment_drop_against —
     the continuous-ingest quote-farm GATE (the pairs twin above
     finds; this decides). The frozen index is the same corpus
-    shingle-set + discriminative-inverted-index pair as
+    shingle-set (60-bit hashed postings) +
+    discriminative-inverted-index pair as
     containment_stream_writer; the corpus is authoritative (no
     keep-best), the probe side never contributes to df, and probes
     are never compared to each other — so the union of per-batch
@@ -269,7 +272,7 @@ def containment_drop_stream_writer(
     parity for free, zero cross-batch state, and at-least-once
     replays re-emit deterministically. Index persisted in the
     closure (never session.materialize()); `.release` frees it."""
-    from webloghunter_spark.functions.text import shingles_expr
+    from webloghunter_spark.pipelines.dedup import hashed_shingles_expr
 
     if not 5000 <= threshold_bp <= 10000:
         raise ValueError(
@@ -287,7 +290,7 @@ def containment_drop_stream_writer(
     csh = (
         corpus.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
         .persist()
@@ -309,7 +312,7 @@ def containment_drop_stream_writer(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         pbase = batch_df.select(
             F.col(id_col),
-            F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         )
         psh = pbase.filter(F.size("_sh") > 0)
         pinv = psh.select(F.col(id_col), F.explode("_sh").alias("_g"))
