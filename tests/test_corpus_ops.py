@@ -944,6 +944,49 @@ def test_quality_classifier_learns_separation(spark):
     assert all(scores[i] == scores[0] for i in range(20))  # same text
 
 
+def test_quality_classifier_shared_features_identical(spark):
+    """The train-then-score composition can reuse the training pass's
+    materialized (id, b, x) feature frame (return_features — the
+    round-13 optimization that drops the second tokenize+explode+
+    aggregate pass): scores through the shared frame are IDENTICAL to
+    a fresh doc_features pass, because doc_features is a pure function
+    of the (id, text) row set."""
+    from webloghunter_spark.pipelines.classify import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+    from webloghunter_spark.session import release_materialized
+
+    target = spark.createDataFrame(
+        [(i, "science physics quantum energy theory") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, "buy cheap pills casino winner click") for i in range(10)]
+        + [(200, "")],
+        "doc_id long, text string",
+    )
+    docs = target.unionByName(raw)
+    try:
+        w_plain = train_quality_classifier(target, raw)
+        fresh = sorted(
+            map(tuple, quality_classifier_scores(docs, w_plain).collect())
+        )
+        w, feat = train_quality_classifier(
+            target, raw, return_features=True
+        )
+        assert w == w_plain
+        shared = sorted(
+            map(
+                tuple,
+                quality_classifier_scores(docs, w, features=feat).collect(),
+            )
+        )
+        assert shared == fresh
+    finally:
+        release_materialized()
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """Docs sharing the target's vocabulary score higher than docs in
     pure raw-pool vocabulary; weights are deterministic and n_grams

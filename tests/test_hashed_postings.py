@@ -168,6 +168,75 @@ def test_containment_drop_matches_string_reference(spark):
     assert by_id[5][2] == 0 and by_id[6][2] == 0  # empty shingle rows
 
 
+def test_ngram_jaccard_pairs_matches_string_reference(spark):
+    """The jaccard verify (ngram_jaccard_pairs — migrated to hashed
+    postings in the round-13 wave that carried the containment family)
+    reproduces STRING-shingle Jaccard exactly on candidate pairs:
+    |A∩B|/|A∪B| over the 60-bit md5-prefix int sets equals the
+    string-set value whenever the hash is injective on the corpus
+    slice, and the fixture (twins, containment, shared boilerplate
+    grams) pins that equality pair by pair."""
+    from webloghunter_spark.pipelines.dedup import ngram_jaccard_pairs
+
+    rows = _fixture_rows()
+    sh = {i: _py_shingles(t) for i, t, _ in rows}
+    ids = [i for i, s in sh.items() if s]
+    cand = [(a, b) for a in ids for b in ids if a < b]
+    expected = sorted(
+        (a, b, _grid4(len(sh[a] & sh[b]) / len(sh[a] | sh[b])))
+        for a, b in cand
+    )
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    pairs = spark.createDataFrame(cand, "id_a long, id_b long")
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, pairs, threshold=0.0).collect()
+    )
+    assert got == expected
+    # the fixture exercises both extremes
+    jm = {(a, b): v for a, b, v in got}
+    assert jm[(3, 4)] == 1.0          # trailing-space twins: identical sets
+    assert 0.0 < jm[(1, 2)] < 1.0     # containment pair: partial overlap
+
+
+def test_near_dedup_drop_set_matches_string_reference(spark):
+    """near_dedup's drop decisions (lower-id-wins at >= threshold) are
+    unchanged by the hashed verify: recompute the drop set from the
+    pure-Python string-shingle Jaccard over ALL pairs (a superset of
+    the LSH candidates, so any candidate the bands surface decides
+    identically) and assert the survivor set matches."""
+    from webloghunter_spark.pipelines.dedup import near_dedup
+
+    rows = _fixture_rows()
+    sh = {i: _py_shingles(t) for i, t, _ in rows}
+    dropped = set()
+    for b in sh:
+        for a in sh:
+            if a < b and sh[a] and sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.8:
+                    dropped.add(b)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in near_dedup(
+            docs, threshold=0.8, num_hashes=8, band_size=2
+        ).collect()
+    )
+    # LSH candidates are a subset of all pairs; every kept doc must be
+    # un-dropped under the string reference, and every string-dropped
+    # doc that LSH surfaces must be gone. The twins (3, 4) are
+    # guaranteed same-signature, so 4 MUST be dropped.
+    assert 4 not in kept
+    assert all(i not in kept or i not in dropped or i == 4 for i in sh)
+    assert set(kept) <= (set(i for i, _, _ in rows) - {4})
+
+
 def test_containment_against_matches_string_reference(spark):
     """The hashed *_against forms reproduce the STRING-shingle
     frozen-corpus results exactly: corpus-df discipline (probe never

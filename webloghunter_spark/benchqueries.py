@@ -1206,7 +1206,12 @@ SQL_JACCARD_PAIRS = f"""
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     ),
-    dsh AS (SELECT doc_id, list_distinct(s) AS s FROM shingles)
+    dsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS s
+        FROM shingles
+    )
     SELECT id_a, id_b,
            round(len(list_intersect(a.s, b.s))::DOUBLE
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
@@ -6437,10 +6442,13 @@ def q_quality_classifier(spark, sf_dir):
 
     docs = _fan(_t(spark, sf_dir, "documents"))
     is_en = F.coalesce(F.col("lang"), F.lit("")) == "en"
-    w = train_quality_classifier(
-        docs.filter(is_en), docs.filter(~is_en)
+    # share the materialized feature table between training and
+    # scoring: target ∪ raw IS the full corpus here, so the scoring
+    # pass's doc_features would recompute the identical (id, b, x) set
+    w, feat = train_quality_classifier(
+        docs.filter(is_en), docs.filter(~is_en), return_features=True
     )
-    return quality_classifier_scores(docs, w)
+    return quality_classifier_scores(docs, w, features=feat)
 
 
 SQL_QUALITY_CLASSIFIER = r"""
@@ -7872,7 +7880,12 @@ SQL_INCREMENTAL_DEDUP = f"""
         SELECT DISTINCT nb.doc_id AS id_a, cb.doc_id AS id_b
         FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
     ),
-    dsh AS (SELECT doc_id, list_distinct(s) AS sh FROM shingles),
+    dsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS sh
+        FROM shingles
+    ),
     hit AS (
         SELECT DISTINCT id_a FROM cand
         JOIN dsh a ON a.doc_id = cand.id_a
@@ -8042,7 +8055,13 @@ SQL_CURATE_PIPELINE = r"""
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     ),
-    dsh AS (SELECT doc_id, list_distinct(s) AS sh FROM sh3),
+    dsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS sh
+        FROM sh3
+    ),
     dropped AS (
         SELECT DISTINCT id_b FROM cand
         JOIN dsh a ON a.doc_id = cand.id_a
@@ -8054,13 +8073,7 @@ SQL_CURATE_PIPELINE = r"""
         SELECT doc_id FROM s2
         WHERE doc_id NOT IN (SELECT id_b FROM dropped)
     ),
-    hdsh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(sh,
-                   x -> CAST(('0x' || substr(md5(x), 1, 15))
-                        AS BIGINT))) AS sh
-        FROM dsh
-    ),
+    hdsh AS (SELECT doc_id, sh FROM dsh),
     cinv2 AS (
         SELECT d.doc_id, unnest(d.sh) AS g
         FROM hdsh d JOIN s3 USING (doc_id) WHERE len(d.sh) > 0
@@ -8275,8 +8288,20 @@ SQL_CURATE_INCREMENTAL = r"""
         FROM bbanded b JOIN cbanded c
           ON b.band = c.band AND b.bh = c.bh
     ),
-    bdsh AS (SELECT doc_id, list_distinct(s) AS sh FROM bsh),
-    cdsh AS (SELECT doc_id, list_distinct(s) AS sh FROM csh),
+    bdsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS sh
+        FROM bsh
+    ),
+    cdsh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct(s),
+                   x -> CAST(('0x' || substr(md5(x), 1, 15))
+                        AS BIGINT))) AS sh
+        FROM csh
+    ),
     ndrop AS (
         SELECT DISTINCT id_a FROM ncand
         JOIN bdsh a ON a.doc_id = ncand.id_a
@@ -8288,20 +8313,8 @@ SQL_CURATE_INCREMENTAL = r"""
         SELECT doc_id FROM s2
         WHERE doc_id NOT IN (SELECT id_a FROM ndrop)
     ),
-    bhdsh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(sh,
-                   x -> CAST(('0x' || substr(md5(x), 1, 15))
-                        AS BIGINT))) AS sh
-        FROM bdsh
-    ),
-    chdsh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(sh,
-                   x -> CAST(('0x' || substr(md5(x), 1, 15))
-                        AS BIGINT))) AS sh
-        FROM cdsh
-    ),
+    bhdsh AS (SELECT doc_id, sh FROM bdsh),
+    chdsh AS (SELECT doc_id, sh FROM cdsh),
     cinv AS (
         SELECT d.doc_id, unnest(d.sh) AS g FROM chdsh d WHERE len(d.sh) > 0
     ),

@@ -83,13 +83,22 @@ def train_quality_classifier(
     n_buckets: int = CLS_BUCKETS,
     iters: int = CLS_ITERS,
     lr: float = CLS_LR,
-) -> list[tuple[int, int]]:
+    return_features: bool = False,
+) -> list[tuple[int, int]] | tuple[list[tuple[int, int]], DataFrame]:
     """Full-batch logistic regression, returns [(bucket, w_micro)].
 
     Ids must be unique across target ∪ raw. Weights start at 0 and
     every round's update is quantized to integer micro units, so the
     returned vector is a pure function of the corpora — any engine
-    replaying the same arithmetic gets the identical ints."""
+    replaying the same arithmetic gets the identical ints.
+
+    `return_features=True` additionally returns the MATERIALIZED
+    (id, b, x) feature frame the rounds trained on, so a caller about
+    to score the same corpus (the train-then-score composition) can
+    pass it to quality_classifier_scores instead of paying the
+    tokenize+explode+two-aggregate feature pass a second time. The
+    frame stays registered with the materialize() lifecycle — the
+    caller's release_materialized() frees it as usual."""
     from webloghunter_spark.session import materialize
 
     if iters <= 0 or n_buckets <= 0:
@@ -154,6 +163,8 @@ def train_quality_classifier(
         for b in range(n_buckets):
             gmean = gr.get(b, 0) / (1e9 * n_total)
             w[b] = w[b] + int(math.floor(lr * gmean * 1e6 + 0.5))
+    if return_features:
+        return sorted(w.items()), feat
     return sorted(w.items())
 
 
@@ -163,15 +174,29 @@ def quality_classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = CLS_BUCKETS,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id, ntok, logit_micro, prob_bp) for every document under a
     trained weight vector — one feature aggregate + one broadcast
-    join; docs with no tokens score logit 0 / prob 5000 bp."""
+    join; docs with no tokens score logit 0 / prob 5000 bp.
+
+    `features` (optional): a precomputed (id, b, x) frame covering
+    exactly `df`'s documents — pass train_quality_classifier's
+    return_features frame when scoring the corpus it trained on, so
+    the feature pass runs once for the whole train-then-score
+    composition instead of once per phase. doc_features is a pure
+    function of the (id, text) row SET, so any frame built from the
+    same documents (in any order / partitioning) yields identical
+    scores."""
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(int(b), int(wm)) for b, wm in weights], "b long, w_micro long"
     )
-    feat = doc_features(df, text_col, id_col, n_buckets)
+    feat = (
+        features
+        if features is not None
+        else doc_features(df, text_col, id_col, n_buckets)
+    )
     z = _logits(feat, wdf, id_col)
     ntok = F.size(tokens_expr(text_col)).cast("long")
     zc = F.coalesce(F.col("z"), F.lit(0.0))

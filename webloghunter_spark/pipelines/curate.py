@@ -675,14 +675,24 @@ def dataset_diff(
     funnel_stage_tags — id sets move, never text, one union+max(stage)
     aggregate per snapshot); the final rollup is a |statuses x 7 x 7|
     aggregate. Nothing here exceeds what two curate runs already
-    cost."""
+    cost — and the two passes share NO state (different snapshots,
+    stage boundaries settle() eagerly), so they are submitted from two
+    driver threads: each funnel's small stages and per-stage barriers
+    back-fill the executor slots the other funnel's stragglers leave
+    idle (the scheduler runs concurrent jobs FIFO; results are
+    settled frames, so construction order cannot change any value)."""
     ds = snapshot_diff(old, new, id_col=id_col, text_col=text_col)
-    so = funnel_stage_tags(
-        old, eval_df, id_col=id_col, text_col=text_col, **funnel_kwargs
-    ).withColumnRenamed("last_stage", "_so")
-    sn = funnel_stage_tags(
-        new, eval_df, id_col=id_col, text_col=text_col, **funnel_kwargs
-    ).withColumnRenamed("last_stage", "_sn")
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tags(snap: DataFrame) -> DataFrame:
+        return funnel_stage_tags(
+            snap, eval_df, id_col=id_col, text_col=text_col, **funnel_kwargs
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo, fn_ = pool.submit(_tags, old), pool.submit(_tags, new)
+        so = fo.result().withColumnRenamed("last_stage", "_so")
+        sn = fn_.result().withColumnRenamed("last_stage", "_sn")
     j = (
         ds.join(so, id_col, "left")
         .join(sn, id_col, "left")

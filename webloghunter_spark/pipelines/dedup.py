@@ -203,9 +203,18 @@ def ngram_jaccard_pairs(
     # Materialize the shingle table once: it feeds BOTH sides of the
     # pair join, and an unmaterialized plan recomputes the full
     # tokenize+shingle pipeline per side.
+    #
+    # Shingles are POSTING-COMPRESSED to 60-bit md5-prefix ints
+    # (hashed_shingles_expr — the round-13 migration that already
+    # carried the containment family): |A∩B| / |A∪B| over the hashed
+    # sets equals the string-set Jaccard (the transform is injective
+    # on any collision-free corpus slice, and under a collision the
+    # oracle — which hashes identically — merges the same pair), while
+    # the verify's shuffle moves 8-byte ints instead of ~30-byte
+    # strings and array_intersect compares at word speed.
     sh = materialize(df.select(
         F.col(id_col),
-        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         *[F.col(c) for c in carry_cols],
     ))
     # shuffle_hash hint: the shingle table scales WITH THE CORPUS, so

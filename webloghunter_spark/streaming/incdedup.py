@@ -55,11 +55,14 @@ def incremental_dedup_stream_writer(
     cb = lsh_band_signatures(
         corpus, text_col, id_col, num_hashes, band_size, shingle_k
     ).persist()
-    from webloghunter_spark.functions.text import shingles_expr
+    from webloghunter_spark.pipelines.dedup import hashed_shingles_expr
 
+    # 60-bit hashed postings, matching ngram_jaccard_pairs' batch
+    # verify (round-13 migration): the frozen corpus shingle index and
+    # the per-batch probe frames move 8-byte ints, not strings
     csh = corpus.select(
         F.col(id_col),
-        F.array_distinct(shingles_expr(text_col, shingle_k)).alias("_sh"),
+        hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
     ).persist()
     cb.count(), csh.count()  # settle the frozen index
 
@@ -88,9 +91,7 @@ def incremental_dedup_stream_writer(
         )
         bsh = batch_df.select(
             F.col(id_col),
-            F.array_distinct(
-                shingles_expr(text_col, shingle_k)
-            ).alias("_sh"),
+            hashed_shingles_expr(text_col, shingle_k).alias("_sh"),
         )
         a = bsh.alias("a")
         b = csh.alias("b")
