@@ -49,6 +49,83 @@ def test_minhash_near_dup_signatures_agree(spark):
     assert 4 not in by_doc                            # <3 tokens dropped
 
 
+def test_minhash_simhash_vectorized_match_scalar_reference(spark):
+    """The numpy-vectorized UDF inner loops (round-13 guide-§4.2
+    optimization) reproduce the historical pure-Python per-char /
+    per-bit loops bit for bit: per-chunk hex-substring min == numeric
+    min of the big-endian u32 word, and hexdigest nibble b == the
+    high/low nibble of digest byte b//2. Pinned here against scalar
+    reference implementations on adversarial inputs (None, blank,
+    short, repeated shingles, partial hash groups)."""
+    import hashlib
+    import re
+
+    from webloghunter_spark.pipelines.dedup import minhash_sig_udf, simhash_udf
+
+    ws = re.compile(r"\s+")
+
+    def ref_minhash(text, num_hashes, shingle_k):
+        if text is None:
+            return None
+        toks = ws.split(text.strip()) if text.strip() else []
+        if len(toks) < shingle_k:
+            return None
+        sh = [" ".join(toks[i:i + shingle_k])
+              for i in range(len(toks) - shingle_k + 1)]
+        out = []
+        for g in range((num_hashes + 3) // 4):
+            digs = [hashlib.md5(f"{g}|{s}".encode()).hexdigest() for s in sh]
+            for c in range(4):
+                if g * 4 + c >= num_hashes:
+                    break
+                out.append(min(d[8 * c:8 * c + 8] for d in digs))
+        return out
+
+    def ref_simhash(text, shingle_k, bits):
+        if text is None:
+            return None
+        toks = ws.split(text.strip()) if text.strip() else []
+        if len(toks) < shingle_k:
+            return None
+        sh = [" ".join(toks[i:i + shingle_k])
+              for i in range(len(toks) - shingle_k + 1)]
+        digs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        out = 0
+        for b in range(bits):
+            ones = sum((int(d[b], 16) >> (b % 4)) & 1 for d in digs)
+            if 2 * ones >= len(digs):
+                out |= 1 << b
+        return out
+
+    texts = [
+        None, "", "   ", "one two", "a b c", "x y z w v u t s",
+        "dup dup dup dup dup dup",
+        " ".join(f"t{i} the of and" for i in range(40)),
+        "tab\tand\nnewline  separated   tokens here now",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for num_hashes in (4, 6, 8):          # 6 exercises the partial group
+        got = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id",
+                minhash_sig_udf(num_hashes, 3)(F.col("text")).alias("s"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref_minhash(t, num_hashes, 3), (num_hashes, i)
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", simhash_udf(3, 16)(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_simhash(t, 3, 16), i
+
+
 def test_lsh_and_jaccard(spark):
     docs = _docs(spark)
     pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2)

@@ -64,6 +64,8 @@ def minhash_sig_udf(num_hashes: int = 8, shingle_k: int = 3):
     import hashlib
     import re as _re
 
+    import numpy as np
+
     ws = _re.compile(r"\s+")
     n_groups = (num_hashes + 3) // 4
 
@@ -79,13 +81,20 @@ def minhash_sig_udf(num_hashes: int = 8, shingle_k: int = 3):
         ]
         out = []
         for g in range(n_groups):
-            digests = [
-                hashlib.md5(f"{g}|{s}".encode()).hexdigest() for s in shingles
-            ]
+            # raw digests, minimized as big-endian u32 words (guide
+            # §4.2 — vectorize the per-batch inner loop): the numeric
+            # min of word c EQUALS the lexicographic min of hexdigest
+            # chunk [8c:8c+8] (fixed-width lowercase hex preserves
+            # order), so format(min, '08x') reproduces the historical
+            # per-chunk string min byte for byte.
+            raw = b"".join(
+                hashlib.md5(f"{g}|{s}".encode()).digest() for s in shingles
+            )
+            mins = np.frombuffer(raw, dtype=">u4").reshape(-1, 4).min(axis=0)
             for c in range(4):
                 if g * 4 + c >= num_hashes:
                     break
-                out.append(min(d[8 * c : 8 * c + 8] for d in digests))
+                out.append(format(int(mins[c]), "08x"))
         return out
 
     @F.pandas_udf("array<string>")
@@ -741,7 +750,12 @@ def simhash_udf(shingle_k: int = 3, bits: int = 16):
     import hashlib
     import re as _re
 
+    import numpy as np
+
     ws = _re.compile(r"\s+")
+    nbytes = (bits + 1) // 2
+    # per-bit shift: bit b reads bit (b % 4) of hex nibble b
+    shifts = np.arange(bits, dtype=np.uint8) % 4
 
     def sh(text):
         if text is None:
@@ -753,14 +767,22 @@ def simhash_udf(shingle_k: int = 3, bits: int = 16):
             " ".join(toks[i : i + shingle_k])
             for i in range(len(toks) - shingle_k + 1)
         ]
-        digests = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
-        n = len(digests)
-        out = 0
-        for b in range(bits):
-            ones = sum((int(d[b], 16) >> (b % 4)) & 1 for d in digests)
-            if 2 * ones >= n:
-                out |= 1 << b
-        return out
+        # Vectorized majority vote (guide §4.2): hexdigest char b is
+        # the HIGH nibble of digest byte b//2 when b is even, LOW when
+        # odd — int(hexdigest[b], 16) == nibble, bit (b % 4) of it is
+        # the vote, identical to the historical per-char loop.
+        raw = b"".join(
+            hashlib.md5(s.encode()).digest()[:nbytes] for s in shingles
+        )
+        by = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nbytes)
+        nib = np.empty((by.shape[0], nbytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = by >> 4
+        nib[:, 1::2] = by & 0x0F
+        votes = (nib[:, :bits] >> shifts) & 1
+        ones = votes.sum(axis=0, dtype=np.int64)
+        n = by.shape[0]
+        mask = (2 * ones >= n).astype(np.uint64)
+        return int((mask << np.arange(bits, dtype=np.uint64)).sum())
 
     @F.pandas_udf("long")
     def _udf(texts: pd.Series) -> pd.Series:
