@@ -375,6 +375,45 @@ def test_quality_gate_lm_rule(spark):
     assert not out[3].keep and out[3].reason == "low_lm"
 
 
+def test_gate_keep_expr_matches_quality_gate_keep(spark):
+    """The row-local funnel gate filter (round-13 guide-§2.4 join
+    removal) reproduces quality_gate's keep verdict exactly — every
+    rule boundary, NULL/empty text, and non-default thresholds."""
+    from webloghunter_spark.pipelines.gate import gate_keep_expr, quality_gate
+
+    fluent = ("the cat is on the mat and the dog is in the house "
+              "for a walk to the park in the morning and this text "
+              "keeps going with plenty of common words to pass") * 2
+    rows = [
+        (1, fluent),
+        (2, "too short"),
+        (3, " ".join(["w"] * 6000)),
+        (4, ("café " * 20 + fluent)[:600]),
+        (5, ("!!!??? " * 30 + "word " * 5)),
+        (6, None),
+        (7, ""),
+        (8, "   "),
+        (9, " ".join(["word"] * 20)),     # exactly min_tokens
+        (10, " ".join(["word"] * 5000)),  # exactly max_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in (
+        dict(min_tokens=20, max_tokens=5000, max_nonprintable_bp=200,
+             min_quality_bp=5000),
+        dict(min_tokens=1, max_tokens=10, max_nonprintable_bp=10000,
+             min_quality_bp=0),
+    ):
+        verdict = {
+            r.doc_id: r.keep
+            for r in quality_gate(df, min_avg_ll=None, **kw).collect()
+        }
+        kept = {
+            r.doc_id
+            for r in df.filter(gate_keep_expr("text", **kw)).collect()
+        }
+        assert kept == {i for i, k in verdict.items() if k}, kw
+
+
 # --- novelty / source overlap ------------------------------------------------
 
 def test_novelty_frac_first_occurrence_wins(spark):

@@ -91,18 +91,22 @@ def curate_corpus(
     n = cur.count()
 
     if min_quality_bp is not None:
-        from webloghunter_spark.pipelines.gate import quality_gate
+        from webloghunter_spark.pipelines.gate import gate_keep_expr
 
-        verdicts = quality_gate(
-            cur,
-            text_col=text_col,
-            id_col=id_col,
-            min_tokens=min_tokens,
-            max_tokens=max_tokens,
-            min_quality_bp=min_quality_bp,
+        # row-local gate (LM rule off): ONE codegen filter pass over
+        # the text instead of verdict-frame + semi-join — same keep
+        # set by construction (gate_keep_expr shares quality_gate's
+        # metric exprs; guide §2.4)
+        cur = settle(
+            cur.filter(
+                gate_keep_expr(
+                    text_col,
+                    min_tokens=min_tokens,
+                    max_tokens=max_tokens,
+                    min_quality_bp=min_quality_bp,
+                )
+            )
         )
-        keep = verdicts.filter(F.col("keep")).select(id_col)
-        cur = settle(cur.join(keep, id_col, "left_semi"))
         m = cur.count()
         funnel.append(("quality_gate", n, m))
         n = m
@@ -277,21 +281,19 @@ def curate_against(
     n = cur.count()
 
     if min_quality_bp is not None:
-        from webloghunter_spark.pipelines.gate import quality_gate
+        from webloghunter_spark.pipelines.gate import gate_keep_expr
 
-        keep = (
-            quality_gate(
-                cur,
-                text_col=text_col,
-                id_col=id_col,
-                min_tokens=min_tokens,
-                max_tokens=max_tokens,
-                min_quality_bp=min_quality_bp,
+        # row-local gate filter — curate_corpus's rationale (§2.4)
+        cur = settle(
+            cur.filter(
+                gate_keep_expr(
+                    text_col,
+                    min_tokens=min_tokens,
+                    max_tokens=max_tokens,
+                    min_quality_bp=min_quality_bp,
+                )
             )
-            .filter(F.col("keep"))
-            .select(id_col)
         )
-        cur = settle(cur.join(keep, id_col, "left_semi"))
         m = cur.count()
         funnel.append(("quality_gate", n, m))
         n = m
@@ -457,23 +459,20 @@ def funnel_stage_tags(
     from webloghunter_spark.functions.text import normalized_text_expr
     from webloghunter_spark.pipelines.dedup import containment_drop, near_dedup
     from webloghunter_spark.pipelines.decontam import decontaminate
-    from webloghunter_spark.pipelines.gate import quality_gate
+    from webloghunter_spark.pipelines.gate import gate_keep_expr
 
+    # row-local gate filter instead of verdict-frame + semi-join —
+    # curate_corpus's rationale (guide §2.4; same keep set by
+    # construction, gate_keep_expr shares quality_gate's metric exprs)
     s1 = settle(
-        docs.select(F.col(id_col), F.col(text_col).alias("_txt")).join(
-            quality_gate(
-                docs,
-                text_col=text_col,
-                id_col=id_col,
+        docs.filter(
+            gate_keep_expr(
+                text_col,
                 min_tokens=min_tokens,
                 max_tokens=max_tokens,
                 min_quality_bp=min_quality_bp,
             )
-            .filter(F.col("keep"))
-            .select(id_col),
-            id_col,
-            "left_semi",
-        )
+        ).select(F.col(id_col), F.col(text_col).alias("_txt"))
     )
     keyed = s1.select(
         F.col(id_col), F.md5(normalized_text_expr("_txt")).alias("_k")

@@ -33,6 +33,52 @@ from webloghunter_spark.functions.text import (
 GATE_RULES = ("too_short", "too_long", "encoding", "low_quality", "low_lm")
 
 
+def _gate_metrics(c):
+    """The four row-local gate metrics as raw Columns — the ONE
+    definition quality_gate and gate_keep_expr both build from, so the
+    join-free funnel filter can never drift from the audited verdict
+    frame."""
+    ntok = F.coalesce(token_count_expr(c), F.lit(0))
+    nchar = F.greatest(
+        F.coalesce(F.length(c).cast("long"), F.lit(0)), F.lit(1)
+    )
+    npr = F.coalesce(
+        (F.length(c) - F.length(F.regexp_replace(c, NON_PRINTABLE_ASCII, "")))
+        .cast("long"),
+        F.lit(0),
+    )
+    qbp = F.coalesce(quality_bp_expr(c), F.lit(0))
+    return ntok, nchar, npr, qbp
+
+
+def gate_keep_expr(
+    text_col,
+    min_tokens: int = 30,
+    max_tokens: int = 5000,
+    max_nonprintable_bp: int = 1000,
+    min_quality_bp: int = 5000,
+):
+    """Row-local boolean form of quality_gate's keep decision with the
+    LM rule OFF — `keep == (reason == '')` for the four counting rules,
+    by construction (same metric exprs, conjunction of the negated rule
+    conditions; every metric is coalesced so no compare is ever NULL).
+
+    Exists so funnel gate stages can run as ONE whole-stage-codegen
+    filter pass over the text instead of building the (id, keep,
+    reason) verdict frame and semi-joining it back — the verdict path
+    scans the text twice (once for keep ids, once probing the join)
+    and pays a join; this is the guide-§2.4 shuffle/scan removal.
+    Callers that need the drop REASON still use quality_gate."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    ntok, nchar, npr, qbp = _gate_metrics(c)
+    return (
+        (ntok >= min_tokens)
+        & (ntok <= max_tokens)
+        & (npr * 10000 <= F.lit(max_nonprintable_bp) * nchar)
+        & (qbp >= min_quality_bp)
+    )
+
+
 def quality_gate(
     df: DataFrame,
     text_col: str = "text",
@@ -50,14 +96,7 @@ def quality_gate(
     `min_avg_ll=None` disables the LM rule (and its join entirely —
     the gate is then a single scan pass)."""
     c = F.col(text_col)
-    ntok = F.coalesce(token_count_expr(c), F.lit(0))
-    nchar = F.greatest(F.coalesce(F.length(c).cast("long"), F.lit(0)), F.lit(1))
-    npr = F.coalesce(
-        (F.length(c) - F.length(F.regexp_replace(c, NON_PRINTABLE_ASCII, "")))
-        .cast("long"),
-        F.lit(0),
-    )
-    qbp = F.coalesce(quality_bp_expr(c), F.lit(0))
+    ntok, nchar, npr, qbp = _gate_metrics(c)
 
     out = df.select(
         F.col(id_col),

@@ -139,21 +139,17 @@ def curate_against_stream_writer(
         cur = batch_df
 
         if min_quality_bp is not None:
-            from webloghunter_spark.pipelines.gate import quality_gate
+            from webloghunter_spark.pipelines.gate import gate_keep_expr
 
-            keep = (
-                quality_gate(
-                    cur,
-                    text_col=text_col,
-                    id_col=id_col,
+            # row-local gate filter — the batch twin's form (§2.4)
+            cur = cur.filter(
+                gate_keep_expr(
+                    text_col,
                     min_tokens=min_tokens,
                     max_tokens=max_tokens,
                     min_quality_bp=min_quality_bp,
                 )
-                .filter(F.col("keep"))
-                .select(id_col)
             )
-            cur = cur.join(keep, id_col, "left_semi")
 
         if near_dedup_threshold is not None:
             keyed = cur.select(
