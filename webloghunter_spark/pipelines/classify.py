@@ -49,15 +49,22 @@ def doc_features(
 ) -> DataFrame:
     """(id, b, x) sparse normalized bucket frequencies; empty docs
     contribute no rows (their logit is the bias-free 0 -> prob 0.5)."""
+    from pyspark.sql import Window
+
     tok = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_t")
     ).select(id_col, hash_bucket_expr("_t", n_buckets).alias("b"))
     cnt = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("_c"))
-    tot = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    return cnt.join(tot, id_col).select(
+    # per-doc token total = sum of this doc's bucket counts — a window
+    # over the |docs| x <=B aggregate instead of a SECOND token-scale
+    # explode+groupBy and an id join (guide §2.3/§2.4: the historical
+    # form re-ran the tokenize+explode for `tot` and shuffled token
+    # volume twice; same _n by construction, identical double division)
+    w = Window.partitionBy(id_col)
+    return cnt.select(
         id_col,
         "b",
-        (F.col("_c").cast("double") / F.col("_n")).alias("x"),
+        (F.col("_c").cast("double") / F.sum("_c").over(w)).alias("x"),
     )
 
 

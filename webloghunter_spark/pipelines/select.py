@@ -324,10 +324,22 @@ def dsir_weights(
     ).select(id_col, hash_bucket_expr("_t", n_buckets).alias("_b"))
     rt = tok(raw)
     tt = tok(target)
-    rc = rt.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-    tc = tt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
-    rtot = rt.agg(F.count(F.lit(1)).alias("_tr"))
-    ttot = tt.agg(F.count(F.lit(1)).alias("_tt"))
+    from webloghunter_spark.session import materialize
+
+    # materialized <=B-row count frames: each feeds BOTH the ratio
+    # join and its corpus total below — without pinning, Spark
+    # duplicates the whole tokenize+explode+aggregate subtree per
+    # consumer (no common-subplan reuse across a DataFrame DAG)
+    rc = materialize(rt.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")))
+    tc = materialize(tt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")))
+    # corpus token totals = sum of the B-cell counts (every token
+    # lands in exactly one bucket) — the historical rt.agg()/tt.agg()
+    # re-ran the full tokenize+explode per corpus just to count rows
+    # (guide §2.4: two token-scale scans removed, same value exactly)
+    # (coalesce: sum over an EMPTY count frame is NULL where the old
+    # row count was 0 — keep the empty-corpus behavior identical)
+    rtot = rc.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_tr"))
+    ttot = tc.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
     ratios = (
         rc.join(tc, "_b", "left")
         .crossJoin(F.broadcast(rtot))
