@@ -292,3 +292,92 @@ def test_containment_against_matches_string_reference(spark):
     )
     assert got_drop == exp_drop
     assert any(r[3] == 1 for r in got_drop)  # the gate actually fires
+
+def test_gram_stat_riders_match_string_reference(spark):
+    """The round-13 wave-5 riders (dup_ngram_frac, novelty_frac,
+    source_overlap — migrated to 60-bit hashed gram keys) reproduce
+    the STRING-gram statistics exactly on a fixture with shared
+    boilerplate, twins and empty/NULL docs."""
+    from webloghunter_spark.pipelines.dedup import dup_ngram_frac
+    from webloghunter_spark.pipelines.overlap import (
+        novelty_frac,
+        source_overlap,
+    )
+
+    rows = _fixture_rows()
+    sh = {i: _py_shingles(t) for i, t, _ in rows}
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    # dup_ngram_frac: df over string grams
+    df_ct = Counter(g for s in sh.values() for g in s)
+    exp = sorted(
+        (
+            i,
+            len(sh[i]),
+            sum(1 for g in sh[i] if df_ct[g] >= 2),
+            (sum(1 for g in sh[i] if df_ct[g] >= 2) * 10000)
+            // len(sh[i]) if sh[i] else 0,
+        )
+        for i, _, _ in rows
+    )
+    got = sorted(map(tuple, dup_ngram_frac(docs).collect()))
+    assert got == exp
+    assert any(r[2] > 0 for r in got)          # shared grams exist
+
+    # novelty_frac: first occurrence by min id
+    first = {}
+    for i in sorted(sh):
+        for g in sh[i]:
+            first.setdefault(g, i)
+    exp = sorted(
+        (i, len(sh[i]), sum(1 for g in sh[i] if first[g] == i))
+        for i, _, _ in rows
+    )
+    got = sorted(map(tuple, novelty_frac(docs).collect()))
+    assert got == exp
+
+    # source_overlap: per-source distinct gram sets, pairwise
+    by_src = defaultdict(set)
+    for i, _, src in rows:
+        by_src[src] |= sh[i]
+    srcs = sorted(by_src)
+    exp = sorted(
+        (a, b, len(by_src[a]), len(by_src[b]),
+         len(by_src[a] & by_src[b]))
+        for a in srcs for b in srcs if a < b
+    )
+    got = sorted(map(tuple, source_overlap(docs).collect()))
+    assert got == exp
+    assert any(r[4] > 0 for r in got)          # cross-source overlap
+
+
+def test_leakage_values_match_string_reference(spark):
+    """boundary_leakage / batch_leakage keep STRING shingle arrays
+    (the round-13 wave-5 probe measured the hashed form LOSING here:
+    each gram is intersected ~once, so the md5 pass costs more than
+    the narrower sort/intersect saves). This pin holds either way:
+    every emitted pair's n_inter/n_union/jaccard_bp equals the
+    string-shingle set computation."""
+    from webloghunter_spark.pipelines.shard import (
+        batch_leakage,
+        boundary_leakage,
+    )
+
+    rows = _fixture_rows()
+    sh = {i: _py_shingles(t) for i, t, _ in rows}
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    for op, kw in ((boundary_leakage, {}), (batch_leakage,
+                                            {"batch_size": 4})):
+        out = op(docs, n_shards=4, **kw).collect()
+        assert out, op.__name__
+        for r in out:
+            n_inter = len(sh[r.id_a] & sh[r.id_b])
+            n_union = len(sh[r.id_a]) + len(sh[r.id_b]) - n_inter
+            assert (r.n_inter, r.n_union) == (n_inter, n_union), r
+            assert r.jaccard_bp == (
+                (n_inter * 10000) // n_union if n_union > 0 else 0
+            ), r

@@ -3517,7 +3517,14 @@ def q_novelty_frac(spark, sf_dir):
 
 SQL_NOVELTY_FRAC = f"""
     WITH {DOC_TOKENS_SQL},
-    d AS (SELECT doc_id, list_distinct(s) AS s FROM shingles),
+    -- 60-bit hashed grams mirroring Spark's hashed_shingles_expr
+    -- (round-13): both engines hash identically, so the first-id
+    -- and novelty counts stay exact even under a collision
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(list_distinct(s),
+                     x -> CAST(('0x' || substr(md5(x), 1, 15))
+                          AS BIGINT))) AS s
+          FROM shingles),
     grams AS (SELECT doc_id, unnest(s) AS g FROM d),
     first AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g),
     per AS (
@@ -3554,9 +3561,14 @@ SQL_SOURCE_OVERLAP = r"""
                                    i -> array_to_string(t[i:i+2], ' ')) END AS s
         FROM toks
     ),
+    -- hashed gram key (SQL_NOVELTY_FRAC's note)
     sg AS (
         SELECT DISTINCT src, g FROM (
-            SELECT source AS src, unnest(s) AS g FROM sh
+            SELECT source AS src,
+                   unnest(list_transform(s,
+                       x -> CAST(('0x' || substr(md5(x), 1, 15))
+                            AS BIGINT))) AS g
+            FROM sh
         )
     ),
     sizes AS (SELECT src, count(*) AS n FROM sg GROUP BY src),
@@ -10291,12 +10303,16 @@ SQL_DUP_NGRAM_FRAC = r"""
                END AS t
         FROM documents
     ),
+    -- 60-bit hashed shingle postings, mirroring Spark's
+    -- hashed_shingles_expr (round-13): identical hashing both
+    -- engines, so df and the counts stay exact under any collision
     sh AS (
-        SELECT doc_id, unnest(list_distinct(
+        SELECT doc_id, unnest(list_distinct(list_transform(list_distinct(
             CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
                  ELSE list_transform(generate_series(1, len(t) - 2),
                                      i -> array_to_string(t[i:i+2], ' '))
-            END)) AS s
+            END), x -> CAST(('0x' || substr(md5(x), 1, 15))
+                       AS BIGINT)))) AS s
         FROM toks
     ),
     with_df AS (

@@ -2131,13 +2131,13 @@ def dup_ngram_frac(
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
     from pyspark.sql import Window as W
 
-    from webloghunter_spark.functions.text import shingles_expr
-
+    # posting rows carry (60-bit hashed shingle, id) — the round-13
+    # posting compression: the one exchange and the df window key move
+    # 8-byte ints instead of shingle strings (oracle hashes
+    # identically; a collision merges the same grams in both engines)
     posting = df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles_expr(text_col, shingle_k))
-        ).alias("_sh"),
+        F.explode(hashed_shingles_expr(text_col, shingle_k)).alias("_sh"),
     )
     dfreq = F.count(F.lit(1)).over(W.partitionBy("_sh"))
     per_doc = (

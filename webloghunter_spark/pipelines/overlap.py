@@ -31,15 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webloghunter_spark.functions.text import shingles_expr
-
-
 def _doc_grams(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
+    # POSTING-COMPRESSED grams (round-13 migration): every downstream
+    # consumer shuffles and joins on the gram key, so 60-bit md5-prefix
+    # ints move instead of ~20-byte strings (hashed_shingles_expr's
+    # rationale — the oracle hashes identically, exact by construction
+    # even under a collision, which both engines merge the same way)
+    from webloghunter_spark.pipelines.dedup import hashed_shingles_expr
+
     return df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_expr(text_col, k))).alias("_g"),
+        F.explode(hashed_shingles_expr(text_col, k)).alias("_g"),
     )
 
 
@@ -84,10 +88,14 @@ def source_overlap(
     """(src_a, src_b, n_a, n_b, n_common) for every source pair with
     src_a < src_b: distinct-gram set sizes and intersection size.
     Jaccard = n_common / (n_a + n_b - n_common), left to the caller."""
+    from webloghunter_spark.pipelines.dedup import hashed_shingles_expr
+
+    # hashed gram key (see _doc_grams): the distinct, the sizes
+    # aggregate and the pair self-join all move 8-byte ints
     sg = (
         df.select(
             F.col(source_col).alias("_src"),
-            F.explode(F.array_distinct(shingles_expr(text_col, k))).alias("_g"),
+            F.explode(hashed_shingles_expr(text_col, k)).alias("_g"),
         )
         .distinct()
     )

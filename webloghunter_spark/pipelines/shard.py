@@ -564,6 +564,12 @@ def boundary_leakage(
     """
     if shingle_k < 1:
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    # deliberately NOT migrated to hashed postings (round-13 wave 5
+    # measured it): each gram here is intersected ~once (adjacent
+    # pairs only), so the md5 pass costs more than the narrower
+    # sort/intersect saves — 0.6 -> 6.5 s at sf0.1, 2.5 -> 6.5 s at
+    # the 32x control. Posting compression pays where grams move
+    # through MANY pair compares (jaccard/containment families).
     from webloghunter_spark.functions.text import shingles_expr
 
     pre = df.select(
@@ -654,6 +660,9 @@ def batch_leakage(
         )
     if shingle_k < 1:
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    # string shingles kept — boundary_leakage's measured rationale
+    # (B-1 intersects per gram was break-even at the 32x control;
+    # the md5 pass eats the narrower-shuffle win)
     from webloghunter_spark.functions.text import shingles_expr
     from webloghunter_spark.session import materialize
 
