@@ -194,7 +194,14 @@ def quality_classifier_scores(
     composition instead of once per phase. doc_features is a pure
     function of the (id, text) row SET, so any frame built from the
     same documents (in any order / partitioning) yields identical
-    scores."""
+    scores.
+
+    WARNING — no validation is performed on `features`: a stale or
+    partial frame (built from a different snapshot, or missing some
+    of df's ids) SILENTLY scores the missing documents as logit 0 /
+    prob 5000 bp (the left join yields NULL z, coalesced to 0). Only
+    pass a frame you know covers df's rows exactly; when in doubt,
+    pass features=None and let the pass recompute."""
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(int(b), int(wm)) for b, wm in weights], "b long, w_micro long"

@@ -55,7 +55,14 @@ def novelty_frac(
 ) -> DataFrame:
     """(id, n_grams, n_novel): distinct k-grams in the doc, and how many
     of them first occur at this id (min-id over the corpus). Documents
-    with < k tokens return (0, 0)."""
+    with < k tokens return (0, 0).
+
+    Gram identity is a 60-bit md5-prefix key (hashed_shingles_expr),
+    not the string n-gram: beyond ~2^30 distinct grams, birthday
+    collisions will merge a few gram classes and perturb the counts
+    relative to true string-shingle semantics (~10^5 merged classes at
+    10^12 grams — per-doc effect negligible, but not zero). Engine/
+    oracle parity is unaffected: both hash identically."""
     grams = _doc_grams(df, text_col, id_col, k)
     first = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
     per_doc = (
@@ -87,7 +94,12 @@ def source_overlap(
 ) -> DataFrame:
     """(src_a, src_b, n_a, n_b, n_common) for every source pair with
     src_a < src_b: distinct-gram set sizes and intersection size.
-    Jaccard = n_common / (n_a + n_b - n_common), left to the caller."""
+    Jaccard = n_common / (n_a + n_b - n_common), left to the caller.
+
+    Set sizes count 60-bit hashed gram keys (hashed_shingles_expr):
+    past ~2^30 distinct grams per source, birthday collisions shave a
+    vanishing fraction off n_a/n_b/n_common vs string-gram semantics.
+    Both engines hash identically, so parity holds regardless."""
     from webloghunter_spark.pipelines.dedup import hashed_shingles_expr
 
     # hashed gram key (see _doc_grams): the distinct, the sizes

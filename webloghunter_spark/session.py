@@ -155,7 +155,15 @@ def materialized_scope():
         with materialized_scope():
             scored, errors = build_pipeline(spark, paths)
             scored.write.parquet(out)          # consuming action
-    """
+
+    SINGLE-THREADED TOP-LEVEL CONTRACT: the scope is a len()-mark
+    slice of the shared module-global registry, so two scopes open
+    concurrently on different driver threads can unpersist each
+    other's frames. Operators that fan work out to driver threads
+    internally (dataset_diff's funnel pool) are fine — they join
+    their threads before returning, so the registry is single-
+    threaded again at every scope boundary — but do not open
+    materialized_scope() itself on concurrent threads."""
     mark = len(_MATERIALIZED)
     try:
         yield
