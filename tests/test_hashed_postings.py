@@ -381,3 +381,149 @@ def test_leakage_values_match_string_reference(spark):
             assert r.jaccard_bp == (
                 (n_inter * 10000) // n_union if n_union > 0 else 0
             ), r
+
+
+def _py_tokens(text):
+    """tokens_expr mirror: trim spaces, split \\s+, [] for blank/NULL."""
+    if text is None:
+        return []
+    t = text.strip(" ")
+    return re.split(r"\s+", t) if t else []
+
+
+def _seg_fixture_rows():
+    nav = "home about contact login sitemap"          # 5-token template
+    foot = "copyright terms privacy legal help"       # 5-token template
+    return [
+        (1, nav + " alpha beta gamma delta eps " + foot),  # template + body
+        (2, nav + " zeta eta theta iota kappa " + foot),   # same templates
+        (3, nav + " " + foot),                             # boilerplate-only
+        (4, nav + " alpha beta gamma delta eps " + foot),  # exact dup of 1
+        (5, "one two"),                                    # < seg_tokens
+        (6, ""),                                           # blank
+        (7, None),                                         # NULL
+        (8, "solo unique words never repeated anywhere at all ok fine"),
+    ]
+
+
+def test_segment_family_matches_string_reference(spark):
+    """Round-14 posting compression: segment_dedup and
+    boilerplate_segments key their exchanges on 60-bit md5-prefix
+    BIGINTs instead of md5 hex strings. This pins the keep/removal
+    decisions (and the rebuilt text) to a pure-Python STRING-segment
+    reference — a 60-bit collision inside the fixture would fail it."""
+    from webloghunter_spark.pipelines.dedup import (
+        boilerplate_segments,
+        segment_dedup,
+    )
+
+    rows = _seg_fixture_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = 5
+
+    def segs_of(text):
+        toks = _py_tokens(text)
+        n_seg = -(-len(toks) // st)
+        return [
+            (i, " ".join(toks[i * st:(i + 1) * st])) for i in range(n_seg)
+        ]
+
+    segs = {i: segs_of(t) for i, t in rows}
+
+    # segment_dedup: keep the globally first (id, seg_idx) per STRING
+    keeper = {}
+    for i in sorted(segs):
+        for idx, s in segs[i]:
+            if s not in keeper:
+                keeper[s] = (i, idx)
+    exp = []
+    for i, _ in rows:
+        kept = [(idx, s) for idx, s in segs[i] if keeper[s] == (i, idx)]
+        exp.append((i, len(segs[i]), len(kept),
+                    " ".join(s for _, s in sorted(kept))))
+    got = sorted(map(tuple, segment_dedup(docs, seg_tokens=st).collect()))
+    assert got == sorted(exp)
+    assert any(r[1] > 0 and r[2] == 0 for r in got)  # a fully-dup'd doc
+
+    # boilerplate_segments: remove every segment with df >= 2 (by doc)
+    seg_docs = defaultdict(set)
+    for i, _ in rows:
+        for _, s in segs[i]:
+            seg_docs[s].add(i)
+    boiler = {s for s, ds in seg_docs.items() if len(ds) >= 2}
+    exp = []
+    for i, _ in rows:
+        kept = [(idx, s) for idx, s in segs[i] if s not in boiler]
+        exp.append((i, len(segs[i]), len(kept),
+                    " ".join(s for _, s in sorted(kept))))
+    got = sorted(map(tuple, boilerplate_segments(
+        docs, seg_tokens=st, min_df=2).collect()))
+    assert got == sorted(exp)
+    assert boiler                                     # templates caught
+
+
+def test_window_span_family_matches_string_reference(spark):
+    """Round-14 posting compression: repeated_window_spans and
+    remove_repeated_spans key the repeat-set aggregate and semi-join
+    on 60-bit md5-prefix BIGINTs. Pins span stats and the rewritten
+    text to a pure-Python STRING-window reference, for both the hash
+    and sort repeat-set strategies."""
+    from webloghunter_spark.pipelines.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+
+    w = 4
+    chorus = "la li lu le lo na ne no"               # 8 tokens, repeated
+    rows = [
+        (1, chorus + " middle words here " + chorus),  # self-repeat
+        (2, "intro bit " + chorus + " outro bit"),     # cross-doc repeat
+        (3, "completely fresh text with no repeats at all whatsoever"),
+        (4, "tiny doc"),                               # < window tokens
+        (5, None),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {i: _py_tokens(t) for i, t in rows}
+    wins = {
+        i: [" ".join(ts[p:p + w]) for p in range(len(ts) - w + 1)]
+        for i, ts in toks.items()
+    }
+    ct = Counter(g for ws in wins.values() for g in ws)
+    hits = {
+        i: [p for p, g in enumerate(ws) if ct[g] >= 2]
+        for i, ws in wins.items()
+    }
+
+    def union_len(ps):
+        total, prev_end = 0, -1
+        for p in ps:
+            e = p + w
+            total += max(0, e - max(p, prev_end))
+            prev_end = max(prev_end, e)
+        return total
+
+    exp_spans = sorted(
+        (i, len(toks[i]), len(ps), union_len(ps),
+         int((union_len(ps) * 10000.0 / len(toks[i])) + 0.5) if toks[i] else 0)
+        for i, ps in hits.items() if ps
+    )
+    for strategy in ("hash", "sort"):
+        got = sorted(map(tuple, repeated_window_spans(
+            docs, window=w, strategy=strategy).collect()))
+        assert got == exp_spans, strategy
+    assert len(exp_spans) == 2                        # docs 1 and 2
+
+    covered = {
+        i: {q for p in ps for q in range(p, p + w)} for i, ps in hits.items()
+    }
+    exp_rm = sorted(
+        (i, len(ts),
+         len(ts) - len([t for q, t in enumerate(ts) if q not in covered[i]]),
+         " ".join(t for q, t in enumerate(ts) if q not in covered[i]))
+        for i, ts in toks.items()
+    )
+    got = sorted(map(tuple, remove_repeated_spans(docs, window=w).collect()))
+    assert got == exp_rm
+    assert any(r[2] > 0 for r in got)                 # spans removed

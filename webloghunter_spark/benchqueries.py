@@ -2649,9 +2649,13 @@ SQL_SEGMENT_DEDUP = r"""
         WHERE n_seg > 0
     ),
     kept AS (
+        -- 60-bit md5-prefix segment key: the engine's round-14
+        -- posting compression, mirrored so both engines merge the
+        -- same segments even under a collision
         SELECT doc_id, seg_idx, seg FROM (
             SELECT *, row_number() OVER (
-                PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+                PARTITION BY CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)
+                ORDER BY doc_id, seg_idx) AS rn
             FROM segs
         ) WHERE rn = 1
     ),
@@ -6059,7 +6063,9 @@ SQL_SUBSTRING_DEDUP = r"""
     base AS (SELECT doc_id, len(t)::BIGINT AS ntok FROM toks),
     w AS (
         SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos,
-               md5(unnest(s)) AS h
+               -- 60-bit md5-prefix window key (engine round-14
+               -- posting compression, mirrored bit-for-bit)
+               CAST(('0x' || substr(md5(unnest(s)), 1, 15)) AS BIGINT) AS h
         FROM sh
     ),
     repd AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
@@ -6111,7 +6117,9 @@ SQL_SUBSTRING_REMOVE = r"""
     base AS (SELECT doc_id, len(t)::BIGINT AS ntok FROM toks),
     w AS (
         SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos,
-               md5(unnest(s)) AS h
+               -- 60-bit md5-prefix window key (engine round-14
+               -- posting compression, mirrored bit-for-bit)
+               CAST(('0x' || substr(md5(unnest(s)), 1, 15)) AS BIGINT) AS h
         FROM sh
     ),
     repd AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
@@ -9507,11 +9515,16 @@ SQL_BOILERPLATE_SEGMENTS = r"""
         FROM base, unnest(generate_series(1, n_seg)) AS u(i)
     ),
     boiler AS (
-        SELECT seg FROM segs GROUP BY seg
+        -- 60-bit md5-prefix segment key (engine round-14 posting
+        -- compression, mirrored): a collision merges the same
+        -- segments in both engines
+        SELECT CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS segk
+        FROM segs GROUP BY segk
         HAVING count(DISTINCT doc_id) >= 2
     ),
     kept AS (
-        SELECT segs.* FROM segs ANTI JOIN boiler USING (seg)
+        SELECT segs.* FROM segs ANTI JOIN boiler
+          ON CAST(('0x' || substr(md5(segs.seg), 1, 15)) AS BIGINT) = boiler.segk
     ),
     stats AS (
         SELECT doc_id, count(*)::BIGINT AS n_kept,

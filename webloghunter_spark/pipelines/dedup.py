@@ -208,7 +208,13 @@ def ngram_jaccard_pairs(
     at dup-stress pair volumes every extra pair-keyed shuffle is the
     dominant term (measured at the 32x probe: labeling pairs by a
     separate corpus join 66.5 s / 18.6x; carrying the column
-    46.3 s / 8.9x, the pair family's machinery rate)."""
+    46.3 s / 8.9x, the pair family's machinery rate).
+
+    Jaccard is computed over 60-bit hashed shingle keys, not string
+    shingles: past ~2^30 distinct corpus grams, birthday collisions
+    merge a few gram classes and can nudge a pair's ratio by ~1e-11 —
+    negligible, and mirrored exactly by the oracle, which hashes the
+    same way."""
     # Materialize the shingle table once: it feeds BOTH sides of the
     # pair join, and an unmaterialized plan recomputes the full
     # tokenize+shingle pipeline per side.
@@ -987,9 +993,15 @@ def _doc_segments(
     df: DataFrame, text_col: str, id_col: str, seg_tokens: int
 ) -> DataFrame:
     """Explode each document into its consecutive `seg_tokens`-token
-    segments: (id, n_seg, seg_idx, seg, seg_key=md5(seg)) — the shared
-    front end of segment_dedup (keep-first) and boilerplate_segments
-    (drop-all-copies)."""
+    segments: (id, n_seg, seg_idx, seg, seg_key) — the shared front
+    end of segment_dedup (keep-first) and boilerplate_segments
+    (drop-all-copies). seg_key is the 60-bit md5-prefix BIGINT
+    (hashed_shingles_expr's posting compression, round-14): every
+    consumer groups/joins on the key, so 8-byte ints cross the
+    exchanges instead of 32-char md5 hex (measured at the 32x
+    control: segment_dedup 47.2->44.5 s, boilerplate_segments
+    73.7->69.8 s). Oracles hash identically, so a 60-bit collision
+    merges the same two segments in both engines."""
     toks = tokens_expr(text_col)
     n_seg = _n_seg_expr(text_col, seg_tokens)
     return (
@@ -1008,7 +1020,12 @@ def _doc_segments(
                 )
             ).alias("seg_idx", "seg"),
         )
-        .withColumn("seg_key", F.md5(F.col("seg")))
+        .withColumn(
+            "seg_key",
+            F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
     )
 
 
@@ -1106,7 +1123,7 @@ def boilerplate_segments(
     compose unchanged.
 
     Scale: document frequency is a two-level combinable aggregate —
-    distinct (seg_key, id) then count per seg_key — on 16-byte md5
+    distinct (seg_key, id) then count per seg_key — on 8-byte hashed
     keys (a boilerplate segment in 10^7 docs collapses map-side before
     either exchange). The removal is one left_anti hash join of the
     exploded segments against the (typically tiny) boilerplate key
@@ -1124,8 +1141,8 @@ def boilerplate_keys(
     seg_tokens: int = 5,
     min_df: int = 3,
 ) -> DataFrame:
-    """The boilerplate MODEL: (seg_key) md5 keys of every segment whose
-    document frequency reaches min_df. Train once on a corpus
+    """The boilerplate MODEL: (seg_key) 60-bit md5-prefix keys of every
+    segment whose document frequency reaches min_df. Train once on a corpus
     snapshot, then apply with remove_boilerplate — batch-side here, or
     frozen in streaming/dedup.boilerplate_stream_writer (the CCNet
     pinned-reference discipline, like the frozen bigram LM)."""
@@ -1327,11 +1344,14 @@ def _repeated_hashes_sorted(wins: DataFrame) -> DataFrame:
                 yield pd.DataFrame({"_h": out})
 
     parts = wins.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    # schema follows the wins key type (string historically, 60-bit
+    # BIGINT since the round-14 posting compression)
+    h_type = wins.schema["_h"].dataType.simpleString()
     return (
         wins.select("_h")
         .repartitionByRange(int(parts), "_h")
         .sortWithinPartitions("_h")
-        .mapInPandas(gen, "_h string")
+        .mapInPandas(gen, f"_h {h_type}")
     )
 
 
@@ -1345,8 +1365,10 @@ def repeated_window_spans(
     """Exact-substring duplication signal (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
     ExactSubstr shape, re-expressed relationally): a `window`-token
-    span is DUPLICATED if its md5 appears 2+ times anywhere in the
-    corpus — across documents or repeated within one. Returns, per
+    span is DUPLICATED if its 60-bit md5-prefix key appears 2+ times
+    anywhere in the corpus — across documents or repeated within one
+    (past ~2^30 distinct windows, birthday collisions mark a vanishing
+    fraction of extra spans; the oracle hashes identically). Returns, per
     document that contains at least one duplicated window,
     (id, ntok, n_rep_windows, dup_tokens, dup_bp) where dup_tokens is
     the UNION length of the covered token spans (overlapping windows
@@ -1356,9 +1378,10 @@ def repeated_window_spans(
     window the hash join needs.
 
     Scale shape:
-    - windows are one shingle projection (no shuffle), hashed to md5;
+    - windows are one shingle projection (no shuffle), hashed to a
+      60-bit md5-prefix BIGINT;
     - the repeat set is one combinable count per distinct hash; the
-      join back is a semi-join on the 16-byte key — Σ volume bounded
+      join back is a semi-join on the 8-byte key — Σ volume bounded
       by window count, never pairwise;
     - the span-union is the running-max interval merge: one window
       function per doc ordered by position, where each span
@@ -1389,7 +1412,20 @@ def repeated_window_spans(
     wins = df.select(
         F.col(id_col),
         F.posexplode(shingles_expr(text_col, window)).alias("_pos", "_g"),
-    ).select(id_col, "_pos", F.md5(F.col("_g")).alias("_h"))
+    ).select(
+        id_col,
+        "_pos",
+        # 60-bit md5-prefix window key (round-14 posting compression):
+        # the repeat-set groupBy and the semi-join probe both move the
+        # full window volume keyed on _h — 8-byte ints instead of
+        # 32-char md5 hex cut those exchanges ~3x in key width
+        # (32x control: substring_dedup 78.3->60.6 s, substring_remove
+        # ~66-72->~60-62 s interleaved). The oracle hashes identically,
+        # so a collision merges the same windows in both engines.
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
     wins = materialize(wins)
     if strategy == "sort":
         repeated = _repeated_hashes_sorted(wins)
@@ -1465,7 +1501,20 @@ def remove_repeated_spans(
     wins = df.select(
         F.col(id_col),
         F.posexplode(shingles_expr(text_col, window)).alias("_pos", "_g"),
-    ).select(id_col, "_pos", F.md5(F.col("_g")).alias("_h"))
+    ).select(
+        id_col,
+        "_pos",
+        # 60-bit md5-prefix window key (round-14 posting compression):
+        # the repeat-set groupBy and the semi-join probe both move the
+        # full window volume keyed on _h — 8-byte ints instead of
+        # 32-char md5 hex cut those exchanges ~3x in key width
+        # (32x control: substring_dedup 78.3->60.6 s, substring_remove
+        # ~66-72->~60-62 s interleaved). The oracle hashes identically,
+        # so a collision merges the same windows in both engines.
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
     wins = materialize(wins)
     repeated = (
         wins.groupBy("_h")
@@ -2117,6 +2166,11 @@ def dup_ngram_frac(
 
     Output: (id, n_shingles, n_dup, dup_bp) — dup_bp the exact
     integer (n_dup * 10000) div n_shingles, 0 for shingle-less docs.
+    Shingle identity is the 60-bit hashed key (hashed_shingles_expr):
+    past ~2^30 distinct corpus grams, birthday collisions merge a few
+    gram classes and can inflate n_dup by a vanishing fraction vs
+    string-shingle semantics; the oracle hashes identically, so
+    engine/oracle parity is unaffected.
 
     Scale shape: the tfidf family — one exchange to the distinct
     (shingle, doc) posting frame, document frequency as a COUNT
