@@ -188,6 +188,29 @@ def test_tfidf_salted_path_identical(spark):
 
 # --- bigram LM scoring -------------------------------------------------------
 
+def test_bigram_logprob_salted_path_identical(spark):
+    """The salt_partitions skew path (round-14, the documented
+    module-docstring pattern) produces IDENTICAL (n_bigrams, avg_ll)
+    rows to the plain path on a hot-bigram fixture — only the shuffle
+    layout changes (two-stage counts + S-way replicated count
+    tables)."""
+    from webloghunter_spark.functions.lm import bigram_logprob
+
+    hot = " ".join(["of the"] * 30)            # one dominant bigram
+    rows = [(i, hot + f" tail{i} bit{i}") for i in range(1, 9)] + [
+        (9, "the cat sat on the mat"),
+        (10, "one"),
+        (11, None),
+        (12, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(map(tuple, bigram_logprob(df).collect()))
+    salted = sorted(
+        map(tuple, bigram_logprob(df, salt_partitions=8).collect())
+    )
+    assert plain == salted and len(plain) == 12
+
+
 def test_bigram_logprob_ranks_gibberish_below_fluent(spark):
     from math import log
 

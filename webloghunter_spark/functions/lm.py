@@ -61,17 +61,29 @@ def bigram_logprob(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     round_digits: int = 4,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """(id, n_bigrams, avg_ll): mean ln-likelihood of each document's
     token bigrams under the corpus's own add-alpha bigram model.
-    Documents with < 2 tokens return n_bigrams=0, avg_ll NULL."""
+    Documents with < 2 tokens return n_bigrams=0, avg_ll NULL.
+
+    `salt_partitions=S > 0` activates the module-docstring skew path
+    for the probe->count joins (the tfidf_topk salt_partitions
+    pattern): probe rows take a deterministic salt pmod(md5(id), S),
+    the count tables are computed as two-stage (key, salt)-partial
+    then key-total aggregates — so no single reducer ever sees a hot
+    bigram's ("of the") full row set — and the one-row-per-key count
+    tables are replicated S ways so (key, salt) joins co-partition.
+    Counts, ratios and scores are IDENTICAL to the unsalted path;
+    only the shuffle layout changes. Default 0 keeps the plain shape:
+    AQE's skew-join splitting covers the natural-density corpora the
+    32x fixtures model (measured round 14 — see SCALING.md), so the
+    salt is for genuinely degenerate stress corpora."""
     # The bigram table feeds THREE consumers (cb, cu, the probe side);
     # without materialization the interpreted-HOF extraction re-runs per
     # consumer and the query goes superlinear at scale (13x wall at a
     # 32x corpus, vs ~2x once cached — SCALING.md round 4).
     bi = materialize(_bigram_rows(df, text_col, id_col))
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
-    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu"))
     vocab = (
         df.select(
             F.explode(
@@ -81,15 +93,53 @@ def bigram_logprob(
         .agg(F.count_distinct("_tok").alias("_v"))
     )
     a = F.lit(float(alpha))
-    scored = (
-        bi.join(cb, ["w1", "w2"])
-        .join(cu, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            id_col,
-            F.log((F.col("_cb") + a) / (F.col("_cu") + a * F.col("_v"))).alias("_lp"),
+    if salt_partitions > 0:
+        s = F.lit(int(salt_partitions))
+        salt = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            s,
+        ).cast("int")
+        bi_s = bi.withColumn("_salt", salt)
+        # stage 1: per-(key, salt) partials; stage 2: key totals —
+        # identical counts, no hot-key reducer
+        cb_part = bi_s.groupBy("w1", "w2", "_salt").agg(
+            F.count(F.lit(1)).alias("_p")
         )
-    )
+        cb = cb_part.groupBy("w1", "w2").agg(F.sum("_p").alias("_cb"))
+        cu_part = bi_s.groupBy("w1", "_salt").agg(
+            F.count(F.lit(1)).alias("_p")
+        )
+        cu = cu_part.groupBy("w1").agg(F.sum("_p").alias("_cu"))
+        rep = F.explode(F.sequence(F.lit(0), s - 1)).alias("_salt")
+        cb_rep = cb.select("w1", "w2", "_cb", rep)
+        cu_rep = cu.select("w1", "_cu", rep)
+        scored = (
+            bi_s.join(cb_rep, ["w1", "w2", "_salt"])
+            .join(cu_rep, ["w1", "_salt"])
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                id_col,
+                F.log(
+                    (F.col("_cb") + a) / (F.col("_cu") + a * F.col("_v"))
+                ).alias("_lp"),
+            )
+        )
+    else:
+        cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+        cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu"))
+        scored = (
+            bi.join(cb, ["w1", "w2"])
+            .join(cu, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                id_col,
+                F.log((F.col("_cb") + a) / (F.col("_cu") + a * F.col("_v"))).alias("_lp"),
+            )
+        )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         grid_round_expr(F.avg("_lp"), round_digits).alias("avg_ll"),
