@@ -10553,20 +10553,67 @@ SQL_BM25_BATCH = _bm25_batch_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDER IS DRIVER COVERAGE: the correctness driver samples the
-    # FIRST 50 entries. Round-13 front = the staleness tail (the
-    # VERDICT r12 rotation ask): the 3 queries last sampled round 8
-    # (topk_per_group, url_blocklist, winnow_fingerprints) + 47 of
-    # the 49-query round-9 cohort — incl. uri_risk (§2 anchor R1),
-    # containment_pairs + winnow_pairs (their family migrated to
-    # hashed postings this round), dedup_keep_best, dedup_sensitivity,
-    # dup_source_matrix, dup_ngram_frac, media_sniff/decode,
-    # ewma_alerts, bm25_topk/batch, knn_ivf, quantize_recall,
-    # asof_join, rollup_counts, salted_join. The two round-9 rows
-    # deferred to slots 51-52 (doc_fingerprint_fast,
-    # url_blocklist_big) are the fast/big variants of freshly-sampled
-    # siblings. Everything after slot 50 is covered by the committed
-    # full-registry HASHCHECK artifacts.
-    # -- round-8/9 staleness cohort (50) --
+    # FIRST 50 entries. Round-14 front = the next staleness cohort:
+    # the 2 queries last sampled round 9 (doc_fingerprint_fast,
+    # url_blocklist_big — the fast/big variants round 13 deferred) +
+    # 48 of the 49-query round-10 cohort. The one r10 row deferred to
+    # slot 51 (semantic_dedup_fast) is the fast variant of the
+    # freshly-sampled semantic_dedup. Everything after slot 50 is
+    # covered by the committed full-registry HASHCHECK artifacts.
+    # -- round-9/10 staleness cohort (50) --
+    "doc_fingerprint_fast": q_doc_fingerprint_fast,
+    "url_blocklist_big": q_url_blocklist_big,
+    "batch_leakage": q_batch_leakage,
+    "bloom_audit": q_bloom_audit,
+    "bm25_drift": q_bm25_drift,
+    "bpe_encode": q_bpe_encode,
+    "bpe_merges": q_bpe_merges,
+    "budget_by_source": q_budget_by_source,
+    "cc_representatives": q_cc_representatives,
+    "chunk_sliding": q_chunk_sliding,
+    "clean_html": q_clean_html,
+    "cluster_purity": q_cluster_purity,
+    "containment_drop": q_containment_drop,
+    "corpus_stats": q_corpus_stats,
+    "decontam_bloom": q_decontam_bloom,
+    "decontaminate": q_decontaminate,
+    "dup_stats": q_dup_stats,
+    "funnel": q_funnel,
+    "fuzzy_match": q_fuzzy_match,
+    "gapfill_hourly": q_gapfill_hourly,
+    "hll_distinct": q_hll_distinct,
+    "jl_project": q_jl_project,
+    "kmeans_sizes": q_kmeans_sizes,
+    "kmeans_train": q_kmeans_train,
+    "knn_ivf_trained": q_knn_ivf_trained,
+    "knn_quantized": q_knn_quantized,
+    "lsh_recall": q_lsh_recall,
+    "mad_outliers": q_mad_outliers,
+    "mix_resample": q_mix_resample,
+    "near_dedup": q_near_dedup,
+    "near_dedup_cc": q_near_dedup_cc,
+    "pack_bins": q_pack_bins,
+    "pack_chunks": q_pack_chunks,
+    "pagerank": q_pagerank,
+    "pii_redact": q_pii_redact,
+    "pivot_counts": q_pivot_counts,
+    "quality_ecdf": q_quality_ecdf,
+    "quantize_emb": q_quantize_emb,
+    "referrer_hosts": q_referrer_hosts,
+    "rep_signals": q_rep_signals,
+    "returned_items": q_returned_items,
+    "semantic_dedup": q_semantic_dedup,
+    "shard_manifest": q_shard_manifest,
+    "simhash_pairs": q_simhash_pairs,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_topk": q_tfidf_topk,
+    "tfidf_topk_salted": q_tfidf_topk_salted,
+    "value_quantiles": q_value_quantiles,
+    "vocab_topk": q_vocab_topk,
+    "weighted_sample": q_weighted_sample,
+    # -- deferred round-10 fast variant, then the remainder
+    # (committed full-registry HASHCHECK coverage) --
+    "semantic_dedup_fast": q_semantic_dedup_fast,
     "topk_per_group": q_topk_per_group,
     "url_blocklist": q_url_blocklist,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -10617,10 +10664,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uri_risk": q_uri_risk,
     "winnow_fingerprints_fast": q_winnow_fingerprints_fast,
     "winnow_pairs": q_winnow_pairs,
-    # -- deferred round-9 fast/big variants, then the remainder
-    # (committed full-registry HASHCHECK coverage) --
-    "doc_fingerprint_fast": q_doc_fingerprint_fast,
-    "url_blocklist_big": q_url_blocklist_big,
     "winnow_containment_drop": q_winnow_containment_drop,
     "curate_incremental": q_curate_incremental,
     "containment_pairs_hashed": q_containment_pairs_hashed,
@@ -10720,55 +10763,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "vocab_coverage": q_vocab_coverage,
     "zipf_fit": q_zipf_fit,
-    "containment_drop": q_containment_drop,
-    "batch_leakage": q_batch_leakage,
-    "bm25_drift": q_bm25_drift,
-    "chunk_sliding": q_chunk_sliding,
-    "clean_html": q_clean_html,
-    "corpus_stats": q_corpus_stats,
-    "decontam_bloom": q_decontam_bloom,
-    "decontaminate": q_decontaminate,
-    "dup_stats": q_dup_stats,
-    "funnel": q_funnel,
-    "fuzzy_match": q_fuzzy_match,
-    "gapfill_hourly": q_gapfill_hourly,
-    "hll_distinct": q_hll_distinct,
-    "jl_project": q_jl_project,
-    "kmeans_sizes": q_kmeans_sizes,
-    "kmeans_train": q_kmeans_train,
-    "knn_ivf_trained": q_knn_ivf_trained,
-    "knn_quantized": q_knn_quantized,
-    "lsh_recall": q_lsh_recall,
-    "mad_outliers": q_mad_outliers,
-    "mix_resample": q_mix_resample,
-    "near_dedup": q_near_dedup,
-    "near_dedup_cc": q_near_dedup_cc,
-    "pack_bins": q_pack_bins,
-    "pack_chunks": q_pack_chunks,
-    "pagerank": q_pagerank,
-    "pii_redact": q_pii_redact,
-    "pivot_counts": q_pivot_counts,
-    "quality_ecdf": q_quality_ecdf,
-    "quantize_emb": q_quantize_emb,
-    "referrer_hosts": q_referrer_hosts,
-    "rep_signals": q_rep_signals,
-    "returned_items": q_returned_items,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_fast": q_semantic_dedup_fast,
-    "shard_manifest": q_shard_manifest,
-    "simhash_pairs": q_simhash_pairs,
-    "stratified_sample": q_stratified_sample,
-    "tfidf_topk": q_tfidf_topk,
-    "tfidf_topk_salted": q_tfidf_topk_salted,
-    "value_quantiles": q_value_quantiles,
-    "vocab_topk": q_vocab_topk,
-    "weighted_sample": q_weighted_sample,
-    "bloom_audit": q_bloom_audit,
-    "bpe_encode": q_bpe_encode,
-    "bpe_merges": q_bpe_merges,
-    "budget_by_source": q_budget_by_source,
-    "cc_representatives": q_cc_representatives,
-    "cluster_purity": q_cluster_purity,
 }
 
 ORACLES: dict[str, str] = {
