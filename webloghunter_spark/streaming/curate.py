@@ -79,6 +79,25 @@ def curate_against_stream_writer(
     are collected (micro-batch-bounded — the per-stage twins already
     collect to sink) and the survivor ids re-enter as a left-semi
     join frame, so batch text never round-trips through the driver.
+
+    DISTRIBUTED-SINK DESIGN NOTE (round-14, the production-batch-size
+    path — no code change here because the twins' sink CONTRACT is a
+    driver callback and the registry twin is pinned to it): the id
+    round-trip exists only because each stage's verdict frame funnels
+    through `sink(rows, batch_id)`. At production micro-batch sizes
+    the same composition chains WITHOUT any driver materialization:
+    have each stateful stage write its survivor-id FRAME to durable
+    storage partitioned by batch_id (or foreachBatch-local
+    `batch.persist()` the verdict frame), left-semi join the NEXT
+    stage against that frame directly, and let the terminal stage
+    write surviving rows to the output table — ids then flow
+    executor-to-executor and the driver holds only batch_id metadata.
+    The per-stage twins already expose frame-level machinery
+    (`*_stream_writer` internals compute verdicts as DataFrames before
+    collecting), so the swap is a sink-contract variant (sink receives
+    a DataFrame, not rows), not an algorithm change; parity and
+    at-least-once replay arguments carry over unchanged because stage
+    decisions stay deterministic against the frozen artifacts.
     """
     from webloghunter_spark.functions.text import normalized_text_expr
     from webloghunter_spark.pipelines.decontam import eval_shingle_set
